@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mongodb_iceberg_sync_spark.registry import all_specs
+from mongodb_iceberg_sync_spark.session import get_spark
+
+HEADLINE = [
+    "q_agg_groupby",
+    "q_join_shuffle",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_window_running",
+    "q_topk_per_group",
+    "q_cdc_latest",
+    "q_stream_session",
+    "q_dedup_near",
+    "q_dedup_ngram_jaccard",
+    "q_sim_topk",
+    "q_text_tokenize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="mis-bench")
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer caches with one cheap action
+    specs["q_agg_groupby"].func(spark, sf_dir).collect()
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = specs[name].func(spark, sf_dir)
+        # noop sink forces full evaluation of every column JVM-side
+        # (df.count() would let Catalyst prune the computed projections)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Aggregations (SURVEY.md §2B aggregations).
+
+Scale notes: all of these are hash aggregations with map-side partial
+aggregation (Spark does partial_→final automatically); low-cardinality
+group keys (returnflag×linestatus = 6 groups) make the shuffle tiny
+regardless of input size. Float sums are rounded because summation
+order is nondeterministic across partitions/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+# Flagship: TPC-H Q1-style pricing summary (SURVEY.md §7 stage 0).
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q_agg_groupby",
+    family="aggregates",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filter→hash agg→6 groups.",
+)
+def q_agg_groupby(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_having",
+    family="aggregates",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(*) > 20 AND sum(c_acctbal) > 0
+    """,
+    doc="Post-aggregation filter (HAVING).",
+)
+def q_agg_having(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum("c_acctbal").alias("_raw_bal"),
+        )
+        .filter((F.col("n_customers") > 20) & (F.col("_raw_bal") > 0))
+        .drop("_raw_bal")
+    )
+
+
+@register(
+    "q_agg_distinct",
+    family="aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)            AS n_suppliers,
+           count(DISTINCT l_partkey)            AS n_parts,
+           round(sum(DISTINCT l_quantity), 2)   AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) / SUM(DISTINCT). Spark expands to a partial "
+    "de-dup shuffle per distinct column (expand+two-phase agg).",
+)
+def q_agg_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "q_agg_approx",
+    family="aggregates",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only
+    doc="Approximate distinct count (HyperLogLog++). At 100 TB this "
+    "replaces exact distinct's full shuffle with a fixed-size sketch "
+    "mergeable map-side.",
+)
+def q_agg_approx(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    family="aggregates",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical totals (ROLLUP).",
+)
+def q_agg_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    family="aggregates",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full grouping-set lattice (CUBE).",
+)
+def q_agg_cube(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    family="aggregates",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS.",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("mis_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM mis_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_agg_stats",
+    family="aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2)          AS min_price,
+           round(max(l_extendedprice), 2)          AS max_price,
+           round(stddev_samp(l_extendedprice), 6)  AS sd_price,
+           round(median(l_extendedprice), 6)       AS med_price,
+           round(var_samp(l_quantity), 6)          AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: min/max/stddev/variance/median "
+    "(median = exact interpolated 0.5-quantile in both engines).",
+)
+def q_agg_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )

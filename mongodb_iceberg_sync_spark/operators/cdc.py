@@ -1,0 +1,205 @@
+"""CDC / sync semantics as batch-testable queries (SURVEY.md §2B CDC).
+
+These are the reference's pipeline operators A9-A14/A17 (resume
+predicate, high-water-mark, last-writer-wins dedup, upsert, delete
+apply, partition transforms — reference docs/design.md:92,97,293-297,
+348) expressed as pure DataFrame transforms over the `events` log. The
+sync engine (..sync.apply) reuses these verbatim inside foreachBatch,
+which is what makes the streaming path oracle-testable in batch.
+
+The event log is interpreted as a CDC feed: key = user_id, ordering =
+(ts, event_id) — event_id is the total-order tie-break standing in for
+the resume-token position (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+_LWW_ORACLE = """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, ts AS last_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events {where}
+    ) WHERE rn = 1
+"""
+
+
+def lww_snapshot(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Last-writer-wins snapshot (reference A14, docs/design.md:348).
+
+    Scale: one shuffle on the key; at 100 TB prefer
+    `groupBy(key).agg(max_by(struct(...), struct(ts, event_id)))` —
+    same semantics, partial-aggregatable map-side (no full sort). We
+    use the window form here because it is the shape foreachBatch
+    shares with the streaming engine.
+    """
+    w = Window.partitionBy(key).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _lww_named(events: DataFrame) -> DataFrame:
+    return lww_snapshot(events).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "q_cdc_latest",
+    family="cdc",
+    oracle=_LWW_ORACLE.format(where=""),
+    doc="Last-writer-wins snapshot from the event log (reference A14).",
+)
+def q_cdc_latest(spark, sf_dir):
+    return _lww_named(t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_cdc_upsert",
+    family="cdc",
+    oracle=f"""
+    WITH base AS ({_LWW_ORACLE.format(where="WHERE event_id < 5000")}),
+    changes AS ({_LWW_ORACLE.format(where="WHERE event_id >= 5000")})
+    SELECT coalesce(c.user_id, b.user_id)               AS user_id,
+           coalesce(c.last_event_id, b.last_event_id)   AS last_event_id,
+           coalesce(c.last_type, b.last_type)           AS last_type,
+           coalesce(c.last_value, b.last_value)         AS last_value,
+           coalesce(c.last_ts, b.last_ts)               AS last_ts
+    FROM base b FULL OUTER JOIN changes c ON b.user_id = c.user_id
+    """,
+    doc="Upsert a change batch onto a base snapshot (reference A12 "
+    "MERGE INTO semantics: full-outer + coalesce, change wins).",
+)
+def q_cdc_upsert(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = _lww_named(ev.filter(F.col("event_id") < 5000))
+    changes = _lww_named(ev.filter(F.col("event_id") >= 5000))
+    b, c = base.alias("b"), changes.alias("c")
+    j = b.join(c, F.col("b.user_id") == F.col("c.user_id"), "full")
+    return j.select(
+        *[
+            F.coalesce(F.col(f"c.{col}"), F.col(f"b.{col}")).alias(col)
+            for col in ("user_id", "last_event_id", "last_type", "last_value", "last_ts")
+        ]
+    )
+
+
+@register(
+    "q_cdc_delete_apply",
+    family="cdc",
+    oracle=f"""
+    WITH snap AS ({_LWW_ORACLE.format(where="")})
+    SELECT user_id, last_event_id, last_type, last_value
+    FROM snap WHERE last_type <> 'error'
+    """,
+    doc="Apply deletes (reference A13/A3): users whose latest event is a "
+    "tombstone ('error' stands in for op=delete) drop from the snapshot "
+    "via anti-join.",
+)
+def q_cdc_delete_apply(spark, sf_dir):
+    snap = _lww_named(t(spark, sf_dir, "events"))
+    tombstones = snap.filter(F.col("last_type") == "error").select("user_id")
+    return (
+        snap.join(tombstones, "user_id", "left_anti")
+        .select("user_id", "last_event_id", "last_type", "last_value")
+    )
+
+
+@register(
+    "q_cdc_hwm_resume",
+    family="cdc",
+    oracle="""
+    SELECT max(event_id)   AS new_hwm,
+           count(*)        AS documents_processed,
+           min(event_id)   AS first_processed
+    FROM events WHERE event_id > 5000
+    """,
+    doc="Resume predicate + high-water-mark tracking (reference A9/A10, "
+    "docs/design.md:92,97): filter key>hwm pushes down to the scan; "
+    "max/count mirror the checkpoint columns.",
+)
+def q_cdc_hwm_resume(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") > 5000)
+    return ev.agg(
+        F.max("event_id").alias("new_hwm"),
+        F.count("*").alias("documents_processed"),
+        F.min("event_id").alias("first_processed"),
+    )
+
+
+@register(
+    "q_partition_transform",
+    family="cdc",
+    oracle="""
+    SELECT CAST(year(ts) AS INTEGER)    AS y,
+           CAST(month(ts) AS INTEGER)   AS m,
+           CAST(day(ts) AS INTEGER)     AS d,
+           CAST(hour(ts) AS INTEGER)    AS h,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Partition transforms year/month/day/hour (reference A17, "
+    "docs/design.md:185). The bucket[N] transform is exercised in "
+    "q_sink_partitioned (engine-specific hash → rows-only there).",
+)
+def q_partition_transform(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .groupBy("y", "m", "d", "h")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_schema_union",
+    family="cdc",
+    oracle=None,  # custom inference algorithm → rows-only
+    doc="Union-schema inference with conflict→JSON-string promotion "
+    "(reference A7, docs/design.md:424-431): sample heterogeneous JSON "
+    "docs, merge per-path types, promote conflicts to string. Real "
+    "implementation in sync.schema_infer; this query runs it over a "
+    "synthesized heterogeneous corpus derived from events.props.",
+)
+def q_schema_union(spark, sf_dir):
+    from ..sync.schema_infer import infer_union_schema, schema_to_rows
+
+    ev = t(spark, sf_dir, "events")
+    # Heterogeneous corpus: three shapes for the same logical feed —
+    # {"k": int}, {"k": "str"} (type conflict), nested + array variants.
+    docs = ev.select(
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("props")
+        )  # {"k": 42}
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit('{"k": "s", "extra": {"a": 1, "b": [1, 2]}}')),
+        )
+        .otherwise(F.lit('{"k": 7, "extra": {"a": 2.5}, "tag": true}'))
+        .alias("doc")
+    )
+    sample = [r.doc for r in docs.limit(1000).collect()]
+    schema = infer_union_schema(sample)
+    return spark.createDataFrame(
+        schema_to_rows(schema), "field_path string, inferred_type string, nullable boolean"
+    )

@@ -1,0 +1,323 @@
+"""Deduplication operators (north-star LLM-pipeline surface).
+
+Five dedup strategies over `documents`, all designed around equi-join
+blocking so nothing is quadratic in the corpus:
+
+  exact          — hash-groupBy on sha256(text)           (oracle-checked)
+  minhash LSH    — shingle→minhash sig→band buckets       (rows-only: hash-specific)
+  simhash        — 64-bit simhash, banded candidate join  (rows-only)
+  n-gram jaccard — shingle-join candidates + exact jaccard (oracle-checked)
+  embedding      — cosine near-dup clusters               (oracle-checked)
+
+At 100 TB the shape that matters: every method produces candidates via
+groupBy/join on a *derived key* (hash, band, shingle), never an
+all-pairs cross join; the only cross join below is the 500-row
+embedding table, with the LSH/IVF path in operators.similarity as the
+scale alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import register
+from ._util import t
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands x 4 rows
+
+
+def _shingles(tokens_col, n: int = 3):
+    """Distinct word n-gram shingle array from a token array column.
+
+    Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    documents must short-circuit to an empty array.
+    """
+    k = F.size(tokens_col) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingled_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    toks = F.split("text", " ")
+    return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
+
+
+@register(
+    "q_dedup_exact",
+    family="dedup",
+    oracle="""
+    SELECT sha256(text)  AS text_sha,
+           min(doc_id)   AS keeper_doc_id,
+           count(*)      AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="Exact dedup via content hash: groupBy(sha256(text)) keeps the "
+    "smallest doc_id. Hashing first means the shuffle carries 64-byte "
+    "keys, not arbitrary-length documents.",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_near",
+    family="dedup",
+    oracle=None,  # minhash values are engine-specific → rows-only
+    doc="MinHash+LSH near-dup candidates: word-3-gram shingles → 16 "
+    "minhashes (xxhash64 seeded per row) → 4 bands of 4 → bucket-join. "
+    "Pairs sharing a band are candidates; output estimated Jaccard = "
+    "signature agreement. Never all-pairs: candidates come from a "
+    "groupBy on (band_id, band_hash).",
+)
+def q_dedup_near(spark, sf_dir):
+    d = shingled_docs(t(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", F.explode("shingles").alias("sh"))
+    sig = ex.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64("sh", F.lit(i))) for i in range(N_MINHASH)]
+        ).alias("sig")
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                        b,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree.cast("double") / N_MINHASH, 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.25)
+
+
+_NGRAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.c AS BIGINT) AS n_common,
+           round(c.c / (sa.n + sb.n - c.c), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    family="dedup",
+    oracle=_NGRAM_ORACLE,
+    doc="Exact n-gram Jaccard over shingle-join candidates: pairs share "
+    "at least one word-3-gram (equi-join blocking — the inverted-index "
+    "trick), then |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.2. Integer counts + one "
+    "division ⇒ oracle-checkable exactly.",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = (
+        shingled_docs(t(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    family="dedup",
+    oracle=None,  # hash-specific → rows-only
+    doc="SimHash near-dup: 64-bit signature from token hashes (sum of "
+    "±1 per bit position, sign → bit), candidates from 4×16-bit band "
+    "join (guarantees recall for hamming ≤ 3), verified by "
+    "bit_count(a XOR b) ≤ 3. All JVM-side expressions.",
+)
+def q_dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    # per (doc, bit): sum of +1/-1 depending on the token-hash bit
+    bit_contrib = h.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda bpos: F.struct(
+                    bpos.alias("b"),
+                    F.when(
+                        F.call_function("shiftright", F.col("th"), bpos).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    )
+                    .otherwise(-1)
+                    .alias("contrib"),
+                ),
+            )
+        ).alias("bc"),
+    ).select("doc_id", "bc.b", "bc.contrib")
+    bits = (
+        bit_contrib.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0))
+    )
+    simhash = bits.groupBy("doc_id").agg(
+        F.sum(F.col("bit").cast("long") * F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias(
+            "simhash"
+        )
+    )
+    bands = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("band_id"),
+                    F.call_function("shiftright", F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_EMB_DEDUP_ORACLE = """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+               6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+"""
+
+
+@register(
+    "q_dedup_embedding",
+    family="dedup",
+    oracle=_EMB_DEDUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.9). Brute all-pairs "
+    "is acceptable only because the table is tiny; the 100 TB path is "
+    "LSH/IVF blocking (operators.similarity.q_sim_topk_ivf).",
+)
+def q_dedup_embedding(spark, sf_dir):
+    from ..functions.vector import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )

@@ -1,0 +1,317 @@
+"""Joins (SURVEY.md §2B joins).
+
+Scale notes per query in docstrings: broadcast for dimension tables,
+sort-merge with AQE skew handling for fact-fact joins, and banded /
+windowed strategies for the non-equi shapes so nothing degenerates to a
+cartesian product at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_join_broadcast",
+    family="joins",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand
+    """,
+    doc="Dimension equi-join, explicitly broadcast: `part` is tiny "
+    "relative to `lineitem` at every SF, so we ship the dim to every "
+    "executor and avoid shuffling the 100 TB fact side entirely.",
+)
+def q_join_broadcast(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_shuffle",
+    family="joins",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="Fact-fact equi-join: sort-merge on the join key; AQE splits "
+    "skewed key ranges at runtime. Both sides shuffle exactly once on "
+    "l_orderkey/o_orderkey.",
+)
+def q_join_shuffle(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_multiway",
+    family="joins",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(o.o_orderkey)         AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_sales
+    FROM customer c
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="4-table star join: tiny dims (nation/region) broadcast; the "
+    "single real shuffle is orders⋈customer. Catalyst reorders so "
+    "broadcasts happen after the selective join.",
+)
+def q_join_multiway(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    family="joins",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Left outer join preserving customers with no orders.",
+)
+def q_join_left(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    family="joins",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT coalesce(c.c_custkey, ue.user_id) AS entity_id,
+           CASE WHEN c.c_custkey IS NULL THEN 'event_only'
+                WHEN ue.user_id IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence,
+           coalesce(ue.n_events, 0) AS n_events
+    FROM customer c FULL OUTER JOIN ue ON c.c_custkey = ue.user_id
+    """,
+    doc="Full outer join: event actors vs customer dimension, keeping "
+    "unmatched rows from both sides.",
+)
+def q_join_full(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    ue = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    j = c.join(ue, c.c_custkey == ue.user_id, "full")
+    return j.select(
+        F.coalesce("c_custkey", "user_id").alias("entity_id"),
+        F.when(F.col("c_custkey").isNull(), "event_only")
+        .when(F.col("user_id").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "q_join_semi",
+    family="joins",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS): ships only the join key of the probe "
+    "side; no fact columns cross the shuffle.",
+)
+def q_join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    family="joins",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers that never ordered.",
+)
+def q_join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_theta_range",
+    family="joins",
+    oracle="""
+    SELECT s.s_suppkey,
+           count(*) AS n_near_customers,
+           round(avg(c.c_acctbal), 6) AS avg_near_bal
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    GROUP BY s.s_suppkey
+    """,
+    doc="Non-equi band join (value within ±100). Spark executes this as "
+    "broadcast-nested-loop on the small side; at 100 TB the scale path "
+    "is banding: join on floor(bal/100) buckets ±1 then post-filter, "
+    "turning it into an equi-join (see functions.banded_range_join).",
+)
+def q_join_theta_range(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100)
+    return (
+        c.join(F.broadcast(s), cond)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_near_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_near_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    family="joins",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.p_id, p.user_id, c.c_id, c.c_value,
+             CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+    )
+    SELECT p_id, user_id, c_id AS last_click_id, c_value AS last_click_value,
+           gap_us
+    FROM ranked WHERE rn = 1
+    """,
+    doc="As-of join: for each purchase, the latest click at-or-before it "
+    "per user (backward as-of, ties broken by event_id). Implemented as "
+    "equi-join on user + time inequality + per-left row_number()=1 — "
+    "Spark has no native ASOF. Scale path: repartition by user, "
+    "sortWithinPartitions(ts), mapInPandas merge-scan (pandas "
+    "merge_asof per partition) to avoid the quadratic pair blow-up.",
+)
+def q_join_asof(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    j = p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts))
+    w = Window.partitionBy("p_id").orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "user_id",
+            F.col("c_id").alias("last_click_id"),
+            F.col("c_value").alias("last_click_value"),
+            (
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("c_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    family="joins",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (r.r_regionkey * 100 + n.n_nationkey) AS pair_code
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Cartesian product (small inputs only — guarded by design).",
+)
+def q_join_cross(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_code"),
+    )

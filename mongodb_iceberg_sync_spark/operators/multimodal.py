@@ -1,0 +1,147 @@
+"""Multimodal column operators (north-star LLM-pipeline surface).
+
+Media payloads are opaque `binary` columns with typed metadata structs —
+the lakehouse-native layout for image/audio/video at 100 TB (payload
+bytes stay columnar-compressed; metadata prunes). Decode / feature
+extraction runs as Arrow-batched mapInPandas so bytes cross to Python
+once per batch, not per row.
+
+STUB NOTE: real image/audio decoders are not in this container, so the
+decode step is a clearly-marked deterministic fake (dimensions derived
+from doc_id). The Spark-side plumbing — schema, batching, partitioning,
+UDF signatures — is real and is what these queries test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+def _assembled(spark, sf_dir):
+    """documents ⋈ embeddings → multimodal rows: binary payload + typed
+    metadata struct + embedding vector."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.col("text").cast("binary").alias("payload"),
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            ).alias("meta"),
+            "embedding",
+            "label",
+        )
+    )
+
+
+@register(
+    "q_multimodal_cols",
+    family="multimodal",
+    oracle="""
+    SELECT d.doc_id,
+           octet_length(encode(d.text))  AS payload_bytes,
+           d.lang                        AS meta_lang,
+           CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Mixed-modality row assembly: binary payload + metadata struct + "
+    "vector, then typed field access. Output flattens to scalars so the "
+    "oracle can hash it.",
+)
+def q_multimodal_cols(spark, sf_dir):
+    m = _assembled(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.size("embedding").alias("emb_dim"),
+        "label",
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, media_type string"
+)
+
+
+def decode_stub_batches():
+    """Return the STUB decoder (mapInPandas body) as a closure so
+    cloudpickle serializes it BY VALUE — a module-level function is
+    pickled by reference and breaks on workers that don't have this
+    repo on sys.path. Deterministic fake: a real build would call
+    PIL/ffmpeg on the payload bytes here; dims derive from doc_id so
+    the oracle can verify the plumbing end-to-end."""
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": (16 + ids % 64).astype("int32"),
+                    "height": (16 + (ids * 7) % 64).astype("int32"),
+                    "n_frames": (1 + ids % 30).astype("int32"),
+                    "media_type": [
+                        "video" if i % 3 == 0 else ("image" if i % 3 == 1 else "audio")
+                        for i in ids
+                    ],
+                }
+            )
+
+    return _batches
+
+
+@register(
+    "q_multimodal_decode",
+    family="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 64 AS INTEGER)       AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+           CAST(1 + doc_id % 30 AS INTEGER)        AS n_frames,
+           CASE WHEN doc_id % 3 = 0 THEN 'video'
+                WHEN doc_id % 3 = 1 THEN 'image'
+                ELSE 'audio' END                    AS media_type
+    FROM documents
+    """,
+    doc="Decode/feature-extract over binary payloads via Arrow-batched "
+    "mapInPandas (decode itself is a documented deterministic STUB — "
+    "see module docstring; the oracle checks the real Spark plumbing).",
+)
+def q_multimodal_decode(spark, sf_dir):
+    m = _assembled(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(decode_stub_batches(), _DECODE_SCHEMA)
+
+
+@register(
+    "q_multimodal_framesample",
+    family="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS INTEGER) AS frame_idx,
+           CAST(1 + doc_id % 30 AS INTEGER) AS n_frames
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    doc="Frame sampling: every-5th-frame index expansion for video rows "
+    "(explode of a generated sequence — row-count amplification stays "
+    "JVM-side; the downstream per-frame decode is where mapInPandas "
+    "takes over).",
+)
+def q_multimodal_framesample(spark, sf_dir):
+    vids = q_multimodal_decode(spark, sf_dir).filter(F.col("media_type") == "video")
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
+    return vids.select(
+        "doc_id", F.explode(idx).alias("frame_idx"), "n_frames"
+    )

@@ -1,0 +1,181 @@
+"""Scalar function families (SURVEY.md §2B): string/date/math/array/json/map.
+
+Everything stays JVM-side (built-in pyspark.sql.functions) so the
+expressions live inside whole-stage codegen — no Python in the hot path.
+Transcendental results (ln/pow/sqrt) are rounded: libm implementations
+may differ in the last ulp between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_string_funcs",
+    family="scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           substr(p_name, 1, 8)                            AS name_prefix,
+           concat(p_brand, ':', p_type)                    AS brand_type,
+           trim(p_name)                                    AS name_trim,
+           length(p_name)                                  AS name_len,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+           (p_type LIKE '%ECONOMY%')                       AS is_economy
+    FROM part
+    """,
+    doc="upper/substr/concat/trim/length/regexp_extract/LIKE.",
+)
+def q_string_funcs(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.col("p_type").like("%ECONOMY%").alias("is_economy"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    family="scalar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)     AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)    AS order_month,
+           CAST(quarter(o_orderdate) AS INTEGER)  AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch0,
+           o_orderdate + INTERVAL 3 MONTH         AS due_date
+    FROM orders
+    """,
+    doc="year/month/quarter/date_trunc/datediff/add_months.",
+)
+def q_date_funcs(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_epoch0"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3)
+        .cast("timestamp_ntz")
+        .alias("due_date"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    family="scalar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 1)              AS price_r1,
+           abs(o_totalprice - 200000)          AS dist_from_200k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS price_kilo_ceil,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kilo_floor,
+           round(ln(o_totalprice), 6)          AS price_ln,
+           round(sqrt(o_totalprice), 6)        AS price_sqrt,
+           round(pow(o_totalprice / 100000, 2), 6) AS price_sq
+    FROM orders
+    WHERE o_totalprice > 0
+    """,
+    doc="round/abs/ceil/floor/ln/sqrt/pow (rounded: libm last-ulp).",
+)
+def q_math_funcs(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 200000).alias("dist_from_200k"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_kilo_ceil"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_kilo_floor"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 6).alias("price_sq"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    family="scalar_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                       AS dim,
+           embedding[1]                         AS first_elem,
+           round(embedding[1]::DOUBLE + embedding[2]::DOUBLE
+                 + embedding[3]::DOUBLE + embedding[4]::DOUBLE, 6) AS head4_sum,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+    doc="size/element_at/slice-sum/filter over array<float> embeddings.",
+)
+def q_array_funcs(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    head4 = F.aggregate(
+        F.slice("embedding", 1, 4),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.round(head4, 6).alias("head4_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    family="scalar_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2,
+           (CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS k_high
+    FROM events
+    """,
+    doc="get_json_object / from_json over the events.props JSON column.",
+)
+def q_json_funcs(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k * 2).alias("k2"),
+        (k > 50).alias("k_high"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    family="scalar_funcs",
+    oracle="""
+    SELECT event_id, 'k' AS map_key,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_value,
+           1 AS map_size
+    FROM events
+    """,
+    doc="Map construction (create_map), map_keys/map_values + explode; "
+    "oracle states the equivalent flat contract (DuckDB MAP differs).",
+)
+def q_map_funcs(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("int"))
+    exploded = ev.withColumn("m", m).select(
+        "event_id", F.size("m").alias("map_size"), F.explode("m").alias("map_key", "map_value")
+    )
+    return exploded.select("event_id", "map_key", "map_value", "map_size")

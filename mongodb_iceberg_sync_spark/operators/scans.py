@@ -1,0 +1,153 @@
+"""Scans, projections, filters (SURVEY.md §2B scans/filters).
+
+Mirrors reference pipeline ops A4 (projection+rename, reference
+docs/design.md:213-230) and A9 (resume predicate, docs/design.md:92) as
+relational queries. All expressed declaratively so Catalyst pushes
+filters and prunes columns into the parquet scan (verified via
+.explain: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_scan_project",
+    family="scans",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+    FROM lineitem
+    """,
+    doc="Parquet scan + column projection (pruned ReadSchema).",
+)
+def q_scan_project(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
+    "q_scan_pruned",
+    family="scans",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 10
+    """,
+    doc="Scan with predicates that push down to the parquet reader.",
+)
+def q_scan_pruned(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "q_filter_pred",
+    family="filters",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 45
+      AND l_returnflag IN ('A', 'R')
+      AND (l_discount > 0.05 OR l_tax <= 0.02)
+      AND l_shipdate IS NOT NULL
+    """,
+    doc="Conjunctive/disjunctive predicates, BETWEEN, IN, IS NULL.",
+)
+def q_filter_pred(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 45)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") <= 0.02))
+        & F.col("l_shipdate").isNotNull()
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax", "l_returnflag"
+    )
+
+
+@register(
+    "q_project_nested",
+    family="filters",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           user_id AS uid
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+    doc="Nested/JSON path extraction + rename (reference A4 dot-paths, "
+    "docs/design.md:215-230).",
+)
+def q_project_nested(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_id",
+            prop_k.alias("prop_k"),
+            F.col("user_id").alias("uid"),
+        )
+        .filter(F.col("prop_k") >= 50)
+    )
+
+
+@register(
+    "q_case_when",
+    family="filters",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                ELSE 'partial' END AS status_name,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_bucket
+    FROM orders
+    """,
+    doc="Conditional projection (CASE WHEN chains).",
+)
+def q_case_when(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+        .alias("status_name"),
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+    )
+
+
+@register(
+    "q_sink_partitioned",
+    family="sinks",
+    oracle=None,  # side-effecting write; driver does a rows-only check
+    doc="Partitioned write (reference A17 transforms month+bucket, "
+    "docs/design.md:185) then read-back aggregation. At scale the same "
+    "code lands month/bucket directories that Spark partition-prunes.",
+)
+def q_sink_partitioned(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="mis_sink_")
+    derived = ev.withColumn("m", F.month("ts")).withColumn(
+        "b", F.pmod(F.hash("user_id"), F.lit(8))
+    )
+    derived.write.mode("overwrite").partitionBy("m", "b").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("m", "b")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("m", "b")
+    )

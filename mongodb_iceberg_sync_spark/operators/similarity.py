@@ -1,0 +1,146 @@
+"""Similarity search over embeddings (north-star LLM-pipeline surface).
+
+Brute-force cosine top-k is the correctness baseline; the IVF variant is
+the 100 TB path: partition vectors into centroid buckets once (a write-
+time transform, like any other partition key), then a probe touches only
+nprobe buckets — the scan prunes instead of reading the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot_with_literal, norm
+from ..registry import register
+from ._util import t
+
+_PROBE_ID = 0
+_TOPK_ORACLE = f"""
+    WITH probe AS (
+      SELECT embedding AS p FROM embeddings WHERE vec_id = {_PROBE_ID}
+    )
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * probe.p[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> probe.p[i]::DOUBLE * probe.p[i]::DOUBLE)))),
+             6) AS cos_sim
+    FROM embeddings e, probe
+    WHERE e.vec_id <> {_PROBE_ID}
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "q_sim_topk",
+    family="similarity",
+    oracle=_TOPK_ORACLE,
+    doc="Brute-force cosine top-10 vs a probe vector. The probe folds "
+    "into the plan as a literal array (broadcast by value); the scan is "
+    "one pass, and TakeOrderedAndProject keeps only k rows per "
+    "partition — no global sort.",
+)
+def q_sim_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == _PROBE_ID).head().embedding
+    ]
+    import math
+
+    probe_norm = math.sqrt(sum(x * x for x in probe))
+    cos = dot_with_literal("embedding", probe) / (norm("embedding") * F.lit(probe_norm))
+    return (
+        e.filter(F.col("vec_id") != _PROBE_ID)
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q_sim_topk_ivf",
+    family="similarity",
+    oracle=None,  # approximate recall set is algorithm-specific → rows-only
+    doc="IVF-bucketed approximate top-k: 8 fixed centroids (embeddings "
+    "of vec_id 0..7 — deterministic), every vector assigned to its "
+    "nearest centroid (a partition key at write time); a probe searches "
+    "the nprobe=3 nearest buckets only. Returns approx top-10 with "
+    "bucket provenance.",
+)
+def q_sim_topk_ivf(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    centroids = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    }
+    probe = centroids[_PROBE_ID]
+
+    # assign: argmax over centroid sims (deterministic tie-break: first max)
+    sims = F.array(
+        *[
+            F.round(cosine("embedding", F.array(*[F.lit(v) for v in c])), 9)
+            for c in centroids.values()
+        ]
+    )
+    assigned = (
+        e.withColumn("s", sims)
+        .withColumn("bucket", F.array_position("s", F.array_max("s")))
+        .drop("s")
+    )
+
+    import math
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    probe_sims = [(i + 1, cos_py(probe, c)) for i, c in enumerate(centroids.values())]
+    nprobe_buckets = [b for b, _ in sorted(probe_sims, key=lambda x: (-x[1], x[0]))[:3]]
+
+    cos = cosine("embedding", F.array(*[F.lit(v) for v in probe]))
+    return (
+        assigned.filter(F.col("bucket").isin(nprobe_buckets))
+        .filter(F.col("vec_id") != _PROBE_ID)
+        .select(
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q_sim_pairwise",
+    family="similarity",
+    oracle=None,  # SURVEY §2B marks this rows-only
+    doc="All-pairs similarity ≥ 0.85 with norm-band pruning: pairs whose "
+    "norms differ hugely can't be near-duplicates after normalization "
+    "here both sides are pre-bucketed by label (a stand-in blocking key) "
+    "and only same-label pairs are scored — the blocking pattern that "
+    "replaces O(n²) at scale.",
+)
+def q_sim_pairwise(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(F.broadcast(b), (F.col("lbl") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.col("lbl").cast("int").alias("label"),
+            F.round(cosine("emb_a", "emb_b"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.85)
+    )

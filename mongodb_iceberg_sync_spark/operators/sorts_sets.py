@@ -1,0 +1,150 @@
+"""Sorts, limits, top-k, set operations (SURVEY.md §2B).
+
+Top-k queries always carry a unique tie-break so the selected row SET is
+deterministic (the driver's hash is order-insensitive, but LIMIT
+membership must not depend on engine sort stability).
+
+Scale note: orderBy().limit(k) compiles to TakeOrderedAndProject —
+per-partition top-k then a k-sized merge on the driver; no global sort
+materializes. Top-k per group is a single window shuffle on the group
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_sort_multi",
+    family="sorts",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="Multi-key sort (asc/desc mix) with LIMIT making order matter.",
+)
+def q_sort_multi(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q_topk",
+    family="sorts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    doc="Global top-k (TakeOrderedAndProject: no full sort at scale).",
+)
+def q_topk(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(50)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "q_topk_per_group",
+    family="sorts",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS order_rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer via ranked window (generalizes "
+    "reference A14 last-writer-wins to k>1).",
+)
+def q_topk_per_group(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.col("rn").alias("order_rank")
+        )
+    )
+
+
+_YEAR_CUST = """
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {yr}
+"""
+
+
+@register(
+    "q_set_union",
+    family="set_ops",
+    oracle=f"""
+    SELECT o_custkey FROM ({_YEAR_CUST.format(yr=1995)})
+    UNION
+    SELECT o_custkey FROM ({_YEAR_CUST.format(yr=1996)})
+    """,
+    doc="UNION (distinct) of 1995 vs 1996 purchaser sets.",
+)
+def q_set_union(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return a.union(b).distinct()
+
+
+@register(
+    "q_set_intersect",
+    family="set_ops",
+    oracle=f"""
+    SELECT o_custkey FROM ({_YEAR_CUST.format(yr=1995)})
+    INTERSECT
+    SELECT o_custkey FROM ({_YEAR_CUST.format(yr=1996)})
+    """,
+    doc="INTERSECT: customers purchasing in both years.",
+)
+def q_set_intersect(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return a.intersect(b)
+
+
+@register(
+    "q_set_except",
+    family="set_ops",
+    oracle=f"""
+    SELECT o_custkey FROM ({_YEAR_CUST.format(yr=1995)})
+    EXCEPT
+    SELECT o_custkey FROM ({_YEAR_CUST.format(yr=1996)})
+    """,
+    doc="EXCEPT: 1995 purchasers that lapsed in 1996.",
+)
+def q_set_except(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return a.exceptAll(b)

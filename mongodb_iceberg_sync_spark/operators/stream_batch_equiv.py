@@ -1,0 +1,224 @@
+"""Streaming operators in batch-equivalent form (SURVEY.md §2B streaming).
+
+Structured Streaming transformations are incrementalized batch plans, so
+every windowed aggregation here runs identically on a stream — the
+streaming/ package wires the same expressions behind readStream with
+watermarks; these batch forms are what the DuckDB oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+_HOUR_US = 3_600_000_000
+_SLIDE_US = 900_000_000  # 15 minutes
+
+
+@register(
+    "q_stream_tumbling",
+    family="streaming",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*)               AS n_events,
+           round(sum(value), 4)   AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Tumbling 1h window aggregation via F.window — identical plan "
+    "under readStream+watermark (streaming.windows.tumbling_counts).",
+)
+def q_stream_tumbling(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    family="streaming",
+    oracle=f"""
+    SELECT make_timestamp(((epoch_us(ts) // {_SLIDE_US}) - k.k) * {_SLIDE_US})
+             AS window_start,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events, range(0, 4) k(k)
+    WHERE ((epoch_us(ts) // {_SLIDE_US}) - k.k) * {_SLIDE_US} > epoch_us(ts) - {_HOUR_US}
+    GROUP BY 1
+    """,
+    doc="Sliding window (1h width, 15m slide): each event lands in 4 "
+    "overlapping windows. Spark F.window(duration, slide) — the oracle "
+    "replicates Spark's epoch-aligned window-start arithmetic.",
+)
+def q_stream_sliding(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    family="streaming",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows, 10-minute gap (gaps-and-islands form). The "
+    "streaming engine uses F.session_window with a watermark — same gap "
+    "semantics: a new session starts when the gap is >= the timeout.",
+)
+def q_stream_session(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us >= 600_000_000), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "q_stream_watermark_dedup",
+    family="streaming",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    GROUP BY event_id, user_id, event_type
+    """,
+    doc="At-least-once replay dedup (reference A14/A21): a doubled feed "
+    "collapses to one row per event_id. Streaming form: "
+    "withWatermark('ts','1 hour').dropDuplicates(['event_id']) in "
+    "streaming.windows.watermark_dedup — state expires past watermark.",
+)
+def q_stream_watermark_dedup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    replayed = ev.unionAll(ev)  # simulate at-least-once duplicate delivery
+    return replayed.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "q_stream_foreachbatch_merge",
+    family="streaming",
+    oracle=None,  # side-effecting streaming pipeline → rows-only
+    doc="End-to-end micro-batch upsert pipeline (reference A12+A21): a "
+    "synthetic CDC file stream → foreachBatch LWW merge into a "
+    "merge-on-read table → final snapshot. Runs a REAL StreamingQuery "
+    "(availableNow) against temp dirs; the deterministic final state is "
+    "the sequential-replay oracle in sources.cdc_feed.",
+)
+def q_stream_foreachbatch_merge(spark, sf_dir):
+    import tempfile
+
+    from ..sources.cdc_feed import make_events, read_stream, write_stream_source
+    from ..streaming.sink import foreach_batch_merge
+    from ..sync.table_store import MorTable
+
+    rows = make_events(n_docs=20, n_ops=200)
+    src = write_stream_source(spark, rows, tempfile.mkdtemp(prefix="mis_cdc_src_"))
+    table = MorTable(spark, tempfile.mkdtemp(prefix="mis_cdc_tbl_"), key="doc_id")
+    q = foreach_batch_merge(
+        read_stream(spark, src), table, tempfile.mkdtemp(prefix="mis_cdc_ckpt_")
+    )
+    q.awaitTermination()
+    snap = table.snapshot()
+    return snap.select(
+        "doc_id", F.get_json_object("full_doc", "$.v").cast("long").alias("v")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_stream_stateful",
+    family="streaming",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, count(*) AS run_len
+      FROM s GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, max(run_len) AS max_run, count(*) AS n_runs
+    FROM runs GROUP BY user_id
+    """,
+    doc="Custom per-key state: longest run of same-type consecutive "
+    "events per user, computed imperatively in applyInPandas (the batch "
+    "twin of transformWithStateInPandas in streaming.stateful). Oracle "
+    "is the gaps-and-islands SQL equivalent.",
+)
+def q_stream_stateful(spark, sf_dir):
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+
+    def longest_run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        best = cur = 0
+        n_runs = 0
+        prev = None
+        for et in pdf["event_type"]:
+            if et == prev:
+                cur += 1
+            else:
+                cur = 1
+                n_runs += 1
+                prev = et
+            best = max(best, cur)
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "max_run": [best], "n_runs": [n_runs]}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        longest_run, "user_id bigint, max_run bigint, n_runs bigint"
+    )

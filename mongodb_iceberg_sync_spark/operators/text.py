@@ -1,0 +1,233 @@
+"""Text analysis operators (north-star LLM-pipeline surface).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+JVM-side expressions over `documents` (no Python in the hot path), so a
+100 TB corpus streams through whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_text_tokenize",
+    family="text",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT lang,
+           count(*)            AS n_tokens,
+           count(DISTINCT tok) AS n_distinct_tokens
+    FROM toks GROUP BY lang
+    """,
+    doc="Tokenize + per-language token counts (split→explode→agg).",
+)
+def q_text_tokenize(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "q_text_search",
+    family="text",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS BIGINT)
+             AS n_hits
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Term search + frequency ranking: top-20 docs by hit count for "
+    "the term 'spark'.",
+)
+def q_text_search(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    hits = F.size(F.filter(F.split("text", " "), lambda tk: tk == "spark")).cast("long")
+    return (
+        d.select("doc_id", hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_stats",
+    family="text",
+    oracle="""
+    SELECT source,
+           count(*)                                        AS n_docs,
+           round(avg(n_chars), 6)                          AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang)                            AS n_langs
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source corpus stats: docs, avg chars, tokens, languages.",
+)
+def q_text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "q_text_quality",
+    family="text",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(n_chars AS DOUBLE) AS chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(n_distinct / n_tokens, 6)                       AS ttr,
+           round(chars / n_tokens, 6)                            AS avg_tok_len,
+           round(0.5 * (n_distinct / n_tokens)
+                 + 0.5 * least(chars / n_tokens / 8.0, 1.0), 6)  AS quality_score
+    FROM m WHERE n_tokens > 0
+    """,
+    doc="Quality scoring: type-token ratio + length signals combined "
+    "into a bounded score (the classic cheap pre-filter before "
+    "expensive model-based scoring).",
+)
+def q_text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("double").alias("chars"),
+    ).filter(F.col("n_tokens") > 0)
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    atl = F.col("chars") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(atl, 6).alias("avg_tok_len"),
+        F.round(0.5 * ttr + 0.5 * F.least(atl / 8.0, F.lit(1.0)), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+@register(
+    "q_text_token_count",
+    family="text",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)              AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)    AS subword_tokens
+    FROM documents
+    """,
+    doc="Token counting three ways: whitespace, word-regex, and a "
+    "BPE-ish bounded-subword regex (greedy ≤4-char chunks approximating "
+    "subword segmentation).",
+)
+def q_text_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+        .cast("long")
+        .alias("subword_tokens"),
+    )
+
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language-ID (deterministic; a real system would load fastText-style
+# profiles — the *operator shape* is what matters: score = dot(profile,
+# token histogram) per language, argmax).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+
+@register(
+    "q_text_lang_id",
+    family="text",
+    oracle=None,  # heuristic classifier → rows-only (deterministic)
+    doc="Heuristic language-ID: score each doc against per-language "
+    "stopword profiles (token-histogram dot product, argmax with "
+    "alphabetical tie-break), report confusion counts vs the labeled "
+    "lang column.",
+)
+def q_text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda tk: tk.isin(*words))).alias("score"),
+                F.lit(lang).alias("plang"),
+            )
+            for lang, words in sorted(_LANG_PROFILES.items())
+        ]
+    )
+    # argmax score, ties → alphabetically first language (array_max on
+    # struct compares score first, then plang — invert for tie-break)
+    best = F.array_max(scores)
+    pred = d.select("doc_id", "lang", best.getField("plang").alias("pred_lang"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    family="text",
+    oracle=None,  # hash-specific → rows-only
+    doc="Document fingerprinting: min-4 sketch of rolling word-5-gram "
+    "hashes (winnowing-style). Equal fingerprints ⇒ near-identical "
+    "prefix-structure; used as a cheap near-dup blocking key.",
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    k = F.size(toks) - 4
+    # guard: sequence(1, 0) is DESCENDING in Spark — short docs → empty
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 5))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sketch = F.slice(F.array_sort(grams), 1, 4)
+    return d.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(",", F.transform(sketch, lambda h: h.cast("string")))).alias(
+            "fingerprint"
+        ),
+        F.size(grams).cast("long").alias("n_grams"),
+    )

@@ -1,0 +1,160 @@
+"""Window functions (SURVEY.md §2B windows).
+
+All window orderings carry a unique tie-break key so results are
+deterministic and identical across engines. Running float sums are
+rounded: DuckDB computes windowed sums with segment trees, Spark with
+sequential accumulation — same math, different FP association.
+
+Scale note: a window over partitionBy(k) is one shuffle on k. Keys here
+(customer, user, brand, segment) are high-cardinality, so partitions
+stay balanced; skewed key domains would call for pre-aggregation or
+two-level windowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_window_rank",
+    family="windows",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 25
+    """,
+    doc="rank/dense_rank/row_number per partition, top-25 per segment.",
+)
+def q_window_rank(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 25)
+    )
+
+
+@register(
+    "q_window_running",
+    family="windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+    FROM orders
+    """,
+    doc="Running sum per customer (ROWS unbounded-preceding→current).",
+)
+def q_window_running(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "q_window_lag",
+    family="windows",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(value - lag(value) OVER w, 6) AS value_delta,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_to_next_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead analytics: per-user event deltas and inter-event gaps.",
+)
+def q_window_lag(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_to_next_us"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    family="windows",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           count(*) OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_cheaper_near,
+           round(sum(p_retailprice) OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS near_price_sum
+    FROM part
+    """,
+    doc="RANGE frame over a numeric ordering (value-based moving window).",
+)
+def q_window_range_frame(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.count("*").over(w).alias("n_cheaper_near"),
+        F.round(F.sum("p_retailprice").over(w), 2).alias("near_price_sum"),
+    )
+
+
+@register(
+    "q_window_ntile",
+    family="windows",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS bal_quartile
+    FROM customer
+    """,
+    doc="ntile quartile bucketing per segment.",
+)
+def q_window_ntile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment", "c_custkey", F.ntile(4).over(w).alias("bal_quartile")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession construction and tuning.
+
+Scale rationale (100 TB target, tested on local[32]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join conversion replace hand-tuned partition counts.
+- shuffle.partitions is a *starting* value; AQE coalesces down. On a real
+  cluster this should be ~2-3x total cores; locally we default to the
+  local parallelism.
+- maxPartitionBytes 128MB aligns scan splits with the reference's flush
+  target (reference BatchConfig.java:9 — 128 MB files).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session handed to us (the driver
+# owns its own SparkSession; these must all be settable post-creation).
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores INT64 TIMESTAMP(NANOS); Spark refuses
+    # it unless read as long (converted in tables.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive µs).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by a real cluster
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "mis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return apply_runtime_confs(builder.getOrCreate())

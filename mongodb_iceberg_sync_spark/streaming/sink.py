@@ -1,0 +1,40 @@
+"""Streaming merge sink: foreachBatch → idempotent MoR commit
+(reference A12/A15/A21; q_stream_foreachbatch_merge's engine).
+
+This is the steady-state write path of the sync engine: each
+micro-batch of CDC events is LWW-deduped within the batch and committed
+keyed by batch_id — Spark may replay a batch after failure, and the
+replay overwrites the same delta directory, converging to the same
+state (the Spark-native equivalent of the reference's commit-ordering
+protocol, docs/design.md:339-348).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sync.apply import apply_batch
+from ..sync.table_store import MorTable
+
+
+def foreach_batch_merge(
+    cdc_stream: DataFrame,
+    table: MorTable,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+) -> StreamingQuery:
+    """Start the merge stream with availableNow (drain-and-stop) —
+    tests and backfill-catchup use this; production would use a
+    processingTime trigger = the reference's flushIntervalSeconds
+    (BatchConfig.java:10)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(table, batch_df, batch_id, key=key)
+
+    return (
+        cdc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

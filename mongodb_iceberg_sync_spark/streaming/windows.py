@@ -1,0 +1,58 @@
+"""Streaming window aggregations (SURVEY.md §2B streaming rows).
+
+The same expressions as operators.stream_batch_equiv, behind readStream
+with watermarks — Structured Streaming incrementalizes the identical
+logical plan, which is exactly why the batch forms are valid oracles.
+
+Watermark choice: bounds state size (late rows beyond the bound drop);
+at 100 TB/day the watermark is what keeps windowed state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1h tumbling count/sum (streaming twin of q_stream_tumbling)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1h window sliding every 15m (streaming twin of q_stream_sliding)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows per user (streaming twin of
+    q_stream_session's gaps-and-islands batch form)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def watermark_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Replay dedup on event_id within the watermark horizon (reference
+    A14 at-least-once dedup; q_stream_watermark_dedup's streaming twin).
+    State = one entry per event_id until the watermark passes it."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -1,0 +1,83 @@
+"""CDC event-batch apply (reference A3/A12-A14/A21).
+
+Takes a micro-batch of change events (FIXTURES.md §3 shape: op_seq,
+op_type, doc_id, ts, full_doc) and applies it to a MorTable:
+
+  1. dispatch by op_type (reference A3, docs/design.md:115-118):
+     insert/update/replace → upsert; delete → tombstone;
+     drop/rename/invalidate → surfaced to the engine (re-initial-sync)
+  2. within-batch last-writer-wins on op_seq (reference A14 — change
+     streams are ordered, DataFrames are not, so the explicit op_seq
+     carries the order; SURVEY.md §7 risk register)
+  3. idempotent commit keyed on batch_id (reference A21)
+
+The same function body runs in batch tests and inside
+streaming.sink.foreach_batch_merge — that equivalence is what makes
+the streaming path oracle-testable (SURVEY.md §2 design rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .table_store import OP_SEQ, OP_TYPE, MorTable
+
+UPSERT_OPS = ("insert", "update", "replace")
+DELETE_OPS = ("delete",)
+INVALIDATE_OPS = ("drop", "rename", "invalidate")
+
+
+def split_invalidations(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(normal_ops, invalidation_ops) — invalidations trigger
+    re-initial-sync in the engine (reference A23)."""
+    normal = events.filter(~F.col("op_type").isin(*INVALIDATE_OPS))
+    invalid = events.filter(F.col("op_type").isin(*INVALIDATE_OPS))
+    return normal, invalid
+
+
+def batch_to_ops(events: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Normalize a raw event batch into MorTable rows:
+    [key, payload(full_doc JSON), _op_seq, _op] with within-batch LWW
+    already applied (one op per key — the max op_seq wins)."""
+    ops = events.select(
+        F.col(key),
+        F.col("full_doc"),
+        F.col("ts"),
+        F.col("op_seq").cast("long").alias(OP_SEQ),
+        F.when(F.col("op_type").isin(*DELETE_OPS), F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias(OP_TYPE),
+    )
+    # within-batch LWW: hash agg on key, max_by op_seq (no sort/window)
+    row = F.struct("full_doc", "ts", OP_SEQ, OP_TYPE)
+    return (
+        ops.groupBy(key)
+        .agg(F.max_by(row, F.col(OP_SEQ)).alias("_r"))
+        .select(
+            key,
+            F.col("_r.full_doc").alias("full_doc"),
+            F.col("_r.ts").alias("ts"),
+            F.col(f"_r.{OP_SEQ}").alias(OP_SEQ),
+            F.col(f"_r.{OP_TYPE}").alias(OP_TYPE),
+        )
+    )
+
+
+def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "doc_id") -> dict:
+    """Apply one micro-batch; returns stats for checkpointing
+    (max op_seq = resume position, counts = metrics A34)."""
+    normal, invalid = split_invalidations(events)
+    n_invalid = invalid.count()
+    ops = batch_to_ops(normal, key=key)
+    stats = ops.agg(
+        F.max(OP_SEQ).alias("max_seq"), F.count("*").alias("n_ops")
+    ).head()
+    if stats.n_ops:
+        table.commit_batch(ops, batch_id)
+    return {
+        "batch_id": batch_id,
+        "n_ops": stats.n_ops,
+        "max_op_seq": stats.max_seq,
+        "n_invalidations": n_invalid,
+    }

@@ -1,0 +1,149 @@
+"""Merge-on-read key-value table on plain parquet (reference A12-A15).
+
+The reference targets Iceberg merge-on-read: upsert = equality-delete
+old row + append new; delete = equality-delete (reference
+docs/design.md:291-300). No Iceberg runtime jar ships in this
+environment, so this module re-creates the same semantics on bare
+parquet, structured exactly like Iceberg would:
+
+  {table}/base/            — compacted data files ("data files")
+  {table}/deltas/batch=N/  — per-commit upsert+tombstone files
+                             ("equality delete files" + appended rows)
+
+- Read  = base ∪ deltas, last-writer-wins by (key, op_seq), tombstones
+  dropped — i.e. the MoR merge an Iceberg reader performs.
+- Write = one delta directory per batch_id; replaying a batch
+  overwrites the same directory ⇒ idempotent commits (reference A21
+  at-least-once protocol, docs/design.md:339-348).
+- Compact = rewrite base from the merged view, clear deltas (reference
+  A24 RewriteDataFiles, docs/design.md:394-400).
+
+Scale: the merged view is one shuffle on the key (max_by aggregation,
+partial-aggregatable map-side). With Iceberg jars on a real cluster,
+SparkCatalog + MERGE INTO replaces this file-level bookkeeping 1:1 —
+the apply/backfill layers only depend on the upsert/delete/read
+contract, so swapping backends is a constructor change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OP_SEQ = "_op_seq"  # total order of applied ops (resume-token position)
+OP_TYPE = "_op"  # upsert | delete
+TOMBSTONE = "delete"
+
+
+class MorTable:
+    """A keyed merge-on-read table rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key = key
+        os.makedirs(self.base_dir, exist_ok=True)
+        os.makedirs(self.delta_dir, exist_ok=True)
+
+    @property
+    def base_dir(self) -> str:
+        return f"{self.path}/base"
+
+    @property
+    def delta_dir(self) -> str:
+        return f"{self.path}/deltas"
+
+    # -- write path ---------------------------------------------------
+
+    def append_base(self, df: DataFrame) -> None:
+        """Backfill append (reference A15): rows land in base directly,
+        stamped as op_seq=0 upserts."""
+        (
+            df.withColumn(OP_SEQ, F.lit(0).cast("long"))
+            .withColumn(OP_TYPE, F.lit("upsert"))
+            .write.mode("append")
+            .parquet(self.base_dir)
+        )
+
+    def commit_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Apply one CDC micro-batch (upserts + deletes), idempotently.
+
+        batch_df must carry [key, OP_SEQ, OP_TYPE, payload...]. A
+        replayed batch_id overwrites its own delta directory — the
+        Spark-native version of the reference's commit-ordering
+        protocol (A21): state converges no matter how often the batch
+        replays.
+        """
+        target = f"{self.delta_dir}/batch={batch_id}"
+        batch_df.write.mode("overwrite").parquet(target)
+
+    # -- read path ----------------------------------------------------
+
+    def _raw(self) -> DataFrame | None:
+        parts = []
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(self.base_dir) for f in fs):
+            parts.append(self.spark.read.parquet(self.base_dir))
+        delta_batches = [
+            f"{self.delta_dir}/{d}"
+            for d in sorted(os.listdir(self.delta_dir))
+            if d.startswith("batch=")
+        ]
+        if delta_batches:
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(*delta_batches)
+            )
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    def snapshot(self) -> DataFrame | None:
+        """Current LWW state: max op_seq per key wins; tombstones drop.
+
+        Uses max_by(struct(all), op_seq) — a hash aggregation with
+        map-side partials (no sort, no window) — the shape that holds
+        at 100 TB.
+        """
+        raw = self._raw()
+        if raw is None:
+            return None
+        payload = [c for c in raw.columns if c not in (OP_SEQ, OP_TYPE)]
+        row = F.struct(*[F.col(c) for c in payload], F.col(OP_TYPE))
+        latest = (
+            raw.groupBy(self.key)
+            .agg(F.max_by(row, F.col(OP_SEQ)).alias("_row"))
+            .select(*[F.col(f"_row.{c}").alias(c) for c in payload], F.col(f"_row.{OP_TYPE}"))
+        )
+        return latest.filter(F.col(OP_TYPE) != TOMBSTONE).drop(OP_TYPE)
+
+    # -- maintenance --------------------------------------------------
+
+    def compact(self) -> None:
+        """Rewrite base from the merged snapshot; clear deltas
+        (reference A24/A25 compaction + snapshot expiry analog)."""
+        snap = self.snapshot()
+        tmp = f"{self.path}/.compact_tmp"
+        if snap is None:
+            return
+        (
+            snap.withColumn(OP_SEQ, F.lit(0).cast("long"))
+            .withColumn(OP_TYPE, F.lit("upsert"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+        os.rename(tmp, self.base_dir)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        os.makedirs(self.delta_dir, exist_ok=True)
+
+    def truncate(self) -> None:
+        """Drop all data (used by re-initial-sync, reference A23)."""
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        os.makedirs(self.base_dir, exist_ok=True)
+        os.makedirs(self.delta_dir, exist_ok=True)

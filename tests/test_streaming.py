@@ -1,0 +1,160 @@
+"""Real Structured Streaming tests: file-source micro-batches through
+the streaming operators must converge to the batch-equivalent results
+(the equivalence SURVEY.md §2B's oracle strategy relies on)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongodb_iceberg_sync_spark.sources.cdc_feed import (
+    expected_final_state,
+    make_events,
+    read_stream,
+    write_stream_source,
+)
+from mongodb_iceberg_sync_spark.streaming.sink import foreach_batch_merge
+from mongodb_iceberg_sync_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+    watermark_dedup,
+)
+from mongodb_iceberg_sync_spark.sync.table_store import MorTable
+from mongodb_iceberg_sync_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events table as a 4-file parquet dir (file streaming source)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _read_events_stream(spark, path):
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(
+        spark, tumbling_counts(stream), "t_tumbling", "complete"
+    ).collect()
+    batch = load_table(spark, sf_dir, "events")
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, sliding_counts(stream), "t_sliding", "complete").collect()
+    batch = load_table(spark, sf_dir, "events")
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_session_stream_matches_batch_equiv(spark, sf_dir, events_stream_dir):
+    """session_window (streaming) vs the gaps-and-islands batch oracle:
+    same (user, session_start, n_events) triples."""
+    from mongodb_iceberg_sync_spark.operators.stream_batch_equiv import q_stream_session
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, session_stats(stream), "t_session", "complete")
+    got_rows = sorted(
+        (r.user_id, r.session_start, r.n_events) for r in got.collect()
+    )
+    exp_rows = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_stream_session(spark, sf_dir).collect()
+    )
+    assert got_rows == exp_rows
+
+
+def test_watermark_dedup_stream(spark, events_stream_dir, tmp_path):
+    """Duplicated source files → dropDuplicates collapses to one row per
+    event_id across micro-batches."""
+    import shutil
+    import os
+
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(events_stream_dir, dup_dir)
+    for f in os.listdir(events_stream_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(events_stream_dir, f),
+                os.path.join(dup_dir, "dup_" + f),
+            )
+    stream = _read_events_stream(spark, dup_dir)
+    got = _run_to_memory(
+        spark, watermark_dedup(stream).select("event_id"), "t_dedup", "append"
+    )
+    n = got.count()
+    distinct = got.distinct().count()
+    assert n == distinct > 0
+
+
+def test_foreachbatch_merge_pipeline(spark, tmp_path):
+    """CDC file stream → foreachBatch MoR merge == sequential replay."""
+    rows = make_events(n_docs=15, n_ops=150)
+    src = write_stream_source(spark, rows, str(tmp_path / "src"))
+    table = MorTable(spark, str(tmp_path / "tbl"), key="doc_id")
+    q = foreach_batch_merge(
+        read_stream(spark, src), table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: json.loads(r.full_doc) for r in table.snapshot().collect()
+    }
+    assert got == expected_final_state(rows)
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    """applyInPandasWithState longest-run == batch applyInPandas twin."""
+    from mongodb_iceberg_sync_spark.operators.stream_batch_equiv import q_stream_stateful
+    from mongodb_iceberg_sync_spark.streaming.stateful import longest_run_stream
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, longest_run_stream(stream), "t_state", "update")
+    # update mode emits one row per key per batch; keep the last emission
+    # per user (max n_runs ⇒ latest) — state is cumulative
+    # both metrics are nondecreasing across emissions → max = final state
+    final = got.groupBy("user_id").agg(
+        F.max("max_run").alias("max_run"), F.max("n_runs").alias("n_runs")
+    )
+    exp = q_stream_stateful(spark, sf_dir)
+    got_rows = sorted(map(tuple, final.collect()))
+    exp_rows = sorted(map(tuple, exp.collect()))
+    assert got_rows == exp_rows

@@ -1,0 +1,234 @@
+"""Sync-engine tests mirroring the reference's planned methodology
+(SURVEY.md §5 / reference docs/plan.md:152-159,177-183,201-208):
+upsert/delete reflected, batch replay idempotent, interrupt/resume via
+HWM, invalidate → re-initial-sync, checkpoint round-trip, compaction.
+
+Correctness oracle: sequential replay of the op log in plain Python
+(sources.cdc_feed.expected_final_state)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mongodb_iceberg_sync_spark.sources.cdc_feed import (
+    events_df,
+    expected_final_state,
+    make_events,
+)
+from mongodb_iceberg_sync_spark.sync.apply import apply_batch
+from mongodb_iceberg_sync_spark.sync.backfill import run_backfill
+from mongodb_iceberg_sync_spark.sync.checkpoint import (
+    RESUME_INITIAL_SYNC,
+    RESUME_STEADY_STATE,
+    RUN_INITIAL_SYNC,
+    CheckpointStore,
+)
+from mongodb_iceberg_sync_spark.sync.engine import CollectionSync, SyncState, backoff_delay
+from mongodb_iceberg_sync_spark.sync.table_store import MorTable
+
+
+def snapshot_dict(table: MorTable) -> dict[str, dict]:
+    snap = table.snapshot()
+    if snap is None:
+        return {}
+    return {r.doc_id: json.loads(r.full_doc) for r in snap.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return MorTable(spark, str(tmp_path / "tbl"), key="doc_id")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return CheckpointStore(str(tmp_path / "ckpt" / "checkpoints.jsonl"))
+
+
+def test_apply_matches_sequential_replay(spark, table):
+    rows = make_events(n_docs=15, n_ops=120)
+    apply_batch(table, events_df(spark, rows), batch_id=0)
+    assert snapshot_dict(table) == expected_final_state(rows)
+
+
+def test_apply_split_batches_match(spark, table):
+    rows = make_events(n_docs=10, n_ops=90)
+    for i, lo in enumerate(range(0, 90, 30)):
+        apply_batch(table, events_df(spark, rows[lo : lo + 30]), batch_id=i)
+    assert snapshot_dict(table) == expected_final_state(rows)
+
+
+def test_batch_replay_idempotent(spark, table):
+    rows = make_events(n_docs=10, n_ops=60)
+    apply_batch(table, events_df(spark, rows[:30]), batch_id=0)
+    apply_batch(table, events_df(spark, rows[30:]), batch_id=1)
+    state = snapshot_dict(table)
+    # replay batch 1 (at-least-once delivery, reference A21)
+    apply_batch(table, events_df(spark, rows[30:]), batch_id=1)
+    assert snapshot_dict(table) == state == expected_final_state(rows)
+
+
+def test_delete_removes_row(spark, table):
+    rows = [
+        (1, "insert", "d1", None, json.dumps({"_id": "d1", "v": 1})),
+        (2, "insert", "d2", None, json.dumps({"_id": "d2", "v": 2})),
+        (3, "delete", "d1", None, None),
+    ]
+    apply_batch(table, events_df(spark, rows), batch_id=0)
+    assert set(snapshot_dict(table)) == {"d2"}
+
+
+def test_within_batch_lww_ordering(spark, table):
+    # deliberately shuffled op order within the batch: op_seq must win
+    rows = [
+        (5, "update", "d1", None, json.dumps({"_id": "d1", "v": "late"})),
+        (1, "insert", "d1", None, json.dumps({"_id": "d1", "v": "early"})),
+        (3, "update", "d1", None, json.dumps({"_id": "d1", "v": "mid"})),
+    ]
+    apply_batch(table, events_df(spark, rows), batch_id=0)
+    assert snapshot_dict(table)["d1"]["v"] == "late"
+
+
+def test_compaction_preserves_state(spark, table):
+    rows = make_events(n_docs=12, n_ops=100)
+    apply_batch(table, events_df(spark, rows), batch_id=0)
+    before = snapshot_dict(table)
+    table.compact()
+    assert snapshot_dict(table) == before == expected_final_state(rows)
+
+
+def test_backfill_then_stream_overlap_dedup(spark, table, store):
+    """Reference A22: docs captured by BOTH snapshot and replayed events
+    collapse to the event version (higher op_seq)."""
+    snap_rows = [
+        ("d1", json.dumps({"_id": "d1", "v": "snap"})),
+        ("d2", json.dumps({"_id": "d2", "v": "snap"})),
+    ]
+    source = spark.createDataFrame(snap_rows, "doc_id string, full_doc string")
+    run_backfill(source, table, store, "lake.t", key="doc_id")
+    overlap = [(10, "update", "d2", None, json.dumps({"_id": "d2", "v": "stream"}))]
+    apply_batch(table, events_df(spark, overlap), batch_id=0)
+    state = snapshot_dict(table)
+    assert state["d1"]["v"] == "snap"
+    assert state["d2"]["v"] == "stream"
+
+
+def test_backfill_interrupt_resume(spark, tmp_path):
+    """Interrupt mid-backfill → resume from HWM without re-emitting
+    completed rows (reference docs/plan.md:181-183)."""
+    table = MorTable(spark, str(tmp_path / "t2"), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "cp2.jsonl"))
+    source = spark.createDataFrame(
+        [(f"doc{i:03d}", json.dumps({"_id": f"doc{i:03d}", "v": i})) for i in range(50)],
+        "doc_id string, full_doc string",
+    )
+    with pytest.raises(RuntimeError, match="simulated"):
+        run_backfill(
+            source, table, store, "lake.t2", key="doc_id", chunk_rows=10, fail_after_chunks=2
+        )
+    cp = store.read("lake.t2")
+    assert store.restart_decision("lake.t2") == RESUME_INITIAL_SYNC
+    assert cp.documents_processed == 20
+    run_backfill(source, table, store, "lake.t2", key="doc_id", chunk_rows=10)
+    cp = store.read("lake.t2")
+    assert cp.documents_processed == 50  # no double counting
+    assert len(snapshot_dict(table)) == 50
+    assert store.restart_decision("lake.t2") == RESUME_STEADY_STATE
+
+
+def test_restart_decision_fresh(store):
+    assert store.restart_decision("never.seen") == RUN_INITIAL_SYNC
+
+
+def test_state_machine_full_lifecycle(spark, tmp_path):
+    table = MorTable(spark, str(tmp_path / "t3"), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "cp3.jsonl"))
+    rows = make_events(n_docs=8, n_ops=40)
+    snap = spark.createDataFrame(
+        [("seed1", json.dumps({"_id": "seed1", "v": "seed"}))],
+        "doc_id string, full_doc string",
+    )
+
+    def batches(resume_from):
+        lo = 0 if resume_from is None else resume_from
+        pending = [r for r in rows if r[0] > lo]
+        for i in range(0, len(pending), 20):
+            yield (i // 20, events_df(spark, pending[i : i + 20]))
+
+    sync = CollectionSync(
+        spark, "lake.t3", lambda: snap, batches, table, store, key="doc_id"
+    )
+    sync.run_once()
+    assert sync.state == SyncState.STEADY_STATE
+    expected = expected_final_state(rows)
+    expected["seed1"] = {"_id": "seed1", "v": "seed"}
+    assert snapshot_dict(table) == expected
+    # resume token advanced to the last op
+    assert int(store.read("lake.t3").resume_token) == max(r[0] for r in rows)
+
+
+def test_invalidate_triggers_reinitial_sync(spark, tmp_path):
+    table = MorTable(spark, str(tmp_path / "t4"), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "cp4.jsonl"))
+    snap = spark.createDataFrame(
+        [("s1", json.dumps({"_id": "s1", "v": "resynced"}))],
+        "doc_id string, full_doc string",
+    )
+    rows = [
+        (1, "insert", "d1", None, json.dumps({"_id": "d1", "v": 1})),
+        (2, "invalidate", None, None, None),
+    ]
+
+    def batches(resume_from):
+        if resume_from is None or resume_from < 2:
+            yield (0, events_df(spark, rows))
+
+    sync = CollectionSync(spark, "lake.t4", lambda: snap, batches, table, store)
+    sync.run_once()
+    # d1 was wiped by the invalidate; table re-synced from the snapshot
+    assert snapshot_dict(table) == {"s1": {"_id": "s1", "v": "resynced"}}
+    assert SyncState.INITIAL_SYNC in sync.history[2:]  # re-entered after steady
+
+
+def test_backoff_and_retry(spark, tmp_path):
+    table = MorTable(spark, str(tmp_path / "t5"), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "cp5.jsonl"))
+    snap = spark.createDataFrame(
+        [("d1", json.dumps({"_id": "d1", "v": 0}))], "doc_id string, full_doc string"
+    )
+    calls = {"n": 0}
+
+    def flaky_batches(resume_from):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("transient source outage")
+        return iter(())
+
+    delays: list[float] = []
+    sync = CollectionSync(
+        spark,
+        "lake.t5",
+        lambda: snap,
+        flaky_batches,
+        table,
+        store,
+        max_attempts=5,
+        sleep=delays.append,
+    )
+    sync.run_once()
+    assert sync.state == SyncState.STEADY_STATE
+    assert SyncState.BACKOFF in sync.history
+    assert delays == [1.0]  # min(1s × 2^0, 60s)
+
+
+def test_backoff_formula():
+    # reference docs/design.md:454-456
+    assert [backoff_delay(a) for a in (0, 1, 2, 5, 6, 10)] == [
+        1.0,
+        2.0,
+        4.0,
+        32.0,
+        60.0,
+        60.0,
+    ]
