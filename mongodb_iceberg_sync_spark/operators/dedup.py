@@ -49,6 +49,21 @@ def shingled_docs(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Shingling/minhashing is compute-bound per row; a small parquet file
+    arrives as one input split, which would serialize the whole pipeline
+    on a single core. At 100 TB the scan has natural parallelism and the
+    exchange is a no-op-sized shuffle relative to the signature compute
+    it unlocks; on the bench files it is the difference between 1 and 32
+    cores. Cheap because it runs BEFORE shingle expansion (raw text
+    crosses the wire once, ~5x smaller than its shingle set).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 @register(
     "q_dedup_exact",
     family="dedup",
@@ -83,11 +98,32 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_dedup_near(spark, sf_dir):
     d = shingled_docs(t(spark, sf_dir, "documents"))
-    ex = d.select("doc_id", F.explode("shingles").alias("sh"))
-    sig = ex.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64("sh", F.lit(i))) for i in range(N_MINHASH)]
-        ).alias("sig")
+    # Each shingle string is hashed ONCE into `base`; the repartition is
+    # a deliberate materialization barrier — Catalyst's CollapseProject
+    # would otherwise inline the shingle-construction + string-hash
+    # expression into every one of the 16 minhash lambdas below (CSE
+    # does not cross higher-order functions), recomputing it 16x. The
+    # exchange carries only (doc_id, base) — 64-bit hashes, not shingle
+    # strings — and also spreads the compute across all cores when the
+    # input arrives as a single split.
+    base_df = (
+        d.select(
+            "doc_id",
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("base"),
+        )
+        .filter(F.size("base") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # Map-side signatures: sig[i] = min over base hashes re-hashed with
+    # the family index (integer hashing, ~free vs string hashing). No
+    # explode -> groupBy: the only corpus-wide shuffles are the barrier
+    # above and the band-bucket join.
+    sig = base_df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+            lambda i: F.array_min(F.transform(F.col("base"), lambda h: F.xxhash64(h, i))),
+        ).alias("sig"),
     )
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(
@@ -179,12 +215,12 @@ _NGRAM_ORACLE = """
     "division ⇒ oracle-checkable exactly.",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    sh = (
-        shingled_docs(t(spark, sf_dir, "documents"))
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shingled = shingled_docs(spread(t(spark, sf_dir, "documents")))
+    # shingle arrays are already array_distinct per doc, so exploding
+    # yields distinct (doc_id, s) directly — no distinct() shuffle; and
+    # |set| comes from size(shingles) map-side, not a groupBy.
+    sh = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = shingled.select("doc_id", F.size("shingles").cast("long").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -217,37 +253,38 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     "bit_count(a XOR b) ≤ 3. All JVM-side expressions.",
 )
 def q_dedup_simhash(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = toks.withColumn("th", F.xxhash64("tok"))
-    # per (doc, bit): sum of +1/-1 depending on the token-hash bit
-    bit_contrib = h.select(
-        "doc_id",
-        F.explode(
+    d = spread(t(spark, sf_dir, "documents"))
+    # Map-side simhash: per-bit ±1 contributions folded over the token
+    # array with aggregate/zip_with — no explode (64x row blowup) and no
+    # groupBy shuffles; the plan's first exchange is the band join.
+    token_hashes = F.transform(F.split("text", " "), lambda tk: F.xxhash64(tk))
+    bits64 = F.sequence(F.lit(0), F.lit(63))
+    bit_sums = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda bpos: F.struct(
-                    bpos.alias("b"),
-                    F.when(
-                        F.call_function("shiftright", F.col("th"), bpos).bitwiseAND(F.lit(1)) == 1,
-                        1,
-                    )
-                    .otherwise(-1)
-                    .alias("contrib"),
-                ),
-            )
-        ).alias("bc"),
-    ).select("doc_id", "bc.b", "bc.contrib")
-    bits = (
-        bit_contrib.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0))
+                bits64,
+                lambda b: F.when(
+                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
     )
-    simhash = bits.groupBy("doc_id").agg(
-        F.sum(F.col("bit").cast("long") * F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias(
-            "simhash"
-        )
+    sim_value = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            bits64,
+            lambda s, b: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
+    simhash = d.select("doc_id", sim_value.alias("simhash"))
     bands = simhash.select(
         "doc_id",
         "simhash",
