@@ -333,7 +333,7 @@ _EMB_DEDUP_ORACLE = """
                6) AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
 """
 
 
@@ -341,9 +341,12 @@ _EMB_DEDUP_ORACLE = """
     "q_dedup_embedding",
     family="dedup",
     oracle=_EMB_DEDUP_ORACLE,
-    doc="Embedding-cosine near-dup pairs (cos ≥ 0.9). Brute all-pairs "
-    "is acceptable only because the table is tiny; the 100 TB path is "
-    "LSH/IVF blocking (operators.similarity.q_sim_topk_ivf).",
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.3 — the synthetic "
+    "embeddings are near-random, max pairwise cos ≈ 0.47, so a "
+    "production-style 0.9 threshold would make the differential check "
+    "degenerate-empty). Brute all-pairs is acceptable only because the "
+    "table is tiny; the 100 TB path is LSH/IVF blocking "
+    "(operators.similarity.q_sim_topk_ivf).",
 )
 def q_dedup_embedding(spark, sf_dir):
     from ..functions.vector import cosine
@@ -356,5 +359,5 @@ def q_dedup_embedding(spark, sf_dir):
         pairs.select(
             "id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 6).alias("cos_sim")
         )
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= 0.3)
     )

@@ -221,7 +221,9 @@ def q_join_anti(spark, sf_dir):
     doc="Non-equi band join (value within ±100). Spark executes this as "
     "broadcast-nested-loop on the small side; at 100 TB the scale path "
     "is banding: join on floor(bal/100) buckets ±1 then post-filter, "
-    "turning it into an equi-join (see functions.banded_range_join).",
+    "turning it into an equi-join — implemented in "
+    "functions.range_join.banded_range_join and oracle-checked as "
+    "q_join_range_banded below.",
 )
 def q_join_theta_range(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
@@ -293,6 +295,39 @@ def q_join_asof(spark, sf_dir):
                 F.unix_micros(F.col("p_ts").cast("timestamp"))
                 - F.unix_micros(F.col("c_ts").cast("timestamp"))
             ).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "q_join_range_banded",
+    family="joins",
+    oracle="""
+    SELECT s.s_suppkey,
+           count(*) AS n_near_customers,
+           round(avg(c.c_acctbal), 6) AS avg_near_bal
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    GROUP BY s.s_suppkey
+    """,
+    doc="q_join_theta_range's 100 TB physical strategy: band both sides "
+    "by floor(bal/100), replicate the probe side into buckets ±1, "
+    "equi-join on the bucket id, re-apply the exact predicate. One "
+    "keyed shuffle instead of a nested loop; identical semantics "
+    "(same oracle SQL as the nested-loop variant).",
+)
+def q_join_range_banded(spark, sf_dir):
+    from ..functions.range_join import banded_range_join
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = t(spark, sf_dir, "customer").select("c_acctbal")
+    return (
+        banded_range_join(c, s, "c_acctbal", "s_acctbal", 100.0)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_near_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_near_bal"),
         )
     )
 

@@ -118,15 +118,35 @@ def q_sim_topk_ivf(spark, sf_dir):
     )
 
 
+_PAIRWISE_ORACLE = """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(a.label AS INTEGER) AS label,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+               6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, label, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
 @register(
     "q_sim_pairwise",
     family="similarity",
-    oracle=None,  # SURVEY §2B marks this rows-only
-    doc="All-pairs similarity ≥ 0.85 with norm-band pruning: pairs whose "
-    "norms differ hugely can't be near-duplicates after normalization "
-    "here both sides are pre-bucketed by label (a stand-in blocking key) "
-    "and only same-label pairs are scored — the blocking pattern that "
-    "replaces O(n²) at scale.",
+    oracle=_PAIRWISE_ORACLE,
+    doc="All-pairs similarity ≥ threshold with equi-join blocking: both "
+    "sides are pre-bucketed by label (a stand-in blocking key) and only "
+    "same-label pairs are scored — the pattern that replaces O(n²) at "
+    "scale. Threshold 0.3 because the synthetic embeddings are "
+    "near-random (max pairwise cos ≈ 0.47); a production 0.85 would "
+    "make the check degenerate-empty.",
 )
 def q_sim_pairwise(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -142,5 +162,5 @@ def q_sim_pairwise(spark, sf_dir):
             "id_a", "id_b", F.col("lbl").cast("int").alias("label"),
             F.round(cosine("emb_a", "emb_b"), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.85)
+        .filter(F.col("cos_sim") >= 0.3)
     )

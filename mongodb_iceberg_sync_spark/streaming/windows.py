@@ -14,10 +14,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (tz-aware) event time; the test
+    tables carry TIMESTAMP_NTZ. With the session timezone pinned to UTC
+    (session.py) the cast is value-preserving."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """1h tumbling count/sum (streaming twin of q_stream_tumbling)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
@@ -27,7 +34,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """1h window sliding every 15m (streaming twin of q_stream_sliding)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
@@ -38,7 +45,7 @@ def session_stats(events: DataFrame, gap: str = "10 minutes", watermark: str = "
     """Gap-based session windows per user (streaming twin of
     q_stream_session's gaps-and-islands batch form)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
@@ -55,4 +62,4 @@ def watermark_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Replay dedup on event_id within the watermark horizon (reference
     A14 at-least-once dedup; q_stream_watermark_dedup's streaming twin).
     State = one entry per event_id until the watermark passes it."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return _with_event_time(events).withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -53,7 +53,20 @@ def run_backfill(
         )
         store.upsert(cp)
 
-    hwm = int(cp.high_water_mark_id) if cp.high_water_mark_id is not None else None
+    # The checkpoint stores the HWM as a string (reference
+    # docs/design.md:324 — JSON column); convert back to the key
+    # column's own type so the resume predicate compares correctly for
+    # numeric AND string keys (e.g. ObjectId-style ids).
+    if cp.high_water_mark_id is None:
+        hwm = None
+    else:
+        ktype = dict(source.dtypes).get(key, "string")
+        if ktype in ("tinyint", "smallint", "int", "bigint"):
+            hwm = int(cp.high_water_mark_id)
+        elif ktype in ("float", "double"):
+            hwm = float(cp.high_water_mark_id)
+        else:
+            hwm = cp.high_water_mark_id
     chunks_done = 0
     while True:
         remaining = source if hwm is None else source.filter(F.col(key) > F.lit(hwm))

@@ -29,10 +29,28 @@ from mongodb_iceberg_sync_spark.tables import load_table
 
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, sf_dir, tmp_path_factory):
-    """events table as a 4-file parquet dir (file streaming source)."""
+    """events table as a 4-file parquet dir (file streaming source).
+
+    repartitionByRange on ts: FileStreamSource processes files in
+    (modTime, path) order and range partition 0 = earliest timestamps,
+    so micro-batches arrive in event-time order — modeling a real CDC
+    stream (roughly time-ordered). With random file order, watermarked
+    session windows would legitimately drop most rows as late, and
+    cross-batch stateful run counts would see a shuffled event order."""
+    import os
+    import time
+
     path = str(tmp_path_factory.mktemp("events_stream"))
     ev = load_table(spark, sf_dir, "events")
-    ev.repartition(4).write.mode("overwrite").parquet(path)
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(path)
+    # FileStreamSource orders by modification time; the write's task
+    # completion order is arbitrary, so pin mtimes to path order
+    # (part-00000 = earliest time range must stream first).
+    base = time.time() - 1000
+    for i, f in enumerate(
+        sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    ):
+        os.utime(os.path.join(path, f), (base + i * 10, base + i * 10))
     return path
 
 
