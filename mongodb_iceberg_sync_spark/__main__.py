@@ -80,6 +80,7 @@ def _run_demo(cfg, demo_dir: str) -> int:
     from .sources.cdc_feed import events_df, expected_final_state, make_events
     from .sync.checkpoint import CheckpointStore
     from .sync.engine import CollectionSync, SyncState
+    from .sync.metrics import SyncMetrics
     from .sync.table_store import MorTable
 
     spark = get_spark(app_name="mis-sync-demo", master="local[4]")
@@ -105,6 +106,7 @@ def _run_demo(cfg, demo_dir: str) -> int:
         for i in range(0, len(pending), 50):
             yield (i // 50, events_df(spark, pending[i : i + 50]))
 
+    metrics = SyncMetrics()
     sync = CollectionSync(
         spark,
         sync_id,
@@ -114,6 +116,7 @@ def _run_demo(cfg, demo_dir: str) -> int:
         store,
         key="doc_id",
         max_attempts=3,
+        metrics=metrics,
     )
     sync.run_once()
     got = {r.doc_id for r in table.snapshot().collect()}
@@ -126,6 +129,7 @@ def _run_demo(cfg, demo_dir: str) -> int:
                 "sync_id": sync_id,
                 "final_docs": len(got),
                 "states": [s.value for s in sync.history],
+                "metrics": metrics.snapshot(),
             }
         )
     )

@@ -171,6 +171,99 @@ def q_partition_transform(spark, sf_dir):
     )
 
 
+def _hetero_corpus(spark, sf_dir):
+    """Heterogeneous JSON corpus: three shapes for the same logical feed
+    — {"k": int}, {"k": "str"} (type conflict on k), nested + array
+    variants. Drives A4/A5/A7 (mapping + inference) queries."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("props")
+        )  # {"k": 42}
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit('{"k": "s", "extra": {"a": 1, "b": [1, 2]}}')),
+        )
+        .otherwise(F.lit('{"k": 7, "extra": {"a": 2.5}, "tag": true}'))
+        .alias("doc"),
+    )
+
+
+_CORPUS_SQL = """
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN props
+                  WHEN event_id % 3 = 1 THEN '{"k": "s", "extra": {"a": 1, "b": [1, 2]}}'
+                  ELSE '{"k": 7, "extra": {"a": 2.5}, "tag": true}' END AS doc
+      FROM events
+"""
+
+
+@register(
+    "q_sync_automap",
+    family="cdc",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT event_id,
+           json_extract_string(doc, '$.k') AS k,
+           CAST(json_extract(doc, '$.extra.a') AS DOUBLE) AS extra_a,
+           CAST(json_array_length(json_extract(doc, '$.extra.b')) AS INTEGER)
+             AS extra_b_len,
+           CAST(json_extract(doc, '$.tag') AS BOOLEAN) AS tag
+    FROM corpus
+    """,
+    doc="A5 full-document auto mapping: infer the union schema over the "
+    "heterogeneous corpus (k promotes to string — int/string conflict; "
+    "extra.a widens to double), one vectorized from_json parse, flatten "
+    "to typed columns. sync.mapper.auto_map is the engine's real "
+    "mapping path.",
+)
+def q_sync_automap(spark, sf_dir):
+    from ..sync.mapper import auto_map
+
+    corpus = _hetero_corpus(spark, sf_dir)
+    mapped = auto_map(corpus, doc_col="doc", keep_cols=("event_id",))
+    return mapped.select(
+        "event_id",
+        "k",
+        F.col("extra.a").alias("extra_a"),
+        F.size("extra.b").alias("extra_b_len"),
+        "tag",
+    )
+
+
+@register(
+    "q_sync_explicit_map",
+    family="cdc",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT event_id,
+           json_extract_string(doc, '$.k') AS k_str,
+           CAST(json_extract(doc, '$.extra.a') AS DOUBLE) AS extra_a,
+           CAST(json_extract(doc, '$.tag') AS BOOLEAN) AS is_tagged
+    FROM corpus
+    """,
+    doc="A4 explicit mapping: dot-path source (extra.a) -> renamed typed "
+    "target column, per FieldMapping config — the reference's "
+    "reference-config.yaml:71-85 contract via sync.mapper.explicit_map.",
+)
+def q_sync_explicit_map(spark, sf_dir):
+    from ..sync.config import FieldMapping
+    from ..sync.mapper import explicit_map
+
+    corpus = _hetero_corpus(spark, sf_dir)
+    return explicit_map(
+        corpus,
+        [
+            FieldMapping(source="k", target="k_str", type="string"),
+            FieldMapping(source="extra.a", target="extra_a", type="double"),
+            FieldMapping(source="tag", target="is_tagged", type="boolean"),
+        ],
+        doc_col="doc",
+        keep_cols=("event_id",),
+    )
+
+
 @register(
     "q_schema_union",
     family="cdc",
@@ -184,20 +277,7 @@ def q_partition_transform(spark, sf_dir):
 def q_schema_union(spark, sf_dir):
     from ..sync.schema_infer import infer_union_schema, schema_to_rows
 
-    ev = t(spark, sf_dir, "events")
-    # Heterogeneous corpus: three shapes for the same logical feed —
-    # {"k": int}, {"k": "str"} (type conflict), nested + array variants.
-    docs = ev.select(
-        F.when(
-            F.col("event_id") % 3 == 0, F.col("props")
-        )  # {"k": 42}
-        .when(
-            F.col("event_id") % 3 == 1,
-            F.concat(F.lit('{"k": "s", "extra": {"a": 1, "b": [1, 2]}}')),
-        )
-        .otherwise(F.lit('{"k": 7, "extra": {"a": 2.5}, "tag": true}'))
-        .alias("doc")
-    )
+    docs = _hetero_corpus(spark, sf_dir).select("doc")
     sample = [r.doc for r in docs.limit(1000).collect()]
     schema = infer_union_schema(sample)
     return spark.createDataFrame(

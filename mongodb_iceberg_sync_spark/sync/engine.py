@@ -74,6 +74,7 @@ class CollectionSync:
         key: str = "doc_id",
         max_attempts: int | None = None,  # None = retry forever (reference)
         sleep: Callable[[float], None] = time.sleep,
+        metrics=None,  # optional sync.metrics.SyncMetrics (A34)
     ):
         self.spark = spark
         self.sync_id = sync_id
@@ -84,12 +85,15 @@ class CollectionSync:
         self.key = key
         self.max_attempts = max_attempts
         self.sleep = sleep
+        self.metrics = metrics
         self.state = SyncState.INITIALIZING
         self.history: list[SyncState] = [self.state]
 
     def _set(self, s: SyncState) -> None:
         self.state = s
         self.history.append(s)
+        if self.metrics is not None:
+            self.metrics.set_state(s.value)  # A34 state gauge
 
     def run_once(self) -> None:
         """One full pass: restart decision → (backfill) → apply all
@@ -138,7 +142,14 @@ class CollectionSync:
             int(cp.resume_token) if cp and cp.resume_token is not None else None
         )
         for batch_id, batch in self.event_batches(resume_from):
-            stats = apply_batch(self.table, batch, batch_id, key=self.key)
+            if self.metrics is not None:
+                from .metrics import apply_with_metrics
+
+                stats = apply_with_metrics(
+                    self.table, batch, batch_id, self.key, self.metrics
+                )
+            else:
+                stats = apply_batch(self.table, batch, batch_id, key=self.key)
             if stats["n_invalidations"]:
                 # A23: invalidate → truncate + re-initial-sync
                 self.table.truncate()
