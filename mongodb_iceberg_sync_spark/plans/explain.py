@@ -38,7 +38,12 @@ def uses_sort_merge_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Unique Exchange nodes (the formatted output names each node once
+    in the tree and once in the details section — count node ids)."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(set(re.findall(r"^\((\d+)\) (?:Broadcast)?Exchange", plan, re.M)))
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

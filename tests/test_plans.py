@@ -54,3 +54,37 @@ def test_fact_join_sort_merges(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = formatted_plan(SPECS["q_topk"].func(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global Sort for LIMIT k
+
+
+def test_banded_range_join_is_equi_join(spark, sf_dir):
+    # the banded variant must execute as a HASH equi-join on the band
+    # key, never the nested-loop the raw theta predicate would force
+    plan = formatted_plan(SPECS["q_join_range_banded"].func(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_dedup_near_shuffle_budget(spark, sf_dir):
+    # map-side signatures: barrier repartition + band self-join + pair
+    # dedup — a regression re-introducing explode->groupBy would add
+    # corpus-sized aggregation exchanges on both sides of the join
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    # 4 = barrier x2 (self-join sides) + band-join broadcast + pair dedup
+    assert count_shuffles(SPECS["q_dedup_near"].func(spark, sf_dir)) <= 4
+
+
+def test_dedup_simhash_no_aggregation_exchange(spark, sf_dir):
+    # simhash folds bit contributions map-side; the only shuffles are
+    # the spread repartition, the band self-join, and the pair dedup
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    assert count_shuffles(SPECS["q_dedup_simhash"].func(spark, sf_dir)) <= 4
+
+
+def test_sim_topk_take_ordered_no_join(spark, sf_dir):
+    # probe vector folds in as a literal: no join, and top-k via
+    # per-partition heap (TakeOrderedAndProject), not a global sort
+    plan = formatted_plan(SPECS["q_sim_topk"].func(spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
