@@ -20,10 +20,13 @@ HEADLINE = [
     "q_join_shuffle",
     "q_join_multiway",
     "q_join_asof",
+    "q_join_range_banded",
     "q_window_running",
     "q_topk_per_group",
     "q_cdc_latest",
+    "q_sync_automap",
     "q_stream_session",
+    "q_dedup_exact",
     "q_dedup_near",
     "q_dedup_ngram_jaccard",
     "q_sim_topk",

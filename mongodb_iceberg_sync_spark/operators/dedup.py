@@ -344,20 +344,15 @@ _EMB_DEDUP_ORACLE = """
     doc="Embedding-cosine near-dup pairs (cos ≥ 0.3 — the synthetic "
     "embeddings are near-random, max pairwise cos ≈ 0.47, so a "
     "production-style 0.9 threshold would make the differential check "
-    "degenerate-empty). Brute all-pairs is acceptable only because the "
-    "table is tiny; the 100 TB path is LSH/IVF blocking "
-    "(operators.similarity.q_sim_topk_ivf).",
+    "degenerate-empty). Computed as Arrow-batched block GEMM "
+    "(functions.vector.pairwise_cosine_gemm) — one BLAS matmul per "
+    "batch against the broadcast corpus instead of per-pair "
+    "zip_with/aggregate HOF expressions (~30x). Unblocked all-pairs is "
+    "acceptable only because the table is tiny; the 100 TB path is "
+    "LSH/IVF blocking (operators.similarity.q_sim_topk_ivf).",
 )
 def q_dedup_embedding(spark, sf_dir):
-    from ..functions.vector import cosine
+    from ..functions.vector import pairwise_cosine_gemm
 
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    return pairwise_cosine_gemm(e, "vec_id", "embedding", threshold=0.3)
