@@ -30,6 +30,12 @@ N_BANDS = 4  # 4 bands x 4 rows
 def _shingles(tokens_col, n: int = 3):
     """Distinct word n-gram shingle array from a token array column.
 
+    Note: the lambda body embeds tokens_col, so splitting re-evaluates
+    per element — O(words) splits per doc. Binding tokens behind an
+    exchange instead was measured SLOWER (array<string> exchange
+    serialization costs more than the redundant splits at ~50-word
+    docs); revisit only if median doc length grows 10x.
+
     Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
     documents must short-circuit to an empty array.
     """
@@ -217,29 +223,31 @@ _NGRAM_ORACLE = """
 def q_dedup_ngram_jaccard(spark, sf_dir):
     shingled = shingled_docs(spread(t(spark, sf_dir, "documents")))
     # shingle arrays are already array_distinct per doc, so exploding
-    # yields distinct (doc_id, s) directly — no distinct() shuffle; and
-    # |set| comes from size(shingles) map-side, not a groupBy.
-    sh = shingled.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = shingled.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    # yields distinct (doc_id, s) directly — no distinct() shuffle. The
+    # set size rides along each exploded row (one extra long) instead of
+    # joining a separate `sizes` relation twice — that shape recomputed
+    # the shingle pipeline two more times and added two keyed shuffles.
+    sh = shingled.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("c").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
+        .agg(
+            F.count("*").alias("c"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
         )
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return common.filter(jac >= 0.2).select(
+        "doc_a",
+        "doc_b",
+        F.col("c").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

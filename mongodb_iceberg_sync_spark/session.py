@@ -27,6 +27,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate turns every explode(f(x)) into a pushed
+    # filter size(f(x))>0 — duplicating the generator expression below
+    # the repartition barrier, where it runs serially on the raw input
+    # split. For compute-heavy array builders (shingling, minhash) that
+    # doubles the dominant cost (observed 27.7s -> 9.8s on
+    # q_dedup_ngram_jaccard at sf0.1); our exploded arrays are almost
+    # never empty, so the inferred filter saves nothing.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
