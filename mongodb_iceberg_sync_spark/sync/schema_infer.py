@@ -109,15 +109,25 @@ def to_spark_type(t) -> T.DataType:
 
 
 def schema_to_rows(t, prefix: str = "") -> list[tuple[str, str, bool]]:
-    """Flatten to (field_path, inferred_type, nullable) rows, sorted —
-    the shape q_schema_union returns for the rows-only check."""
+    """Flatten to (field_path, inferred_type, nullable) rows, globally
+    sorted — the shape q_schema_union returns for the rows-only check.
+
+    Dot-joined paths are ambiguous if field names themselves contain
+    dots (legal in MongoDB only since 5.0); such paths may collide in
+    the flattened view, which is acceptable for a reporting surface —
+    global sorting keeps the output deterministic regardless.
+    """
+    return sorted(_schema_rows(t, prefix))
+
+
+def _schema_rows(t, prefix: str = "") -> list[tuple[str, str, bool]]:
     rows: list[tuple[str, str, bool]] = []
     if isinstance(t, tuple) and t[0] == "struct":
         for name, ft in sorted(t[1].items()):
             path = f"{prefix}.{name}" if prefix else name
             if isinstance(ft, tuple) and ft[0] == "struct":
                 rows.append((path, "struct", True))
-                rows.extend(schema_to_rows(ft, path))
+                rows.extend(_schema_rows(ft, path))
             elif isinstance(ft, tuple) and ft[0] == "array":
                 elem = ft[1]
                 elem_name = (
@@ -125,7 +135,7 @@ def schema_to_rows(t, prefix: str = "") -> list[tuple[str, str, bool]]:
                 )
                 rows.append((path, f"array<{elem_name}>", True))
                 if isinstance(elem, tuple) and elem[0] == "struct":
-                    rows.extend(schema_to_rows(elem, path + "[]"))
+                    rows.extend(_schema_rows(elem, path + "[]"))
             else:
                 rows.append((path, ft, True))
     return rows
