@@ -66,18 +66,37 @@ def batch_to_ops(events: DataFrame, key: str = "doc_id") -> DataFrame:
 
 def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "doc_id") -> dict:
     """Apply one micro-batch; returns stats for checkpointing
-    (max op_seq = resume position, counts = metrics A34)."""
-    normal, invalid = split_invalidations(events)
-    n_invalid = invalid.count()
-    ops = batch_to_ops(normal, key=key)
-    stats = ops.agg(
-        F.max(OP_SEQ).alias("max_seq"), F.count("*").alias("n_ops")
+    (max op_seq = resume position, counts = metrics A34).
+
+    Exactly two Spark jobs per batch: one single-pass aggregation over
+    the raw events (invalidation count, normal count, max seq — no
+    shuffle beyond a scalar agg), then the commit job, which carries an
+    Observation so the post-LWW op count comes from the write itself
+    instead of a third job re-running the groupBy. At a 60s trigger
+    interval job-count-per-batch is the fixed overhead that bounds how
+    many tables one driver can sync (reference A32's pool sizing
+    concern, docs/design.md:480-499).
+    """
+    from pyspark.sql import Observation
+
+    is_invalid = F.col("op_type").isin(*INVALIDATE_OPS)
+    pre = events.agg(
+        F.count(F.when(is_invalid, 1)).alias("n_invalid"),
+        F.count(F.when(~is_invalid, 1)).alias("n_normal"),
+        F.max(F.when(~is_invalid, F.col("op_seq").cast("long"))).alias("max_seq"),
     ).head()
-    if stats.n_ops:
+    n_ops = 0
+    if pre.n_normal:
+        normal, _ = split_invalidations(events)
+        obs = Observation()
+        ops = batch_to_ops(normal, key=key).observe(
+            obs, F.count(F.lit(1)).alias("n_ops")
+        )
         table.commit_batch(ops, batch_id)
+        n_ops = obs.get["n_ops"]
     return {
         "batch_id": batch_id,
-        "n_ops": stats.n_ops,
-        "max_op_seq": stats.max_seq,
-        "n_invalidations": n_invalid,
+        "n_ops": n_ops,
+        "max_op_seq": pre.max_seq,
+        "n_invalidations": pre.n_invalid,
     }
