@@ -83,56 +83,84 @@ def _run_demo(cfg, demo_dir: str) -> int:
     from .sync.metrics import SyncMetrics
     from .sync.table_store import MorTable
 
+    import json as _json
+    import threading
+
     spark = get_spark(app_name="mis-sync-demo", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
-    coll = cfg.collections[0]
-    sync_id = f"{coll.target_namespace}.{coll.target_table}"
-
     os.makedirs(demo_dir, exist_ok=True)
-    rows = make_events(n_docs=20, n_ops=200)
-    table = MorTable(spark, os.path.join(demo_dir, "tbl"), key="doc_id")
-    store = CheckpointStore(os.path.join(demo_dir, "checkpoints.jsonl"))
 
-    import json as _json
+    # One CollectionSync per configured mapping, run CONCURRENTLY in one
+    # SparkSession (reference A32, docs/design.md:56-64): independent
+    # tables, checkpoints, and feeds.
+    syncs: list[tuple[CollectionSync, list[tuple], SyncMetrics]] = []
+    for i, coll in enumerate(cfg.collections):
+        sync_id = f"{coll.target_namespace}.{coll.target_table}"
+        rows = make_events(n_docs=20, n_ops=200 - 50 * (i % 2))
+        table = MorTable(
+            spark, os.path.join(demo_dir, f"tbl_{coll.target_table}"), key="doc_id"
+        )
+        store = CheckpointStore(
+            os.path.join(demo_dir, f"checkpoints_{coll.target_table}.jsonl")
+        )
+        snap = spark.createDataFrame(
+            [("seed", _json.dumps({"_id": "seed", "v": "from-initial-sync"}))],
+            "doc_id string, full_doc string",
+        )
 
-    snap = spark.createDataFrame(
-        [("seed", _json.dumps({"_id": "seed", "v": "from-initial-sync"}))],
-        "doc_id string, full_doc string",
-    )
+        def event_batches(resume_from, _rows=rows, _batch=coll.batch):
+            # Batches cut by the config's three thresholds (A16); batch
+            # ids are the first op_seq of each batch — stable across
+            # resumes, as MorTable's idempotent batch-id commits require.
+            from .sync.batching import threshold_batches
 
-    def event_batches(resume_from):
-        lo = 0 if resume_from is None else resume_from
-        pending = [r for r in rows if r[0] > lo]
-        for i in range(0, len(pending), 50):
-            yield (i // 50, events_df(spark, pending[i : i + 50]))
+            lo = 0 if resume_from is None else resume_from
+            pending = [r for r in _rows if r[0] > lo]
+            for bid, chunk in threshold_batches(pending, _batch):
+                yield (bid, events_df(spark, chunk))
 
-    metrics = SyncMetrics()
-    sync = CollectionSync(
-        spark,
-        sync_id,
-        lambda: snap,
-        event_batches,
-        table,
-        store,
-        key="doc_id",
-        max_attempts=3,
-        metrics=metrics,
-    )
-    sync.run_once()
-    got = {r.doc_id for r in table.snapshot().collect()}
-    want = set(expected_final_state(rows)) | {"seed"}
-    ok = got == want and sync.state == SyncState.STEADY_STATE
-    print(
-        json.dumps(
+        metrics = SyncMetrics()
+        syncs.append(
+            (
+                CollectionSync(
+                    spark,
+                    sync_id,
+                    (lambda s=snap: s),
+                    event_batches,
+                    table,
+                    store,
+                    key="doc_id",
+                    max_attempts=3,
+                    metrics=metrics,
+                ),
+                rows,
+                metrics,
+            )
+        )
+
+    threads = [threading.Thread(target=s.run_once) for s, _, _ in syncs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    ok = True
+    report = []
+    for sync, rows, metrics in syncs:
+        got = {r.doc_id for r in sync.table.snapshot().collect()}
+        want = set(expected_final_state(rows)) | {"seed"}
+        this_ok = got == want and sync.state == SyncState.STEADY_STATE
+        ok = ok and this_ok
+        report.append(
             {
-                "demo_ok": ok,
-                "sync_id": sync_id,
+                "sync_id": sync.sync_id,
+                "ok": this_ok,
                 "final_docs": len(got),
                 "states": [s.value for s in sync.history],
                 "metrics": metrics.snapshot(),
             }
         )
-    )
+    print(json.dumps({"demo_ok": ok, "syncs": report}))
     return 0 if ok else 1
 
 

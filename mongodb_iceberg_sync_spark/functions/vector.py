@@ -33,72 +33,131 @@ def pairwise_cosine_gemm(
     vec_col: str,
     threshold: float,
     label_col: str | None = None,
+    n_blocks: int = 8,
 ):
-    """All-pairs cosine >= threshold via Arrow-batched block GEMM.
+    """All-pairs cosine >= threshold via distributed block GEMM.
 
     Per-pair array expressions (zip_with+aggregate) cost ~30x more than
-    one BLAS matmul per Arrow batch — this is the documented exception
-    to "stay JVM-side": the work is dense linear algebra, so each
-    executor computes `A_chunk @ B.T` with numpy against a broadcast
-    (ids, matrix) pair. Emits (id_a, id_b[, label], cos_sim) with
-    id_a < id_b, cos_sim rounded to 6 — the same contract as the
-    expression form, hash-identical to the DuckDB oracle.
+    one BLAS matmul per block — this is the documented exception to
+    "stay JVM-side": the work is dense linear algebra, so each GROUP
+    (not the driver) computes `A @ B.T` with numpy inside
+    `applyInPandas`. Nothing is collected to the driver and nothing is
+    broadcast — the corpus only ever moves through one hash shuffle on
+    the block key.
 
-    Scale: the broadcast side must fit per executor (1M x 64 f64 =
-    ~0.5 GB); beyond that, block first (IVF/LSH buckets or label
-    blocking via label_col) — which is also what keeps the output
-    pair count sane. This mirrors how vector engines brute-force
-    within a cell.
+    Blocking strategies (both emit (id_a, id_b[, label], cos_sim) with
+    id_a < id_b, cos_sim rounded to 6 — hash-identical to the DuckDB
+    oracle):
+
+    - `label_col` given: only same-label pairs are candidates, so the
+      label IS the block key. One shuffle on label, one triangular GEMM
+      per label group. Blocking happens BEFORE the shuffle — compute
+      and output are both O(sum of block^2), never O(n^2).
+    - no label (exact all-pairs): every unordered block pair (i, j),
+      i <= j over `block = id % n_blocks` must meet. Each vector is
+      replicated n_blocks times (one row per block-pair it belongs to)
+      and each of the n_blocks*(n_blocks+1)/2 groups GEMMs its two
+      slabs. Shuffle volume is O(n * n_blocks); per-group memory is
+      O((n/n_blocks) * dim) — pick n_blocks so a slab fits an executor.
+      (Exact all-pairs is inherently O(n^2) compute; at 100 TB use the
+      label/LSH/IVF blocked form instead.)
     """
-    spark = df.sparkSession
-    import numpy as np
-
-    cols = [id_col, vec_col] + ([label_col] if label_col else [])
-    pdf_all = df.select(*cols).toPandas()
-    ids_all = pdf_all[id_col].to_numpy()
-    m = np.array(pdf_all[vec_col].tolist(), dtype=np.float64)
-    norms_all = np.sqrt((m * m).sum(axis=1))
-    labels_all = pdf_all[label_col].to_numpy() if label_col else None
-    bc = spark.sparkContext.broadcast((ids_all, m, norms_all, labels_all))
-
-    out_schema = f"id_a bigint, id_b bigint{', label int' if label_col else ''}, cos_sim double"
+    has_label = label_col is not None
+    id_l = F.col(id_col).cast("long").alias("_pid")
+    if has_label:
+        tagged = df.select(
+            F.col(label_col).cast("int").alias("_bi"),
+            F.col(label_col).cast("int").alias("_bj"),
+            id_l,
+            F.col(vec_col).alias("_pvec"),
+        )
+        out_schema = "id_a bigint, id_b bigint, label int, cos_sim double"
+    else:
+        nb = int(n_blocks)
+        blk = F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
+        tagged = (
+            df.select(id_l, F.col(vec_col).alias("_pvec"), blk.alias("_blk"))
+            .withColumn("_other", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+            .select(
+                F.least("_blk", "_other").alias("_bi"),
+                F.greatest("_blk", "_other").alias("_bj"),
+                "_pid",
+                "_pvec",
+                "_blk",
+            )
+        )
+        out_schema = "id_a bigint, id_b bigint, cos_sim double"
     thr = float(threshold)
-    vcol, icol, lcol = vec_col, id_col, label_col
 
-    def gen(batches):
+    def gemm(key, pdf):
         import numpy as np
         import pandas as pd
 
-        ids_b, mat_b, norms_b, labels_b = bc.value
-        for pdf in batches:
-            a = np.array(pdf[vcol].tolist(), dtype=np.float64)
-            if len(a) == 0:
-                continue
-            a_ids = pdf[icol].to_numpy()
-            a_norms = np.sqrt((a * a).sum(axis=1))
-            a_labels = pdf[lcol].to_numpy() if labels_b is not None else None
-            # block the matmul so the sims slab stays ~512*|corpus|*8B
-            for s in range(0, len(a), 512):
-                e = min(s + 512, len(a))
+        def empty():
+            cols = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            if has_label:
+                cols["label"] = pd.Series(dtype="int32")
+            cols["cos_sim"] = pd.Series(dtype="float64")
+            return pd.DataFrame(cols)
+
+        ids = pdf["_pid"].to_numpy()
+        m = np.array(pdf["_pvec"].tolist(), dtype=np.float64)
+        if len(ids) == 0:
+            return empty()
+        norms = np.sqrt((m * m).sum(axis=1))
+        bi, bj = int(key[0]), int(key[1])
+        outs = []
+        if has_label or bi == bj:
+            # self block: strict upper triangle by id, tiled so the sims
+            # slab stays ~512*|block|*8B
+            for s in range(0, len(ids), 512):
+                e = min(s + 512, len(ids))
                 # oracle form: dot / (|a| * |b|), then round, then filter
                 sims = np.round(
-                    (a[s:e] @ mat_b.T)
-                    / (a_norms[s:e, None] * norms_b[None, :]),
-                    6,
+                    (m[s:e] @ m.T) / (norms[s:e, None] * norms[None, :]), 6
                 )
-                mask = (sims >= thr) & (ids_b[None, :] > a_ids[s:e, None])
-                if labels_b is not None:
-                    mask &= labels_b[None, :] == a_labels[s:e, None]
+                mask = (sims >= thr) & (ids[None, :] > ids[s:e, None])
                 ii, jj = np.nonzero(mask)
                 if len(ii) == 0:
                     continue
-                out = {"id_a": a_ids[s + ii], "id_b": ids_b[jj]}
-                if labels_b is not None:
-                    out["label"] = a_labels[s + ii]
+                out = {"id_a": ids[s + ii], "id_b": ids[jj]}
+                if has_label:
+                    out["label"] = np.full(len(ii), bi, dtype="int32")
                 out["cos_sim"] = sims[ii, jj]
-                yield pd.DataFrame(out)
+                outs.append(pd.DataFrame(out))
+        else:
+            # cross block: every (u in block bi, v in block bj) pair
+            # appears in exactly this group — order output by id only
+            side = pdf["_blk"].to_numpy()
+            a_sel, b_sel = side == bi, side == bj
+            a_ids, b_ids = ids[a_sel], ids[b_sel]
+            a_m, b_m = m[a_sel], m[b_sel]
+            a_n, b_n = norms[a_sel], norms[b_sel]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return empty()
+            for s in range(0, len(a_ids), 512):
+                e = min(s + 512, len(a_ids))
+                sims = np.round(
+                    (a_m[s:e] @ b_m.T) / (a_n[s:e, None] * b_n[None, :]), 6
+                )
+                ii, jj = np.nonzero(sims >= thr)
+                if len(ii) == 0:
+                    continue
+                u, v = a_ids[s + ii], b_ids[jj]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(u, v),
+                            "id_b": np.maximum(u, v),
+                            "cos_sim": sims[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return empty()
+        return pd.concat(outs, ignore_index=True)
 
-    return df.select(*cols).mapInPandas(gen, out_schema)
+    return tagged.groupBy("_bi", "_bj").applyInPandas(gemm, out_schema)
 
 
 def dot_with_literal(a: Column | str, probe: list[float]) -> Column:

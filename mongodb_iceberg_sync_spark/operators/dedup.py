@@ -25,6 +25,7 @@ from ._util import t
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows
+MAX_LSH_BUCKET = 64  # skip degenerate band buckets (quadratic at scale)
 
 
 def _shingles(tokens_col, n: int = 3):
@@ -100,7 +101,8 @@ def q_dedup_exact(spark, sf_dir):
     "minhashes (xxhash64 seeded per row) → 4 bands of 4 → bucket-join. "
     "Pairs sharing a band are candidates; output estimated Jaccard = "
     "signature agreement. Never all-pairs: candidates come from a "
-    "groupBy on (band_id, band_hash).",
+    "groupBy on (band_id, band_hash), and buckets larger than "
+    "MAX_LSH_BUCKET are skipped (degenerate buckets are quadratic).",
 )
 def q_dedup_near(spark, sf_dir):
     d = shingled_docs(t(spark, sf_dir, "documents"))
@@ -153,9 +155,23 @@ def q_dedup_near(spark, sf_dir):
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash").localCheckpoint(
+        eager=True  # bucket-size scan + candidate join both read this
+    )
+    # Oversized-bucket guard: a degenerate band hash (identical
+    # boilerplate docs) makes one bucket quadratic at 100 TB; standard
+    # LSH practice skips buckets above a cap. Bucket counting is a
+    # map-side-combinable agg; the hot set is tiny → broadcast anti-join,
+    # no extra shuffle on the corpus side.
+    hot = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > MAX_LSH_BUCKET)
+        .select("band_id", "band_hash")
+    ).localCheckpoint(eager=True)  # computed once, read by both join sides
+    pruned = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     cand = (
         a.join(
             b,
@@ -196,9 +212,16 @@ _NGRAM_ORACLE = """
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cutoff AS (SELECT greatest(16.0, 0.05 * count(*)) AS c FROM documents),
+    rare AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (
+        SELECT s FROM sh GROUP BY s HAVING count(*) > (SELECT c FROM cutoff)
+      )
+    ),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -218,10 +241,15 @@ _NGRAM_ORACLE = """
     doc="Exact n-gram Jaccard over shingle-join candidates: pairs share "
     "at least one word-3-gram (equi-join blocking — the inverted-index "
     "trick), then |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.2. Integer counts + one "
-    "division ⇒ oracle-checkable exactly.",
+    "division ⇒ oracle-checkable exactly. Stop-shingles (document "
+    "frequency > max(16, 5% of corpus)) are dropped before the join — "
+    "a hot shingle is a quadratic join bucket at 100 TB; denominators "
+    "keep full set sizes (conservative Jaccard for pairs that shared "
+    "hot shingles).",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    shingled = shingled_docs(spread(t(spark, sf_dir, "documents")))
+    docs = t(spark, sf_dir, "documents")
+    shingled = shingled_docs(spread(docs))
     # shingle arrays are already array_distinct per doc, so exploding
     # yields distinct (doc_id, s) directly — no distinct() shuffle. The
     # set size rides along each exploded row (one extra long) instead of
@@ -231,7 +259,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id",
         F.size("shingles").cast("long").alias("n"),
         F.explode("shingles").alias("s"),
-    )
+    ).localCheckpoint(eager=True)  # df scan + anti-join both read this
+    # Hot-shingle guard: the df aggregation is map-side combinable and
+    # the hot set is tiny (only shingles above the cutoff), so it
+    # BROADCASTS to a left_anti join — no extra corpus-wide shuffle on
+    # the join side.
+    cutoff = max(16.0, 0.05 * docs.count())
+    hot = (
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > cutoff)
+    ).select("s")
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -359,11 +396,12 @@ _EMB_DEDUP_ORACLE = """
     doc="Embedding-cosine near-dup pairs (cos ≥ 0.3 — the synthetic "
     "embeddings are near-random, max pairwise cos ≈ 0.47, so a "
     "production-style 0.9 threshold would make the differential check "
-    "degenerate-empty). Computed as Arrow-batched block GEMM "
-    "(functions.vector.pairwise_cosine_gemm) — one BLAS matmul per "
-    "batch against the broadcast corpus instead of per-pair "
-    "zip_with/aggregate HOF expressions (~30x). Unblocked all-pairs is "
-    "acceptable only because the table is tiny; the 100 TB path is "
+    "degenerate-empty). Exact all-pairs via distributed block GEMM "
+    "(functions.vector.pairwise_cosine_gemm): vectors replicated to "
+    "block-pair groups (block = id % 8), one numpy matmul per group "
+    "inside applyInPandas — no driver collect, no broadcast; shuffle "
+    "is O(n·n_blocks), per-group memory O(n/n_blocks·dim). Exact "
+    "all-pairs is inherently O(n²) compute; the 100 TB path is "
     "LSH/IVF blocking (operators.similarity.q_sim_topk_ivf).",
 )
 def q_dedup_embedding(spark, sf_dir):

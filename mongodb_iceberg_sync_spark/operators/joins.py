@@ -212,7 +212,8 @@ def q_join_anti(spark, sf_dir):
     oracle="""
     SELECT s.s_suppkey,
            count(*) AS n_near_customers,
-           round(avg(c.c_acctbal), 6) AS avg_near_bal
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_near_bal
     FROM supplier s
     JOIN customer c
       ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
@@ -234,7 +235,14 @@ def q_join_theta_range(spark, sf_dir):
         .groupBy("s_suppkey")
         .agg(
             F.count("*").alias("n_near_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_near_bal"),
+            # decimal sum is exact (order-insensitive), so the single FP
+            # division is bitwise-identical to the oracle's — round(avg,6)
+            # over doubles was not (summation order flipped the 6th decimal)
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_near_bal"),
         )
     )
 
@@ -305,7 +313,8 @@ def q_join_asof(spark, sf_dir):
     oracle="""
     SELECT s.s_suppkey,
            count(*) AS n_near_customers,
-           round(avg(c.c_acctbal), 6) AS avg_near_bal
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_near_bal
     FROM supplier s
     JOIN customer c
       ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
@@ -327,7 +336,12 @@ def q_join_range_banded(spark, sf_dir):
         .groupBy("s_suppkey")
         .agg(
             F.count("*").alias("n_near_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_near_bal"),
+            # exact decimal sum then one FP division — see q_join_theta_range
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_near_bal"),
         )
     )
 

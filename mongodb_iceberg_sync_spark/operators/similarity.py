@@ -141,13 +141,14 @@ _PAIRWISE_ORACLE = """
     "q_sim_pairwise",
     family="similarity",
     oracle=_PAIRWISE_ORACLE,
-    doc="All-pairs similarity ≥ threshold with label blocking (only "
-    "same-label pairs are scored — the pattern that replaces O(n²) at "
-    "scale), computed as block GEMM: each Arrow batch of vectors is one "
-    "BLAS matmul against the broadcast corpus instead of per-pair "
-    "zip_with/aggregate expressions (~30x). Threshold 0.3 because the "
-    "synthetic embeddings are near-random (max pairwise cos ≈ 0.47); a "
-    "production 0.85 would make the check degenerate-empty.",
+    doc="All-pairs similarity ≥ threshold with label blocking applied "
+    "BEFORE the shuffle: the label is the partition key, so only "
+    "same-label pairs are ever shuffled together or scored — compute "
+    "is O(sum of block²), never O(n²). Each label group runs one "
+    "triangular numpy GEMM inside applyInPandas (no driver collect, "
+    "no broadcast). Threshold 0.3 because the synthetic embeddings "
+    "are near-random (max pairwise cos ≈ 0.47); a production 0.85 "
+    "would make the check degenerate-empty.",
 )
 def q_sim_pairwise(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(

@@ -171,6 +171,29 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def lang_id_pred_col(text_col) -> "F.Column":
+    """Predicted-language expression: argmax stopword-profile score, ties
+    broken by alphabetically FIRST language. array_max compares struct
+    fields in order (score, then anti_rank); anti_rank descends through
+    the alphabetically-sorted language list, so on equal scores the
+    earliest language carries the highest anti_rank and wins."""
+    toks = F.split(text_col, " ")
+    langs = sorted(_LANG_PROFILES)
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda tk: tk.isin(*_LANG_PROFILES[lang]))).alias(
+                    "score"
+                ),
+                F.lit(len(langs) - 1 - i).alias("anti_rank"),
+                F.lit(lang).alias("plang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return F.array_max(scores).getField("plang")
+
+
 @register(
     "q_text_lang_id",
     family="text",
@@ -182,20 +205,7 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 )
 def q_text_lang_id(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    scores = F.array(
-        *[
-            F.struct(
-                F.size(F.filter(toks, lambda tk: tk.isin(*words))).alias("score"),
-                F.lit(lang).alias("plang"),
-            )
-            for lang, words in sorted(_LANG_PROFILES.items())
-        ]
-    )
-    # argmax score, ties → alphabetically first language (array_max on
-    # struct compares score first, then plang — invert for tie-break)
-    best = F.array_max(scores)
-    pred = d.select("doc_id", "lang", best.getField("plang").alias("pred_lang"))
+    pred = d.select("doc_id", "lang", lang_id_pred_col("text").alias("pred_lang"))
     return (
         pred.groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))

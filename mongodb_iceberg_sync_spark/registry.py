@@ -48,21 +48,26 @@ def register(name: str, family: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all_operator_modules() -> None:
     # Import for side effect: each module registers its queries.
-    from .operators import (  # noqa: F401
-        aggregates,
-        cdc,
-        dedup,
-        joins,
-        multimodal,
-        scalar_funcs,
-        scans,
-        similarity,
-        sorts_sets,
-        stream_batch_equiv,
-        text,
-        udfs,
-        windows,
-    )
+    #
+    # ORDER MATTERS for the driver contract: the correctness sweep runs
+    # queries in registration order under a time budget, so modules the
+    # round-1 sweep never reached (windows, sorts_sets, text, udfs,
+    # stream_batch_equiv) register FIRST; the round-1-verified families
+    # come after. Keep cheap/plan-only families early, the real-
+    # StreamingQuery and heavy dedup families last.
+    from .operators import windows  # noqa: F401
+    from .operators import sorts_sets  # noqa: F401
+    from .operators import text  # noqa: F401
+    from .operators import udfs  # noqa: F401
+    from .operators import stream_batch_equiv  # noqa: F401
+    from .operators import scans  # noqa: F401
+    from .operators import scalar_funcs  # noqa: F401
+    from .operators import aggregates  # noqa: F401
+    from .operators import joins  # noqa: F401
+    from .operators import cdc  # noqa: F401
+    from .operators import multimodal  # noqa: F401
+    from .operators import similarity  # noqa: F401
+    from .operators import dedup  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -54,7 +54,17 @@ def make_events(
 
 
 def events_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
-    return spark.createDataFrame(rows, CDC_SCHEMA)
+    # Arrow path via pandas: a list-of-tuples createDataFrame becomes a
+    # 32-slice pickled Python RDD, and any downstream coalesce(1) then
+    # evaluates all slices sequentially through Python workers (~6s of
+    # pure overhead per tiny batch). The pandas form is a JVM-local
+    # Arrow relation — no Python workers at execution time.
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["op_seq", "op_type", "doc_id", "ts", "full_doc"], dtype=object
+    )
+    return spark.createDataFrame(pdf, CDC_SCHEMA)
 
 
 def expected_final_state(rows: list[tuple]) -> dict[str, dict]:

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sync.apply import apply_batch
+from ..sync.batching import trigger_kwargs
+from ..sync.config import BatchConfig
 from ..sync.table_store import MorTable
 
 
@@ -23,11 +25,17 @@ def foreach_batch_merge(
     table: MorTable,
     checkpoint_dir: str,
     key: str = "doc_id",
+    batch_config: BatchConfig | None = None,
+    available_now: bool = True,
 ) -> StreamingQuery:
-    """Start the merge stream with availableNow (drain-and-stop) —
-    tests and backfill-catchup use this; production would use a
-    processingTime trigger = the reference's flushIntervalSeconds
-    (BatchConfig.java:10)."""
+    """Start the merge stream.
+
+    Trigger policy (reference A16, BatchConfig.java:8-30): with
+    available_now the stream drains and stops (tests, backfill
+    catch-up); otherwise the trigger interval IS the reference's
+    flushIntervalSeconds (sync.batching.trigger_kwargs), and the source
+    should be rate-limited to ~maxRecords per micro-batch
+    (sync.batching.source_rate_options on the reader side)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(table, batch_df, batch_id, key=key)
@@ -35,6 +43,6 @@ def foreach_batch_merge(
     return (
         cdc_stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**trigger_kwargs(batch_config, available_now))
         .start()
     )

@@ -80,14 +80,23 @@ def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "d
     from pyspark.sql import Observation
 
     is_invalid = F.col("op_type").isin(*INVALIDATE_OPS)
+    seq = F.col("op_seq").cast("long")
     pre = events.agg(
         F.count(F.when(is_invalid, 1)).alias("n_invalid"),
+        F.min(F.when(is_invalid, seq)).alias("first_invalid_seq"),
         F.count(F.when(~is_invalid, 1)).alias("n_normal"),
-        F.max(F.when(~is_invalid, F.col("op_seq").cast("long"))).alias("max_seq"),
+        F.max(F.when(~is_invalid, seq)).alias("max_seq"),
+        F.max(seq).alias("max_seen_seq"),
     ).head()
     n_ops = 0
     if pre.n_normal:
         normal, _ = split_invalidations(events)
+        if pre.first_invalid_seq is not None:
+            # An invalidation mid-batch clears the table: only ops
+            # ordered BEFORE it may commit; the engine re-initial-syncs
+            # and then replays the trailing ops (op_seq > invalidate) as
+            # their own batch — matching the sequential-replay oracle.
+            normal = normal.filter(seq < F.lit(pre.first_invalid_seq))
         obs = Observation()
         ops = batch_to_ops(normal, key=key).observe(
             obs, F.count(F.lit(1)).alias("n_ops")
@@ -98,5 +107,7 @@ def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "d
         "batch_id": batch_id,
         "n_ops": n_ops,
         "max_op_seq": pre.max_seq,
+        "max_seen_seq": pre.max_seen_seq,
         "n_invalidations": pre.n_invalid,
+        "first_invalid_seq": pre.first_invalid_seq,
     }

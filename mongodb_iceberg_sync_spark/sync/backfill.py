@@ -24,6 +24,41 @@ from .checkpoint import STATE_INITIAL_SYNC, STATE_STEADY_STATE, Checkpoint, Chec
 from .table_store import MorTable
 
 
+def _chunk_boundaries(df: DataFrame, key: str, chunk_rows: int) -> list:
+    """One-pass chunk-boundary computation: increasing inclusive upper
+    bounds, the last being the global max key.
+
+    Boundaries come from a sorted sample of the key column — the same
+    strategy as Spark's RangePartitioner — so the cost is one count+max
+    aggregation plus an O(sample) driver collect (bounded, ~100k keys),
+    independent of table size and of key type (works for string keys
+    where approxQuantile would not). Chunk sizes are approximate
+    (sampling), which is fine: chunking exists for resumability, not
+    exact sizing.
+    """
+    stats = df.agg(F.count("*").alias("n"), F.max(key).alias("mx")).head()
+    total = stats.n
+    if total == 0:
+        return []
+    n_chunks = max(1, -(-total // chunk_rows))
+    if n_chunks == 1:
+        return [stats.mx]
+    frac = min(1.0, 100_000 / total)
+    sample = sorted(
+        r[0] for r in df.select(key).sample(fraction=frac, seed=42).collect()
+    )
+    bounds: list = []
+    for i in range(1, n_chunks):
+        if not sample:
+            break
+        b = sample[max(0, min(len(sample) - 1, (i * len(sample)) // n_chunks - 1))]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    if not bounds or stats.mx > bounds[-1]:
+        bounds.append(stats.mx)  # true max ⇒ the final chunk covers the tail
+    return bounds
+
+
 def run_backfill(
     source: DataFrame,
     table: MorTable,
@@ -67,26 +102,27 @@ def run_backfill(
             hwm = float(cp.high_water_mark_id)
         else:
             hwm = cp.high_water_mark_id
+    # Chunk boundaries are computed ONCE with a single pass over the
+    # key column (quantiles for numeric keys, one key-only sort pass
+    # otherwise) — NOT by re-sorting the remaining table per chunk,
+    # which would be O(N²/chunk) scans at 100 TB. Each chunk is then an
+    # independent half-open range filter (lo, hi], so chunks are
+    # retryable and could run in parallel; the per-chunk HWM checkpoint
+    # (A10) keeps resume semantics identical.
+    remaining = source if hwm is None else source.filter(F.col(key) > F.lit(hwm))
+    bounds = _chunk_boundaries(remaining, key, chunk_rows)
     chunks_done = 0
-    while True:
-        remaining = source if hwm is None else source.filter(F.col(key) > F.lit(hwm))
-        # deterministic chunk: next `chunk_rows` keys in key order. The
-        # bound is computed with an aggregation (cheap: min/max + count
-        # pushdown-friendly), then the chunk itself is a pure filter.
-        bound_row = (
-            remaining.select(key)
-            .orderBy(key)
-            .limit(chunk_rows)
-            .agg(F.max(key).alias("hi"), F.count("*").alias("n"))
-            .head()
-        )
-        if not bound_row or bound_row.n == 0:
-            break
-        chunk = remaining.filter(F.col(key) <= F.lit(bound_row.hi))
+    for hi in bounds:
+        lo_pred = F.lit(True) if hwm is None else (F.col(key) > F.lit(hwm))
+        chunk = source.filter(lo_pred & (F.col(key) <= F.lit(hi)))
+        n = chunk.count()
+        if n == 0:
+            hwm = hi
+            continue
         table.append_base(chunk)
-        hwm = bound_row.hi
+        hwm = hi
         cp.high_water_mark_id = str(hwm)
-        cp.documents_processed += bound_row.n
+        cp.documents_processed += n
         store.upsert(cp)  # HWM checkpoint per chunk (A10)
         chunks_done += 1
         if fail_after_chunks is not None and chunks_done >= fail_after_chunks:

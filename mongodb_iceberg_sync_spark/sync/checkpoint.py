@@ -97,7 +97,12 @@ class CheckpointStore:
             "high_water_mark_id string, documents_processed long, "
             "last_snapshot_id long, updated_at string"
         )
-        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        # reference schema declares updated_at TIMESTAMP
+        # (docs/design.md:327); the durable JSON stores ISO-8601 text
+        from pyspark.sql import functions as F
+
+        return df.withColumn("updated_at", F.to_timestamp("updated_at"))
 
     def restart_decision(self, sync_id: str) -> str:
         """Reference A20 (docs/design.md:350-358): no row → fresh run;

@@ -136,22 +136,38 @@ class CollectionSync:
                 self.sleep(backoff_delay(attempt - 1))
                 # loop → re-read checkpoint and resume (A30)
 
+    def _apply_one(self, batch: DataFrame, batch_id: int) -> dict:
+        if self.metrics is not None:
+            from .metrics import apply_with_metrics
+
+            return apply_with_metrics(
+                self.table, batch, batch_id, self.key, self.metrics
+            )
+        return apply_batch(self.table, batch, batch_id, key=self.key)
+
     def _apply_stream(self) -> None:
+        """Apply pending event batches.
+
+        Contract for event_batches: batch ids must be GLOBALLY STABLE
+        across resumes (e.g. the batch's first op_seq) — MorTable's
+        idempotent commit keys delta directories on batch_id, so a
+        post-crash resume that renumbered batches from zero would
+        overwrite earlier commits with different events.
+        """
+        from pyspark.sql import functions as F
+
         cp = self.store.read(self.sync_id)
         resume_from = (
             int(cp.resume_token) if cp and cp.resume_token is not None else None
         )
         for batch_id, batch in self.event_batches(resume_from):
-            if self.metrics is not None:
-                from .metrics import apply_with_metrics
-
-                stats = apply_with_metrics(
-                    self.table, batch, batch_id, self.key, self.metrics
-                )
-            else:
-                stats = apply_batch(self.table, batch, batch_id, key=self.key)
-            if stats["n_invalidations"]:
-                # A23: invalidate → truncate + re-initial-sync
+            stats = self._apply_one(batch, batch_id)
+            floor_seq = None  # resume floor when the trailing batch is empty
+            while stats["n_invalidations"]:
+                # A23: invalidate → truncate + re-initial-sync. apply_batch
+                # committed only ops BEFORE the first invalidation; replay
+                # the trailing ops afterwards as their own (stable-id)
+                # batch so none are lost (matches the sequential oracle).
                 self.table.truncate()
                 self.store.delete(self.sync_id)
                 self._set(SyncState.INITIAL_SYNC)
@@ -163,10 +179,16 @@ class CollectionSync:
                     key=self.key,
                 )
                 self._set(SyncState.STEADY_STATE)
-                continue
-            if stats["max_op_seq"] is not None:
+                first_invalid = stats["first_invalid_seq"]
+                floor_seq = first_invalid
+                batch = batch.filter(
+                    F.col("op_seq").cast("long") > F.lit(first_invalid)
+                )
+                stats = self._apply_one(batch, batch_id=first_invalid)
+            pos = stats["max_seen_seq"] if stats["max_seen_seq"] is not None else floor_seq
+            if pos is not None:
                 cp = self.store.read(self.sync_id)
-                cp.resume_token = str(stats["max_op_seq"])
+                cp.resume_token = str(pos)
                 cp.documents_processed += stats["n_ops"]
                 cp.state = STATE_STEADY_STATE
                 self.store.upsert(cp)  # commit-then-checkpoint order (A21)

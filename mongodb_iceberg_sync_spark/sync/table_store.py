@@ -56,6 +56,10 @@ class MorTable:
     def delta_dir(self) -> str:
         return f"{self.path}/deltas"
 
+    @property
+    def archive_dir(self) -> str:
+        return f"{self.path}/archive"
+
     # -- write path ---------------------------------------------------
 
     def append_base(self, df: DataFrame) -> None:
@@ -123,9 +127,20 @@ class MorTable:
 
     # -- maintenance --------------------------------------------------
 
+    def _generations(self) -> list[str]:
+        if not os.path.isdir(self.archive_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(self.archive_dir) if d.startswith("gen=")
+        )
+
     def compact(self) -> None:
         """Rewrite base from the merged snapshot; clear deltas
-        (reference A24/A25 compaction + snapshot expiry analog)."""
+        (reference A24 RewriteDataFiles, docs/design.md:394-400).
+
+        The superseded base generation is ARCHIVED, not deleted —
+        Iceberg keeps old snapshots' files reachable until
+        ExpireSnapshots runs; expire_snapshots() is that step here."""
         snap = self.snapshot()
         tmp = f"{self.path}/.compact_tmp"
         if snap is None:
@@ -136,14 +151,30 @@ class MorTable:
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        shutil.rmtree(self.base_dir, ignore_errors=True)
+        gens = self._generations()
+        next_gen = int(gens[-1].split("=")[1]) + 1 if gens else 0
+        os.makedirs(self.archive_dir, exist_ok=True)
+        os.rename(self.base_dir, f"{self.archive_dir}/gen={next_gen:06d}")
         os.rename(tmp, self.base_dir)
         shutil.rmtree(self.delta_dir, ignore_errors=True)
         os.makedirs(self.delta_dir, exist_ok=True)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Retention-based snapshot expiry (reference A25,
+        docs/design.md:399 ExpireSnapshots): drop archived base
+        generations beyond the newest keep_last. Never touches the live
+        base/deltas — the current snapshot is unaffected. Returns the
+        number of generations removed."""
+        gens = self._generations()
+        doomed = gens[: max(0, len(gens) - keep_last)] if keep_last > 0 else gens
+        for d in doomed:
+            shutil.rmtree(f"{self.archive_dir}/{d}", ignore_errors=True)
+        return len(doomed)
 
     def truncate(self) -> None:
         """Drop all data (used by re-initial-sync, reference A23)."""
         shutil.rmtree(self.base_dir, ignore_errors=True)
         shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.archive_dir, ignore_errors=True)
         os.makedirs(self.base_dir, exist_ok=True)
         os.makedirs(self.delta_dir, exist_ok=True)

@@ -1,0 +1,77 @@
+"""A27 catalog-factory tests: exact spark.sql.catalog.* conf per
+catalog type (reference IcebergConfig.java:25-34), properties
+passthrough, and the jar-less MorTable fallback decision."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongodb_iceberg_sync_spark.sync.catalog import (
+    S3TABLES_CATALOG_IMPL,
+    SPARK_CATALOG_IMPL,
+    catalog_spark_confs,
+    configure_catalog,
+    iceberg_runtime_available,
+)
+from mongodb_iceberg_sync_spark.sync.config import (
+    CatalogConfig,
+    ConfigError,
+    IcebergConfig,
+)
+
+
+def cfg(**kw) -> IcebergConfig:
+    props = kw.pop("properties", {})
+    return IcebergConfig(catalog=CatalogConfig(**kw), properties=props)
+
+
+def test_local_catalog_confs():
+    got = catalog_spark_confs(cfg(type="local", warehouse="/tmp/wh"), name="lake")
+    assert got == {
+        "spark.sql.catalog.lake": SPARK_CATALOG_IMPL,
+        "spark.sql.catalog.lake.type": "hadoop",
+        "spark.sql.catalog.lake.warehouse": "/tmp/wh",
+    }
+
+
+def test_rest_catalog_confs():
+    got = catalog_spark_confs(
+        cfg(type="rest", uri="http://cat:8181", warehouse="s3://wh"), name="ice"
+    )
+    assert got == {
+        "spark.sql.catalog.ice": SPARK_CATALOG_IMPL,
+        "spark.sql.catalog.ice.type": "rest",
+        "spark.sql.catalog.ice.uri": "http://cat:8181",
+        "spark.sql.catalog.ice.warehouse": "s3://wh",
+    }
+
+
+def test_s3tables_catalog_confs():
+    arn = "arn:aws:s3tables:us-east-1:123:bucket/b"
+    got = catalog_spark_confs(cfg(type="s3tables", warehouse=arn))
+    assert got["spark.sql.catalog.lake.catalog-impl"] == S3TABLES_CATALOG_IMPL
+    assert got["spark.sql.catalog.lake.warehouse"] == arn
+    assert "spark.sql.catalog.lake.type" not in got
+
+
+def test_properties_passthrough():
+    got = catalog_spark_confs(
+        cfg(type="local", warehouse="/w", properties={"commit.retry.num-retries": "5"})
+    )
+    assert got["spark.sql.catalog.lake.commit.retry.num-retries"] == "5"
+
+
+def test_missing_required_fields():
+    with pytest.raises(ConfigError, match="warehouse"):
+        catalog_spark_confs(cfg(type="local"))
+    with pytest.raises(ConfigError, match="uri"):
+        catalog_spark_confs(cfg(type="rest"))
+    with pytest.raises(ConfigError, match="ARN"):
+        catalog_spark_confs(cfg(type="s3tables"))
+
+
+def test_jarless_fallback(spark):
+    # this sandbox ships no Iceberg runtime jar: the factory must report
+    # unavailable and configure_catalog must choose the MorTable path
+    assert iceberg_runtime_available(spark) is False
+    assert configure_catalog(spark, cfg(type="local", warehouse="/w")) is False

@@ -82,6 +82,22 @@ def test_dedup_simhash_no_aggregation_exchange(spark, sf_dir):
     assert count_shuffles(SPECS["q_dedup_simhash"].func(spark, sf_dir)) <= 4
 
 
+def test_pairwise_gemm_no_driver_collect(spark, sf_dir, monkeypatch):
+    # the block-GEMM must never materialize the corpus on the driver:
+    # building AND running the query with toPandas forbidden must work
+    # (the old implementation toPandas'd the full table at build time)
+    import pyspark.sql as pysql
+
+    def _boom(self):
+        raise AssertionError("driver-side toPandas in pairwise GEMM path")
+
+    monkeypatch.setattr(pysql.DataFrame, "toPandas", _boom)
+    for key in ("q_sim_pairwise", "q_dedup_embedding"):
+        df = SPECS[key].func(spark, sf_dir)
+        assert "FlatMapGroupsInPandas" in formatted_plan(df)
+        assert df.count() > 0
+
+
 def test_sim_topk_take_ordered_no_join(spark, sf_dir):
     # probe vector folds in as a literal: no join, and top-k via
     # per-partition heap (TakeOrderedAndProject), not a global sort

@@ -98,6 +98,69 @@ def test_compaction_preserves_state(spark, table):
     assert snapshot_dict(table) == before == expected_final_state(rows)
 
 
+def test_snapshot_expiry_retention(spark, tmp_path):
+    """A25: repeated compactions archive superseded base generations;
+    expire_snapshots(keep_last=N) removes the old ones and the live
+    snapshot is unchanged (reference docs/design.md:399)."""
+    table = MorTable(spark, str(tmp_path / "texp"), key="doc_id")
+    rows = make_events(n_docs=6, n_ops=30)
+    for i, lo in enumerate(range(0, 30, 10)):
+        apply_batch(
+            table, events_df(spark, rows[lo : lo + 10]), batch_id=rows[lo][0]
+        )
+        table.compact()
+    assert len(table._generations()) == 3
+    before = snapshot_dict(table)
+    removed = table.expire_snapshots(keep_last=1)
+    assert removed == 2
+    assert len(table._generations()) == 1
+    assert snapshot_dict(table) == before == expected_final_state(rows)
+
+
+def test_concurrent_multi_collection_sync(spark, tmp_path):
+    """A32: two CollectionSyncs sharing one SparkSession, independent
+    tables and checkpoints, both reaching STEADY_STATE
+    (reference docs/design.md:56-64)."""
+    syncs = {}
+    all_rows = {}
+    for name, n_ops in (("a", 40), ("b", 25)):
+        rows = make_events(n_docs=5, n_ops=n_ops)
+        all_rows[name] = rows
+        table = MorTable(spark, str(tmp_path / f"mc_{name}"), key="doc_id")
+        store = CheckpointStore(str(tmp_path / f"mc_cp_{name}.jsonl"))
+        snap = spark.createDataFrame(
+            [(f"seed_{name}", json.dumps({"_id": f"seed_{name}", "v": name}))],
+            "doc_id string, full_doc string",
+        )
+
+        def batches(resume_from, _rows=rows):
+            lo = 0 if resume_from is None else resume_from
+            pending = [r for r in _rows if r[0] > lo]
+            for i in range(0, len(pending), 15):
+                yield (pending[i][0], events_df(spark, pending[i : i + 15]))
+
+        syncs[name] = CollectionSync(
+            spark, f"lake.mc_{name}", (lambda s=snap: s), batches, table, store
+        )
+
+    import threading
+
+    threads = [threading.Thread(target=s.run_once) for s in syncs.values()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for name, sync in syncs.items():
+        assert sync.state == SyncState.STEADY_STATE
+        expected = expected_final_state(all_rows[name])
+        expected[f"seed_{name}"] = {"_id": f"seed_{name}", "v": name}
+        assert snapshot_dict(sync.table) == expected
+        # independent checkpoints advanced independently
+        assert int(sync.store.read(sync.sync_id).resume_token) == max(
+            r[0] for r in all_rows[name]
+        )
+
+
 def test_backfill_then_stream_overlap_dedup(spark, table, store):
     """Reference A22: docs captured by BOTH snapshot and replayed events
     collapse to the event version (higher op_seq)."""
@@ -154,7 +217,9 @@ def test_state_machine_full_lifecycle(spark, tmp_path):
         lo = 0 if resume_from is None else resume_from
         pending = [r for r in rows if r[0] > lo]
         for i in range(0, len(pending), 20):
-            yield (i // 20, events_df(spark, pending[i : i + 20]))
+            # batch id = first op_seq: stable across resumes (never
+            # renumber from zero — ids key idempotent delta commits)
+            yield (pending[i][0], events_df(spark, pending[i : i + 20]))
 
     sync = CollectionSync(
         spark, "lake.t3", lambda: snap, batches, table, store, key="doc_id"
@@ -189,6 +254,36 @@ def test_invalidate_triggers_reinitial_sync(spark, tmp_path):
     # d1 was wiped by the invalidate; table re-synced from the snapshot
     assert snapshot_dict(table) == {"s1": {"_id": "s1", "v": "resynced"}}
     assert SyncState.INITIAL_SYNC in sync.history[2:]  # re-entered after steady
+
+
+def test_invalidate_mid_batch_keeps_trailing_events(spark, tmp_path):
+    """Events ordered AFTER an invalidate in the same micro-batch must
+    survive the re-initial-sync (sequential-oracle parity): the engine
+    splits the batch at the invalidate and replays the tail."""
+    table = MorTable(spark, str(tmp_path / "t6"), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "cp6.jsonl"))
+    snap = spark.createDataFrame(
+        [("s1", json.dumps({"_id": "s1", "v": "resynced"}))],
+        "doc_id string, full_doc string",
+    )
+    rows = [
+        (1, "insert", "d1", None, json.dumps({"_id": "d1", "v": 1})),
+        (2, "invalidate", None, None, None),
+        (3, "insert", "d2", None, json.dumps({"_id": "d2", "v": 3})),
+    ]
+
+    def batches(resume_from):
+        if resume_from is None or resume_from < 3:
+            yield (1, events_df(spark, rows))
+
+    sync = CollectionSync(spark, "lake.t6", lambda: snap, batches, table, store)
+    sync.run_once()
+    # d1 wiped by the invalidate; d2 (after it) re-applied post-resync
+    assert snapshot_dict(table) == {
+        "s1": {"_id": "s1", "v": "resynced"},
+        "d2": {"_id": "d2", "v": 3},
+    }
+    assert int(store.read("lake.t6").resume_token) == 3
 
 
 def test_backoff_and_retry(spark, tmp_path):
