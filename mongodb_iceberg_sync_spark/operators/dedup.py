@@ -126,13 +126,18 @@ def q_dedup_near(spark, sf_dir):
     # the family index (integer hashing, ~free vs string hashing). No
     # explode -> groupBy: the only corpus-wide shuffles are the barrier
     # above and the band-bucket join.
+    # The signature (16 minhashes over the base hash array) is the
+    # expensive map-side compute; it is checkpointed at ONE ROW PER DOC
+    # so the bucket-size scan and both candidate-join sides read it
+    # without recomputing — band derivation below it is trivial integer
+    # hashing, cheap to repeat per consumer.
     sig = base_df.select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
             lambda i: F.array_min(F.transform(F.col("base"), lambda h: F.xxhash64(h, i))),
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -155,9 +160,7 @@ def q_dedup_near(spark, sf_dir):
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_hash").localCheckpoint(
-        eager=True  # bucket-size scan + candidate join both read this
-    )
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
     # Oversized-bucket guard: a degenerate band hash (identical
     # boilerplate docs) makes one bucket quadratic at 100 TB; standard
     # LSH practice skips buckets above a cap. Bucket counting is a

@@ -66,31 +66,25 @@ def q_sim_topk(spark, sf_dir):
     "q_sim_topk_ivf",
     family="similarity",
     oracle=None,  # approximate recall set is algorithm-specific → rows-only
-    doc="IVF-bucketed approximate top-k: 8 fixed centroids (embeddings "
-    "of vec_id 0..7 — deterministic), every vector assigned to its "
-    "nearest centroid (a partition key at write time); a probe searches "
-    "the nprobe=3 nearest buckets only. Returns approx top-10 with "
-    "bucket provenance.",
+    doc="IVF-bucketed approximate top-k: an 8-centroid coarse quantizer "
+    "trained by 2 Lloyd iterations of distributed k-means "
+    "(functions.vector.kmeans_fit — deterministic init from the 8 "
+    "smallest vec_ids), every vector assigned to its nearest centroid "
+    "(a partition key at write time); a probe searches the nprobe=3 "
+    "nearest buckets only. Returns approx top-10 with bucket "
+    "provenance.",
 )
 def q_sim_topk_ivf(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
-    centroids = {
-        int(r.vec_id): [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < 8).collect()
-    }
-    probe = centroids[_PROBE_ID]
+    from ..functions.vector import bucket_assign_udf, kmeans_fit
 
-    # assign: argmax over centroid sims (deterministic tie-break: first max)
-    sims = F.array(
-        *[
-            F.round(cosine("embedding", F.array(*[F.lit(v) for v in c])), 9)
-            for c in centroids.values()
-        ]
-    )
-    assigned = (
-        e.withColumn("s", sims)
-        .withColumn("bucket", F.array_position("s", F.array_max("s")))
-        .drop("s")
+    e = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=8, iters=2)
+    probe = [
+        float(x) for x in e.filter(F.col("vec_id") == _PROBE_ID).head().embedding
+    ]
+
+    assigned = e.withColumn(
+        "bucket", bucket_assign_udf(centroids)("embedding")
     )
 
     import math
@@ -101,7 +95,7 @@ def q_sim_topk_ivf(spark, sf_dir):
         nb = math.sqrt(sum(x * x for x in b))
         return dot / (na * nb)
 
-    probe_sims = [(i + 1, cos_py(probe, c)) for i, c in enumerate(centroids.values())]
+    probe_sims = [(i + 1, cos_py(probe, c)) for i, c in enumerate(centroids)]
     nprobe_buckets = [b for b, _ in sorted(probe_sims, key=lambda x: (-x[1], x[0]))[:3]]
 
     cos = cosine("embedding", F.array(*[F.lit(v) for v in probe]))
