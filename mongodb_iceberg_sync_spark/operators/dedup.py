@@ -317,20 +317,46 @@ def q_dedup_simhash(spark, sf_dir):
 
         shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            sims = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["th"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            n = len(pdf)
+            sims = np.empty(n, dtype=np.int64)
+            th = pdf["th"].tolist()
+            # chunk so the (tokens x 64) int32 bit matrix stays ~tens of
+            # MB regardless of Arrow batch size (reduceat folds whole
+            # docs, so the only Python-level loop is per ~512-doc chunk)
+            CH = 512
+            for s in range(0, n, CH):
+                docs = th[s : s + CH]
+                lens = np.array([len(d) for d in docs], dtype=np.int64)
+                total = int(lens.sum())
+                if total == 0 or (lens == 0).any():
+                    # empty token lists corrupt reduceat segment bounds;
+                    # they can't occur (split always yields >=1 token)
+                    # but degrade to per-doc folding rather than miscount
+                    for j, d in enumerate(docs):
+                        h = np.asarray(d, dtype=np.int64).view(np.uint64)
+                        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                        sums = (2 * bits - 1).sum(axis=0)
+                        sims[s + j] = np.int64(
+                            ((sums > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                        )
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(d, dtype=np.int64) for d in docs]
+                ).view(np.uint64)
                 # bit b of (h >> b) is bit b of h — arithmetic vs logical
                 # shift is irrelevant under & 1, so this matches the JVM
                 # shiftright-based definition exactly
-                bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                    np.int64
+                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int32
                 )
-                sums = (2 * bits - 1).sum(axis=0)
-                packed = ((sums > 0).astype(np.uint64) << shifts).sum(
-                    dtype=np.uint64
+                starts = np.zeros(len(docs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                ones = np.add.reduceat(bits, starts, axis=0)
+                sums = 2 * ones - lens[:, None]
+                packed = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
                 )
-                sims[i] = np.int64(packed.astype(np.uint64))
+                sims[s : s + len(docs)] = packed.view(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sims})
 
     # materialize once: (doc_id, simhash) is 16 bytes/doc, and without

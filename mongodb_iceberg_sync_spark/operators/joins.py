@@ -219,19 +219,24 @@ def q_join_anti(spark, sf_dir):
       ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
     GROUP BY s.s_suppkey
     """,
-    doc="Non-equi band join (value within ±100). Spark executes this as "
-    "broadcast-nested-loop on the small side; at 100 TB the scale path "
-    "is banding: join on floor(bal/100) buckets ±1 then post-filter, "
-    "turning it into an equi-join — implemented in "
-    "functions.range_join.banded_range_join and oracle-checked as "
-    "q_join_range_banded below.",
+    doc="Non-equi band join (value within ±100). Naive Spark executes "
+    "the raw theta predicate as broadcast-nested-loop — O(n*m) compares "
+    "and dead at 100 TB with two large sides — so this query is DEFINED "
+    "by the theta predicate but EXECUTED banded: both sides bucket by "
+    "floor(bal/100), the probe side replicates into buckets ±1, the "
+    "join is a hash equi-join on the bucket id, and the exact predicate "
+    "is re-applied (functions.range_join.banded_range_join; identical "
+    "semantics, pinned BNLJ-free by tests/test_plans.py). "
+    "q_join_range_banded below applies the same strategy to a big x big "
+    "event-time range join where no side is broadcastable.",
 )
 def q_join_theta_range(spark, sf_dir):
-    s = t(spark, sf_dir, "supplier")
-    c = t(spark, sf_dir, "customer")
-    cond = c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100)
+    from ..functions.range_join import banded_range_join
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = t(spark, sf_dir, "customer").select("c_acctbal")
     return (
-        c.join(F.broadcast(s), cond)
+        banded_range_join(c, s, "c_acctbal", "s_acctbal", 100.0)
         .groupBy("s_suppkey")
         .agg(
             F.count("*").alias("n_near_customers"),
@@ -311,37 +316,49 @@ def q_join_asof(spark, sf_dir):
     "q_join_range_banded",
     family="joins",
     oracle="""
-    SELECT s.s_suppkey,
-           count(*) AS n_near_customers,
-           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 6) AS avg_near_bal
-    FROM supplier s
-    JOIN customer c
-      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
-    GROUP BY s.s_suppkey
+    SELECT p.event_id AS p_id,
+           count(*) AS n_near_clicks,
+           round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS near_click_value
+    FROM events p
+    JOIN events c
+      ON c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000
+                            AND epoch_us(p.ts) + 1800000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
     """,
-    doc="q_join_theta_range's 100 TB physical strategy: band both sides "
-    "by floor(bal/100), replicate the probe side into buckets ±1, "
-    "equi-join on the bucket id, re-apply the exact predicate. One "
-    "keyed shuffle instead of a nested loop; identical semantics "
-    "(same oracle SQL as the nested-loop variant).",
+    doc="Big x big time-range join — the case banding exists for: every "
+    "purchase joined to ALL clicks (any user) within ±30 min. Neither "
+    "side is a broadcastable dim at scale, so nested-loop is not an "
+    "option; both sides bucket by floor(epoch_us/width), purchases "
+    "replicate into buckets ±1, hash equi-join on the bucket, exact "
+    "integer-microsecond predicate re-applied. One keyed shuffle, each "
+    "row meets only rows within one band. Same banded_range_join "
+    "helper as q_join_theta_range; exact decimal sum keeps the float "
+    "aggregate order-insensitive for the oracle hash.",
 )
 def q_join_range_banded(spark, sf_dir):
     from ..functions.range_join import banded_range_join
 
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    c = t(spark, sf_dir, "customer").select("c_acctbal")
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so this matches
+        # the oracle's epoch_us() on the naive value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"), "value"
+    )
     return (
-        banded_range_join(c, s, "c_acctbal", "s_acctbal", 100.0)
-        .groupBy("s_suppkey")
+        banded_range_join(p, c, "p_us", "c_us", 1800000000.0)
+        .groupBy("p_id")
         .agg(
-            F.count("*").alias("n_near_customers"),
-            # exact decimal sum then one FP division — see q_join_theta_range
+            F.count("*").alias("n_near_clicks"),
             F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_near_bal"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("near_click_value"),
         )
     )
 

@@ -1,0 +1,87 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB corpus is almost never consumed whole: dataset ablations,
+eval-holdout carving, and per-source mixture weighting all start with a
+sample. `df.sample()` is seed-dependent across retries/partitions, so
+pipelines that must be reproducible (and auditable) sample by CONTENT
+HASH instead: a row is in the sample iff a cryptographic hash of its
+key falls under a threshold. That makes the sample (a) deterministic
+across runs, engines, and partitionings, (b) consistent under
+re-execution of failed tasks, and (c) sliceable — the same hash
+prefix-ordering yields nested samples (1% ⊂ 5% ⊂ 20%).
+
+Both queries are exact-hash-checked against DuckDB (md5 hex is
+identical in both engines), unlike RNG-based sampling which could only
+ever be rows-only.
+
+No reference analog (the reference is a sync pipeline; sampling is part
+of the training-data surface this engine adds, per the build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q_sample_hash",
+    family="sampling",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+    """,
+    doc="Uniform deterministic ~5% sample: keep rows whose md5(doc_id) "
+    "hex prefix is < '0d' (13/256 ≈ 5.1%). Pure map-side predicate — "
+    "no shuffle, no RNG, no seed plumbing; the sample is stable across "
+    "runs, engines, task retries, and repartitioning, and thresholds "
+    "nest (a '03' sample is a subset of this one). At 100 TB this is "
+    "embarrassingly parallel and composes with partition pruning.",
+)
+def q_sample_hash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "0d"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q_sample_stratified",
+    family="sampling",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars, sample_rank
+    FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 20
+    """,
+    doc="Stratified fixed-size sample: exactly min(20, |stratum|) docs "
+    "per source, chosen by md5(doc_id) order — a deterministic stand-in "
+    "for 'random k per stratum' that is reproducible and hash-checked. "
+    "One hash shuffle on the stratum key. At 100 TB a mega-stratum "
+    "would make the full partition sort the bottleneck; the fix is a "
+    "pre-filter on the hash prefix (as in q_sample_hash) to cap each "
+    "stratum's candidate set before the window — same result as long "
+    "as the prefix keeps ≥ k rows per stratum.",
+)
+def q_sample_stratified(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+    )

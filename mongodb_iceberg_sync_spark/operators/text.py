@@ -216,10 +216,29 @@ def q_text_lang_id(spark, sf_dir):
 @register(
     "q_text_fingerprint",
     family="text",
-    oracle=None,  # hash-specific → rows-only
+    oracle="""
+    SELECT doc_id,
+           md5(coalesce(
+             array_to_string(list_slice(list_sort(grams), 1, 4), ','), ''
+           )) AS fingerprint,
+           len(grams)::BIGINT AS n_grams
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 4), ' '))
+             ) AS grams
+      FROM documents
+    )
+    """,
     doc="Document fingerprinting: min-4 sketch of rolling word-5-gram "
     "hashes (winnowing-style). Equal fingerprints ⇒ near-identical "
-    "prefix-structure; used as a cheap near-dup blocking key.",
+    "prefix-structure; used as a cheap near-dup blocking key. Gram "
+    "hashes are md5 hex strings (bit-identical across engines, so the "
+    "sketch is exact-hash-checked against DuckDB, not rows-only); the "
+    "whole pipeline is JVM-side array expressions — no shuffle, no "
+    "Python.",
 )
 def q_text_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -230,14 +249,12 @@ def q_text_fingerprint(spark, sf_dir):
         k >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 5))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast("array<string>"))
     sketch = F.slice(F.array_sort(grams), 1, 4)
     return d.select(
         "doc_id",
-        F.xxhash64(F.concat_ws(",", F.transform(sketch, lambda h: h.cast("string")))).alias(
-            "fingerprint"
-        ),
+        F.md5(F.concat_ws(",", sketch)).alias("fingerprint"),
         F.size(grams).cast("long").alias("n_grams"),
     )

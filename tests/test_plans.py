@@ -57,11 +57,13 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 
 def test_banded_range_join_is_equi_join(spark, sf_dir):
-    # the banded variant must execute as a HASH equi-join on the band
-    # key, never the nested-loop the raw theta predicate would force
-    plan = formatted_plan(SPECS["q_join_range_banded"].func(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" in plan
+    # both range-join queries must execute as a HASH equi-join on the
+    # band key, never the nested-loop the raw theta predicate would
+    # force (BNLJ is O(n*m) and dead at 100 TB with two large sides)
+    for q in ("q_join_range_banded", "q_join_theta_range"):
+        plan = formatted_plan(SPECS[q].func(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "Join" in plan, q
 
 
 def test_dedup_near_shuffle_budget(spark, sf_dir):
