@@ -105,7 +105,12 @@ def q_dedup_exact(spark, sf_dir):
     "MAX_LSH_BUCKET are skipped (degenerate buckets are quadratic).",
 )
 def q_dedup_near(spark, sf_dir):
-    d = shingled_docs(t(spark, sf_dir, "documents"))
+    # spread BEFORE shingling: the small parquet arrives as one input
+    # split, and everything upstream of the barrier below (shingle
+    # construction + string hashing — the expensive part) would run in
+    # that single task. Raw text crosses this first exchange (~300 B/doc,
+    # same order as the 8-byte-per-shingle base array).
+    d = shingled_docs(spread(t(spark, sf_dir, "documents")))
     # Each shingle string is hashed ONCE into `base`; the repartition is
     # a deliberate materialization barrier — Catalyst's CollapseProject
     # would otherwise inline the shingle-construction + string-hash

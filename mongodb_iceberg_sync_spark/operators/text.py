@@ -194,14 +194,51 @@ def lang_id_pred_col(text_col) -> "F.Column":
     return F.array_max(scores).getField("plang")
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB oracle generated from the SAME _LANG_PROFILES constant so
+    profile edits can't drift the two engines apart. The CASE cascade
+    ('first lang in alphabetical order whose score >= every later
+    score') is exactly argmax with alphabetically-first tie-break."""
+    langs = sorted(_LANG_PROFILES)
+    scores = ",\n             ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    whens = "\n               ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :]),
+            lang,
+        )
+        for i, lang in enumerate(langs[:-1])
+    )
+    return f"""
+    SELECT lang, pred_lang, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE {whens}
+               ELSE '{langs[-1]}' END AS pred_lang
+      FROM (
+        SELECT lang,
+             {scores}
+        FROM documents
+      )
+    )
+    GROUP BY lang, pred_lang
+    """
+
+
 @register(
     "q_text_lang_id",
     family="text",
-    oracle=None,  # heuristic classifier → rows-only (deterministic)
+    oracle=_lang_id_oracle(),
     doc="Heuristic language-ID: score each doc against per-language "
     "stopword profiles (token-histogram dot product, argmax with "
     "alphabetical tie-break), report confusion counts vs the labeled "
-    "lang column.",
+    "lang column. Oracle SQL is generated from the same profile table "
+    "(CASE cascade = first-max-alphabetically), so the confusion "
+    "matrix is exact-hash-checked.",
 )
 def q_text_lang_id(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
