@@ -272,13 +272,23 @@ def q_sync_explicit_map(spark, sf_dir):
     "(reference A7, docs/design.md:424-431): sample heterogeneous JSON "
     "docs, merge per-path types, promote conflicts to string. Real "
     "implementation in sync.schema_infer; this query runs it over a "
-    "synthesized heterogeneous corpus derived from events.props.",
+    "synthesized heterogeneous corpus derived from events.props, plus "
+    "one BSON extended-JSON doc exercising the A6 type table "
+    "(docs/design.md:406-422): $oid/$date/$numberDecimal/$binary map "
+    "to their logical Iceberg types, $minKey is skipped.",
 )
 def q_schema_union(spark, sf_dir):
     from ..sync.schema_infer import infer_union_schema, schema_to_rows
 
     docs = _hetero_corpus(spark, sf_dir).select("doc")
     sample = [r.doc for r in docs.limit(1000).collect()]
+    sample.append(
+        '{"bson_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d1"},'
+        ' "bson_ts": {"$date": "2024-06-01T12:34:56.789Z"},'
+        ' "bson_amt": {"$numberDecimal": "1.5"},'
+        ' "bson_bin": {"$binary": {"base64": "aGk=", "subType": "00"}},'
+        ' "bson_mk": {"$minKey": 1}}'
+    )
     schema = infer_union_schema(sample)
     return spark.createDataFrame(
         schema_to_rows(schema), "field_path string, inferred_type string, nullable boolean"

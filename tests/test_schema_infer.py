@@ -3,6 +3,8 @@ docs/design.md:424-431 via SURVEY.md; test plan docs/plan.md:86-92)."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import types as T
 
 from mongodb_iceberg_sync_spark.sync.schema_infer import (
@@ -71,3 +73,42 @@ def test_deterministic():
     assert schema_to_rows(infer_union_schema(docs)) == schema_to_rows(
         infer_union_schema(list(docs))
     )
+
+
+def test_extended_json_wrappers_recognized():
+    # A6 (docs/design.md:406-422): wrappers become dedicated lattice
+    # primitives, reported with their logical Iceberg type
+    docs = [json.dumps({
+        "_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d1"},
+        "when": {"$date": "2024-06-01T12:34:56.789Z"},
+        "amt": {"$numberDecimal": "1.5"},
+        "mk": {"$maxKey": 1},
+    })]
+    rows = schema_to_rows(infer_union_schema(docs))
+    d = {p: ty for p, ty, _ in rows}
+    assert d["_id"] == "string(objectid)"
+    assert d["when"] == "timestamp"
+    assert d["amt"] == "decimal(38,9)"
+    assert "mk" not in d  # MinKey/MaxKey skipped
+
+
+def test_extended_json_wrapper_conflicts_promote():
+    from mongodb_iceberg_sync_spark.sync.schema_infer import _STRING, _merge
+
+    # wrapper vs plain string -> A7 conflict promotion
+    t = infer_union_schema(
+        [json.dumps({"v": {"$oid": "a" * 24}}), json.dumps({"v": "plain"})]
+    )
+    assert t[1]["v"] == _STRING
+    # wrapped-numeric widening mirrors long/double widening
+    assert _merge("long_wrap", "double_wrap") == "double_wrap"
+    # skip merges like null: never constrains the other side
+    assert _merge("skip", "long") == "long"
+
+
+def test_extended_json_wrong_shape_is_plain_struct():
+    # multi-key / wrong value kind -> regular nested document, not a wrapper
+    t = infer_union_schema(
+        [json.dumps({"a": {"$oid": "x", "extra": 1}, "b": {"$oid": 5}})]
+    )
+    assert t[1]["a"][0] == "struct" and t[1]["b"][0] == "struct"
