@@ -213,3 +213,47 @@ def q_agg_stats(spark, sf_dir):
         F.round(F.median("l_extendedprice"), 6).alias("med_price"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
     )
+
+
+@register(
+    "q_agg_salted",
+    family="aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)           AS sum_qty,
+           count(l_orderkey)                   AS n_items,
+           round(min(l_extendedprice), 2)      AS min_price,
+           round(max(l_extendedprice), 2)      AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-proof salted aggregation (functions.skew.salted_agg): "
+    "3 group keys over the whole fact table is the textbook skewed "
+    "reduce — every row funnels into 3 reducers. Phase 1 groups by "
+    "(key, hash-salt mod 16) spreading each hot key over 16 reducers; "
+    "phase 2 merges the ≤16 partials per key. The oracle is the PLAIN "
+    "group-by: salting must be a pure physical rewrite, bit-identical "
+    "results (sums rounded once at the end, as everywhere).",
+)
+def q_agg_salted(spark, sf_dir):
+    from ..functions.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_extendedprice"),
+        ["l_returnflag"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("count", "l_orderkey", "n_items"),
+            ("min", "l_extendedprice", "min_price"),
+            ("max", "l_extendedprice", "max_price"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_items",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )

@@ -106,3 +106,29 @@ def test_sim_topk_take_ordered_no_join(spark, sf_dir):
     plan = formatted_plan(SPECS["q_sim_topk"].func(spark, sf_dir))
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_hash_is_shuffle_free(spark, sf_dir):
+    # content-hash sampling must stay a pure map-side predicate: scan ->
+    # filter -> project, zero exchanges (embarrassingly parallel at 100 TB)
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    assert count_shuffles(SPECS["q_sample_hash"].func(spark, sf_dir)) == 0
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    # exactly two exchanges: (key, salt) phase then key merge phase —
+    # and phase 2's input is <= n_salts rows per key, so no reducer skew
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_agg_salted"].func(spark, sf_dir)
+    assert count_shuffles(df) == 2
+
+
+def test_salted_agg_rejects_holistic():
+    import pytest as _pytest
+
+    from mongodb_iceberg_sync_spark.functions.skew import salted_agg
+
+    with _pytest.raises(ValueError, match="algebraic"):
+        salted_agg(None, ["k"], [("median", "v", "m")])

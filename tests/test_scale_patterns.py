@@ -1,0 +1,86 @@
+"""Scale-pattern tests: bucketed co-located joins, distributed k-means.
+
+These pin the 100 TB mechanics that the query suite can't see at tiny
+SF: a bucketed table pair joins WITHOUT any exchange (the co-location
+contract), and the IVF quantizer's k-means trains without ever
+materializing more than k·d floats on the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mongodb_iceberg_sync_spark.plans.explain import count_shuffles, formatted_plan
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    """Two tables bucketed+sorted by the join key into the same bucket
+    count — the write-time layout that makes every future join on that
+    key shuffle-free."""
+    base = tmp_path_factory.mktemp("bucketed")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = spark.range(0, 1000).selectExpr("id AS o_orderkey", "id % 7 AS o_status")
+    li = spark.range(0, 5000).selectExpr(
+        "id % 1000 AS l_orderkey", "id AS l_item", "id * 1.5 AS l_price"
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(base / "o"))
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(base / "li"))
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    to, tl = bucketed_pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(tl).join(
+            spark.table(to),
+            spark.table(tl).l_orderkey == spark.table(to).o_orderkey,
+        )
+        plan = formatted_plan(j)
+        # co-located: sort-merge join straight over the bucket files —
+        # zero exchanges, and the sortBy makes the per-bucket Sort free
+        assert count_shuffles(j) == 0, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed_pair):
+    _, tl = bucketed_pair
+    g = spark.table(tl).groupBy("l_orderkey").count()
+    assert count_shuffles(g) == 0
+    assert g.count() == 1000
+
+
+def test_kmeans_fit_deterministic_and_bounded(spark):
+    from mongodb_iceberg_sync_spark.functions.vector import kmeans_fit
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = kmeans_fit(df, "embedding", "vec_id", k=4, iters=2)
+    c2 = kmeans_fit(df, "embedding", "vec_id", k=4, iters=2)
+    assert c1 == c2  # same data -> bit-identical centroids
+    assert len(c1) == 4 and all(len(c) == 8 for c in c1)
+    # iterating must actually move the centroids off the seed vectors
+    seeds = [[float(x) for x in r[1]] for r in rows[:4]]
+    assert c1 != seeds
