@@ -443,3 +443,35 @@ def q_dedup_embedding(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return pairwise_cosine_gemm(e, "vec_id", "embedding", threshold=0.3)
+
+
+@register(
+    "q_dedup_incremental",
+    family="dedup",
+    oracle="""
+    SELECT n.doc_id, sha256(n.text) AS text_sha
+    FROM documents n
+    WHERE n.doc_id % 10 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 10 <> 0 AND sha256(c.text) = sha256(n.text)
+      )
+    """,
+    doc="Incremental dedup — the steady-state pipeline shape: a new "
+    "batch (doc_id % 10 = 0 here; a micro-batch in production) is "
+    "anti-joined by content hash against the existing corpus, keeping "
+    "only genuinely new documents. The anti-join ships 64-hex-char "
+    "hashes, never text; at 100 TB the corpus side is a bucketed/"
+    "sorted hash index table so the join is co-located (see "
+    "tests/test_scale_patterns.py), and Spark's left_anti + AQE "
+    "turns the small new-batch side into a broadcast.",
+)
+def q_dedup_incremental(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    return new.join(corpus, "text_sha", "left_anti")

@@ -295,3 +295,99 @@ def q_text_fingerprint(spark, sf_dir):
         F.md5(F.concat_ws(",", sketch)).alias("fingerprint"),
         F.size(grams).cast("long").alias("n_grams"),
     )
+
+
+@register(
+    "q_text_vocab",
+    family="text",
+    oracle="""
+    SELECT token, n_occurrences, n_docs
+    FROM (
+      SELECT t AS token,
+             count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+      )
+      GROUP BY t
+    )
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary: top-100 tokens by occurrence count with "
+    "document frequency. Explode + two-level aggregate; map-side "
+    "partial aggregation shrinks the shuffle to one row per distinct "
+    "(partition, token); ORDER BY count DESC with token tie-break "
+    "makes the top-100 SET deterministic (hash-checked). The orderBy+"
+    "limit compiles to TakeOrderedAndProject — per-partition heap, "
+    "never a global sort of the vocabulary.",
+)
+def q_text_vocab(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "q_text_quality_filter",
+    family="text",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(n_chars AS DOUBLE) AS chars
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           round(0.5 * (n_distinct / n_tokens)
+                 + 0.5 * least(chars / n_tokens / 8.0, 1.0), 6) AS quality_score
+    FROM m
+    WHERE n_tokens >= 20
+      AND n_distinct / n_tokens > 0.3
+      AND 0.5 * (n_distinct / n_tokens)
+          + 0.5 * least(chars / n_tokens / 8.0, 1.0) >= 0.5
+    """,
+    doc="C4-style cleaning filter chain: minimum length, type-token "
+    "ratio, and combined quality score thresholds applied as ONE "
+    "conjunctive predicate — a pure map-side filter (no shuffle), so "
+    "at 100 TB it streams through the scan at I/O speed and composes "
+    "with partition pruning. The surviving-docs set is exact-hash-"
+    "checked against DuckDB.",
+)
+def q_text_quality_filter(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("double").alias("chars"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    score = 0.5 * ttr + 0.5 * F.least(
+        F.col("chars") / F.col("n_tokens") / 8.0, F.lit(1.0)
+    )
+    return (
+        m.filter(
+            (F.col("n_tokens") >= 20) & (ttr > 0.3) & (score >= 0.5)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round(score, 6).alias("quality_score"),
+        )
+    )
