@@ -151,3 +151,99 @@ def q_sim_pairwise(spark, sf_dir):
     return pairwise_cosine_gemm(
         e, "vec_id", "embedding", threshold=0.3, label_col="label"
     )
+
+
+_KNN_K = 10
+_KNN_NPROBES = 8
+_KNN_ORACLE = f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS p
+      FROM embeddings WHERE vec_id < {_KNN_NPROBES}
+    ),
+    sims AS (
+      SELECT probes.probe_id, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * probes.p[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> probes.p[i]::DOUBLE * probes.p[i]::DOUBLE)))),
+               5) AS cos_sim
+      FROM embeddings e, probes
+      WHERE e.vec_id <> probes.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim, knn_rank
+    FROM (
+      SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+             ) AS knn_rank
+      FROM sims
+    )
+    WHERE knn_rank <= {_KNN_K}
+"""
+
+
+@register(
+    "q_sim_knn_join",
+    family="similarity",
+    oracle=_KNN_ORACLE,
+    doc=f"Batch kNN join: top-{_KNN_K} neighbors for EACH of "
+    f"{_KNN_NPROBES} probe vectors in one corpus pass — the retrieval "
+    "shape (N queries vs corpus), not the single-probe special case. "
+    "Scale mechanics: the probe matrix rides into mapInPandas by value "
+    "(k·d floats); each Arrow batch computes an (n x p) GEMM and emits "
+    "only its LOCAL top-k per probe (partial top-k — the global top-k "
+    "per probe is always a subset of the per-batch top-k union, for "
+    "any total order), so the final per-probe window sees at most "
+    "k x n_batches rows instead of the corpus: no hot-probe-key "
+    "shuffle, no global sort. Cosines rounded to 5 before ranking so "
+    "both engines rank identically; ties break by vec_id.",
+)
+def q_sim_knn_join(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_rows = (
+        e.filter(F.col("vec_id") < _KNN_NPROBES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    probe_ids = np.array([int(r.vec_id) for r in probe_rows])
+    P = np.array([[float(x) for x in r.embedding] for r in probe_rows])
+    Pn = P / np.sqrt((P * P).sum(axis=1))[:, None]
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            An = A / np.sqrt((A * A).sum(axis=1))[:, None]
+            sims = np.round(An @ Pn.T, 5)  # (n, p)
+            out_p, out_v, out_s = [], [], []
+            for j, pid in enumerate(probe_ids):
+                mask = ids != pid  # exclude the self-pair
+                order = np.lexsort((ids[mask], -sims[mask][:, j]))[: _KNN_K]
+                out_p.extend([pid] * len(order))
+                out_v.extend(ids[mask][order])
+                out_s.extend(sims[mask][:, j][order])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    partials = e.select("vec_id", "embedding").mapInPandas(
+        partial_topk, "probe_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        partials.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= _KNN_K)
+    )

@@ -132,3 +132,14 @@ def test_salted_agg_rejects_holistic():
 
     with _pytest.raises(ValueError, match="algebraic"):
         salted_agg(None, ["k"], [("median", "v", "m")])
+
+
+def test_knn_join_shuffles_only_partials(spark, sf_dir):
+    # per-batch partial top-k: the only exchange is the final window
+    # over (k x n_batches) partial rows — the corpus itself never
+    # shuffles, and no per-probe hot key sees corpus-sized input
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_sim_knn_join"].func(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert df.count() > 0
