@@ -145,3 +145,108 @@ def q_multimodal_framesample(spark, sf_dir):
     return vids.select(
         "doc_id", F.explode(idx).alias("frame_idx"), "n_frames"
     )
+
+
+@register(
+    "q_multimodal_features",
+    family="multimodal",
+    oracle=None,  # byte entropy/stats not SQL-expressible → rows-only
+    doc="Feature extraction over binary payloads — REAL compute, not a "
+    "stub: per-payload byte count, distinct-byte count, mean byte "
+    "value, and Shannon entropy (bits/byte), via numpy bincount per "
+    "Arrow batch. The schema/batching pattern is exactly what a CLIP/"
+    "whisper embedding pass would use; pinned by a unit test with "
+    "hand-computed values (tests/test_multimodal_features).",
+)
+def q_multimodal_features(spark, sf_dir):
+    m = _assembled(spark, sf_dir).select("doc_id", "payload")
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nd, mean, ent = [], [], [], [], []
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / len(b)
+                ids.append(i)
+                nb.append(len(b))
+                nd.append(int((counts > 0).sum()))
+                mean.append(round(float(b.mean()), 6))
+                ent.append(round(float(-(p * np.log2(p)).sum()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": nb,
+                    "n_distinct_bytes": nd,
+                    "mean_byte": mean,
+                    "entropy_bits": ent,
+                }
+            )
+
+    return m.mapInPandas(
+        feats,
+        "doc_id bigint, n_bytes bigint, n_distinct_bytes int, "
+        "mean_byte double, entropy_bits double",
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    family="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 64 AS INTEGER)             AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INTEGER)       AS height,
+           CAST((16 + doc_id % 64) // 2 AS INTEGER)      AS new_width,
+           CAST((16 + (doc_id * 7) % 64) // 2 AS INTEGER) AS new_height,
+           CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT)
+             AS resized_bytes
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+    doc="Resize for image rows: target dims = half of the (stub-) "
+    "decoded dims; the payload transform is 4:1 byte decimation "
+    "(payload[::4] — REAL byte-level compute standing in for the "
+    "pixel resample a PIL build would do; deterministic, so the "
+    "byte count is oracle-checked). Batched bytes-in/bytes-out "
+    "through one mapInPandas pass — the resize never ships a row at "
+    "a time.",
+)
+def q_multimodal_resize(spark, sf_dir):
+    imgs = (
+        _assembled(spark, sf_dir)
+        .select("doc_id", "payload")
+        .join(
+            q_multimodal_decode(spark, sf_dir).select(
+                "doc_id", "width", "height", "media_type"
+            ),
+            "doc_id",
+        )
+        .filter(F.col("media_type") == "image")
+    )
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": (pdf["width"] // 2).astype("int32"),
+                    "new_height": (pdf["height"] // 2).astype("int32"),
+                    "resized_bytes": [
+                        len(bytes(p)[::4]) for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return imgs.mapInPandas(
+        resize,
+        "doc_id bigint, width int, height int, new_width int, "
+        "new_height int, resized_bytes bigint",
+    )
