@@ -59,6 +59,7 @@ def _load_all_operator_modules() -> None:
     from .operators import sorts_sets  # noqa: F401
     from .operators import text  # noqa: F401
     from .operators import sampling  # noqa: F401
+    from .operators import pipeline  # noqa: F401
     from .operators import udfs  # noqa: F401
     from .operators import stream_batch_equiv  # noqa: F401
     from .operators import scans  # noqa: F401
