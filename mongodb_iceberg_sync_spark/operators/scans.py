@@ -151,3 +151,80 @@ def q_sink_partitioned(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .orderBy("m", "b")
     )
+
+
+@register(
+    "q_scan_json",
+    family="scans",
+    oracle="""
+    SELECT event_type,
+           count(*)                    AS n,
+           round(sum(CAST(value AS DECIMAL(18,2))) / count(*), 4) AS avg_value,
+           max(ts)                     AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON-lines source ingestion with an EXPLICIT schema (never "
+    "inferSchema in production — a schema scan reads the whole input "
+    "twice and locks in sampled guesses): events round-trip through "
+    "ndjson and must aggregate identically to the parquet oracle. "
+    "Timestamps serialize as ISO-8601 micros; decimal-exact avg keeps "
+    "the float aggregate order-insensitive.",
+)
+def q_scan_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="mis_json_")
+    # TIMESTAMP_NTZ serialization is governed by timestampNTZFormat
+    # (timestampFormat only covers the LTZ type) — default format drops
+    # to millis and silently loses microsecond precision on round-trip
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("timestampNTZFormat", fmt).json(out)
+    back = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp_ntz, event_type string, value double"
+        )
+        .option("timestampNTZFormat", fmt)
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"),
+            4,
+        ).alias("avg_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register(
+    "q_scan_csv",
+    family="scans",
+    oracle="""
+    SELECT event_type,
+           count(*)                    AS n,
+           round(sum(CAST(value AS DECIMAL(18,2))) / count(*), 4) AS avg_value,
+           count(DISTINCT user_id)     AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="CSV source ingestion, explicit schema + header: events round-"
+    "trip through CSV and must aggregate identically to the parquet "
+    "oracle. CSV is the interchange format every pipeline eventually "
+    "meets; the explicit schema avoids both the double read of "
+    "inferSchema and silent type drift.",
+)
+def q_scan_csv(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="mis_csv_")
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).option("header", True).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"),
+            4,
+        ).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
