@@ -84,3 +84,49 @@ def test_kmeans_fit_deterministic_and_bounded(spark):
     # iterating must actually move the centroids off the seed vectors
     seeds = [[float(x) for x in r[1]] for r in rows[:4]]
     assert c1 != seeds
+
+
+def test_salted_agg_equals_plain_groupby_randomized(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongodb_iceberg_sync_spark.functions.skew import salted_agg
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        # skewed: ~half the rows land on one key
+        rows = [
+            (
+                "hot" if rng.random() < 0.5 else f"k{rng.randint(0, 20)}",
+                rng.randint(-1000, 1000),
+            )
+            for _ in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "k string, v long")
+        got = {
+            r.k: (r.s, r.n, r.lo, r.hi)
+            for r in salted_agg(
+                df,
+                ["k"],
+                [
+                    ("sum", "v", "s"),
+                    ("count", "v", "n"),
+                    ("min", "v", "lo"),
+                    ("max", "v", "hi"),
+                ],
+                n_salts=8,
+            ).collect()
+        }
+        exp = {
+            r.k: (r.s, r.n, r.lo, r.hi)
+            for r in df.groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count("v").alias("n"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+        assert got == exp, f"seed {seed}"
