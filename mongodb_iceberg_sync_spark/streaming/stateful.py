@@ -57,3 +57,76 @@ def longest_run_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Spark 4 transformWithStateInPandas variant -----------------------
+# The successor API to applyInPandasWithState: an object-oriented
+# StatefulProcessor with named, independently-evolvable state variables
+# (ValueState here; ListState/MapState/timers available), the shape new
+# stateful operators should take going forward. Same longest-run logic
+# as _update above, so the test can assert both implementations agree
+# with the batch twin.
+
+try:  # pragma: no cover - import guard for older Spark / missing deps
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    # TWS runs a state-server protocol between the JVM and a dedicated
+    # Python driver worker over protobuf; without protobuf the worker
+    # crashes at runtime, so gate availability here (the brief's rule:
+    # import-try anything not baked into the environment)
+    import google.protobuf  # noqa: F401
+
+    def longest_run_stream_tws(events: DataFrame) -> DataFrame:
+        """transformWithStateInPandas version of longest_run_stream.
+
+        The processor class is defined INSIDE this function so
+        cloudpickle serializes it BY VALUE: TWS runs a dedicated Python
+        "driver worker" process that unpickles the processor without
+        this repo on sys.path, so a module-level class (pickled by
+        reference) crashes it with ModuleNotFoundError. Also requires
+        the RocksDB state store provider (session.py sets it).
+        """
+        state_schema = STATE_SCHEMA
+
+        class LongestRunProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("run_state", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd  # by-value closure: import locally
+
+                got = self._state.get()
+                last_type, cur, best, n_runs = (
+                    got if got is not None else (None, 0, 0, 0)
+                )
+                for pdf in rows:
+                    pdf = pdf.sort_values(["ts", "event_id"])
+                    for et in pdf["event_type"]:
+                        if et == last_type:
+                            cur += 1
+                        else:
+                            cur = 1
+                            n_runs += 1
+                            last_type = et
+                        best = max(best, cur)
+                self._state.update((last_type, cur, best, n_runs))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "max_run": [best], "n_runs": [n_runs]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return (
+            events.select("user_id", "event_type", "ts", "event_id")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=LongestRunProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover
+    longest_run_stream_tws = None  # type: ignore[assignment]

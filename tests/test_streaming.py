@@ -176,3 +176,24 @@ def test_stateful_stream_matches_batch(spark, sf_dir, events_stream_dir):
     got_rows = sorted(map(tuple, final.collect()))
     exp_rows = sorted(map(tuple, exp.collect()))
     assert got_rows == exp_rows
+
+
+def test_stateful_tws_matches_batch(spark, sf_dir, events_stream_dir):
+    """transformWithStateInPandas (Spark 4 API) == batch twin."""
+    import pytest as _pytest
+
+    from mongodb_iceberg_sync_spark.operators.stream_batch_equiv import q_stream_stateful
+    from mongodb_iceberg_sync_spark.streaming.stateful import longest_run_stream_tws
+
+    if longest_run_stream_tws is None:
+        _pytest.skip(
+            "transformWithStateInPandas unavailable (needs Spark>=4 AND "
+            "protobuf for its state-server protocol)"
+        )
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, longest_run_stream_tws(stream), "t_tws", "update")
+    final = got.groupBy("user_id").agg(
+        F.max("max_run").alias("max_run"), F.max("n_runs").alias("n_runs")
+    )
+    exp = q_stream_stateful(spark, sf_dir)
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, exp.collect()))
