@@ -158,3 +158,35 @@ def q_window_ntile(spark, sf_dir):
     return c.select(
         "c_mktsegment", "c_custkey", F.ntile(4).over(w).alias("bal_quartile")
     )
+
+
+@register(
+    "q_window_distribution",
+    family="windows",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6)    AS cd,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution analytics: percent_rank / cume_dist / nth_value "
+    "per priority class (rank-normalized position — the building block "
+    "for per-group percentile filtering). One keyed shuffle + "
+    "partition-local sort; deterministic total order via the "
+    "(totalprice, orderkey) tie-break.",
+)
+def q_window_distribution(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_cheapest"),
+    )

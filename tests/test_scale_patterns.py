@@ -130,3 +130,39 @@ def test_salted_agg_equals_plain_groupby_randomized(spark):
             .collect()
         }
         assert got == exp, f"seed {seed}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join posture actually fires: a join with
+    one hot key (90% of rows) must show skew=true in the executed
+    adaptive plan instead of leaving one straggler partition."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        # thresholds low enough that the synthetic hot key qualifies
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+        j = left.join(right, "k")
+        # execute j's OWN queryExecution — count()/write() build
+        # separate plans, leaving j's adaptive plan unfinalized
+        assert len(j.collect()) == 180_010
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
