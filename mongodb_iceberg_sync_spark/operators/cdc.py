@@ -293,3 +293,40 @@ def q_schema_union(spark, sf_dir):
     return spark.createDataFrame(
         schema_to_rows(schema), "field_path string, inferred_type string, nullable boolean"
     )
+
+
+@register(
+    "q_cdc_scd2",
+    family="cdc",
+    oracle="""
+    SELECT user_id,
+           event_id        AS version_id,
+           value           AS tracked_value,
+           ts              AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD type-2 derivation: turn the per-key change log into a "
+    "slowly-changing-dimension table with [valid_from, valid_to) "
+    "intervals and an is_current flag — the standard way downstream "
+    "joins see 'the value as of time T' without replaying the log. "
+    "One keyed shuffle + partition-local sort (same shape as "
+    "q_cdc_latest, which keeps only the last version); deterministic "
+    "via the (ts, event_id) tie-break.",
+)
+def q_cdc_scd2(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("tracked_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
