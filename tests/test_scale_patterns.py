@@ -166,3 +166,38 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective dim filter must
+    inject a bloom filter (might_contain) on the fact side, dropping
+    non-joining fact rows BEFORE the join shuffle. Off by default for
+    small scans (applicationSideScanSizeThreshold=10GB — it exists FOR
+    the 100 TB case); lowering the threshold proves the session is
+    otherwise eligible and pins the mechanism."""
+    from pyspark.sql import functions as F
+
+    from mongodb_iceberg_sync_spark.plans.explain import formatted_plan
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = formatted_plan(j)
+        assert "bloom" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
