@@ -35,11 +35,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts div 1000 keeps integer precision (ns ≈ 1.7e18 overflows the
-        # 53-bit double mantissa, so `/` would corrupt the low digits).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # INT64 TIMESTAMP(NANOS) layout: ts div 1000 keeps integer
+            # precision (ns ≈ 1.7e18 overflows the 53-bit double mantissa,
+            # so `/` would corrupt the low digits).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif not ts_type.startswith("timestamp_ntz"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
