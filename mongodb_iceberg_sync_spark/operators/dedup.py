@@ -28,32 +28,63 @@ N_BANDS = 4  # 4 bands x 4 rows
 MAX_LSH_BUCKET = 64  # skip degenerate band buckets (quadratic at scale)
 
 
-def _shingles(tokens_col, n: int = 3):
-    """Distinct word n-gram shingle array from a token array column.
+def token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, th: array<bigint>) — xxhash64 per word token.
 
-    Note: the lambda body embeds tokens_col, so splitting re-evaluates
-    per element — O(words) splits per doc. Binding tokens behind an
-    exchange instead was measured SLOWER (array<string> exchange
-    serialization costs more than the redundant splits at ~50-word
-    docs); revisit only if median doc length grows 10x.
+    `split` is evaluated ONCE per row: the transform lambda touches only
+    array ELEMENTS, never the array expression itself, so Catalyst's
+    CollapseProject cannot inline a re-evaluation per element.
+    """
+    return docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda tk: F.xxhash64(tk)).alias("th"),
+    )
+
+
+def _shingle_hashes(th_col, n: int = 3):
+    """Distinct word-n-gram shingle HASHES from a token-hash array.
+
+    A shingle is identified by xxhash64 over its n consecutive token
+    hashes (order-sensitive, multi-arg) — no shingle string is ever
+    built. th_col MUST be a bound attribute (post-exchange), not an
+    expression: the lambda body indexes into it per shingle, and an
+    embedded expression would re-evaluate O(words) times per doc (the
+    previous string-shingle form paid exactly that: O(words) `split`s
+    per doc, ~2x the whole minhash pipeline's runtime).
 
     Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
     documents must short-circuit to an empty array.
     """
-    k = F.size(tokens_col) - (n - 1)
+    k = F.size(th_col) - (n - 1)
     grams = F.when(
         k >= 1,
         F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.xxhash64(*[F.get(th_col, i + j) for j in range(n)]),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     return F.array_distinct(grams)
 
 
 def shingled_docs(docs: DataFrame, n: int = 3) -> DataFrame:
-    toks = F.split("text", " ")
-    return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
+    """(doc_id, shingles: array<bigint>) — distinct word-3-gram hashes.
+
+    Tokenize+hash first (one split per row), spread the token-hash
+    arrays across cores (~8 B/token on the wire, same order as the raw
+    text), THEN build shingle hashes from integer triples — the exchange
+    doubles as the binding barrier `_shingle_hashes` requires.
+
+    Short docs (< n words ⇒ empty shingle set) are filtered HERE, on the
+    scan side, where the predicate is cheap (`size(split(text))`).
+    Downstream must NOT filter on size(shingles): Catalyst pushes such a
+    predicate below both exchanges, substituting the full shingle
+    expression into the filter — which re-embeds the token-hash
+    expression inside the indexing lambda and re-evaluates it per
+    element. That one pushed-down filter was ~5s of a ~7s sf0.1 run
+    (the whole pipeline is ~1.5s without it).
+    """
+    th = spread(token_hashes(docs.filter(F.size(F.split("text", " ")) >= n)))
+    return th.select("doc_id", _shingle_hashes(F.col("th"), n).alias("shingles"))
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -105,26 +136,20 @@ def q_dedup_exact(spark, sf_dir):
     "MAX_LSH_BUCKET are skipped (degenerate buckets are quadratic).",
 )
 def q_dedup_near(spark, sf_dir):
-    # spread BEFORE shingling: the small parquet arrives as one input
-    # split, and everything upstream of the barrier below (shingle
-    # construction + string hashing — the expensive part) would run in
-    # that single task. Raw text crosses this first exchange (~300 B/doc,
-    # same order as the 8-byte-per-shingle base array).
-    d = shingled_docs(spread(t(spark, sf_dir, "documents")))
-    # Each shingle string is hashed ONCE into `base`; the repartition is
-    # a deliberate materialization barrier — Catalyst's CollapseProject
-    # would otherwise inline the shingle-construction + string-hash
-    # expression into every one of the 16 minhash lambdas below (CSE
-    # does not cross higher-order functions), recomputing it 16x. The
-    # exchange carries only (doc_id, base) — 64-bit hashes, not shingle
-    # strings — and also spreads the compute across all cores when the
-    # input arrives as a single split.
+    # shingled_docs spreads token-hash arrays across cores before the
+    # shingle stage; shingles arrive as 64-bit hashes already (`base`
+    # needs no further string hashing). The repartition below is a
+    # deliberate materialization barrier — Catalyst's CollapseProject
+    # would otherwise inline the shingle-hash expression into every one
+    # of the 16 minhash lambdas below (CSE does not cross higher-order
+    # functions), recomputing it 16x. The exchange carries only
+    # (doc_id, base) — 64-bit hashes.
+    d = shingled_docs(t(spark, sf_dir, "documents"))
+    # NO size filter here — shingled_docs already dropped short docs on
+    # the scan side (see its docstring for why a size(base)>0 filter
+    # here is a performance trap).
     base_df = (
-        d.select(
-            "doc_id",
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("base"),
-        )
-        .filter(F.size("base") > 0)
+        d.select("doc_id", F.col("shingles").alias("base"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
     # Map-side signatures: sig[i] = min over base hashes re-hashed with
@@ -257,7 +282,7 @@ _NGRAM_ORACLE = """
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    shingled = shingled_docs(spread(docs))
+    shingled = shingled_docs(docs)
     # shingle arrays are already array_distinct per doc, so exploding
     # yields distinct (doc_id, s) directly — no distinct() shuffle. The
     # set size rides along each exploded row (one extra long) instead of
