@@ -335,7 +335,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     "evals per doc).",
 )
 def q_dedup_simhash(spark, sf_dir):
-    d = spread(t(spark, sf_dir, "documents"))
+    # NO spread() before the Python stage: mapInPandas parallelism
+    # follows the scan's split count, which at 100 TB is already wide.
+    # Locally the file is one split, and a forced 32-way fan-out spawns
+    # 32 Python workers that each cold-import numpy (~6s wall) to share
+    # 500 rows — the single-split stage is 6x faster end-to-end.
+    d = t(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id",
         F.transform(F.split("text", " "), lambda tk: F.xxhash64(tk)).alias("th"),

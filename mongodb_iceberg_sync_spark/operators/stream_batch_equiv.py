@@ -162,7 +162,12 @@ def q_stream_foreachbatch_merge(spark, sf_dir):
     from ..sync.table_store import MorTable
 
     rows = make_events(n_docs=20, n_ops=200)
-    src = write_stream_source(spark, rows, tempfile.mkdtemp(prefix="mis_cdc_src_"))
+    # 2 files -> 2 micro-batches: enough to exercise cross-batch LWW +
+    # idempotent commit; each extra micro-batch is ~1s of fixed
+    # StreamingQuery overhead in the driver's correctness sweep.
+    src = write_stream_source(
+        spark, rows, tempfile.mkdtemp(prefix="mis_cdc_src_"), files=2
+    )
     table = MorTable(spark, tempfile.mkdtemp(prefix="mis_cdc_tbl_"), key="doc_id")
     q = foreach_batch_merge(
         read_stream(spark, src), table, tempfile.mkdtemp(prefix="mis_cdc_ckpt_")
