@@ -78,3 +78,29 @@ def salted_agg(
             for name, col, alias in aggs
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join: the skew fix for a hot JOIN key.
+
+    The fact side gets a deterministic per-row salt; the dim side is
+    replicated n_salts times (explode of a literal range — dim rows
+    multiply by N, so use this when dim << fact, the usual skew shape).
+    Joining on (keys..., _salt) spreads a hot key's fact rows over N
+    reducers instead of one straggler. Complements AQE's skew-join
+    split (which only kicks in past its partition-size thresholds and
+    cannot help a broadcast-ineligible dim with one monster key).
+    Pure physical rewrite: result rows are exactly the plain join's.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, on=[*keys, "_salt"], how=how).drop("_salt")

@@ -257,3 +257,96 @@ def q_agg_salted(spark, sf_dir):
         F.round("min_price", 2).alias("min_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_agg_pivot",
+    family="aggregates",
+    oracle="""
+    SELECT date_trunc('month', ts)::TIMESTAMP AS month,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot (long->wide): month x event_type sum(value). Values are "
+    "declared EXPLICITLY (pivot(col, values)) — the implicit form runs "
+    "an extra distinct-collect job over the fact table to discover "
+    "them, a full scan you never want at 100 TB. With explicit values "
+    "the pivot is a single hash aggregation (one shuffle on month, "
+    "5 packed columns), exactly the CASE-WHEN plan the oracle spells "
+    "out.",
+)
+def q_agg_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@register(
+    "q_agg_percentile",
+    family="aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact linear-interpolation percentiles per group: Spark "
+    "`percentile` and DuckDB `quantile_cont` share the definition, so "
+    "this is hash-checkable exactly. Exact percentiles sort each "
+    "group's values in the aggregation buffer — fine for bounded "
+    "groups; at 100 TB swap `percentile` for `approx_percentile` "
+    "(t-digest sketch, map-side mergeable, no buffering) and accept "
+    "epsilon error: same query shape, sketch aggregation.",
+)
+def q_agg_percentile(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )
+
+
+@register(
+    "q_agg_hll",
+    family="aggregates",
+    oracle=None,  # sketch estimate is implementation-specific → rows-only
+    doc="HyperLogLog distinct-count sketch per group "
+    "(hll_sketch_agg/hll_sketch_estimate): the 100 TB idiom for "
+    "COUNT(DISTINCT) — the sketch is a few KB, map-side mergeable, "
+    "and reusable (union sketches across partitions/days instead of "
+    "re-scanning). tests/test_scale_patterns.py pins the estimate "
+    "within 5% of exact. Rows-only: the estimate is "
+    "implementation-defined, DuckDB's HLL differs.",
+)
+def q_agg_hll(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("l_orderkey"), F.lit(14))
+            ).alias("approx_distinct_orders"),
+            F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_distinct_orders",
+            "exact_distinct_orders",
+        )
+    )

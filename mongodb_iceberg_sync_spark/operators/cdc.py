@@ -330,3 +330,30 @@ def q_cdc_scd2(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+_ASOF_SEQ = 7500  # time-travel point: op log position (event_id)
+
+
+@register(
+    "q_cdc_time_travel",
+    family="cdc",
+    oracle=f"""
+    WITH snap AS ({{lww}})
+    SELECT user_id, last_event_id, last_type, last_value, last_ts
+    FROM snap WHERE last_type <> 'error'
+    """.format(lww=_LWW_ORACLE.format(where=f"WHERE event_id <= {_ASOF_SEQ}")),
+    doc="Time travel / snapshot AS OF a log position (the Iceberg "
+    "`VERSION AS OF` analog over the MoR change log): replay the op "
+    "log only up to event_id <= 7500, LWW-collapse, drop tombstones. "
+    "The AS-OF predicate is a plain pushed-down scan filter — at "
+    "100 TB with an event-id/time partitioned log, partition pruning "
+    "skips every file past the travel point, so an old snapshot costs "
+    "LESS than the current one, exactly like Iceberg snapshot reads.",
+)
+def q_cdc_time_travel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= _ASOF_SEQ)
+    snap = _lww_named(ev)
+    return snap.filter(F.col("last_type") != "error").select(
+        "user_id", "last_event_id", "last_type", "last_value", "last_ts"
+    )

@@ -381,3 +381,37 @@ def q_join_cross(spark, sf_dir):
         "n_name",
         (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_code"),
     )
+
+
+@register(
+    "q_join_salted",
+    family="joins",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Salted shuffle join (functions.skew.salted_join): lineitem "
+    "salted per-row, orders replicated x8, join on (orderkey, salt) — "
+    "the rewrite for ONE monster key that AQE cannot split and a dim "
+    "too big to broadcast. The oracle is the PLAIN join+agg: salting "
+    "must be a pure physical rewrite with identical results.",
+)
+def q_join_salted(spark, sf_dir):
+    from ..functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )

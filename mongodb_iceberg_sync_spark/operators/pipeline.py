@@ -97,3 +97,118 @@ def q_pipeline_clean(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_tokens", "quality_score")
     )
+
+
+@register(
+    "q_events_funnel",
+    family="pipeline",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM signup s
+      LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT user_id, signup_ts, first_purchase_ts,
+           CASE WHEN first_purchase_ts IS NOT NULL
+                -- full elapsed seconds (floor), matching Spark's
+                -- timestampdiff; date_diff('second', ...) would count
+                -- second-BOUNDARY crossings instead
+                THEN CAST((epoch_us(first_purchase_ts) - epoch_us(signup_ts))
+                          // 1000000 AS BIGINT) END
+             AS secs_to_convert
+    FROM conv
+    """,
+    doc="Conversion funnel: per user, first signup -> first purchase at "
+    "or after it, with seconds-to-convert (NULL = never converted). "
+    "Two aggregations + one equi-join, all keyed on user_id: at 100 TB "
+    "the signup agg output is tiny relative to the event log, and both "
+    "shuffles share the user_id key so AQE reuses the partitioning; "
+    "the ts >= signup_ts predicate rides the equi-join as a residual "
+    "filter, never a nested-loop.",
+)
+def q_events_funnel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return conv.select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.when(
+            F.col("first_purchase_ts").isNotNull(),
+            F.expr("timestampdiff(SECOND, signup_ts, first_purchase_ts)"),
+        ).alias("secs_to_convert"),
+    )
+
+
+PACK_BUDGET = 2048  # tokens per training shard
+
+
+@register(
+    "q_pack_tokens",
+    family="pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS shard_id
+    FROM cum
+    """,
+    doc="Sequence packing for training shards: docs in doc_id order are "
+    "assigned to shards by exclusive-prefix token count / budget — "
+    "every shard holds ~2048 tokens of consecutive docs. The global "
+    "running sum is ONE unpartitioned window — fine for a final "
+    "packing step over a cleaned corpus, but at 100 TB use the "
+    "two-pass form: per-partition token subtotals to the driver "
+    "(one number each), prefix-offset each partition, then a "
+    "partition-local cumsum — same math, no single-reducer sort.",
+)
+def q_pack_tokens(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    )

@@ -8,6 +8,7 @@ nprobe buckets — the scan prunes instead of reading the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot_with_literal, norm, pairwise_cosine_gemm
@@ -246,4 +247,93 @@ def q_sim_knn_join(spark, sf_dir):
     return (
         partials.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= _KNN_K)
+    )
+
+
+_LSH_BITS = 24
+_LSH_BANDS = 6  # 6 bands x 4 bits: candidates share >=1 band
+
+
+@register(
+    "q_sim_ann_lsh",
+    family="similarity",
+    oracle=None,  # hash-family-specific candidate set → rows-only
+    doc="Random-hyperplane LSH ANN (kNN join, approximate): 12 "
+    "sign-bits of fixed seeded Gaussian hyperplanes (numpy GEMM per "
+    "Arrow batch — one matmul per batch, no per-row Python), banded "
+    "3x4 bits, candidates = pairs sharing a band (equi-join on "
+    "(band, 4-bit value) — never all-pairs), exact cosine re-rank, "
+    "top-3 per vector. The signature table is localCheckpointed so "
+    "the Python stage runs once, not on both self-join branches. "
+    "tests/test_scale_patterns.py pins recall@3 against the exact "
+    "GEMM kNN. At 100 TB: signatures are a write-time column; the "
+    "band join shuffles (band, 4-bit) keys — bucket sizes are "
+    "corpus/2^4 per band, salt or raise bits if a bucket heats.",
+)
+def q_sim_ann_lsh(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    # fixed seeded hyperplanes — deterministic across runs/executors
+    H = np.random.RandomState(42).standard_normal((_LSH_BITS, 64))
+
+    @pandas_udf("long")
+    def lsh_sig(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, 64)
+        bits = (M @ H.T) > 0  # (n, BITS)
+        packed = (bits * (1 << np.arange(_LSH_BITS, dtype=np.int64))).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id", "embedding", lsh_sig("embedding").alias("sig")
+    ).localCheckpoint(eager=True)
+
+    bits_per_band = _LSH_BITS // _LSH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.call_function("shiftright", F.col("sig"), b * bits_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_id", "band.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -201,3 +201,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_ann_lsh_recall_vs_exact_knn(spark):
+    """q_sim_ann_lsh recall@3 vs the exact GEMM kNN must clear 0.5 on
+    the weakly-clustered synthetic embeddings (measured 0.60 at sf0.01
+    with 24 bits x 6 bands; real near-dup corpora sit far higher
+    because per-bit agreement grows with cosine). Also pins full
+    coverage: every vector must surface >=1 candidate."""
+    import numpy as np
+
+    from mongodb_iceberg_sync_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    ann = all_specs()["q_sim_ann_lsh"].func(spark, sf).toPandas()
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    ids = emb["vec_id"].to_numpy()
+    M = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -2.0)
+    exact = {
+        vid: {ids[j] for j in np.argsort(-S[i], kind="stable")[:3]}
+        for i, vid in enumerate(ids)
+    }
+
+    got: dict[int, set] = {}
+    for r in ann.itertuples():
+        got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+
+    assert len(got) == len(exact), "every vector must have candidates"
+    hits = sum(len(got[v] & exact[v]) for v in exact)
+    recall = hits / (3 * len(exact))
+    assert recall >= 0.5, f"recall@3 {recall:.3f} below floor"
+
+
+def test_hll_estimate_within_5pct_of_exact(spark):
+    """q_agg_hll's sketch estimate must land within 5% of the exact
+    distinct count it reports alongside (lgK=14 gives ~0.8% standard
+    error — 5% is a loose, version-stable bound)."""
+    from mongodb_iceberg_sync_spark.registry import all_specs
+
+    out = all_specs()["q_agg_hll"].func(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 3
+    for row in out:
+        exact = row.exact_distinct_orders
+        est = row.approx_distinct_orders
+        assert abs(est - exact) <= 0.05 * exact, row
