@@ -279,9 +279,9 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "declared EXPLICITLY (pivot(col, values)) — the implicit form runs "
     "an extra distinct-collect job over the fact table to discover "
     "them, a full scan you never want at 100 TB. With explicit values "
-    "the pivot is a single hash aggregation (one shuffle on month, "
-    "5 packed columns), exactly the CASE-WHEN plan the oracle spells "
-    "out.",
+    "the pivot is two hash aggregations: reduce by (month, type) "
+    "first — tiny after the first map-side combine — then pack wide "
+    "by month; semantically the CASE-WHEN plan the oracle spells out.",
 )
 def q_agg_pivot(spark, sf_dir):
     ev = t(spark, sf_dir, "events")

@@ -143,3 +143,50 @@ def test_knn_join_shuffles_only_partials(spark, sf_dir):
     df = SPECS["q_sim_knn_join"].func(spark, sf_dir)
     assert count_shuffles(df) == 1
     assert df.count() > 0
+
+
+def test_pivot_is_two_phase_agg(spark, sf_dir):
+    # explicit pivot values → exactly two hash aggregations: reduce by
+    # (month, event_type) first, then pack wide by month. The implicit
+    # form would ALSO run a distinct-collect job over the fact to
+    # discover values; explicit values keep it to these two shuffles.
+    df = SPECS["q_agg_pivot"].func(spark, sf_dir)
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    assert count_shuffles(df) == 2, formatted_plan(df)[:1200]
+
+
+def test_funnel_joins_are_equi_not_nested_loop(spark, sf_dir):
+    # the ts >= signup_ts predicate must ride the user_id equi-join as
+    # a residual filter, never degrade to BNLJ/cartesian
+    plan = formatted_plan(SPECS["q_events_funnel"].func(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_candidates_are_equi_join(spark, sf_dir):
+    # band-bucket candidates come from a hash equi-join; any
+    # nested-loop shape would be all-pairs at 100 TB
+    plan = formatted_plan(SPECS["q_sim_ann_lsh"].func(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    # physical rewrite only: salted result == plain join result
+    from pyspark.sql import functions as F
+
+    from mongodb_iceberg_sync_spark.operators._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+    salted = SPECS["q_join_salted"].func(spark, sf_dir)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
