@@ -227,3 +227,49 @@ def q_stream_stateful(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         longest_run, "user_id bigint, max_run bigint, n_runs bigint"
     )
+
+
+@register(
+    "q_stream_stream_join",
+    family="streaming",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+    doc="Stream-stream interval join (batch-equivalent): purchases "
+    "within 30 min after a click, per user. The streaming twin "
+    "(streaming.windows.interval_join) watermarks BOTH sides and "
+    "bounds event time in both directions so join state is evictable "
+    "— the unbounded form would buffer the full history; "
+    "tests/test_streaming.py proves stream==batch on the real "
+    "micro-batched source. Physically a user_id equi-join with the "
+    "time band as a residual predicate — never a nested loop.",
+)
+def q_stream_stream_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")

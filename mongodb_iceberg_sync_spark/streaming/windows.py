@@ -63,3 +63,41 @@ def watermark_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     A14 at-least-once dedup; q_stream_watermark_dedup's streaming twin).
     State = one entry per event_id until the watermark passes it."""
     return _with_event_time(events).withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchase within [click_ts, click_ts
+    + horizon] per user (q_stream_stream_join's streaming twin).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can size the join state buffer
+    and evict rows once the watermark passes click_ts + horizon —
+    without the time bound, stream-stream join state grows forever.
+    """
+    c = _with_event_time(clicks).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = _with_event_time(purchases).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

@@ -197,3 +197,22 @@ def test_stateful_tws_matches_batch(spark, sf_dir, events_stream_dir):
     )
     exp = q_stream_stateful(spark, sf_dir)
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join (both sides watermarked, time-bounded
+    state) must produce exactly the batch join's rows. Append mode: a
+    joined row emits once both matching events have arrived."""
+    from mongodb_iceberg_sync_spark.operators.stream_batch_equiv import (
+        q_stream_stream_join,
+    )
+    from mongodb_iceberg_sync_spark.streaming.windows import interval_join
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = _run_to_memory(
+        spark, interval_join(clicks, purchases), "t_ssjoin", "append"
+    ).collect()
+    exp = q_stream_stream_join(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
