@@ -31,6 +31,11 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_sim_topk",
     "q_text_tokenize",
+    "q_agg_pivot",
+    "q_events_funnel",
+    "q_pack_tokens",
+    "q_stream_stream_join",
+    "q_sim_ann_lsh",
 ]
 
 

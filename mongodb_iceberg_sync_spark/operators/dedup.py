@@ -1,6 +1,6 @@
 """Deduplication operators (north-star LLM-pipeline surface).
 
-Five dedup strategies over `documents`, all designed around equi-join
+Dedup strategies over `documents`, all designed around equi-join
 blocking so nothing is quadratic in the corpus:
 
   exact          — hash-groupBy on sha256(text)           (oracle-checked)
@@ -8,6 +8,10 @@ blocking so nothing is quadratic in the corpus:
   simhash        — 64-bit simhash, banded candidate join  (rows-only)
   n-gram jaccard — shingle-join candidates + exact jaccard (oracle-checked)
   embedding      — cosine near-dup clusters               (oracle-checked)
+  incremental    — new batch vs corpus by content hash    (oracle-checked)
+  clusters       — connected components over the jaccard
+                   pair graph (hash-min label propagation) (oracle-checked
+                   vs a DuckDB recursive CTE)
 
 At 100 TB the shape that matters: every method produces candidates via
 groupBy/join on a *derived key* (hash, band, shingle), never an
@@ -267,20 +271,9 @@ _NGRAM_ORACLE = """
 """
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    family="dedup",
-    oracle=_NGRAM_ORACLE,
-    doc="Exact n-gram Jaccard over shingle-join candidates: pairs share "
-    "at least one word-3-gram (equi-join blocking — the inverted-index "
-    "trick), then |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.2. Integer counts + one "
-    "division ⇒ oracle-checkable exactly. Stop-shingles (document "
-    "frequency > max(16, 5% of corpus)) are dropped before the join — "
-    "a hot shingle is a quadratic join bucket at 100 TB; denominators "
-    "keep full set sizes (conservative Jaccard for pairs that shared "
-    "hot shingles).",
-)
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def _ngram_jaccard_pairs(spark, sf_dir):
+    """(doc_a, doc_b, c, na, nb) candidate pairs with Jaccard >= 0.2
+    (shared by q_dedup_ngram_jaccard and q_dedup_clusters)."""
     docs = t(spark, sf_dir, "documents")
     shingled = shingled_docs(docs)
     # shingle arrays are already array_distinct per doc, so exploding
@@ -313,7 +306,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return common.filter(jac >= 0.2).select(
+    return common.filter(jac >= 0.2)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    family="dedup",
+    oracle=_NGRAM_ORACLE,
+    doc="Exact n-gram Jaccard over shingle-join candidates: pairs share "
+    "at least one word-3-gram (equi-join blocking — the inverted-index "
+    "trick), then |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.2. Integer counts + one "
+    "division ⇒ oracle-checkable exactly. Stop-shingles (document "
+    "frequency > max(16, 5% of corpus)) are dropped before the join — "
+    "a hot shingle is a quadratic join bucket at 100 TB; denominators "
+    "keep full set sizes (conservative Jaccard for pairs that shared "
+    "hot shingles).",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return _ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_a",
         "doc_b",
         F.col("c").alias("n_common"),
@@ -505,3 +516,101 @@ def q_dedup_incremental(spark, sf_dir):
         F.sha2(F.col("text"), 256).alias("text_sha")
     )
     return new.join(corpus, "text_sha", "left_anti")
+
+
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cutoff AS (SELECT greatest(16.0, 0.05 * count(*)) AS c FROM documents),
+    rare AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (
+        SELECT s FROM sh GROUP BY s HAVING count(*) > (SELECT c FROM cutoff)
+      )
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.c / (sa.n + sb.n - c.c) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node)
+    SELECT l.doc_id, l.cluster_id, cs.n AS cluster_size
+    FROM lab l
+    JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) cs USING (cluster_id)
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    family="dedup",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Duplicate CLUSTERS, not just pairs: connected components over "
+    "the n-gram-Jaccard similarity graph via iterative hash-min label "
+    "propagation (the Pregel idiom in pure DataFrames). Every doc gets "
+    "cluster_id = min doc_id reachable through dup edges, plus the "
+    "cluster size — the canonical keep-one-per-cluster shape a "
+    "training-data dedup actually ships. Each round is ONE shuffle "
+    "join (labels flow along edges) + a min-aggregation, with "
+    "localCheckpoint truncating the iterative lineage; rounds ~= "
+    "cluster diameter (tiny for dup clusters). The driver-side loop "
+    "only ever sees a per-round changed-count scalar, never data. "
+    "Oracle: DuckDB recursive CTE over the identical edge set.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    pairs = _ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)  # read every round; compute once
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(20):  # bound >> any dup-cluster diameter
+        nbr = edges.join(
+            labels, edges.u == labels.doc_id, "inner"
+        ).select(F.col("v").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionAll(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

@@ -212,3 +212,72 @@ def q_pack_tokens(spark, sf_dir):
         .cast("long")
         .alias("shard_id"),
     )
+
+
+@register(
+    "q_timeseries_gapfill",
+    family="pipeline",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,6))), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    )
+    SELECT g.user_id, g.hour,
+           coalesce(h.n_events, 0) AS n_events,
+           h.sum_value AS sum_value,
+           last_value(h.sum_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+    """,
+    doc="Time-series resample + gap fill: per-user hourly grid "
+    "(sequence/explode between the user's first and last hour), left "
+    "join of hourly aggregates, zero-fill counts, forward-fill values "
+    "(last non-null over an ordered window). The grid generation is "
+    "gap-count-proportional, the fill is a per-user window — both "
+    "partition-parallel at 100 TB; nothing global. Decimal-exact "
+    "hourly sums keep the rounded values engine-identical before the "
+    "fill copies them.",
+)
+def q_timeseries_gapfill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -228,3 +228,36 @@ def q_scan_csv(spark, sf_dir):
         ).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_scan_orc",
+    family="scans",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                          AS n,
+           CAST(sum(l_quantity) AS BIGINT)   AS sum_qty,
+           round(sum(l_extendedprice), 2)    AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="ORC source ingestion: lineitem columns round-trip through ORC "
+    "and must aggregate identically to the parquet oracle. ORC is the "
+    "other columnar interchange format (Hive/Trino ecosystems); "
+    "Spark's reader gives the same pushdown/pruning surface as "
+    "parquet, so the scan-side design notes transfer unchanged.",
+)
+def q_scan_orc(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="mis_orc_")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
