@@ -278,23 +278,41 @@ def q_sim_ann_lsh(spark, sf_dir):
     # fixed seeded hyperplanes — deterministic across runs/executors
     H = np.random.RandomState(42).standard_normal((_LSH_BITS, 64))
 
-    @pandas_udf("long")
-    def lsh_sig(vecs: pd.Series) -> pd.Series:
-        M = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, 64)
-        bits = (M @ H.T) > 0  # (n, BITS)
-        packed = (bits * (1 << np.arange(_LSH_BITS, dtype=np.int64))).sum(axis=1)
-        return pd.Series(packed.astype(np.int64))
+    def sig_and_norm(batches):
+        # one Arrow round-trip computes BOTH the LSH signature (GEMM +
+        # sign-pack) and the L2-normalized vector, so the exact re-rank
+        # below is a single dot product per candidate instead of
+        # dot + two norms (3x less per-pair HOF work).
+        import pandas as pd_  # noqa: N813 — worker-local
+
+        for pdf in batches:
+            M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            if len(M) == 0:
+                continue
+            bits = (M @ H.T) > 0
+            packed = (bits * (1 << np.arange(_LSH_BITS, dtype=np.int64))).sum(axis=1)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd_.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "nvec": list(Mn),
+                    "sig": packed.astype(np.int64),
+                }
+            )
 
     e = t(spark, sf_dir, "embeddings")
-    sig = e.select(
-        "vec_id", "embedding", lsh_sig("embedding").alias("sig")
+    sig = e.select("vec_id", "embedding").mapInPandas(
+        sig_and_norm, "vec_id long, nvec array<double>, sig long"
     ).localCheckpoint(eager=True)
 
     bits_per_band = _LSH_BITS // _LSH_BANDS
     mask = (1 << bits_per_band) - 1
+    # candidate generation carries IDS ONLY — an early version carried
+    # both embedding arrays through the band join and paid ~60x the
+    # shuffle volume (candidate multiplicity x 2 x 512 B vs 16 B);
+    # dedupe the id-pairs first, then look the vectors back up.
     bands = sig.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
@@ -306,10 +324,10 @@ def q_sim_ann_lsh(spark, sf_dir):
                 ),
             )
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_id", "band.band_val")
+    ).select("vec_id", "band.band_id", "band.band_val")
 
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -319,15 +337,22 @@ def q_sim_ann_lsh(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            F.col("a.embedding").alias("va"),
-            F.col("b.embedding").alias("vb"),
         )
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
+    emb = sig.select("vec_id", "nvec")
+    cand = cand_ids.join(
+        emb.select(F.col("vec_id"), F.col("nvec").alias("va")), "vec_id"
+    ).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("nvec").alias("vb")),
+        "neighbor_id",
+    )
+    from ..functions.vector import dot
+
     scored = cand.select(
         "vec_id",
         "neighbor_id",
-        F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+        F.round(dot("va", "vb"), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
