@@ -27,6 +27,7 @@ contract, so swapping backends is a constructor change.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -36,6 +37,7 @@ from pyspark.sql import functions as F
 OP_SEQ = "_op_seq"  # total order of applied ops (resume-token position)
 OP_TYPE = "_op"  # upsert | delete
 TOMBSTONE = "delete"
+MANIFEST = "_manifest.json"  # per-commit key min/max stats (data skipping)
 
 
 class MorTable:
@@ -83,22 +85,79 @@ class MorTable:
         """
         target = f"{self.delta_dir}/batch={batch_id}"
         batch_df.write.mode("overwrite").parquet(target)
+        self._write_manifest(target, batch_df)
+
+    def _write_manifest(self, target: str, df: DataFrame) -> None:
+        """Iceberg-manifest analog: per-commit key min/max stats.
+
+        Iceberg's scan planning skips data files whose column bounds
+        cannot satisfy the predicate; the same contract here at
+        commit-dir granularity. One tiny agg job per commit (the stats
+        ride the write, not the read path). Stats are advisory — a
+        missing manifest only disables skipping for that commit.
+        """
+        row = df.agg(
+            F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
+        ).head()
+        with open(f"{target}/{MANIFEST}", "w") as f:
+            json.dump({"key": self.key, "min": row.lo, "max": row.hi}, f)
+
+    def _manifest_bounds(self, target: str):
+        try:
+            with open(f"{target}/{MANIFEST}") as f:
+                m = json.load(f)
+            return m["min"], m["max"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def prune_batches(self, lo=None, hi=None, as_of_batch: int | None = None) -> list[str]:
+        """Scan planning: delta commit dirs that can contain keys in
+        [lo, hi] (either bound may be None) at or before as_of_batch.
+        Dirs without a manifest are conservatively kept."""
+        out = []
+        for d in sorted(os.listdir(self.delta_dir)):
+            if not d.startswith("batch="):
+                continue
+            if as_of_batch is not None and int(d.split("=", 1)[1]) > as_of_batch:
+                continue
+            path = f"{self.delta_dir}/{d}"
+            bounds = self._manifest_bounds(path)
+            if bounds is not None:
+                b_lo, b_hi = bounds
+                if b_lo is None:  # empty commit
+                    continue
+                if lo is not None and b_hi < lo:
+                    continue
+                if hi is not None and b_lo > hi:
+                    continue
+            out.append(path)
+        return out
 
     # -- read path ----------------------------------------------------
 
-    def _raw(self) -> DataFrame | None:
+    def _raw(
+        self, lo=None, hi=None, as_of_batch: int | None = None
+    ) -> DataFrame | None:
         parts = []
         if any(f.endswith(".parquet") for _, _, fs in os.walk(self.base_dir) for f in fs):
-            parts.append(self.spark.read.parquet(self.base_dir))
-        delta_batches = [
-            f"{self.delta_dir}/{d}"
-            for d in sorted(os.listdir(self.delta_dir))
-            if d.startswith("batch=")
-        ]
+            base = self.spark.read.parquet(self.base_dir)
+            if lo is not None:
+                base = base.filter(F.col(self.key) >= lo)
+            if hi is not None:
+                base = base.filter(F.col(self.key) <= hi)
+            parts.append(base)
+        delta_batches = self.prune_batches(lo, hi, as_of_batch)
         if delta_batches:
-            parts.append(
-                self.spark.read.option("mergeSchema", "true").parquet(*delta_batches)
+            deltas = self.spark.read.option("mergeSchema", "true").parquet(
+                *delta_batches
             )
+            # manifests prune whole commits; the residual filter makes
+            # the row-level predicate exact (and pushes to the scan)
+            if lo is not None:
+                deltas = deltas.filter(F.col(self.key) >= lo)
+            if hi is not None:
+                deltas = deltas.filter(F.col(self.key) <= hi)
+            parts.append(deltas)
         if not parts:
             return None
         df = parts[0]
@@ -106,14 +165,22 @@ class MorTable:
             df = df.unionByName(p, allowMissingColumns=True)
         return df
 
-    def snapshot(self) -> DataFrame | None:
-        """Current LWW state: max op_seq per key wins; tombstones drop.
+    def snapshot(
+        self, lo=None, hi=None, as_of_batch: int | None = None
+    ) -> DataFrame | None:
+        """LWW state: max op_seq per key wins; tombstones drop.
 
         Uses max_by(struct(all), op_seq) — a hash aggregation with
         map-side partials (no sort, no window) — the shape that holds
         at 100 TB.
+
+        ``lo``/``hi`` bound the KEY (manifest stats skip whole commit
+        dirs before any file is opened — the Iceberg data-skipping
+        contract). ``as_of_batch`` reads the table VERSION AS OF that
+        commit (Iceberg time travel); only valid back to the last
+        compact(), which folds deltas into base like ExpireSnapshots.
         """
-        raw = self._raw()
+        raw = self._raw(lo, hi, as_of_batch)
         if raw is None:
             return None
         payload = [c for c in raw.columns if c not in (OP_SEQ, OP_TYPE)]

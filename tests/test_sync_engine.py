@@ -327,3 +327,54 @@ def test_backoff_formula():
         60.0,
         60.0,
     ]
+
+
+def _mk_batch(spark, rows):
+    # rows: list of (doc_id, op_seq, op, v)
+    return spark.createDataFrame(
+        [(d, s, op, json.dumps({"v": v})) for d, s, op, v in rows],
+        "doc_id string, _op_seq long, _op string, full_doc string",
+    )
+
+
+def test_manifest_prunes_commit_dirs(spark, tmp_path):
+    """Iceberg data-skipping analog: commit dirs whose key bounds miss
+    the scan range never enter the plan."""
+    table = MorTable(spark, str(tmp_path / "tman"), key="doc_id")
+    table.commit_batch(_mk_batch(spark, [("a1", 1, "upsert", 1), ("a9", 2, "upsert", 2)]), 0)
+    table.commit_batch(_mk_batch(spark, [("m1", 3, "upsert", 3), ("m9", 4, "upsert", 4)]), 1)
+    table.commit_batch(_mk_batch(spark, [("z1", 5, "upsert", 5), ("z9", 6, "upsert", 6)]), 2)
+
+    kept = table.prune_batches(lo="m0", hi="m99")
+    assert [p.rsplit("/", 1)[1] for p in kept] == ["batch=1"]
+
+    snap = table.snapshot(lo="m0", hi="m99")
+    assert sorted(r.doc_id for r in snap.collect()) == ["m1", "m9"]
+    # unbounded scan still sees everything
+    assert table.snapshot().count() == 6
+
+
+def test_manifest_missing_is_conservative(spark, tmp_path):
+    import os
+
+    table = MorTable(spark, str(tmp_path / "tcons"), key="doc_id")
+    table.commit_batch(_mk_batch(spark, [("a1", 1, "upsert", 1)]), 0)
+    os.remove(f"{table.delta_dir}/batch=0/_manifest.json")
+    # no manifest → keep the dir (skipping is advisory, never lossy)
+    assert len(table.prune_batches(lo="zz")) == 1
+    assert table.snapshot(lo="a0", hi="a2").count() == 1
+
+
+def test_time_travel_as_of_batch(spark, tmp_path):
+    """VERSION AS OF a commit: later upserts/deletes invisible."""
+    table = MorTable(spark, str(tmp_path / "ttt"), key="doc_id")
+    table.commit_batch(_mk_batch(spark, [("d1", 1, "upsert", 1), ("d2", 2, "upsert", 2)]), 0)
+    table.commit_batch(_mk_batch(spark, [("d1", 3, "upsert", 10), ("d3", 4, "upsert", 3)]), 1)
+    table.commit_batch(_mk_batch(spark, [("d2", 5, "delete", None)]), 2)
+
+    v0 = {r.doc_id: json.loads(r.full_doc)["v"] for r in table.snapshot(as_of_batch=0).collect()}
+    assert v0 == {"d1": 1, "d2": 2}
+    v1 = {r.doc_id: json.loads(r.full_doc)["v"] for r in table.snapshot(as_of_batch=1).collect()}
+    assert v1 == {"d1": 10, "d2": 2, "d3": 3}
+    now = {r.doc_id: json.loads(r.full_doc)["v"] for r in table.snapshot().collect()}
+    assert now == {"d1": 10, "d3": 3}
