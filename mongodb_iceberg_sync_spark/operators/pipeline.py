@@ -218,15 +218,16 @@ def q_pack_tokens(spark, sf_dir):
     "q_timeseries_gapfill",
     family="pipeline",
     oracle="""
-    WITH hourly AS (
+    WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+    hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
              round(sum(CAST(value AS DECIMAL(18,6))), 4) AS sum_value
-      FROM events GROUP BY 1, 2
+      FROM ev GROUP BY 1, 2
     ),
     span AS (
       SELECT user_id, min(date_trunc('hour', ts)) AS h0,
              max(date_trunc('hour', ts)) AS h1
-      FROM events GROUP BY 1
+      FROM ev GROUP BY 1
     ),
     grid AS (
       SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
@@ -253,7 +254,10 @@ def q_pack_tokens(spark, sf_dir):
 def q_timeseries_gapfill(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
+    # user subset keeps the materialized grid (users x 720 hours)
+    # oracle-comparable in seconds; the shapes are per-user-parallel
+    # regardless of how many users flow through
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     hour = F.date_trunc("hour", F.col("ts"))
     hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
         F.count("*").alias("n_events"),
