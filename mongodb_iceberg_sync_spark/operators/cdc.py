@@ -357,3 +357,69 @@ def q_cdc_time_travel(spark, sf_dir):
     return snap.filter(F.col("last_type") != "error").select(
         "user_id", "last_event_id", "last_type", "last_value", "last_ts"
     )
+
+
+@register(
+    "q_cdc_changefeed",
+    family="cdc",
+    oracle=f"""
+    WITH old AS (
+      SELECT user_id, last_event_id, last_type, last_value FROM (
+        {{lww_old}}
+      ) WHERE last_type <> 'error'
+    ),
+    new AS (
+      SELECT user_id, last_event_id, last_type, last_value FROM (
+        {{lww_new}}
+      ) WHERE last_type <> 'error'
+    )
+    SELECT coalesce(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END         AS change_type,
+           n.last_event_id               AS new_event_id,
+           n.last_value                  AS new_value,
+           o.last_event_id               AS old_event_id,
+           o.last_value                  AS old_value
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.last_event_id <> n.last_event_id
+    """.format(
+        lww_old=_LWW_ORACLE.format(where=f"WHERE event_id <= {_ASOF_SEQ}"),
+        lww_new=_LWW_ORACLE.format(where=""),
+    ),
+    doc="Change data feed between two table versions (the Iceberg "
+    "incremental-read / CDF analog over the change log): diff the LWW "
+    "snapshot AS OF seq 7500 against the current one and emit "
+    "insert/update/delete rows with pre- and post-images. One "
+    "full-outer join on the key of two pruned snapshots — at 100 TB "
+    "both sides read only files their AS-OF predicate and manifest "
+    "stats allow; unchanged keys drop before anything materializes.",
+)
+def q_cdc_changefeed(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def _snap(df):
+        s = _lww_named(df)
+        return s.filter(F.col("last_type") != "error").select(
+            "user_id", "last_event_id", "last_value"
+        )
+
+    old = _snap(ev.filter(F.col("event_id") <= _ASOF_SEQ)).alias("o")
+    new = _snap(ev).alias("n")
+    j = old.join(new, F.col("o.user_id") == F.col("n.user_id"), "full")
+    return j.filter(
+        F.col("o.user_id").isNull()
+        | F.col("n.user_id").isNull()
+        | (F.col("o.last_event_id") != F.col("n.last_event_id"))
+    ).select(
+        F.coalesce(F.col("n.user_id"), F.col("o.user_id")).alias("user_id"),
+        F.when(F.col("o.user_id").isNull(), "insert")
+        .when(F.col("n.user_id").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("n.last_event_id").alias("new_event_id"),
+        F.col("n.last_value").alias("new_value"),
+        F.col("o.last_event_id").alias("old_event_id"),
+        F.col("o.last_value").alias("old_value"),
+    )

@@ -180,17 +180,65 @@ class MorTable:
         commit (Iceberg time travel); only valid back to the last
         compact(), which folds deltas into base like ExpireSnapshots.
         """
+        latest = self._latest(lo, hi, as_of_batch)
+        if latest is None:
+            return None
+        return latest.filter(F.col(OP_TYPE) != TOMBSTONE).drop(OP_TYPE, OP_SEQ)
+
+    def _latest(
+        self, lo=None, hi=None, as_of_batch: int | None = None
+    ) -> DataFrame | None:
+        """Per-key winning row INCLUDING op metadata (op type + seq)."""
         raw = self._raw(lo, hi, as_of_batch)
         if raw is None:
             return None
         payload = [c for c in raw.columns if c not in (OP_SEQ, OP_TYPE)]
-        row = F.struct(*[F.col(c) for c in payload], F.col(OP_TYPE))
-        latest = (
+        row = F.struct(*[F.col(c) for c in payload], F.col(OP_TYPE), F.col(OP_SEQ))
+        return (
             raw.groupBy(self.key)
             .agg(F.max_by(row, F.col(OP_SEQ)).alias("_row"))
-            .select(*[F.col(f"_row.{c}").alias(c) for c in payload], F.col(f"_row.{OP_TYPE}"))
+            .select(
+                *[F.col(f"_row.{c}").alias(c) for c in payload],
+                F.col(f"_row.{OP_TYPE}"),
+                F.col(f"_row.{OP_SEQ}"),
+            )
         )
-        return latest.filter(F.col(OP_TYPE) != TOMBSTONE).drop(OP_TYPE)
+
+    def changes(
+        self, from_batch: int, to_batch: int | None = None
+    ) -> DataFrame | None:
+        """Change data feed between two versions (Iceberg CDF /
+        incremental-read analog): insert/update/delete rows with the
+        post-image payload, diffing VERSION AS OF ``from_batch``
+        against ``to_batch`` (None = current). One full-outer join on
+        the key; unchanged keys (same winning op_seq) drop out."""
+        new = self._latest(as_of_batch=to_batch)
+        if new is None:
+            return None
+        old = self._latest(as_of_batch=from_batch)
+        live = F.col(OP_TYPE) != TOMBSTONE
+        payload = [c for c in new.columns if c not in (OP_SEQ, OP_TYPE, self.key)]
+        if old is None:
+            return new.filter(live).select(
+                self.key,
+                F.lit("insert").alias("change_type"),
+                *payload,
+            )
+        o = old.filter(live).select(self.key, OP_SEQ).alias("o")
+        n = new.filter(live).alias("n")
+        j = n.join(o, F.col(f"n.{self.key}") == F.col(f"o.{self.key}"), "full")
+        return j.filter(
+            F.col(f"o.{self.key}").isNull()
+            | F.col(f"n.{self.key}").isNull()
+            | (F.col(f"o.{OP_SEQ}") != F.col(f"n.{OP_SEQ}"))
+        ).select(
+            F.coalesce(F.col(f"n.{self.key}"), F.col(f"o.{self.key}")).alias(self.key),
+            F.when(F.col(f"o.{self.key}").isNull(), "insert")
+            .when(F.col(f"n.{self.key}").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            *[F.col(f"n.{c}").alias(c) for c in payload],
+        )
 
     # -- maintenance --------------------------------------------------
 

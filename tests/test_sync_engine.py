@@ -378,3 +378,20 @@ def test_time_travel_as_of_batch(spark, tmp_path):
     assert v1 == {"d1": 10, "d2": 2, "d3": 3}
     now = {r.doc_id: json.loads(r.full_doc)["v"] for r in table.snapshot().collect()}
     assert now == {"d1": 10, "d3": 3}
+
+
+def test_changefeed_between_versions(spark, tmp_path):
+    """CDF: diff VERSION AS OF 0 vs current → insert/update/delete."""
+    table = MorTable(spark, str(tmp_path / "tcdf"), key="doc_id")
+    table.commit_batch(_mk_batch(spark, [("c1", 1, "upsert", 1), ("c2", 2, "upsert", 2), ("c4", 3, "upsert", 4)]), 0)
+    table.commit_batch(_mk_batch(spark, [("c1", 4, "upsert", 10), ("c3", 5, "upsert", 3)]), 1)
+    table.commit_batch(_mk_batch(spark, [("c2", 6, "delete", None)]), 2)
+
+    changes = {r.doc_id: r.change_type for r in table.changes(from_batch=0).collect()}
+    assert changes == {"c1": "update", "c2": "delete", "c3": "insert"}
+    # bounded window: batch 0 -> 1 (the delete in batch 2 invisible)
+    w = {r.doc_id: r.change_type for r in table.changes(0, to_batch=1).collect()}
+    assert w == {"c1": "update", "c3": "insert"}
+    # post-image payload rides along
+    post = {r.doc_id: r.full_doc for r in table.changes(from_batch=0).collect() if r.change_type != "delete"}
+    assert json.loads(post["c1"])["v"] == 10
