@@ -350,3 +350,46 @@ def q_agg_hll(spark, sf_dir):
             "exact_distinct_orders",
         )
     )
+
+
+@register(
+    "q_agg_unpivot",
+    family="aggregates",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           count(*) AS n,
+           round(sum(CAST(val AS DECIMAL(18,6))), 2) AS total
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    doc="Unpivot (wide->long, pivot's inverse) via DataFrame.unpivot / "
+    "melt: three measure columns become (measure, val) rows, then one "
+    "hash agg. Physically a zero-shuffle row expansion (x3 rows, "
+    "narrow) feeding a partial-aggregated groupBy — the UNION ALL "
+    "plan the oracle writes would scan the fact three times; unpivot "
+    "scans once.",
+)
+def q_agg_unpivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure", F.expr("substring(measure, 3)")  # l_quantity -> quantity
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("val").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "total"
+        ),
+    )

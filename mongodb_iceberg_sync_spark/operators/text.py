@@ -391,3 +391,97 @@ def q_text_quality_filter(spark, sf_dir):
             F.round(score, 6).alias("quality_score"),
         )
     )
+
+
+@register(
+    "q_text_fuzzy_match",
+    family="text",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, substr(text, 1, 24) AS blk FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 40
+    """,
+    doc="Fuzzy matching via blocked edit distance: candidates share a "
+    "24-char prefix block (equi-join — levenshtein is O(len^2) per "
+    "pair, so it must NEVER run on the cross product), then exact "
+    "Levenshtein <= 40 verifies. Both engines implement plain "
+    "Wagner-Fischer edit distance, so the integer distances "
+    "hash-match. At 100 TB swap the prefix block for the minhash/LSH "
+    "band buckets (operators.dedup) — same verify step, recall-tunable "
+    "blocking.",
+)
+def q_text_fuzzy_match(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 24).alias("blk")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )
+
+
+@register(
+    "q_text_tfidf",
+    family="text",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, s AS token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents)
+      GROUP BY doc_id, s
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rn AS rank
+    FROM scored WHERE rn <= 3 AND doc_id < 200
+    """,
+    doc="TF-IDF top-3 distinctive tokens per doc: term frequency per "
+    "(doc, token), document frequency per token, idf = ln(N/df). "
+    "RANKING is integer-only (tf desc, df asc, token) so both engines "
+    "order identically; the float tfidf column is rounded to 6. "
+    "Shapes: two map-side-combinable aggs + a token-keyed join — the "
+    "df relation is vocabulary-sized, naturally broadcastable after "
+    "aggregation; doc_id < 200 bounds the compared output, the stats "
+    "run corpus-wide.",
+)
+def q_text_tfidf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token")
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )

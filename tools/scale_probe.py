@@ -1,0 +1,119 @@
+"""Dev tool: measure how headline operators scale with input size.
+
+Synthesizes a ~10x-sf0.1 copy of the tables the headline queries touch
+(documents/embeddings/lineitem/orders/events replicated with shifted
+ids so dup/join structure is preserved), then times a subset of
+queries at sf0.01, sf0.1 and the 10x copy. Near-linear wall-clock
+growth (and flat time-per-row) is the evidence the 100 TB design
+notes in SCALE.md rest on; a super-linear jump flags a shape that
+breaks at scale (quadratic candidate sets, global sorts, driver
+collects).
+
+  python tools/scale_probe.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mongodb_iceberg_sync_spark.registry import all_specs
+from mongodb_iceberg_sync_spark.session import get_spark
+
+PROBE_QUERIES = [
+    "q_agg_groupby",
+    "q_join_shuffle",
+    "q_cdc_latest",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram_jaccard",
+    "q_sim_ann_lsh",
+    "q_text_tokenize",
+    "q_pack_tokens",
+]
+REPLICAS = 10
+TABLES = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "nation": None,
+    "region": None,
+    "events": "event_id",
+}
+
+
+def synthesize(spark, src_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name, key in TABLES.items():
+        src = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        if key is None:  # tiny dims stay as-is
+            out = src
+        else:
+            # replicate with shifted ids: joins/dedup keep their
+            # within-replica structure, ids stay globally unique
+            shift = 100_000_000
+            k = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("_r")
+            out = src.select("*", k).withColumn(
+                key, F.col(key) + F.col("_r").cast("long") * shift
+            )
+            # foreign keys shift with their parent table
+            for fk, parent in {
+                "o_custkey": "customer",
+                "l_orderkey": "orders",
+                "l_partkey": "part",
+                "l_suppkey": "supplier",
+                "user_id": None,
+            }.items():
+                if fk in out.columns and fk != key:
+                    out = out.withColumn(
+                        fk, F.col(fk) + F.col("_r").cast("long") * shift
+                    )
+            out = out.drop("_r")
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
+    spark = get_spark(app_name="mis-scale-probe")
+    specs = all_specs()
+    big = f"{out_dir}/sf1x10"
+    if not os.path.isdir(big):
+        t0 = time.time()
+        synthesize(spark, "/root/testdata/sf0.1", big)
+        print(f"synthesized 10x copy in {time.time()-t0:.1f}s", flush=True)
+
+    results: dict[str, dict[str, float]] = {}
+    for label, sf_dir in [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1 (10x)", big),
+    ]:
+        for q in PROBE_QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[q].func(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(q, {})[label] = round(best, 2)
+            print(f"{label:10s} {q:28s} {best:6.2f}s", flush=True)
+    print(json.dumps(results))
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
