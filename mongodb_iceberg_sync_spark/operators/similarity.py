@@ -250,25 +250,46 @@ def q_sim_knn_join(spark, sf_dir):
     )
 
 
-_LSH_BITS = 24
-_LSH_BANDS = 6  # 6 bands x 4 bits: candidates share >=1 band
+_LSH_BITS = 60  # hyperplane budget; bands/bits are sized per corpus
+_LSH_MAX_BANDS = 6
+_LSH_TARGET_BUCKET = 64  # expected bucket population the banding aims at
+_LSH_BUCKET_CAP = 512  # skip degenerate buckets (identical-vector floods)
+
+
+def _lsh_banding(n_rows: int) -> tuple[int, int]:
+    """(bits_per_band, n_bands) sized so expected bucket population
+    stays ~_LSH_TARGET_BUCKET regardless of corpus size.
+
+    FIXED band width is a quadratic time bomb: with b bits a band has
+    2^b buckets, so bucket population — and candidate pairs per bucket,
+    squared — grows linearly with the corpus. Measured: 4-bit bands
+    went 6s -> 200s on a 10x corpus (tools/scale_probe.py). Scaling
+    bits with log2(n/target) pins bucket population, making candidate
+    volume ~linear in n; recall per band falls as bits rise, which is
+    the standard LSH trade — spend more bands (hyperplanes) to buy it
+    back."""
+    import math
+
+    bits = min(12, max(4, math.ceil(math.log2(max(n_rows, 2) / _LSH_TARGET_BUCKET))))
+    return bits, max(2, min(_LSH_MAX_BANDS, _LSH_BITS // bits))
 
 
 @register(
     "q_sim_ann_lsh",
     family="similarity",
     oracle=None,  # hash-family-specific candidate set → rows-only
-    doc="Random-hyperplane LSH ANN (kNN join, approximate): 12 "
-    "sign-bits of fixed seeded Gaussian hyperplanes (numpy GEMM per "
-    "Arrow batch — one matmul per batch, no per-row Python), banded "
-    "3x4 bits, candidates = pairs sharing a band (equi-join on "
-    "(band, 4-bit value) — never all-pairs), exact cosine re-rank, "
-    "top-3 per vector. The signature table is localCheckpointed so "
-    "the Python stage runs once, not on both self-join branches. "
+    doc="Random-hyperplane LSH ANN (kNN join, approximate): sign-bits "
+    "of 60 fixed seeded Gaussian hyperplanes (numpy GEMM per Arrow "
+    "batch — one matmul per batch, no per-row Python), banded "
+    "ADAPTIVELY — bits per band = log2(corpus/64), so expected bucket "
+    "population stays constant and candidate volume stays ~linear in "
+    "n (a fixed band width was measured quadratic: 6s -> 200s on a "
+    "10x corpus). Candidates = pairs sharing a band (equi-join; "
+    "degenerate buckets > 512 skipped), exact cosine re-rank on "
+    "pre-normalized vectors, top-3 per vector. The signature table is "
+    "localCheckpointed so the Python stage runs once. "
     "tests/test_scale_patterns.py pins recall@3 against the exact "
-    "GEMM kNN. At 100 TB: signatures are a write-time column; the "
-    "band join shuffles (band, 4-bit) keys — bucket sizes are "
-    "corpus/2^4 per band, salt or raise bits if a bucket heats.",
+    "GEMM kNN.",
 )
 def q_sim_ann_lsh(spark, sf_dir):
     import numpy as np
@@ -305,7 +326,7 @@ def q_sim_ann_lsh(spark, sf_dir):
         sig_and_norm, "vec_id long, nvec array<double>, sig long"
     ).localCheckpoint(eager=True)
 
-    bits_per_band = _LSH_BITS // _LSH_BANDS
+    bits_per_band, n_bands = _lsh_banding(sig.count())  # count reads the checkpoint
     mask = (1 << bits_per_band) - 1
     # candidate generation carries IDS ONLY — an early version carried
     # both embedding arrays through the band join and paid ~60x the
@@ -315,7 +336,7 @@ def q_sim_ann_lsh(spark, sf_dir):
         "vec_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
                     F.call_function("shiftright", F.col("sig"), b * bits_per_band)
@@ -325,6 +346,16 @@ def q_sim_ann_lsh(spark, sf_dir):
             )
         ).alias("band"),
     ).select("vec_id", "band.band_id", "band.band_val")
+    # degenerate-bucket guard (identical-vector floods): same pattern
+    # as minhash LSH — count buckets (map-side combinable), broadcast
+    # the tiny hot set, anti-join it away before the self-join
+    hot = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > _LSH_BUCKET_CAP)
+        .select("band_id", "band_val")
+    ).localCheckpoint(eager=True)
+    bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand_ids = (
