@@ -427,6 +427,19 @@ def q_dedup_simhash(spark, sf_dir):
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    # Degenerate-bucket guard, same rationale as minhash LSH: a flood
+    # of identical documents shares one simhash, making its band bucket
+    # quadratic (measured 0.96s -> 23.6s on a 10x-replicated corpus,
+    # tools/scale_probe.py). Identical-content floods belong to EXACT
+    # dedup (which precedes simhash in any real pipeline); capping the
+    # bucket keeps the candidate join linear.
+    hot = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 2 * MAX_LSH_BUCKET)
+        .select("band_id", "band_val")
+    ).localCheckpoint(eager=True)
+    bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -30,13 +30,19 @@ from mongodb_iceberg_sync_spark.session import get_spark
 PROBE_QUERIES = [
     "q_agg_groupby",
     "q_join_shuffle",
+    "q_join_multiway",
+    "q_join_asof",
     "q_cdc_latest",
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_sim_ann_lsh",
+    "q_sim_knn_join",
     "q_text_tokenize",
     "q_pack_tokens",
+    "q_events_funnel",
+    "q_timeseries_gapfill",
 ]
 REPLICAS = 10
 TABLES = {
