@@ -148,3 +148,40 @@ def q_set_except(spark, sf_dir):
     a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
     b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
     return a.exceptAll(b)
+
+
+from ..functions.zorder import morton_sql as _morton_sql
+
+
+@register(
+    "q_sort_zorder",
+    family="sorts",
+    oracle=f"""
+    SELECT p_partkey, p_size,
+           {_morton_sql("p_size", "p_partkey % 65536")} AS z
+    FROM part
+    ORDER BY z, p_partkey
+    LIMIT 100
+    """,
+    doc="Z-order (Morton) clustering key: interleave the bits of "
+    "(p_size, p_partkey) and sort by the code — the Delta Z-ORDER / "
+    "Iceberg z-ordered-rewrite trick. A file sorted this way holds a "
+    "small rectangle of the 2-D key space, so min/max footer stats "
+    "prune scans filtered on EITHER column (a single-column sort "
+    "prunes only its own). Pure bit arithmetic "
+    "(functions.zorder.morton_code), identical in both engines, so "
+    "exact-hash-checked; top-100 via TakeOrderedAndProject, no global "
+    "sort. At 100 TB this is a write-time sortWithinPartitions(z) "
+    "before the sink — the query demonstrates the key itself.",
+)
+def q_sort_zorder(spark, sf_dir):
+    from ..functions.zorder import morton_code
+
+    p = t(spark, sf_dir, "part")
+    z = morton_code(F.col("p_size"), F.col("p_partkey") % 65536)
+    return (
+        p.select("p_partkey", "p_size", z.alias("z"))
+        .orderBy("z", "p_partkey")
+        .limit(100)
+    )
+
