@@ -393,3 +393,32 @@ def q_sim_ann_lsh(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "q_cluster_kmeans",
+    family="similarity",
+    oracle=None,  # iterative algorithm → rows-only (deterministic init)
+    doc="K-means clustering as a first-class operator: the IVF coarse "
+    "quantizer's distributed Lloyd training (functions.vector."
+    "kmeans_fit — Arrow-batched GEMM assignment, posexplode/avg "
+    "update, driver holds only k x d floats) surfaced as a query: "
+    "every vector labeled with its cluster and rounded cosine to the "
+    "centroid, plus per-cluster sizes. Deterministic: init = the k "
+    "smallest vec_ids, fixed 2 iterations, ties break to the first "
+    "maximal centroid.",
+)
+def q_cluster_kmeans(spark, sf_dir):
+    from ..functions.vector import bucket_assign_udf, kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=8, iters=2)
+    assigned = e.select(
+        "vec_id",
+        bucket_assign_udf(centroids)("embedding").alias("cluster"),
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "cluster")
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "cluster_size")
+    )
