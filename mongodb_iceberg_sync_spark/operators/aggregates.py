@@ -393,3 +393,35 @@ def q_agg_unpivot(spark, sf_dir):
             "total"
         ),
     )
+
+
+@register(
+    "q_agg_corr",
+    family="aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(covar_pop(l_discount, l_tax), 6)            AS cov_disc_tax,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics per group: Pearson correlation, "
+    "sample/population covariance, regression slope — all single-pass "
+    "algebraic aggregates (Welford-style merge states), so they "
+    "partial-aggregate map-side like any sum; no second pass over the "
+    "data, no window.",
+)
+def q_agg_corr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope_price_per_qty"
+        ),
+    )

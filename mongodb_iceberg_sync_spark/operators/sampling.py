@@ -85,3 +85,38 @@ def q_sample_stratified(spark, sf_dir):
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= 20)
     )
+
+
+@register(
+    "q_sample_split",
+    family="sampling",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN h < 80 THEN 'train'
+             WHEN h < 90 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 AS BIGINT) AS h
+      FROM documents
+    )
+    """,
+    doc="Deterministic train/val/test split (80/10/10): bucket = "
+    "md5(doc_id) mod 100 — reproducible across engines, retries and "
+    "cluster sizes (a rand() split is none of those), stable as the "
+    "corpus grows (a doc never changes split when new docs arrive — "
+    "modulo hashing is per-row, unlike ntile/percent_rank). Map-side "
+    "only: no shuffle, fuses into the scan.",
+)
+def q_sample_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    return d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
