@@ -395,3 +395,34 @@ def test_changefeed_between_versions(spark, tmp_path):
     # post-image payload rides along
     post = {r.doc_id: r.full_doc for r in table.changes(from_batch=0).collect() if r.change_type != "delete"}
     assert json.loads(post["c1"])["v"] == 10
+
+
+def test_manifest_pruning_never_loses_rows_randomized(spark, tmp_path):
+    """Property: for random batches and random scan ranges, the
+    manifest-pruned snapshot(lo, hi) equals the unpruned snapshot
+    filtered row-level — skipping is an optimization, never lossy.
+    (Deterministic seed; plain loop rather than hypothesis because
+    each case costs Spark jobs.)"""
+    import random
+
+    rng = random.Random(7)
+    table = MorTable(spark, str(tmp_path / "tprop"), key="doc_id")
+    seq = 1
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            key = f"k{rng.randint(0, 30):02d}"
+            op = "delete" if rng.random() < 0.2 else "upsert"
+            rows.append((key, seq, op, seq))
+            seq += 1
+        table.commit_batch(_mk_batch(spark, rows), b)
+
+    full = {r.doc_id: r.full_doc for r in table.snapshot().collect()}
+    for _ in range(5):
+        lo = f"k{rng.randint(0, 30):02d}"
+        hi = f"k{rng.randint(0, 30):02d}"
+        if lo > hi:
+            lo, hi = hi, lo
+        pruned = {r.doc_id: r.full_doc for r in table.snapshot(lo=lo, hi=hi).collect()}
+        expected = {k: v for k, v in full.items() if lo <= k <= hi}
+        assert pruned == expected, (lo, hi)
