@@ -43,6 +43,10 @@ PROBE_QUERIES = [
     "q_pack_tokens",
     "q_events_funnel",
     "q_timeseries_gapfill",
+    "q_join_salted",
+    "q_cdc_changefeed",
+    "q_sort_zorder",
+    "q_sim_pq",
 ]
 REPLICAS = 10
 TABLES = {
