@@ -425,3 +425,32 @@ def q_agg_corr(spark, sf_dir):
             "slope_price_per_qty"
         ),
     )
+
+
+@register(
+    "q_agg_collect",
+    family="aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Set collection per group (collect_set), emitted as a SORTED "
+    "joined string: collection order is nondeterministic in any "
+    "distributed engine, so the deterministic contract is the sorted "
+    "rendering, not the raw array. collect_set state is bounded by "
+    "distinct-value cardinality — fine for enum-like columns, a "
+    "memory bomb for high-cardinality ones (use approx sketches "
+    "there).",
+)
+def q_agg_collect(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
