@@ -273,3 +273,54 @@ def q_stream_stream_join(spark, sf_dir):
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+@register(
+    "q_stream_static_join",
+    family="streaming",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN sum(value) > 500 THEN 'high'
+                  WHEN sum(value) > 100 THEN 'mid'
+                  ELSE 'low' END AS segment
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           coalesce(d.segment, 'unknown') AS segment
+    FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+    WHERE e.event_type IN ('click', 'view')
+    """,
+    doc="Stream-static enrichment join (batch-equivalent): a "
+    "click/view stream decorated with a per-user spend segment from a "
+    "static dim. The streaming twin (streaming.windows.enrich_static) "
+    "joins each micro-batch against the static snapshot — no "
+    "watermark, no join state, broadcast when small; "
+    "tests/test_streaming.py proves stream==batch. This is how a "
+    "synced MoR table (MorTable.snapshot()) decorates a live stream.",
+)
+def q_stream_static_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+        .select(
+            "user_id",
+            F.when(F.col("spend") > 500, "high")
+            .when(F.col("spend") > 100, "mid")
+            .otherwise("low")
+            .alias("segment"),
+        )
+    )
+    stream = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type"
+    )
+    d = dim.select(F.col("user_id").alias("d_user_id"), "segment")
+    return stream.join(d, stream.user_id == d.d_user_id, "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )

@@ -101,3 +101,25 @@ def interval_join(
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+def enrich_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join (q_stream_static_join's streaming
+    twin): each micro-batch joins against the static dim snapshot —
+    no watermark, no join state (the static side is re-resolvable per
+    batch, and Spark broadcasts it when small). The standard shape for
+    decorating an event stream with slowly-changing reference data;
+    pair with foreachBatch + MorTable.snapshot() when the dim itself
+    is a continuously-synced table."""
+    d = dim.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("segment"),
+    )
+    return stream.join(
+        d, stream.user_id == d.d_user_id, "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )

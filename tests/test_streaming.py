@@ -216,3 +216,34 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
     ).collect()
     exp = q_stream_stream_join(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static enrichment: every micro-batch joins the same
+    static dim snapshot; the drained stream equals the batch join."""
+    from mongodb_iceberg_sync_spark.operators.stream_batch_equiv import (
+        q_stream_static_join,
+    )
+    from mongodb_iceberg_sync_spark.streaming.windows import enrich_static
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    dim = (
+        batch_ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+        .select(
+            "user_id",
+            F.when(F.col("spend") > 500, "high")
+            .when(F.col("spend") > 100, "mid")
+            .otherwise("low")
+            .alias("segment"),
+        )
+    )
+    stream = _read_events_stream(spark, events_stream_dir).filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_id", "user_id", "event_type")
+    got = _run_to_memory(
+        spark, enrich_static(stream, dim), "t_static_join", "append"
+    ).collect()
+    exp = q_stream_static_join(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
