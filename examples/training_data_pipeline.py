@@ -55,12 +55,20 @@ def main() -> int:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
     labels = uniq.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(eager=True)
+    # pointer-doubling (label-of-label) keeps rounds O(log diameter);
+    # a non-converged exit raises rather than returning partial labels
     for _ in range(20):
         nbr = edges.join(labels, edges.doc_a == labels.doc_id).select(
             F.col("doc_b").alias("doc_id"), "cluster_id"
         )
+        hop = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id"))
+            .select(F.col("l1.doc_id").alias("doc_id"), F.col("l2.cluster_id").alias("cluster_id"))
+        )
         new_labels = (
-            labels.unionAll(nbr).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+            labels.unionAll(nbr).unionAll(hop)
+            .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -70,6 +78,8 @@ def main() -> int:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError("dedup clustering did not converge in 20 rounds")
     keep = uniq.join(
         labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"), "doc_id"
     )

@@ -96,8 +96,23 @@ def salted_join(
     reducers instead of one straggler. Complements AQE's skew-join
     split (which only kicks in past its partition-size thresholds and
     cannot help a broadcast-ineligible dim with one monster key).
-    Pure physical rewrite: result rows are exactly the plain join's.
+
+    Pure physical rewrite ONLY for fact-preserving join types
+    (inner/left/left_semi/left_anti): each fact row carries exactly one
+    salt, so it meets exactly the dim rows it would meet unsalted. For
+    right/full/outer the rewrite is WRONG — a replicated dim row whose
+    (key, salt) matches no fact row would emit its own null-extended
+    output, duplicating unmatched dim keys up to n_salts times — so
+    those join types are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only fact-preserving join types "
+            "(inner/left/left_semi/left_anti) are a pure rewrite; "
+            "right/full joins would duplicate unmatched dim keys per salt"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     f = fact.withColumn("_salt", salt)
     d = dim.withColumn(

@@ -399,11 +399,14 @@ def q_agg_unpivot(spark, sf_dir):
     "q_agg_corr",
     family="aggregates",
     oracle="""
+    -- every rounded stat gets "+ 0.0": IEEE x + 0.0 collapses -0.0 to
+    -- +0.0, which otherwise renders as "-0" vs "0" in the driver's %.6g
+    -- value hash (round(covar_pop(...)) of a ~-1e-9 covariance hit this)
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-           round(covar_pop(l_discount, l_tax), 6)            AS cov_disc_tax,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_per_qty
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qty_price,
+           round(covar_pop(l_discount, l_tax), 6) + 0.0            AS cov_disc_tax,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope_price_per_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -416,12 +419,14 @@ def q_agg_unpivot(spark, sf_dir):
 def q_agg_corr(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
             "cov_qty_price"
         ),
-        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("cov_disc_tax"),
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
             "slope_price_per_qty"
         ),
     )

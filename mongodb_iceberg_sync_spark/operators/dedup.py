@@ -289,10 +289,15 @@ def _ngram_jaccard_pairs(spark, sf_dir):
     # Hot-shingle guard: the df aggregation is map-side combinable and
     # the hot set is tiny (only shingles above the cutoff), so it
     # BROADCASTS to a left_anti join — no extra corpus-wide shuffle on
-    # the join side.
-    cutoff = max(16.0, 0.05 * docs.count())
+    # the join side. The max(16, 5%-of-corpus) cutoff rides the SAME job
+    # as a 1-row broadcast (scalar-subquery shape) instead of a separate
+    # docs.count() driver action — one fewer job per invocation.
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
     hot = (
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > cutoff)
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") > F.greatest(F.lit(16.0), F.lit(0.05) * F.col("n_docs")))
     ).select("s")
     sh = sh.join(F.broadcast(hot), "s", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
@@ -606,12 +611,24 @@ def q_dedup_clusters(spark, sf_dir):
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
         eager=True
     )
-    for _ in range(20):  # bound >> any dup-cluster diameter
+    # Pointer-doubling (label-of-label) alongside edge propagation makes
+    # rounds O(log diameter), so 20 rounds covers diameter ~2^20 — and a
+    # non-converged exit raises instead of returning wrong labels.
+    for _ in range(20):
         nbr = edges.join(
             labels, edges.u == labels.doc_id, "inner"
         ).select(F.col("v").alias("doc_id"), "cluster_id")
+        hop = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id"))
+            .select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.col("l2.cluster_id").alias("cluster_id"),
+            )
+        )
         new_labels = (
             labels.unionAll(nbr)
+            .unionAll(hop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
@@ -625,5 +642,11 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "q_dedup_clusters: label propagation not converged after 20 "
+            "pointer-doubling rounds (diameter > ~2^20?) — refusing to "
+            "return partial labels"
+        )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

@@ -189,12 +189,14 @@ PACK_BUDGET = 2048  # tokens per training shard
     """,
     doc="Sequence packing for training shards: docs in doc_id order are "
     "assigned to shards by exclusive-prefix token count / budget — "
-    "every shard holds ~2048 tokens of consecutive docs. The global "
-    "running sum is ONE unpartitioned window — fine for a final "
-    "packing step over a cleaned corpus, but at 100 TB use the "
-    "two-pass form: per-partition token subtotals to the driver "
-    "(one number each), prefix-offset each partition, then a "
-    "partition-local cumsum — same math, no single-reducer sort.",
+    "every shard holds ~2048 tokens of consecutive docs. Distributed "
+    "two-pass prefix sum (no global single-reducer window): "
+    "range-partition by doc_id, per-partition token subtotals to the "
+    "driver (ONE long per partition), exclusive-prefix the subtotals "
+    "into per-partition offsets, broadcast them back, then a "
+    "partition-LOCAL cumulative window. Every stage is "
+    "partition-parallel; driver traffic is O(#partitions) longs — the "
+    "same math as the global window, scale-safe at 100 TB.",
 )
 def q_pack_tokens(spark, sf_dir):
     from pyspark.sql import Window
@@ -204,13 +206,49 @@ def q_pack_tokens(spark, sf_dir):
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
-        .cast("long")
-        .alias("shard_id"),
+    # Pass 0: range-partition so partition i holds a contiguous doc_id
+    # range and ids increase with doc_id. localCheckpoint pins the data
+    # AND the partitioning so the subtotal job and the final job see the
+    # identical layout (no recompute / AQE re-plan between actions).
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    parted = (
+        toks.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    # Pass 1: one subtotal per partition → driver (O(#partitions) longs)
+    subtotals = {
+        r["pid"]: r["sub"]
+        for r in parted.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, part_offset long")
+    # Pass 2: partition-local cumsum + broadcast offset = global prefix
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (
+                    F.col("part_offset")
+                    + F.sum("n_tokens").over(w)
+                    - F.col("n_tokens")
+                )
+                / PACK_BUDGET
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
     )
 
 

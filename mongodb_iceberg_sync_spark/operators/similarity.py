@@ -440,7 +440,8 @@ _PQ_K = 64  # centroids per subspace -> 6 bits/code, 16 codes/vector
     "trains driver-side on a deterministic 256-vector sample (k·d "
     "floats — same budget as the IVF quantizer); asymmetric distance "
     "uses a per-probe lookup table folded into the plan as a literal, "
-    "so scoring is 8 array lookups per row, JVM-side, no Python and "
+    "so scoring is 16 array lookups per row (one per subspace), "
+    "JVM-side, no Python and "
     "no join. Returns approx top-10 by quantized cosine; "
     "tests/test_scale_patterns.py pins recall vs the exact top-10.",
 )

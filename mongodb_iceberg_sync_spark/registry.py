@@ -48,13 +48,6 @@ def register(name: str, family: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all_operator_modules() -> None:
     # Import for side effect: each module registers its queries.
-    #
-    # ORDER MATTERS for the driver contract: the correctness sweep runs
-    # queries in registration order under a time budget, so modules the
-    # round-1 sweep never reached (windows, sorts_sets, text, udfs,
-    # stream_batch_equiv) register FIRST; the round-1-verified families
-    # come after. Keep cheap/plan-only families early, the real-
-    # StreamingQuery and heavy dedup families last.
     from .operators import windows  # noqa: F401
     from .operators import sorts_sets  # noqa: F401
     from .operators import text  # noqa: F401
@@ -72,9 +65,51 @@ def _load_all_operator_modules() -> None:
     from .operators import dedup  # noqa: F401
 
 
+# ORDER MATTERS for the driver contract: the correctness sweep runs queries
+# in registration order under a 50-query cap, so queries with no green driver
+# row yet must come FIRST. Two buckets:
+#   1. the two round-1 hash-fails (decimal-sum fix committed round 2, never
+#      re-swept by the driver),
+#   2. the 20 round-2 additions that neither sweep reached.
+# Everything else follows in module order (all driver-green in r1/r2).
+_SWEEP_PRIORITY: tuple[str, ...] = (
+    # stale r1 FAIL, fix committed — must be re-verified first
+    "q_join_theta_range",
+    "q_join_range_banded",
+    # round-2 additions never reached by a driver sweep
+    "q_agg_pivot",
+    "q_agg_percentile",
+    "q_agg_hll",
+    "q_agg_unpivot",
+    "q_agg_salted",
+    "q_agg_corr",
+    "q_agg_collect",
+    "q_cdc_scd2",
+    "q_cdc_time_travel",
+    "q_cdc_changefeed",
+    "q_join_salted",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_sim_ann_lsh",
+    "q_sim_knn_join",
+    "q_sim_pq",
+    "q_cluster_kmeans",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_scan_orc",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load_all_operator_modules()
-    return dict(REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _SWEEP_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

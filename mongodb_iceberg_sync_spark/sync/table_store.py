@@ -38,15 +38,36 @@ OP_SEQ = "_op_seq"  # total order of applied ops (resume-token position)
 OP_TYPE = "_op"  # upsert | delete
 TOMBSTONE = "delete"
 MANIFEST = "_manifest.json"  # per-commit key min/max stats (data skipping)
+COMPACTION_MARK = "_compaction.json"  # last batch id folded into base
+
+
+class SnapshotExpiredError(ValueError):
+    """VERSION AS OF predates the last compaction — like Iceberg reading
+    an expired snapshot, this FAILS instead of silently returning the
+    compacted base (which folds later batches) as if it were history."""
 
 
 class MorTable:
-    """A keyed merge-on-read table rooted at a directory."""
+    """A keyed merge-on-read table rooted at a directory.
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    ``partition_col`` (optional) directory-partitions base and delta
+    files by that column — the analog of an Iceberg partition spec —
+    enabling partition-targeted compaction (`compact(where=...)`) that
+    rewrites only cold partitions and never touches hot partitions'
+    files (reference docs/design.md:396-400).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        partition_col: str | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.key = key
+        self.partition_col = partition_col
         os.makedirs(self.base_dir, exist_ok=True)
         os.makedirs(self.delta_dir, exist_ok=True)
 
@@ -64,15 +85,20 @@ class MorTable:
 
     # -- write path ---------------------------------------------------
 
+    def _writer(self, df: DataFrame):
+        w = df.write
+        if self.partition_col is not None:
+            w = w.partitionBy(self.partition_col)
+        return w
+
     def append_base(self, df: DataFrame) -> None:
         """Backfill append (reference A15): rows land in base directly,
         stamped as op_seq=0 upserts."""
-        (
-            df.withColumn(OP_SEQ, F.lit(0).cast("long"))
-            .withColumn(OP_TYPE, F.lit("upsert"))
-            .write.mode("append")
-            .parquet(self.base_dir)
-        )
+        self._writer(
+            df.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(
+                OP_TYPE, F.lit("upsert")
+            )
+        ).mode("append").parquet(self.base_dir)
 
     def commit_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Apply one CDC micro-batch (upserts + deletes), idempotently.
@@ -84,10 +110,10 @@ class MorTable:
         replays.
         """
         target = f"{self.delta_dir}/batch={batch_id}"
-        batch_df.write.mode("overwrite").parquet(target)
-        self._write_manifest(target, batch_df)
+        self._writer(batch_df).mode("overwrite").parquet(target)
+        self._write_manifest(target)
 
-    def _write_manifest(self, target: str, df: DataFrame) -> None:
+    def _write_manifest(self, target: str) -> None:
         """Iceberg-manifest analog: per-commit key min/max stats.
 
         Iceberg's scan planning skips data files whose column bounds
@@ -95,10 +121,17 @@ class MorTable:
         commit-dir granularity. One tiny agg job per commit (the stats
         ride the write, not the read path). Stats are advisory — a
         missing manifest only disables skipping for that commit.
+
+        Bounds come from READING BACK the written files, not from
+        re-running the batch DataFrame's lineage — a non-deterministic
+        batch recomputed differently would otherwise yield bounds that
+        disagree with the files on disk, making skipping lossy.
         """
-        row = df.agg(
-            F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
-        ).head()
+        row = (
+            self.spark.read.parquet(target)
+            .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
+            .head()
+        )
         with open(f"{target}/{MANIFEST}", "w") as f:
             json.dump({"key": self.key, "min": row.lo, "max": row.hi}, f)
 
@@ -110,10 +143,34 @@ class MorTable:
         except (OSError, ValueError, KeyError):
             return None
 
+    def _last_folded_batch(self) -> int | None:
+        """Highest batch id folded into base by compact() — versions at
+        or before it are expired (their deltas no longer exist)."""
+        try:
+            with open(f"{self.path}/{COMPACTION_MARK}") as f:
+                return json.load(f)["last_folded_batch"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _check_not_expired(self, as_of_batch: int | None) -> None:
+        folded = self._last_folded_batch()
+        if as_of_batch is not None and folded is not None and as_of_batch < folded:
+            raise SnapshotExpiredError(
+                f"VERSION AS OF batch {as_of_batch} expired: compact() folded "
+                f"batches <= {folded} into base (Iceberg ExpireSnapshots analog)"
+            )
+
+    def _has_parquet(self, path: str) -> bool:
+        return any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
     def prune_batches(self, lo=None, hi=None, as_of_batch: int | None = None) -> list[str]:
         """Scan planning: delta commit dirs that can contain keys in
         [lo, hi] (either bound may be None) at or before as_of_batch.
-        Dirs without a manifest are conservatively kept."""
+        Dirs without a manifest are conservatively kept; dirs left
+        without data files (partition-targeted compaction folded all
+        their partitions) are dropped."""
         out = []
         for d in sorted(os.listdir(self.delta_dir)):
             if not d.startswith("batch="):
@@ -121,6 +178,8 @@ class MorTable:
             if as_of_batch is not None and int(d.split("=", 1)[1]) > as_of_batch:
                 continue
             path = f"{self.delta_dir}/{d}"
+            if not self._has_parquet(path):
+                continue
             bounds = self._manifest_bounds(path)
             if bounds is not None:
                 b_lo, b_hi = bounds
@@ -138,8 +197,9 @@ class MorTable:
     def _raw(
         self, lo=None, hi=None, as_of_batch: int | None = None
     ) -> DataFrame | None:
+        self._check_not_expired(as_of_batch)
         parts = []
-        if any(f.endswith(".parquet") for _, _, fs in os.walk(self.base_dir) for f in fs):
+        if self._has_parquet(self.base_dir):
             base = self.spark.read.parquet(self.base_dir)
             if lo is not None:
                 base = base.filter(F.col(self.key) >= lo)
@@ -148,16 +208,28 @@ class MorTable:
             parts.append(base)
         delta_batches = self.prune_batches(lo, hi, as_of_batch)
         if delta_batches:
-            deltas = self.spark.read.option("mergeSchema", "true").parquet(
-                *delta_batches
-            )
-            # manifests prune whole commits; the residual filter makes
-            # the row-level predicate exact (and pushes to the scan)
-            if lo is not None:
-                deltas = deltas.filter(F.col(self.key) >= lo)
-            if hi is not None:
-                deltas = deltas.filter(F.col(self.key) <= hi)
-            parts.append(deltas)
+            if self.partition_col is None:
+                delta_parts = [
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *delta_batches
+                    )
+                ]
+            else:
+                # one read per commit dir: a combined multi-root read
+                # would try to unify `batch=N` roots with the partition
+                # dirs beneath them (CONFLICTING_DIRECTORY_STRUCTURES)
+                delta_parts = [
+                    self.spark.read.option("mergeSchema", "true").parquet(d)
+                    for d in delta_batches
+                ]
+            for deltas in delta_parts:
+                # manifests prune whole commits; the residual filter
+                # makes the row-level predicate exact (pushes to scan)
+                if lo is not None:
+                    deltas = deltas.filter(F.col(self.key) >= lo)
+                if hi is not None:
+                    deltas = deltas.filter(F.col(self.key) <= hi)
+                parts.append(deltas)
         if not parts:
             return None
         df = parts[0]
@@ -249,23 +321,54 @@ class MorTable:
             d for d in os.listdir(self.archive_dir) if d.startswith("gen=")
         )
 
-    def compact(self) -> None:
-        """Rewrite base from the merged snapshot; clear deltas
-        (reference A24 RewriteDataFiles, docs/design.md:394-400).
+    def _delta_batch_ids(self) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.delta_dir)
+            if d.startswith("batch=")
+        )
+
+    def _mark_folded(self, batch_id: int | None) -> None:
+        if batch_id is None:
+            return
+        prev = self._last_folded_batch()
+        if prev is None or batch_id > prev:
+            with open(f"{self.path}/{COMPACTION_MARK}", "w") as f:
+                json.dump({"last_folded_batch": batch_id}, f)
+
+    def compact(self, where=None) -> None:
+        """Rewrite base from the merged snapshot; fold deltas (reference
+        A24 RewriteDataFiles, docs/design.md:394-400).
+
+        ``where=None`` rewrites the whole table. With a predicate over
+        ``partition_col`` (a Column, e.g. ``F.col("day") < "2024-01"``),
+        only the matching COLD partitions are rewritten — hot
+        partitions' base and delta files are left physically untouched,
+        the shape docs/design.md:396-400 specifies for a hot 100 TB
+        table where full rewrites are unaffordable.
 
         The superseded base generation is ARCHIVED, not deleted —
         Iceberg keeps old snapshots' files reachable until
-        ExpireSnapshots runs; expire_snapshots() is that step here."""
+        ExpireSnapshots runs; expire_snapshots() is that step here.
+        Either form advances the last-folded-batch mark, so VERSION AS
+        OF an earlier batch raises SnapshotExpiredError (conservative
+        for partial compaction: hot-partition history still exists but
+        cold-partition history does not, and a half-historical snapshot
+        would be silently wrong).
+        """
+        if where is not None:
+            self._compact_partitions(where)
+            return
         snap = self.snapshot()
         tmp = f"{self.path}/.compact_tmp"
         if snap is None:
             return
-        (
-            snap.withColumn(OP_SEQ, F.lit(0).cast("long"))
-            .withColumn(OP_TYPE, F.lit("upsert"))
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        batch_ids = self._delta_batch_ids()
+        self._writer(
+            snap.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(
+                OP_TYPE, F.lit("upsert")
+            )
+        ).mode("overwrite").parquet(tmp)
         gens = self._generations()
         next_gen = int(gens[-1].split("=")[1]) + 1 if gens else 0
         os.makedirs(self.archive_dir, exist_ok=True)
@@ -273,6 +376,63 @@ class MorTable:
         os.rename(tmp, self.base_dir)
         shutil.rmtree(self.delta_dir, ignore_errors=True)
         os.makedirs(self.delta_dir, exist_ok=True)
+        self._mark_folded(batch_ids[-1] if batch_ids else None)
+
+    def _partition_dirname(self, value) -> str:
+        # partitionBy renders simple values (int/str/date) as str(value);
+        # exotic values needing Spark's %-escaping aren't used as
+        # partition keys here
+        return f"{self.partition_col}={value}"
+
+    def _compact_partitions(self, where) -> None:
+        """Partition-targeted rewrite: fold the matching partitions'
+        merged state into base and drop those partitions' delta files;
+        every other partition's files are untouched (verified by mtime
+        in tests). Batch manifests keep their original key bounds —
+        conservative (possibly wider than the remaining files), so
+        skipping stays safe, never lossy."""
+        if self.partition_col is None:
+            raise ValueError("compact(where=...) requires partition_col")
+        raw = self._raw()
+        if raw is None:
+            return
+        cold_vals = [
+            r[0]
+            for r in raw.select(self.partition_col)
+            .distinct()
+            .filter(where)
+            .collect()
+        ]
+        if not cold_vals:
+            return
+        batch_ids = self._delta_batch_ids()
+        pc = self.partition_col
+        snap = self.snapshot()
+        cold_snap = snap.filter(F.col(pc).isin(cold_vals))
+        tmp = f"{self.path}/.compact_tmp"
+        self._writer(
+            cold_snap.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(
+                OP_TYPE, F.lit("upsert")
+            )
+        ).mode("overwrite").parquet(tmp)
+        gens = self._generations()
+        next_gen = int(gens[-1].split("=")[1]) + 1 if gens else 0
+        gen_dir = f"{self.archive_dir}/gen={next_gen:06d}"
+        os.makedirs(gen_dir, exist_ok=True)
+        for val in cold_vals:
+            d = self._partition_dirname(val)
+            old = f"{self.base_dir}/{d}"
+            if os.path.isdir(old):
+                os.rename(old, f"{gen_dir}/{d}")
+            new = f"{tmp}/{d}"
+            if os.path.isdir(new):  # absent if every key was deleted
+                os.rename(new, f"{self.base_dir}/{d}")
+            for b in batch_ids:
+                shutil.rmtree(
+                    f"{self.delta_dir}/batch={b}/{d}", ignore_errors=True
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._mark_folded(batch_ids[-1] if batch_ids else None)
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Retention-based snapshot expiry (reference A25,

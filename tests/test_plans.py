@@ -190,3 +190,14 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     )
     salted = SPECS["q_join_salted"].func(spark, sf_dir)
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_pack_tokens_window_is_partitioned(spark, sf_dir):
+    # the prefix-sum must be a partition-LOCAL window (two-pass form) —
+    # an empty windowspec partition clause means the whole corpus moves
+    # to one reducer (the r2 'WindowExec: No Partition Defined' warning)
+    df = SPECS["q_pack_tokens"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(pid" in line, line

@@ -426,3 +426,69 @@ def test_manifest_pruning_never_loses_rows_randomized(spark, tmp_path):
         pruned = {r.doc_id: r.full_doc for r in table.snapshot(lo=lo, hi=hi).collect()}
         expected = {k: v for k, v in full.items() if lo <= k <= hi}
         assert pruned == expected, (lo, hi)
+
+
+def test_partition_targeted_compaction(spark, tmp_path):
+    """docs/design.md:396-400: compaction rewrites only COLD partitions.
+    Hot partitions' base and delta files stay physically untouched
+    (same mtime+inode); cold partitions fold; snapshot identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    table = MorTable(spark, str(tmp_path / "tpart"), key="doc_id", partition_col="day")
+
+    def batch(rows, bid):
+        df = spark.createDataFrame(
+            [(d, s, op, day, json.dumps({"v": v})) for d, s, op, day, v in rows],
+            "doc_id string, _op_seq long, _op string, day string, full_doc string",
+        )
+        table.commit_batch(df, bid)
+
+    batch([("a1", 1, "upsert", "d01", 1), ("b1", 2, "upsert", "d02", 2)], 0)
+    batch([("a1", 3, "upsert", "d01", 10), ("b2", 4, "upsert", "d02", 3),
+           ("a2", 5, "delete", "d01", None)], 1)
+    before = {r.doc_id: (r.day, json.loads(r.full_doc)["v"])
+              for r in table.snapshot().collect()}
+
+    def stat_map(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(dirpath, f))
+                    out[os.path.join(dirpath, f)] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    hot_before = {p: s for p, s in {**stat_map(table.base_dir), **stat_map(table.delta_dir)}.items()
+                  if "day=d02" in p}
+    table.compact(where=F.col("day") == "d01")
+
+    hot_after = {p: s for p, s in {**stat_map(table.base_dir), **stat_map(table.delta_dir)}.items()
+                 if "day=d02" in p}
+    assert hot_after == hot_before  # hot partition files untouched
+    # cold partition folded into base, its delta files gone
+    assert os.path.isdir(f"{table.base_dir}/day=d01")
+    assert not any("day=d01" in p for p in stat_map(table.delta_dir))
+    after = {r.doc_id: (r.day, json.loads(r.full_doc)["v"])
+             for r in table.snapshot().collect()}
+    assert after == before  # merged state identical
+
+
+def test_expired_snapshot_raises(spark, tmp_path):
+    """Iceberg parity: VERSION AS OF an expired (compacted-away) commit
+    fails loudly instead of silently returning folded data."""
+    from mongodb_iceberg_sync_spark.sync.table_store import SnapshotExpiredError
+
+    table = MorTable(spark, str(tmp_path / "texpire"), key="doc_id")
+    table.commit_batch(_mk_batch(spark, [("e1", 1, "upsert", 1)]), 0)
+    table.commit_batch(_mk_batch(spark, [("e1", 2, "upsert", 2)]), 1)
+    table.compact()
+    table.commit_batch(_mk_batch(spark, [("e1", 3, "upsert", 3)]), 2)
+    # current and post-compaction versions still readable
+    assert table.snapshot().count() == 1
+    assert table.snapshot(as_of_batch=2).count() == 1
+    with pytest.raises(SnapshotExpiredError):
+        table.snapshot(as_of_batch=0)
+    with pytest.raises(SnapshotExpiredError):
+        table.changes(from_batch=0)
