@@ -210,10 +210,11 @@ def q_pack_tokens(spark, sf_dir):
     # range and ids increase with doc_id. localCheckpoint pins the data
     # AND the partitioning so the subtotal job and the final job see the
     # identical layout (no recompute / AQE re-plan between actions).
+    # (no sortWithinPartitions here: the pass-2 window sorts each pid
+    # partition by doc_id anyway — sorting twice bought nothing)
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     parted = (
         toks.repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )

@@ -284,12 +284,13 @@ def _lsh_banding(n_rows: int) -> tuple[int, int]:
     "ADAPTIVELY — bits per band = log2(corpus/64), so expected bucket "
     "population stays constant and candidate volume stays ~linear in "
     "n (a fixed band width was measured quadratic: 6s -> 200s on a "
-    "10x corpus). Candidates = pairs sharing a band (equi-join; "
-    "degenerate buckets > 512 skipped), exact cosine re-rank on "
-    "pre-normalized vectors, top-3 per vector. The signature table is "
-    "localCheckpointed so the Python stage runs once. "
-    "tests/test_scale_patterns.py pins recall@3 against the exact "
-    "GEMM kNN.",
+    "10x corpus). Candidates live inside shared (band, value) buckets "
+    "(degenerate buckets > 512 skipped); each bucket scores with ONE "
+    "numpy GEMM over pre-normalized vectors (applyInPandas per "
+    "bucket) keeping the bucket-local top-3 — lossless for the global "
+    "top-3 and ~50x less shuffle than joining vectors onto candidate "
+    "id-pairs. tests/test_scale_patterns.py pins recall@3 against the "
+    "exact GEMM kNN.",
 )
 def q_sim_ann_lsh(spark, sf_dir):
     import numpy as np
@@ -357,33 +358,49 @@ def q_sim_ann_lsh(spark, sf_dir):
     ).localCheckpoint(eager=True)
     bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
 
-    a, b = bands.alias("a"), bands.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .dropDuplicates(["vec_id", "neighbor_id"])
+    # Score INSIDE each bucket with one numpy GEMM (applyInPandas per
+    # (band_id, band_val) group) and keep only the bucket-local top-3
+    # per vector. The earlier shape — id-pair self-join, then two joins
+    # to look the vectors back up, then an interpreted HOF dot per pair
+    # — shuffled candidate_multiplicity × 512 B and evaluated ~6M lambda
+    # chains at sf0.1 (3.4s); here each vector's 512 B crosses the wire
+    # once per band membership (~50 MB) and all dots are one M @ M.T.
+    # Bucket-local top-3 is lossless for the global top-3: any neighbor
+    # dropped locally is outranked by 3 candidates in that same bucket,
+    # so it cannot be global top-3 either.
+    member = bands.join(sig.select("vec_id", "nvec"), "vec_id").select(
+        "band_id", "band_val", "vec_id", "nvec"
     )
-    emb = sig.select("vec_id", "nvec")
-    cand = cand_ids.join(
-        emb.select(F.col("vec_id"), F.col("nvec").alias("va")), "vec_id"
-    ).join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("nvec").alias("vb")),
-        "neighbor_id",
-    )
-    from ..functions.vector import dot
 
-    scored = cand.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(dot("va", "vb"), 6).alias("cos_sim"),
+    def bucket_topk(pdf):
+        import pandas as pd_  # noqa: N813 — worker-local
+
+        n = len(pdf)
+        if n < 2:
+            return pd_.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+        M = np.asarray(pdf["nvec"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        S = M @ M.T
+        np.fill_diagonal(S, -np.inf)
+        k = min(3, n - 1)
+        # per-row order by (-cos, neighbor_id) — deterministic ties
+        order = np.lexsort((np.broadcast_to(ids, (n, n)), -S), axis=1)[:, :k]
+        rows = np.arange(n)[:, None]
+        return pd_.DataFrame(
+            {
+                "vec_id": np.repeat(ids, k),
+                "neighbor_id": ids[order].ravel(),
+                "cos_sim": S[rows, order].ravel(),
+            }
+        )
+
+    scored = (
+        member.groupBy("band_id", "band_val")
+        .applyInPandas(bucket_topk, "vec_id long, neighbor_id long, cos_sim double")
+        # same pair from multiple bands has a bitwise-identical score
+        .dropDuplicates(["vec_id", "neighbor_id"])
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -391,7 +408,7 @@ def q_sim_ann_lsh(spark, sf_dir):
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+        .select("vec_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
 
 
