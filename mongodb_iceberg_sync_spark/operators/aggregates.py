@@ -459,3 +459,38 @@ def q_agg_collect(spark, sf_dir):
         ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+@register(
+    "q_agg_histogram",
+    family="aggregates",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram build over order totals: bucket id, "
+    "count, decimal-exact mean per bucket. One map-side-combinable "
+    "aggregation keyed on the bucket id — the distribution-profiling "
+    "primitive (bucket count is bounded, so the reduce side is tiny "
+    "no matter the corpus size). Decimal sums keep the per-bucket "
+    "means engine-identical before rounding.",
+)
+def q_agg_histogram(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_price"),
+        )
+    )

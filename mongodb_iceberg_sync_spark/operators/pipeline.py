@@ -324,3 +324,182 @@ def q_timeseries_gapfill(spark, sf_dir):
         "sum_value",
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "q_timeseries_interp",
+    family="pipeline",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) * 10000 AS BIGINT)
+               AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM ev GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, h.v
+      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+    ),
+    ctx AS (
+      SELECT user_id, hour, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER w_prev AS ph,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER w_next AS nh
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    frac AS (
+      SELECT user_id, hour, v, pv, nv,
+             (epoch_us(hour) - epoch_us(ph)) // 3600000000 AS kh,
+             (epoch_us(nh) - epoch_us(ph)) // 3600000000 AS mh
+      FROM ctx
+    )
+    SELECT user_id, hour,
+           CASE
+             WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 10000.0
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CAST(pv * (mh - kh) + nv * kh AS DOUBLE)
+               / CAST(mh * 10000 AS DOUBLE)
+             ELSE CAST(coalesce(pv, nv) AS DOUBLE) / 10000.0
+           END AS filled_value,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS method
+    FROM frac
+    """,
+    doc="Time-series LINEAR interpolation (gapfill's sibling): missing "
+    "hours get the value interpolated between the nearest observed "
+    "neighbors; edges fall back to the known side. Two per-user "
+    "ordered windows (backward last-non-null, forward first-non-null) "
+    "— partition-parallel at 100 TB, nothing global. All arithmetic "
+    "runs on 1e4-scaled BIGINTs (hourly sums are decimal-rounded then "
+    "scaled), so the interpolation pv*(m-k) + nv*k is EXACT integer "
+    "math in both engines and the single final int/int division is "
+    "one correctly-rounded IEEE op — bitwise cross-engine parity "
+    "without any float rounding (a float multiply-add here differed "
+    "by ULPs: DuckDB contracts it to an FMA).",
+)
+def q_timeseries_interp(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4) * 10000)
+        .cast("long")
+        .alias("v")
+    )
+    span = ev.groupBy("user_id").agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "user_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_hour, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    kh = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("ph")) / 3600
+    ).cast("long")
+    mh = ((F.unix_timestamp("nh") - F.unix_timestamp("ph")) / 3600).cast("long")
+    ctx = ctx.withColumn("kh", kh).withColumn("mh", mh)
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double") / 10000.0)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            (
+                F.col("pv") * (F.col("mh") - F.col("kh"))
+                + F.col("nv") * F.col("kh")
+            ).cast("double")
+            / (F.col("mh") * 10000).cast("double"),
+        )
+        .otherwise(F.coalesce("pv", "nv").cast("double") / 10000.0)
+    )
+    method = (
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp"))
+        .otherwise(F.lit("edge"))
+    )
+    return ctx.select(
+        "user_id",
+        "hour",
+        filled.alias("filled_value"),
+        method.alias("method"),
+    )
+
+
+@register(
+    "q_events_retention",
+    family="pipeline",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM activity a JOIN first_week f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+    "counted in each subsequent active week offset — the standard "
+    "product-analytics rollup. Two aggregations keyed on user_id "
+    "(first-seen + distinct active weeks) share their shuffle "
+    "partitioning, then one count keyed on the tiny (cohort, offset) "
+    "pair. All map-side combinable; no window, no skew risk (weeks "
+    "bound the key space).",
+)
+def q_events_retention(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first_week = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -485,3 +485,125 @@ def q_text_tfidf(spark, sf_dir):
         .filter((F.col("rank") <= 3) & (F.col("doc_id") < 200))
         .select("doc_id", "token", "tf", "df", "tfidf", "rank")
     )
+
+
+@register(
+    "q_text_decontaminate",
+    family="text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 4, 0) + 1),
+                      i -> array_to_string(list_slice(l, i, i + 4), ' '))) AS g
+        FROM toks
+      )
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM grams JOIN bench USING (g)
+    WHERE doc_id % 50 != 0
+    GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any "
+    "word-5-gram with a held-out benchmark set (docs with doc_id % 50 "
+    "== 0 stand in for the eval set). The standard pre-training "
+    "hygiene step (GPT-3 appendix C / PaLM style n-gram overlap). "
+    "Benchmark shingles are DISTINCT and tiny relative to the corpus, "
+    "so they broadcast to an equi-join against corpus shingles — at "
+    "100 TB the corpus streams map-side against a benchmark shingle "
+    "set that fits in memory; no corpus-side shuffle at all before "
+    "the per-doc count.",
+)
+def q_text_decontaminate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    gram5 = F.when(
+        F.size("l") >= 5,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(l) - 4),"
+                " i -> concat_ws(' ', slice(l, i, 5)))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(gram5).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@register(
+    "q_text_repetition",
+    family="text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY 1),
+    base AS (
+      SELECT doc_id, len(l) AS n,
+             CASE WHEN len(l) >= 2 THEN
+               list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+             ELSE [] END AS g2
+      FROM toks
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           round(t.mx / CAST(b.n AS DOUBLE), 6) AS top_word_ratio,
+           round(CASE WHEN len(b.g2) > 0
+                      THEN 1.0 - len(list_distinct(b.g2)) / CAST(len(b.g2) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_2gram_frac
+    FROM base b JOIN top t USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals per document: top-word "
+    "fraction (most frequent token / total tokens) and duplicate "
+    "2-gram fraction — the repetition filters a pre-training cleaning "
+    "pipeline applies before training. Word counts are an "
+    "explode + two-level aggregation (map-side combinable, keyed on "
+    "doc_id — embarrassingly parallel at 100 TB); the 2-gram "
+    "duplicate fraction never leaves the row (array HOF in codegen).",
+)
+def q_text_repetition(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    words = d.select("doc_id", F.explode("l").alias("w"))
+    top = (
+        words.groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"))
+    )
+    g2 = F.when(
+        F.size("l") >= 2,
+        F.expr(
+            "transform(sequence(1, size(l) - 1),"
+            " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", F.size("l").cast("long").alias("n_tokens"), g2.alias("g2"))
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("mx") / F.col("n_tokens").cast("double"), 6).alias(
+            "top_word_ratio"
+        ),
+        F.round(
+            F.when(
+                F.size("g2") > 0,
+                1.0 - F.size(F.array_distinct("g2")) / F.size("g2").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+    )

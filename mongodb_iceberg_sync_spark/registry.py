@@ -97,6 +97,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_scan_orc",
+    # round-3 additions (never driver-checked yet)
+    "q_text_decontaminate",
+    "q_text_repetition",
+    "q_agg_histogram",
+    "q_timeseries_interp",
+    "q_events_retention",
 )
 
 

@@ -47,6 +47,10 @@ PROBE_QUERIES = [
     "q_cdc_changefeed",
     "q_sort_zorder",
     "q_sim_pq",
+    "q_text_decontaminate",
+    "q_text_repetition",
+    "q_timeseries_interp",
+    "q_events_retention",
 ]
 REPLICAS = 10
 TABLES = {
