@@ -261,3 +261,73 @@ def q_scan_orc(spark, sf_dir):
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "q_scan_text",
+    family="scans",
+    oracle="""
+    SELECT count(*)                        AS n_lines,
+           count(DISTINCT text)            AS n_distinct,
+           CAST(sum(len(text)) AS BIGINT)  AS sum_chars,
+           min(text)                       AS min_text,
+           max(text)                       AS max_text
+    FROM documents
+    """,
+    doc="Line-oriented text source: documents round-trip through plain "
+    ".txt files (spark.read.text) and must aggregate identically to "
+    "the parquet oracle. Raw text is the arrival format of most web "
+    "corpora; line-per-record keeps the reader splittable, so a 100 TB "
+    "dump still fans out to one task per 128 MB split with no parse "
+    "coordination.",
+)
+def q_scan_text(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("text")
+    out = tempfile.mkdtemp(prefix="mis_txt_")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out).withColumnRenamed("value", "text")
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("text").alias("n_distinct"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
+
+
+@register(
+    "q_scan_binaryfile",
+    family="scans",
+    oracle="""
+    SELECT count(*)                        AS n_lines,
+           count(DISTINCT text)            AS n_distinct,
+           CAST(sum(len(text)) AS BIGINT)  AS sum_chars
+    FROM documents
+    """,
+    doc="Opaque-binary source (format='binaryFile') — the ingestion "
+    "path for multimodal blobs (images/audio/shards): whole files "
+    "arrive as (path, length, content: binary) rows. Here the blobs "
+    "are UTF-8 text shards written by the text sink; decode + "
+    "line-split + per-line aggregates must match the parquet oracle, "
+    "proving the binary plumbing is lossless. At 100 TB each blob is "
+    "one row (files are the unit of parallelism — no splitting inside "
+    "a blob), so shard sizing on write IS the partition sizing on "
+    "read; maxPartitionBytes packs small blobs into shared tasks.",
+)
+def q_scan_binaryfile(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("text")
+    out = tempfile.mkdtemp(prefix="mis_bin_")
+    docs.coalesce(4).write.mode("overwrite").text(out)
+    blobs = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    )
+    lines = (
+        blobs.select(F.decode("content", "UTF-8").alias("body"))
+        .select(F.explode(F.split("body", "\n")).alias("text"))
+        .filter(F.col("text") != "")
+    )
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("text").alias("n_distinct"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+    )

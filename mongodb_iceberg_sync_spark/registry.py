@@ -103,6 +103,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_histogram",
     "q_timeseries_interp",
     "q_events_retention",
+    "q_scan_text",
+    "q_scan_binaryfile",
 )
 
 
