@@ -607,3 +607,88 @@ def q_text_repetition(spark, sf_dir):
             6,
         ).alias("dup_2gram_frac"),
     )
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\+1-\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "q_text_pii_redact",
+    family="text",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' ||
+             source || '.org or +1-555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST(doc_id % 100 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_IP}'
+           )) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS redacted
+    FROM seeded
+    """,
+    doc="PII redaction — the scrub step every training-data pipeline "
+    "runs before packing: emails, NANP phone numbers, and IPv4 "
+    "addresses are counted then masked with sentinel tokens. The "
+    "synthetic corpus carries no PII, so the query deterministically "
+    "plants one of each (derived from doc_id/source, identically in "
+    "the oracle) to prove the patterns really fire. Pure JVM-side "
+    "regexp_replace/regexp_extract_all inside whole-stage codegen — "
+    "no UDF, no shuffle, map-only: at 100 TB this runs at scan "
+    "throughput with zero exchanges. Phone is masked before IP "
+    "counting so digit runs inside phone numbers can't double-count.",
+)
+def q_text_pii_redact(spark, sf_dir):
+    seeded = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".org or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    no_phone = F.regexp_replace("text", _PII_PHONE, "[PHONE]")
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phone"),
+        F.size(F.regexp_extract_all(no_phone, F.lit(_PII_IP), 0))
+        .cast("bigint")
+        .alias("n_ip"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"),
+                _PII_PHONE,
+                "[PHONE]",
+            ),
+            _PII_IP,
+            "[IP]",
+        ).alias("redacted"),
+    )

@@ -105,6 +105,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_retention",
     "q_scan_text",
     "q_scan_binaryfile",
+    "q_text_pii_redact",
 )
 
 
