@@ -415,3 +415,35 @@ def q_join_salted(spark, sf_dir):
         ),
         F.count("*").alias("n_items"),
     )
+
+
+_CORR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM {orders} o
+WHERE o.o_totalprice >= (
+    SELECT max(o2.o_totalprice) FROM {orders} o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register(
+    "q_sql_correlated",
+    family="joins",
+    oracle=_CORR_SQL.format(orders="orders"),
+    doc="Correlated scalar subquery — per customer, the order(s) at "
+    "that customer's max price, written as ANSI SQL with the subquery "
+    "referencing the outer row. Catalyst DECORRELATES it: the inner "
+    "max() becomes one grouped aggregate joined back on o_custkey, so "
+    "execution is two scans + one shuffle join, never a per-row "
+    "re-scan (the naive nested-loop reading would be O(n·groups) and "
+    "dead at 100 TB). max() is exact on doubles — no summation, no "
+    "rounding, bitwise cross-engine. The identical SQL string runs on "
+    "DuckDB as the oracle, pinning the engine's SQL-surface parity, "
+    "not just the DataFrame API.",
+)
+def q_sql_correlated(spark, sf_dir):
+    from ._util import t as _t
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("mis_corr_orders")
+    return spark.sql(_CORR_SQL.format(orders="mis_corr_orders"))

@@ -503,3 +503,47 @@ def q_events_retention(spark, sf_dir):
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_timeseries_ohlc",
+    family="pipeline",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           arg_min(value, strftime(ts, '%Y%m%d%H%M%S%f')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           max(value)  AS high,
+           min(value)  AS low,
+           arg_max(value, strftime(ts, '%Y%m%d%H%M%S%f')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           count(*)    AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLC resampling — the candlestick rollup every metrics/market "
+    "pipeline runs: per (series, hour), first/max/min/last of value. "
+    "first/last ride min_by/max_by over a fixed-width sortable "
+    "timestamp||event_id string, so the result is deterministic even "
+    "with timestamp ties (lexicographic == chronological). One "
+    "map-side-combinable groupBy — partial aggregates collapse each "
+    "scan task's rows to O(#groups) before the single shuffle, so at "
+    "100 TB the exchange carries candles, not events. Raw per-row "
+    "doubles (no summation) — bitwise-identical across engines, no "
+    "rounding needed.",
+)
+def q_timeseries_ohlc(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").alias("n"),
+    )

@@ -106,6 +106,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_scan_text",
     "q_scan_binaryfile",
     "q_text_pii_redact",
+    "q_timeseries_ohlc",
+    "q_sql_correlated",
 )
 
 

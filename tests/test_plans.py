@@ -201,3 +201,14 @@ def test_pack_tokens_window_is_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(pid" in line, line
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    # Catalyst must rewrite the correlated scalar subquery into a
+    # grouped aggregate + equi-join — a nested-loop (re-scan per outer
+    # row) plan would be O(n * groups) and unusable at scale
+    df = SPECS["q_sql_correlated"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashAggregate" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
