@@ -547,3 +547,79 @@ def q_timeseries_ohlc(spark, sf_dir):
         F.max_by("value", key).alias("close"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_events_anomaly",
+    family="pipeline",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS s2
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) >= 30
+    ),
+    ms AS (
+      SELECT user_id, n, s1 / n AS mean,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
+      FROM stats
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           round((e.value - m.mean) / m.std, 6) + 0.0 AS zscore
+    FROM events e JOIN ms m USING (user_id)
+    WHERE m.std > 0 AND abs(e.value - m.mean) > 3 * m.std
+    """,
+    doc="Per-entity anomaly flagging: events whose value sits more "
+    "than 3 sigma from that user's mean — the standard telemetry/"
+    "fraud outlier sweep. Moments are exact DECIMAL sums (summation "
+    "order can't change them), converted to DOUBLE only for the final "
+    "mean/std arithmetic, which is then bitwise identical across "
+    "engines. Two passes: one map-side-combinable groupBy producing "
+    "O(#users) stat rows, then the stats join back onto the event "
+    "stream — stats are tiny relative to events, so at 100 TB the "
+    "join broadcasts and the event side never shuffles.",
+)
+def q_events_anomaly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    ms = stats.select(
+        "user_id",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(ms), "user_id")
+        .filter(
+            (F.col("std") > 0)
+            & (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.round((F.col("value") - F.col("mean")) / F.col("std"), 6) + 0.0).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -692,3 +692,64 @@ def q_text_pii_redact(spark, sf_dir):
             "[IP]",
         ).alias("redacted"),
     )
+
+
+@register(
+    "q_text_lm_score",
+    family="text",
+    oracle="""
+    WITH tx AS (
+      SELECT doc_id, lower(text) AS s FROM documents WHERE len(text) >= 3
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(s) - 1),
+                    i -> substr(s, i, 3))) AS gram
+      FROM tx
+    ),
+    model AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM model)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           round(CAST(sum(CAST(round(ln(c / t), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 4) + 0.0 AS avg_logprob
+    FROM g JOIN model USING (gram) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Character-trigram language-model scoring — the KenLM-style "
+    "quality signal (CCNet / Gopher filtering): train unigram-over-"
+    "trigram stats on the corpus itself, score each doc by mean log "
+    "probability of its trigrams. Low scores mark gibberish/boiler-"
+    "plate. The model is a grouped count whose cardinality is bounded "
+    "by the trigram alphabet (tiny), so it BROADCASTS back onto the "
+    "exploded gram stream — the corpus is scanned twice (train, "
+    "score) but never shuffled on doc content; at 100 TB you train "
+    "the model on a sample and only the scoring pass remains. "
+    "Per-gram log-probs are rounded then decimal-summed so "
+    "summation order cannot flip the hash.",
+)
+def q_text_lm_score(spark, sf_dir):
+    tx = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", F.lower("text").alias("s"))
+    )
+    grams = tx.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("gram"),
+    )
+    model = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c").cast("bigint")).head()[0]
+    lp = F.round(F.log(F.col("c") / F.lit(total)), 6).cast("decimal(18,6)")
+    return (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.round(F.sum(lp).cast("double") / F.count("*"), 4) + 0.0
+            ).alias("avg_logprob"),
+        )
+    )

@@ -190,3 +190,59 @@ def q_window_distribution(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_cheapest"),
     )
+
+
+@register(
+    "q_window_islands",
+    family="windows",
+    oracle="""
+    WITH hourly AS (
+      SELECT DISTINCT user_id,
+             datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                      date_trunc('hour', ts)) AS hr
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, hr,
+             hr - row_number() OVER (PARTITION BY user_id ORDER BY hr)
+               AS island
+      FROM hourly
+    )
+    SELECT user_id,
+           CAST(min(hr) AS BIGINT)  AS start_hr,
+           CAST(max(hr) AS BIGINT)  AS end_hr,
+           count(*)                 AS n_hours
+    FROM tagged
+    GROUP BY user_id, island
+    """,
+    doc="Gaps-and-islands: per user, maximal streaks of consecutive "
+    "active hours via the classic value-minus-row_number trick — "
+    "consecutive hours share (hr - rn), one grouped count per island. "
+    "Entirely integer arithmetic against a fixed anchor (no epoch/"
+    "timezone dependence), so cross-engine exact. The window "
+    "partitions by user_id — millions of small per-user partitions "
+    "spread across the cluster, never a global sort; the dedup, the "
+    "window, and the island groupBy all share the user_id hash "
+    "partitioning, which AQE coalesces to back-to-back stages with "
+    "one real exchange.",
+)
+def q_window_islands(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).alias("hr"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hr")
+    tagged = hourly.withColumn("island", F.col("hr") - F.row_number().over(w))
+    return (
+        tagged.groupBy("user_id", "island")
+        .agg(
+            F.min("hr").cast("bigint").alias("start_hr"),
+            F.max("hr").cast("bigint").alias("end_hr"),
+            F.count("*").alias("n_hours"),
+        )
+        .drop("island")
+    )

@@ -108,6 +108,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_pii_redact",
     "q_timeseries_ohlc",
     "q_sql_correlated",
+    "q_window_islands",
+    "q_events_anomaly",
+    "q_text_lm_score",
 )
 
 
