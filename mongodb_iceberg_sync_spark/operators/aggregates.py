@@ -494,3 +494,51 @@ def q_agg_histogram(spark, sf_dir):
             ).alias("avg_price"),
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    family="aggregates",
+    oracle="""
+    WITH freq AS (
+      SELECT l_returnflag, l_shipmode, count(*) AS c
+      FROM lineitem
+      GROUP BY l_returnflag, l_shipmode
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_shipmode, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_shipmode) AS rn
+      FROM freq
+    )
+    SELECT l_returnflag, l_shipmode AS mode_shipmode, c AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Deterministic mode (most frequent value) per group: two-level "
+    "aggregate — count per (group, value), then keep the top value "
+    "with an explicit value tie-break (a bare mode() is "
+    "nondeterministic on ties in every engine). The first groupBy "
+    "partial-aggregates map-side, so the shuffle carries (group, "
+    "value) counts, not rows; the second level sees only "
+    "O(groups × distinct values) rows — trivially small. This "
+    "composition is how mode stays exact at 100 TB; sketch-based "
+    "heavy-hitters (q_agg_approx) is the alternative when the value "
+    "domain itself explodes.",
+)
+def q_agg_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_returnflag", "l_shipmode").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_shipmode")
+    )
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_shipmode").alias("mode_shipmode"),
+            F.col("c").alias("mode_count"),
+        )
+    )

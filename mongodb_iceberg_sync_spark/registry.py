@@ -63,6 +63,7 @@ def _load_all_operator_modules() -> None:
     from .operators import multimodal  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import dedup  # noqa: F401
+    from .operators import graph  # noqa: F401
 
 
 # ORDER MATTERS for the driver contract: the correctness sweep runs queries
@@ -111,6 +112,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_window_islands",
     "q_events_anomaly",
     "q_text_lm_score",
+    "q_agg_mode",
+    "q_graph_pagerank",
 )
 
 

@@ -1,0 +1,63 @@
+"""PageRank pinned against a dense NumPy power iteration at sf0.001.
+
+The operator has no SQL oracle (iterative fixpoint), so the reference
+is an independent dense implementation of the same recurrence:
+r' = (1-d)/N + d * P^T r with P row-stochastic over symmetric arcs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mongodb_iceberg_sync_spark.operators.graph import (
+    _DAMPING,
+    _ITERS,
+    _edges,
+    q_graph_pagerank,
+)
+
+
+@pytest.fixture(scope="module")
+def edge_list(spark, sf_dir):
+    return [(r["src"], r["dst"]) for r in _edges(spark, sf_dir).collect()]
+
+
+def _numpy_pagerank(edge_list):
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edge_list:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - _DAMPING) / n
+    for _ in range(_ITERS):
+        inflow = np.zeros(n)
+        for s, d in edge_list:
+            inflow[idx[d]] += r[idx[s]] / deg[idx[s]]
+        r = base + _DAMPING * inflow
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_matches_numpy(spark, sf_dir, edge_list):
+    expected = _numpy_pagerank(edge_list)
+    got = q_graph_pagerank(spark, sf_dir).collect()
+    assert len(got) == min(50, len(expected))
+    # the distributed ranks must match the dense recurrence to float
+    # accumulation noise, and the ordering must be the true top-k
+    # the operator rounds ranks to 8dp BEFORE the top-k sort, so mirror
+    # that here or near-ties order differently
+    top = sorted(expected.items(), key=lambda kv: (-round(kv[1], 8), kv[0]))[
+        : len(got)
+    ]
+    for row, (node, rank) in zip(got, top):
+        assert row["node"] == node
+        assert row["rank"] == pytest.approx(rank, abs=1e-6)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir, edge_list):
+    # with symmetric arcs there are no dangling nodes, so total rank
+    # mass stays 1 after every superstep
+    expected = _numpy_pagerank(edge_list)
+    assert sum(expected.values()) == pytest.approx(1.0, abs=1e-9)
