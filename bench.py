@@ -36,6 +36,13 @@ HEADLINE = [
     "q_pack_tokens",
     "q_stream_stream_join",
     "q_sim_ann_lsh",
+    # round-3 additions
+    "q_text_pii_redact",
+    "q_timeseries_ohlc",
+    "q_window_islands",
+    "q_sql_correlated",
+    "q_events_anomaly",
+    "q_text_lm_score",
 ]
 
 

@@ -501,17 +501,17 @@ def q_agg_histogram(spark, sf_dir):
     family="aggregates",
     oracle="""
     WITH freq AS (
-      SELECT l_returnflag, l_shipmode, count(*) AS c
-      FROM lineitem
-      GROUP BY l_returnflag, l_shipmode
+      SELECT o_orderstatus, o_orderpriority, count(*) AS c
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
     ),
     ranked AS (
-      SELECT l_returnflag, l_shipmode, c,
-             row_number() OVER (PARTITION BY l_returnflag
-                                ORDER BY c DESC, l_shipmode) AS rn
+      SELECT o_orderstatus, o_orderpriority, c,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY c DESC, o_orderpriority) AS rn
       FROM freq
     )
-    SELECT l_returnflag, l_shipmode AS mode_shipmode, c AS mode_count
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS mode_count
     FROM ranked WHERE rn = 1
     """,
     doc="Deterministic mode (most frequent value) per group: two-level "
@@ -520,7 +520,7 @@ def q_agg_histogram(spark, sf_dir):
     "nondeterministic on ties in every engine). The first groupBy "
     "partial-aggregates map-side, so the shuffle carries (group, "
     "value) counts, not rows; the second level sees only "
-    "O(groups × distinct values) rows — trivially small. This "
+    "O(groups x distinct values) rows — trivially small. This "
     "composition is how mode stays exact at 100 TB; sketch-based "
     "heavy-hitters (q_agg_approx) is the alternative when the value "
     "domain itself explodes.",
@@ -528,17 +528,19 @@ def q_agg_histogram(spark, sf_dir):
 def q_agg_mode(spark, sf_dir):
     from pyspark.sql import Window
 
-    li = t(spark, sf_dir, "lineitem")
-    freq = li.groupBy("l_returnflag", "l_shipmode").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("c").desc(), F.col("l_shipmode")
+    o = t(spark, sf_dir, "orders")
+    freq = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("c").desc(), F.col("o_orderpriority")
     )
     return (
         freq.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            "l_returnflag",
-            F.col("l_shipmode").alias("mode_shipmode"),
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
             F.col("c").alias("mode_count"),
         )
     )

@@ -729,17 +729,26 @@ def q_text_pii_redact(spark, sf_dir):
     "summation order cannot flip the hash.",
 )
 def q_text_lm_score(spark, sf_dir):
+    # fan the corpus out BEFORE the explode: the source is few parquet
+    # files, and a 300x row explosion inherits the scan's parallelism —
+    # unspread, the interpreted trigram lambda runs on one core
     tx = (
         t(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
         .select("doc_id", F.lower("text").alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # one materialization of the exploded gram stream — it feeds the
+    # model build, the total, and the scoring join; without the pin the
+    # interpreted transform() lambda would re-run 3x (7.5s -> 2.2s at
+    # sf0.1). At 100 TB you'd train the model on a sample instead and
+    # keep scoring single-pass.
     grams = tx.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     model = grams.groupBy("gram").agg(F.count("*").alias("c"))
     total = model.agg(F.sum("c").cast("bigint")).head()[0]
     lp = F.round(F.log(F.col("c") / F.lit(total)), 6).cast("decimal(18,6)")
