@@ -51,6 +51,13 @@ PROBE_QUERIES = [
     "q_text_repetition",
     "q_timeseries_interp",
     "q_events_retention",
+    "q_text_pii_redact",
+    "q_timeseries_ohlc",
+    "q_window_islands",
+    "q_sql_correlated",
+    "q_events_anomaly",
+    "q_text_lm_score",
+    "q_graph_pagerank",
 ]
 REPLICAS = 10
 TABLES = {
