@@ -650,3 +650,73 @@ def q_dedup_clusters(spark, sf_dir):
         )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+_BLOOM_M = 1 << 17  # bit-space size (positions live in [0, m))
+_BLOOM_K = 5  # hash functions per document
+
+
+def bloom_positions(text_col, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """k bloom bit positions for a document, all JVM-side.
+
+    Seeded xxhash64 plays the k independent hash functions; pmod keeps
+    positions in [0, m). Returns an array<long> column.
+    """
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(text_col, F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_candidates(ref: DataFrame, qry: DataFrame, text_col: str = "text"):
+    """Docs in ``qry`` whose every bloom bit is set by ``ref``.
+
+    The filter is expressed RELATIONALLY: the 'bitmap' is the distinct
+    set of reference bit positions (<= m rows, broadcastable), and a
+    query doc is a candidate iff all k of its positions hit — an
+    equi-join + grouped count, no driver-side bitmap, no UDF. Same
+    false-positive semantics as a classic bloom filter (position
+    collisions), zero false negatives (a present doc's positions are
+    all set by its own reference copy).
+    """
+    ref_pos = (
+        ref.select(F.explode(bloom_positions(F.col(text_col))).alias("pos"))
+        .distinct()
+    )
+    qry_pos = qry.select(
+        "doc_id", F.posexplode(bloom_positions(F.col(text_col))).alias("i", "pos")
+    )
+    return (
+        qry_pos.join(F.broadcast(ref_pos), "pos")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("i").alias("n_hits"))
+        .filter(F.col("n_hits") == _BLOOM_K)
+        .select("doc_id", F.lit(True).alias("maybe_duplicate"))
+    )
+
+
+@register(
+    "q_dedup_bloom",
+    family="dedup",
+    oracle=None,  # xxhash64 is engine-specific; pinned by tests/test_dedup_bloom.py
+    doc="Bloom-filter membership prefilter — the steady-state shape of "
+    "incremental dedup at 100 TB: yesterday's corpus (here docs with "
+    "even doc_id) is summarized as a set of bloom bit positions "
+    "(k=5 seeded xxhash64 mod 2^17), and today's batch (odd doc_ids "
+    "plus the doc_id%4==0 docs, which ARE in the reference and so "
+    "must all be flagged) is scanned once against it. The bitmap is "
+    "relational: distinct reference positions broadcast (<= 16 KB "
+    "dense equivalent) and a candidate is a grouped all-k-positions "
+    "hit — no driver sketch, no UDF, false positives only from "
+    "position collisions, never false negatives. Candidates then go "
+    "to exact verification (q_dedup_incremental's left_anti) — the "
+    "bloom pass exists to keep that expensive step off the 99% of "
+    "novel documents.",
+)
+def q_dedup_bloom(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    qry = docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0))
+    return bloom_candidates(ref, qry).orderBy("doc_id")

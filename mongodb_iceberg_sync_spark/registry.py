@@ -114,6 +114,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_lm_score",
     "q_agg_mode",
     "q_graph_pagerank",
+    "q_dedup_bloom",
 )
 
 
