@@ -123,3 +123,39 @@ def enrich_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
         "event_type",
         F.coalesce("segment", F.lit("unknown")).alias("segment"),
     )
+
+
+def ohlc_candles(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_timeseries_ohlc: per (series, 1h window),
+    open/high/low/close candles. min_by/max_by over the same
+    fixed-width sortable timestamp||event_id key as the batch form —
+    deterministic under any micro-batch arrival order, because the
+    aggregate state keeps the (key, value) extremum, not an arrival-
+    order artifact. Complete-mode output (candles update while their
+    window is open); with a watermark, append mode emits each candle
+    once, when its window expires."""
+    key = F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

@@ -247,3 +247,19 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
     ).collect()
     exp = q_stream_static_join(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    from mongodb_iceberg_sync_spark.operators.stream_batch_equiv import (  # noqa: F401
+        q_stream_tumbling,
+    )
+    from mongodb_iceberg_sync_spark.operators.pipeline import q_timeseries_ohlc
+    from mongodb_iceberg_sync_spark.streaming.windows import ohlc_candles
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, ohlc_candles(stream), "t_ohlc", "complete").collect()
+    exp = q_timeseries_ohlc(spark, sf_dir).collect()
+    key = lambda r: (r["event_type"], r["hour"])  # noqa: E731
+    got_m = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"]) for r in got}
+    exp_m = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"]) for r in exp}
+    assert got_m == exp_m
