@@ -6,6 +6,8 @@
 Composes the engine's operators the way a real corpus build would:
 
   1. quality filter     — C4-style thresholds (map-side predicate)
+  1b. PII redaction     — email/phone/IPv4 masking (map-only regex)
+  1c. LM-score filter   — char-trigram log-prob; drop the lowest decile
   2. exact dedup        — sha256 groupBy, keep smallest doc_id
   3. near-dup clusters  — n-gram Jaccard pairs -> connected components;
                           keep one representative per cluster
@@ -43,6 +45,50 @@ def main() -> int:
     toks = F.split("text", " ")
     ttr = F.size(F.array_distinct(toks)) / F.size(toks)
     clean = docs.filter((F.size(toks) >= 20) & (ttr > 0.3))
+
+    # 1b. PII redaction (see operators.text / q_text_pii_redact):
+    # map-only regexes, applied before anything downstream sees text
+    from mongodb_iceberg_sync_spark.operators.text import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    clean = clean.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"),
+                _PII_PHONE,
+                "[PHONE]",
+            ),
+            _PII_IP,
+            "[IP]",
+        ),
+    )
+
+    # 1c. LM-score gate (see q_text_lm_score): train trigram stats on
+    # the surviving corpus, drop the lowest-scoring decile (gibberish)
+    grams = clean.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("gram"),
+    ).localCheckpoint(eager=False)
+    model = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c")).head()[0]
+    scores = (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy("doc_id")
+        .agg((F.sum(F.log(F.col("c") / F.lit(total))) / F.count("*")).alias("lm"))
+    )
+    cutoff = scores.approxQuantile("lm", [0.1], 0.01)[0]
+    clean = clean.join(
+        scores.filter(F.col("lm") >= cutoff).select("doc_id"), "doc_id"
+    )
 
     # 2. exact dedup: keep smallest doc_id per content hash
     w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
