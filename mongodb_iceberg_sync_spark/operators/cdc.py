@@ -423,3 +423,52 @@ def q_cdc_changefeed(spark, sf_dir):
         F.col("o.last_event_id").alias("old_event_id"),
         F.col("o.last_value").alias("old_value"),
     )
+
+
+@register(
+    "q_cdc_ivm_agg",
+    family="cdc",
+    oracle=f"""
+    WITH base AS ({_LWW_ORACLE.format(where="WHERE event_id < 5000")}),
+    changes AS ({_LWW_ORACLE.format(where="WHERE event_id >= 5000")}),
+    merged AS (
+      SELECT coalesce(c.user_id, b.user_id)       AS user_id,
+             coalesce(c.last_type, b.last_type)   AS last_type,
+             coalesce(c.last_value, b.last_value) AS last_value
+      FROM base b FULL OUTER JOIN changes c ON b.user_id = c.user_id
+    )
+    SELECT last_type,
+           count(*) AS n_users,
+           round(CAST(sum(CAST(last_value AS DECIMAL(28,10))) AS DOUBLE), 4)
+             + 0.0 AS sum_value
+    FROM merged
+    GROUP BY last_type
+    """,
+    doc="Incremental view maintenance (sync/ivm.py): a per-group "
+    "materialized aggregate over the keyed snapshot is maintained "
+    "through a CDC batch by DELTA ALGEBRA — retract the old rows of "
+    "touched keys, insert the new, merge into the previous aggregate "
+    "— while the ORACLE recomputes the aggregate from the merged "
+    "snapshot. Hash equality proves the maintenance algebra: the "
+    "incremental path never rescans the base table (the old-row "
+    "lookup is a key equi-join, batch-sized), which is the point at "
+    "100 TB — the downstream view updates in O(batch), not O(table). "
+    "Sums ride DECIMAL so retraction is exact (float a - a drift "
+    "would diverge the view from a recompute).",
+)
+def q_cdc_ivm_agg(spark, sf_dir):
+    from ..sync.ivm import group_stats, incremental_group_stats
+
+    ev = t(spark, sf_dir, "events")
+    base = _lww_named(ev.filter(F.col("event_id") < 5000))
+    changes = _lww_named(ev.filter(F.col("event_id") >= 5000))
+    prev_agg = group_stats(base, "last_type", "last_value")
+    old_rows = base.join(changes.select("user_id"), "user_id", "left_semi")
+    maintained = incremental_group_stats(
+        prev_agg, old_rows, changes, "last_type", "last_value"
+    )
+    return maintained.select(
+        F.col("g").alias("last_type"),
+        F.col("n").alias("n_users"),
+        (F.round(F.col("s").cast("double"), 4) + 0.0).alias("sum_value"),
+    )

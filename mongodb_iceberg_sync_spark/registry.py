@@ -115,6 +115,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_mode",
     "q_graph_pagerank",
     "q_dedup_bloom",
+    "q_sim_spatial_join",
+    "q_cdc_ivm_agg",
 )
 
 
