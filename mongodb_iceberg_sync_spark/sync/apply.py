@@ -64,9 +64,22 @@ def batch_to_ops(events: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
-def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "doc_id") -> dict:
+def apply_batch(
+    table: MorTable,
+    events: DataFrame,
+    batch_id: int,
+    key: str = "doc_id",
+    quarantine_dir: str | None = None,
+) -> dict:
     """Apply one micro-batch; returns stats for checkpointing
     (max op_seq = resume position, counts = metrics A34).
+
+    With ``quarantine_dir`` set, malformed events (null key / missing
+    or unparseable document) are routed to a dead-letter parquet table
+    (sync/quarantine.py) instead of committing as null rows; the
+    resume position still advances past them — quarantined events are
+    consumed, not retried. This adds one write job per batch ONLY when
+    bad rows exist in it.
 
     Exactly two Spark jobs per batch: one single-pass aggregation over
     the raw events (invalidation count, normal count, max seq — no
@@ -79,8 +92,22 @@ def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "d
     """
     from pyspark.sql import Observation
 
+    from .quarantine import split_malformed, write_quarantine
+
     is_invalid = F.col("op_type").isin(*INVALIDATE_OPS)
     seq = F.col("op_seq").cast("long")
+    q_max_seq = None
+    if quarantine_dir is not None:
+        events, bad = split_malformed(events, key=key)
+        qstat = bad.agg(
+            F.count("*").alias("n"), F.max(seq).alias("mx")
+        ).head()
+        n_quarantined = qstat.n
+        q_max_seq = qstat.mx
+        if n_quarantined:
+            write_quarantine(bad, quarantine_dir, batch_id)
+    else:
+        n_quarantined = 0
     pre = events.agg(
         F.count(F.when(is_invalid, 1)).alias("n_invalid"),
         F.min(F.when(is_invalid, seq)).alias("first_invalid_seq"),
@@ -103,11 +130,16 @@ def apply_batch(table: MorTable, events: DataFrame, batch_id: int, key: str = "d
         )
         table.commit_batch(ops, batch_id)
         n_ops = obs.get["n_ops"]
+    max_seen = pre.max_seen_seq
+    if q_max_seq is not None and (max_seen is None or q_max_seq > max_seen):
+        # quarantined events are consumed: resume must advance past them
+        max_seen = q_max_seq
     return {
         "batch_id": batch_id,
         "n_ops": n_ops,
+        "n_quarantined": n_quarantined,
         "max_op_seq": pre.max_seq,
-        "max_seen_seq": pre.max_seen_seq,
+        "max_seen_seq": max_seen,
         "n_invalidations": pre.n_invalid,
         "first_invalid_seq": pre.first_invalid_seq,
     }
