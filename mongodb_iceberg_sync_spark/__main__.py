@@ -132,6 +132,7 @@ def _run_demo(cfg, demo_dir: str) -> int:
                     key="doc_id",
                     max_attempts=3,
                     metrics=metrics,
+                    quarantine_dir=coll.quarantine_dir,
                 ),
                 rows,
                 metrics,

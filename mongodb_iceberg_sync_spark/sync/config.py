@@ -131,6 +131,9 @@ class CollectionSyncConfig:
     mapping: MappingConfig = field(default_factory=MappingConfig)
     partitioning: tuple[PartitionSpec, ...] = ()
     batch: BatchConfig = field(default_factory=BatchConfig)
+    # errors.quarantineDir — dead-letter parquet for malformed events
+    # (sync/quarantine.py); None disables the split entirely
+    quarantine_dir: str | None = None
 
 
 @dataclass(frozen=True)
@@ -224,7 +227,11 @@ def load_config_dict(raw: dict) -> SyncConfig:
     colls = []
     for i, c in enumerate(raw.get("collections") or []):
         cp = f"collections[{i}]"
-        _reject_unknown(c, {"source", "target", "mapping", "partitioning", "batch"}, cp)
+        _reject_unknown(
+            c, {"source", "target", "mapping", "partitioning", "batch", "errors"}, cp
+        )
+        err_raw = c.get("errors") or {}
+        _reject_unknown(err_raw, {"quarantineDir"}, f"{cp}.errors")
         src = _require(c, "source", cp)
         _reject_unknown(src, {"collection"}, f"{cp}.source")
         tgt = _require(c, "target", cp)
@@ -237,6 +244,7 @@ def load_config_dict(raw: dict) -> SyncConfig:
                 mapping=_parse_mapping(c.get("mapping"), f"{cp}.mapping"),
                 partitioning=_parse_partitioning(c.get("partitioning"), f"{cp}.partitioning"),
                 batch=_parse_batch(c.get("batch"), f"{cp}.batch"),
+                quarantine_dir=err_raw.get("quarantineDir"),
             )
         )
     if not colls:

@@ -75,6 +75,7 @@ class CollectionSync:
         max_attempts: int | None = None,  # None = retry forever (reference)
         sleep: Callable[[float], None] = time.sleep,
         metrics=None,  # optional sync.metrics.SyncMetrics (A34)
+        quarantine_dir: str | None = None,  # dead-letter for malformed events
     ):
         self.spark = spark
         self.sync_id = sync_id
@@ -86,6 +87,7 @@ class CollectionSync:
         self.max_attempts = max_attempts
         self.sleep = sleep
         self.metrics = metrics
+        self.quarantine_dir = quarantine_dir
         self.state = SyncState.INITIALIZING
         self.history: list[SyncState] = [self.state]
 
@@ -141,9 +143,20 @@ class CollectionSync:
             from .metrics import apply_with_metrics
 
             return apply_with_metrics(
-                self.table, batch, batch_id, self.key, self.metrics
+                self.table,
+                batch,
+                batch_id,
+                self.key,
+                self.metrics,
+                quarantine_dir=self.quarantine_dir,
             )
-        return apply_batch(self.table, batch, batch_id, key=self.key)
+        return apply_batch(
+            self.table,
+            batch,
+            batch_id,
+            key=self.key,
+            quarantine_dir=self.quarantine_dir,
+        )
 
     def _apply_stream(self) -> None:
         """Apply pending event batches.

@@ -84,14 +84,23 @@ def observed_batch(df: DataFrame, ops: tuple[str, ...] = ("insert", "update", "r
     return df.observe(obs, *metrics), obs
 
 
-def apply_with_metrics(table, batch_df: DataFrame, batch_id: int, key: str, metrics: SyncMetrics):
+def apply_with_metrics(
+    table,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str,
+    metrics: SyncMetrics,
+    quarantine_dir: str | None = None,
+):
     """apply.apply_batch wrapped with observe-based counters + commit
     latency (the instrumented form of the sync hot path)."""
     from .apply import apply_batch
 
     observed, obs = observed_batch(batch_df)
     t0 = time.perf_counter()
-    stats = apply_batch(table, observed, batch_id, key=key)
+    stats = apply_batch(
+        table, observed, batch_id, key=key, quarantine_dir=quarantine_dir
+    )
     dt = time.perf_counter() - t0
     got = obs.get
     metrics.record_batch(

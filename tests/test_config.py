@@ -137,3 +137,53 @@ def test_bucket_transform_accepted(tmp_path):
     ok = VALID_YAML.replace("transform: month", "transform: bucket[16]")
     cfg = load_config(_write(tmp_path, ok))
     assert cfg.collections[0].partitioning[0].transform == "bucket[16]"
+
+
+def test_errors_quarantine_dir_parses(tmp_path):
+    import yaml
+
+    from mongodb_iceberg_sync_spark.sync.config import load_config
+
+    cfg = {
+        "mongodb": {"uri": "mongodb://h", "database": "db"},
+        "iceberg": {"catalog": {"type": "local", "warehouse": "/tmp/w"}},
+        "collections": [
+            {
+                "source": {"collection": "c1"},
+                "target": {"namespace": "ns", "table": "t1"},
+                "errors": {"quarantineDir": "/tmp/dlq/t1"},
+            },
+            {
+                "source": {"collection": "c2"},
+                "target": {"namespace": "ns", "table": "t2"},
+            },
+        ],
+    }
+    f = tmp_path / "c.yaml"
+    f.write_text(yaml.safe_dump(cfg))
+    parsed = load_config(str(f))
+    assert parsed.collections[0].quarantine_dir == "/tmp/dlq/t1"
+    assert parsed.collections[1].quarantine_dir is None
+
+
+def test_errors_unknown_key_rejected(tmp_path):
+    import pytest
+    import yaml
+
+    from mongodb_iceberg_sync_spark.sync.config import ConfigError, load_config
+
+    cfg = {
+        "mongodb": {"uri": "mongodb://h", "database": "db"},
+        "iceberg": {"catalog": {"type": "local", "warehouse": "/tmp/w"}},
+        "collections": [
+            {
+                "source": {"collection": "c1"},
+                "target": {"namespace": "ns", "table": "t1"},
+                "errors": {"quarantineDir": "/x", "retryBadEvents": True},
+            }
+        ],
+    }
+    f = tmp_path / "c.yaml"
+    f.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ConfigError):
+        load_config(str(f))
