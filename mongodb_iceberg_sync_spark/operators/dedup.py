@@ -271,9 +271,10 @@ _NGRAM_ORACLE = """
 """
 
 
-def _ngram_jaccard_pairs(spark, sf_dir):
-    """(doc_a, doc_b, c, na, nb) candidate pairs with Jaccard >= 0.2
-    (shared by q_dedup_ngram_jaccard and q_dedup_clusters)."""
+def _ngram_common_pairs(spark, sf_dir):
+    """(doc_a, doc_b, c, na, nb) for every pair sharing a rare shingle —
+    UNFILTERED: jaccard (q_dedup_ngram_jaccard) and asymmetric
+    containment (q_text_containment) apply their own thresholds."""
     docs = t(spark, sf_dir, "documents")
     shingled = shingled_docs(docs)
     # shingle arrays are already array_distinct per doc, so exploding
@@ -310,6 +311,13 @@ def _ngram_jaccard_pairs(spark, sf_dir):
             F.max(F.col("b.n")).alias("nb"),
         )
     )
+    return common
+
+
+def _ngram_jaccard_pairs(spark, sf_dir):
+    """(doc_a, doc_b, c, na, nb) candidate pairs with Jaccard >= 0.2
+    (shared by q_dedup_ngram_jaccard and q_dedup_clusters)."""
+    common = _ngram_common_pairs(spark, sf_dir)
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return common.filter(jac >= 0.2)
 
@@ -720,3 +728,86 @@ def q_dedup_bloom(spark, sf_dir):
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     qry = docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0))
     return bloom_candidates(ref, qry).orderBy("doc_id")
+
+
+_CONTAIN_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cutoff AS (SELECT greatest(16.0, 0.05 * count(*)) AS c FROM documents),
+    rare AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (
+        SELECT s FROM sh GROUP BY s HAVING count(*) > (SELECT c FROM cutoff)
+      )
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    both_dirs AS (
+      SELECT c.doc_a AS doc_id, c.doc_b AS other_doc,
+             c.c, sa.n AS n_self
+      FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+      UNION ALL
+      SELECT c.doc_b AS doc_id, c.doc_a AS other_doc,
+             c.c, sb.n AS n_self
+      FROM common c JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_id, other_doc,
+           CAST(c AS BIGINT)          AS n_common,
+           round(c / n_self, 6)       AS containment
+    FROM both_dirs
+    WHERE c / n_self >= 0.6
+"""
+
+
+@register(
+    "q_text_containment",
+    family="dedup",
+    oracle=_CONTAIN_ORACLE,
+    doc="Asymmetric n-gram CONTAINMENT: |shingles(A) ∩ shingles(B)| / "
+    "|shingles(A)| ≥ 0.6 — catches document INCLUSION (a post quoted "
+    "inside a digest, boilerplate wrapping an article) that symmetric "
+    "Jaccard misses when sizes differ widely (the Broder distinction). "
+    "Same rare-shingle inverted-index blocking and hot-shingle "
+    "broadcast guard as q_dedup_ngram_jaccard — the pair stream is "
+    "computed once and emitted in both directions with each side's "
+    "own denominator riding the row, so asymmetry costs no second "
+    "join. Integer counts + one division: oracle-exact.",
+)
+def q_text_containment(spark, sf_dir):
+    common = _ngram_common_pairs(spark, sf_dir)
+    fwd = common.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("other_doc"),
+        "c",
+        F.col("na").alias("n_self"),
+    )
+    rev = common.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("other_doc"),
+        "c",
+        F.col("nb").alias("n_self"),
+    )
+    cont = F.col("c") / F.col("n_self")
+    return (
+        fwd.unionByName(rev)
+        .filter(cont >= 0.6)
+        .select(
+            "doc_id",
+            "other_doc",
+            F.col("c").alias("n_common"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -623,3 +623,59 @@ def q_events_anomaly(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_events_markov",
+    family="pipeline",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    totals AS (
+      SELECT prev_type, sum(n) AS tot FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n,
+           t.n / CAST(o.tot AS BIGINT) AS p
+    FROM trans t JOIN totals o ON t.prev_type = o.prev_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next_type | prev_type) — the behavioral model behind "
+    "next-action prediction and funnel-drop analysis. One per-user "
+    "window (lag over (ts, event_id) — total order, deterministic), "
+    "then two tiny aggregates over O(types^2) rows. The window "
+    "partitions by user_id so sequencing spreads across the cluster; "
+    "the transition counts partial-aggregate map-side, so the only "
+    "full-data exchange is the user_id one the window needs anyway. "
+    "Probabilities are one bigint/bigint division — bitwise "
+    "cross-engine, no rounding.",
+)
+def q_events_markov(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.col("tot").cast("bigint")).alias("p"),
+    )

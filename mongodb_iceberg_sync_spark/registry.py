@@ -117,6 +117,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_dedup_bloom",
     "q_sim_spatial_join",
     "q_cdc_ivm_agg",
+    "q_text_containment",
+    "q_events_markov",
 )
 
 
