@@ -472,3 +472,71 @@ def q_cdc_ivm_agg(spark, sf_dir):
         F.col("n").alias("n_users"),
         (F.round(F.col("s").cast("double"), 4) + 0.0).alias("sum_value"),
     )
+
+
+_SCD2_DIM = """
+      SELECT user_id,
+             event_id        AS version_id,
+             value           AS tracked_value,
+             ts              AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+      WHERE event_type = 'signup' OR event_type = 'purchase'
+"""
+
+
+@register(
+    "q_join_scd2_asof",
+    family="cdc",
+    oracle=f"""
+    WITH dim AS ({_SCD2_DIM}),
+    facts AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type NOT IN ('signup', 'purchase')
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           d.version_id, d.tracked_value
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    doc="Point-in-time (PIT) join against an SCD2 dimension: each fact "
+    "event picks the dimension version whose [valid_from, valid_to) "
+    "interval covers its timestamp — 'the user's attributes AS OF the "
+    "moment it happened', the canonical lakehouse join for ML feature "
+    "correctness (no leakage from future versions). Executes as an "
+    "equi-join on user_id with the interval predicate as the join "
+    "residual: per-key version counts are small, so the fan-out is "
+    "bounded and the single user_id shuffle is the whole cost — the "
+    "degenerate alternative (join on nothing, filter later) never "
+    "happens because the equi-key anchors the plan. Versions "
+    "partition time, so each fact matches at most one version — "
+    "deterministic, and facts before the first version drop (inner).",
+)
+def q_join_scd2_asof(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("tracked_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(~F.col("event_type").isin("signup", "purchase")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (facts.user_id == dim.user_id)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to))
+    )
+    return facts.join(dim, cond).select(
+        facts.event_id, facts.user_id, facts.ts, facts.value,
+        dim.version_id, dim.tracked_value,
+    )

@@ -331,3 +331,56 @@ def q_scan_binaryfile(spark, sf_dir):
         F.countDistinct("text").alias("n_distinct"),
         F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "q_scan_schema_merge",
+    family="scans",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT count(*)                                       AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+             AS sum_price,
+           count(o_orderpriority)                         AS n_with_priority,
+           count(DISTINCT o_orderpriority)                AS n_priorities
+    FROM unioned
+    """,
+    doc="Schema-evolution read (mergeSchema): two parquet generations "
+    "of the same table — an old one written BEFORE a column existed "
+    "and a new one carrying it — read as one relation, old rows "
+    "null-filled for the added column. This is the reader half of the "
+    "sync engine's additive schema evolution (sync/evolution.py, "
+    "reference A8): the lake accretes columns without rewriting "
+    "history. mergeSchema reconciles footers at planning time "
+    "(per-file, parallel); the scan itself stays predicate/projection "
+    "pushdown-capable per file, so at 100 TB the cost of N schema "
+    "generations is N footer reads, not a table rewrite.",
+)
+def q_scan_schema_merge(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="mis_sm_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{out}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out}/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double"), 2
+        ).alias("sum_price"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )

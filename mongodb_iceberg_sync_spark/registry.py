@@ -119,6 +119,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_cdc_ivm_agg",
     "q_text_containment",
     "q_events_markov",
+    "q_join_scd2_asof",
+    "q_scan_schema_merge",
 )
 
 
