@@ -73,7 +73,9 @@ def incremental_group_stats(
         (
             F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0))
         ).alias("n"),
-        (
-            F.coalesce(F.col("a.s"), zero) + F.coalesce(F.col("d.ds"), zero)
-        ).alias("s"),
+        # re-cast: decimal addition widens precision (28,10 -> 29,10);
+        # the maintained state must keep a FIXED schema across batches
+        (F.coalesce(F.col("a.s"), zero) + F.coalesce(F.col("d.ds"), zero))
+        .cast(_SUM_T)
+        .alias("s"),
     ).filter(F.col("n") > 0)
