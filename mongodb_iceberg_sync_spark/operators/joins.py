@@ -447,3 +447,53 @@ def q_sql_correlated(spark, sf_dir):
 
     _t(spark, sf_dir, "orders").createOrReplaceTempView("mis_corr_orders")
     return spark.sql(_CORR_SQL.format(orders="mis_corr_orders"))
+
+
+@register(
+    "q_join_null_safe",
+    family="joins",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, nullif(event_type, 'error') AS k, value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT k, coalesce(k, '(none)') AS label FROM ev
+    )
+    SELECT d.label,
+           count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS sum_value
+    FROM ev e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): rows whose "
+    "join key is NULL still match the NULL dim row instead of "
+    "silently dropping — the semantics every enrichment join against "
+    "a dimension with an 'unknown' bucket needs ('error' events here "
+    "null out their type and must land in '(none)'). Spark plans "
+    "eqNullSafe as a HASH join on the null-safe key wrapper, not a "
+    "cartesian fallback, so it shuffles and broadcasts exactly like a "
+    "plain equi-join at 100 TB.",
+)
+def q_join_null_safe(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("k"),
+        "value",
+    )
+    dim = ev.select(
+        "k", F.coalesce(F.col("k"), F.lit("(none)")).alias("label")
+    ).distinct()
+    e, d = ev.alias("e"), dim.alias("d")
+    return (
+        e.join(F.broadcast(d), F.col("e.k").eqNullSafe(F.col("d.k")))
+        .groupBy("d.label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("e.value").cast("decimal(28,10)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .withColumnRenamed("label", "label")
+    )

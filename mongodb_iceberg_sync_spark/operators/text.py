@@ -762,3 +762,37 @@ def q_text_lm_score(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "q_text_normalize",
+    family="text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+           CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS norm_len
+    FROM documents
+    """,
+    doc="Text canonicalization — the normalize-before-dedup step "
+    "(exact dedup on raw bytes misses trivially-reformatted copies): "
+    "lowercase, strip non-alphanumerics to spaces, collapse runs, "
+    "trim. Dedup keys (q_dedup_exact's sha2) should hash THIS, not "
+    "raw text. Map-only regexp chain in whole-stage codegen — scan "
+    "throughput at any scale, zero exchanges.",
+)
+def q_text_normalize(spark, sf_dir):
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

@@ -121,6 +121,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_markov",
     "q_join_scd2_asof",
     "q_scan_schema_merge",
+    "q_text_normalize",
+    "q_join_null_safe",
 )
 
 

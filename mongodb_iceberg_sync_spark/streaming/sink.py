@@ -27,6 +27,7 @@ def foreach_batch_merge(
     key: str = "doc_id",
     batch_config: BatchConfig | None = None,
     available_now: bool = True,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the merge stream.
 
@@ -38,7 +39,9 @@ def foreach_batch_merge(
     (sync.batching.source_rate_options on the reader side)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(table, batch_df, batch_id, key=key)
+        apply_batch(
+            table, batch_df, batch_id, key=key, quarantine_dir=quarantine_dir
+        )
 
     return (
         cdc_stream.writeStream.foreachBatch(_apply)
