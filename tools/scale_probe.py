@@ -58,6 +58,15 @@ PROBE_QUERIES = [
     "q_events_anomaly",
     "q_text_lm_score",
     "q_graph_pagerank",
+    "q_dedup_bloom",
+    "q_sim_spatial_join",
+    "q_cdc_ivm_agg",
+    "q_text_containment",
+    "q_events_markov",
+    "q_join_scd2_asof",
+    "q_scan_schema_merge",
+    "q_text_normalize",
+    "q_join_null_safe",
 ]
 REPLICAS = 10
 TABLES = {
