@@ -212,3 +212,52 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "HashAggregate" in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    # docstring claim: zero exchanges — the redaction must fuse into
+    # the scan (any shuffle here would be a 100 TB regression)
+    df = SPECS["q_text_pii_redact"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anomaly_stats_join_broadcasts(spark, sf_dir):
+    # per-user stats are tiny vs the event stream: the join back must
+    # broadcast so the fact side never shuffles
+    df = SPECS["q_events_anomaly"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_null_safe_join_is_hash_not_bnlj(spark, sf_dir):
+    # eqNullSafe must plan as a hash join on the null-safe key — a
+    # BroadcastNestedLoopJoin fallback would be O(n*dim) at scale
+    df = SPECS["q_join_null_safe"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+
+
+def test_scd2_asof_join_is_keyed(spark, sf_dir):
+    # the interval predicate must ride a user_id equi-join as residual,
+    # never degrade to a cartesian/nested-loop plan
+    df = SPECS["q_join_scd2_asof"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_spatial_join_is_cell_equi_join(spark, sf_dir):
+    # candidates come from the (cellx, celly) equi-join — a cross
+    # product would be the O(n^2) shape the grid exists to avoid
+    df = SPECS["q_sim_spatial_join"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ohlc_aggregate_is_partial(spark, sf_dir):
+    # min_by/max_by candles must partial-aggregate map-side: the
+    # exchange carries per-group candle states, not raw events
+    df = SPECS["q_timeseries_ohlc"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
