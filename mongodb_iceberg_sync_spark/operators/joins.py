@@ -495,5 +495,4 @@ def q_join_null_safe(spark, sf_dir):
                 F.sum(F.col("e.value").cast("decimal(28,10)")).cast("double"), 4
             ).alias("sum_value"),
         )
-        .withColumnRenamed("label", "label")
     )

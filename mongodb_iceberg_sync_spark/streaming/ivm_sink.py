@@ -33,7 +33,10 @@ _AGG_SCHEMA = "g string, n long, s decimal(28,10)"
 
 def _latest_agg(spark, agg_dir: str, before_batch: int):
     """agg state as of the newest batch < before_batch (replay-safe:
-    a replayed batch must not read its own previous output)."""
+    a replayed batch must not read its own previous output).
+
+    Listing uses the local filesystem — on an object store swap in the
+    Hadoop FileSystem API (same contract: newest batch dir below N)."""
     if os.path.isdir(agg_dir):
         done = [
             int(d.split("=", 1)[1])
@@ -113,12 +116,12 @@ def maintained_group_stats(
         updated.write.mode("overwrite").parquet(f"{agg_dir}/batch={batch_id}")
         table.commit_batch(ops, batch_id)
 
-    return (
-        cdc_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = cdc_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def recompute_group_stats(

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-DELETE_OPS = ("delete",)
+from .apply import DELETE_OPS
+
 REASON_COL = "_dlq_reason"
 
 
