@@ -250,3 +250,43 @@ def q_multimodal_resize(spark, sf_dir):
         "doc_id bigint, width int, height int, new_width int, "
         "new_height int, resized_bytes bigint",
     )
+
+
+@register(
+    "q_multimodal_dedup",
+    family="multimodal",
+    oracle="""
+    WITH hashed AS (
+      -- sha256 over the UTF-8 bytes: DuckDB's VARCHAR overload hashes
+      -- exactly the bytes Spark's sha2(CAST(... AS BINARY), 256) sees
+      SELECT doc_id, sha256(substr(text, 1, 16)) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash,
+           count(*)     AS n_copies,
+           min(doc_id)  AS keeper
+    FROM hashed
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    """,
+    doc="Exact binary dedup over opaque media payloads — the "
+    "byte-identical tier of image/audio dedup (same file uploaded "
+    "twice), run before any perceptual hashing: sha2 over the binary "
+    "column, groupBy the 32-byte digest, keep min doc_id. The blobs "
+    "here are 16-byte text-prefix stand-ins (the fixture corpus has "
+    "no byte-identical full payloads), which also models thumbnail "
+    "collisions. Identical shape to q_dedup_exact: the shuffle "
+    "carries digests, never payloads — at 100 TB of media the "
+    "exchange is ~n x 32 bytes regardless of blob size.",
+)
+def q_multimodal_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id", F.substring("text", 1, 16).cast("binary").alias("payload")
+    )
+    return (
+        blobs.select("doc_id", F.sha2("payload", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -185,3 +185,53 @@ def q_sort_zorder(spark, sf_dir):
         .limit(100)
     )
 
+
+
+@register(
+    "q_sort_global_rank",
+    family="sorts",
+    oracle="""
+    SELECT event_id, value,
+           row_number() OVER (ORDER BY value DESC, event_id) AS rank
+    FROM events
+    """,
+    doc="GLOBAL ranking without a global window: row_number() OVER "
+    "(ORDER BY ...) with no PARTITION BY moves every row to one "
+    "reducer — dead at 100 TB. Instead: range-repartition on the sort "
+    "key (sampled balanced boundaries, the same machinery as a "
+    "distributed ORDER BY), count each partition (ONE long per "
+    "partition to the driver), exclusive-prefix the counts into "
+    "offsets, then a partition-LOCAL row_number plus the broadcast "
+    "offset. Identical math to the single window, fully parallel — "
+    "the same two-pass shape as q_pack_tokens' prefix sum, applied "
+    "to ranking. localCheckpoint pins the partitioning so the count "
+    "job and the rank job see the same layout.",
+)
+def q_sort_global_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    parted = (
+        ev.repartitionByRange(n_parts, F.col("value").desc(), F.col("event_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parted.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets, "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy(F.col("value").desc(), "event_id")
+    return (
+        parted.join(F.broadcast(off), "pid")
+        .select(
+            "event_id",
+            "value",
+            (F.col("offset") + F.row_number().over(w)).cast("long").alias("rank"),
+        )
+    )

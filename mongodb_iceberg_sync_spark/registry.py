@@ -123,6 +123,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_scan_schema_merge",
     "q_text_normalize",
     "q_join_null_safe",
+    "q_multimodal_dedup",
+    "q_sort_global_rank",
 )
 
 

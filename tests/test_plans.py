@@ -261,3 +261,14 @@ def test_ohlc_aggregate_is_partial(spark, sf_dir):
     df = SPECS["q_timeseries_ohlc"].func(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+
+
+def test_global_rank_window_is_partitioned(spark, sf_dir):
+    # like pack_tokens: the two-pass global rank must keep its window
+    # partition-LOCAL (pid) — an empty partition clause is the
+    # single-reducer shape the operator exists to avoid
+    df = SPECS["q_sort_global_rank"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(pid" in line, line
