@@ -84,3 +84,51 @@ def test_no_quarantine_dir_keeps_legacy_behavior(spark, tmp_path):
     assert stats["n_quarantined"] == 0
     assert stats["n_ops"] == 6  # 7 events, b insert+delete LWW-folded
     assert stats["max_seen_seq"] == 7
+
+
+def test_split_matches_python_reference_on_random_junk(spark):
+    """Randomized differential: Spark's column-predicate classification
+    must agree with an independent pure-Python json.loads-based
+    classifier over a zoo of malformed inputs."""
+    import json
+    import random
+
+    rng = random.Random(42)
+    fragments = [
+        '{"a": "1"}', '{"a": {"b": 2}}', "{}", "[1, 2]", '"str"', "123",
+        "null", "{truncated", "", '{"a": 1} trailing', "not json at all",
+        '{"k": null}', "   ", '{"nested": [1, {"x": "y"}]}',
+    ]
+    rows = []
+    for seq in range(1, 201):
+        op = rng.choice(["insert", "update", "replace", "delete"])
+        key = rng.choice([f"k{rng.randrange(50)}", None])
+        doc = rng.choice(fragments + [None])
+        rows.append((seq, op, key, None, doc))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    def ref_reason(op, key, doc):
+        if key is None:
+            return "missing_key"
+        if op == "delete":
+            return None
+        if doc is None:
+            return "missing_document"
+        # raw_decode, not loads: the engine-side parser (Jackson via
+        # from_json) extracts a leading JSON value and tolerates
+        # trailing garbage — quarantine's contract is "can the mapper
+        # extract a document", so the reference must match that
+        try:
+            parsed, _ = json.JSONDecoder().raw_decode(doc.lstrip())
+        except ValueError:
+            return "malformed_json"
+        return None if isinstance(parsed, dict) else "malformed_json"
+
+    expected = {
+        seq: ref_reason(op, key, doc) for seq, op, key, _, doc in rows
+    }
+    good, bad = split_malformed(df)
+    got = {r["op_seq"]: None for r in good.collect()}
+    got.update({r["op_seq"]: r[REASON_COL] for r in bad.collect()})
+    assert len(got) == len(rows)  # partition: no row lost or duplicated
+    assert got == expected
