@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "q_scan_schema_merge",
     "q_text_normalize",
     "q_join_null_safe",
+    "q_multimodal_dedup",
+    "q_sort_global_rank",
 ]
 REPLICAS = 10
 TABLES = {
