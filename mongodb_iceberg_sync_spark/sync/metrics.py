@@ -33,11 +33,17 @@ class SyncMetrics:
     events_by_type: dict[str, int] = field(default_factory=lambda: defaultdict(int))
     commits: int = 0
     commit_seconds_total: float = 0.0
+    quarantined: int = 0  # dead-lettered malformed events (sync/quarantine.py)
     errors_by_type: dict[str, int] = field(default_factory=lambda: defaultdict(int))
     state: str = "INITIALIZING"
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
-    def record_batch(self, counts: dict[str, int], commit_seconds: float) -> None:
+    def record_batch(
+        self,
+        counts: dict[str, int],
+        commit_seconds: float,
+        n_quarantined: int = 0,
+    ) -> None:
         with self._lock:
             for op, n in counts.items():
                 if n:
@@ -45,6 +51,7 @@ class SyncMetrics:
                     self.documents_processed += n
             self.commits += 1
             self.commit_seconds_total += commit_seconds
+            self.quarantined += n_quarantined
 
     def record_error(self, exc: BaseException) -> None:
         with self._lock:
@@ -64,6 +71,7 @@ class SyncMetrics:
                     self.commit_seconds_total / self.commits if self.commits else 0.0
                 ),
                 "errors_by_type": dict(self.errors_by_type),
+                "quarantined": self.quarantined,
                 "state": self.state,
             }
 
@@ -109,6 +117,7 @@ def apply_with_metrics(
             for op in ("insert", "update", "replace", "delete")
         },
         dt,
+        n_quarantined=int(stats.get("n_quarantined", 0) or 0),
     )
     return stats
 

@@ -132,3 +132,23 @@ def test_split_matches_python_reference_on_random_junk(spark):
     got.update({r["op_seq"]: r[REASON_COL] for r in bad.collect()})
     assert len(got) == len(rows)  # partition: no row lost or duplicated
     assert got == expected
+
+
+def test_metrics_count_quarantined(spark, tmp_path):
+    from mongodb_iceberg_sync_spark.sync.metrics import (
+        SyncMetrics,
+        apply_with_metrics,
+    )
+
+    table = MorTable(spark, str(tmp_path / "t"), key="doc_id")
+    metrics = SyncMetrics()
+    apply_with_metrics(
+        table,
+        _batch(spark),
+        batch_id=1,
+        key="doc_id",
+        metrics=metrics,
+        quarantine_dir=str(tmp_path / "dlq"),
+    )
+    snap = metrics.snapshot()
+    assert snap["quarantined"] == 3
