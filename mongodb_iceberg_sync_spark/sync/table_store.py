@@ -336,6 +336,27 @@ class MorTable:
             with open(f"{self.path}/{COMPACTION_MARK}", "w") as f:
                 json.dump({"last_folded_batch": batch_id}, f)
 
+    def should_compact(
+        self, max_delta_batches: int = 16, max_delta_files: int = 64
+    ) -> bool:
+        """Compaction trigger (reference A24's scheduling half,
+        docs/design.md:394-400): the merge-on-read read path unions
+        base + every delta commit, so read amplification grows with
+        the delta count. Fire when either the commit count or the
+        small-file count crosses its threshold — both are metadata
+        listings (no data read), cheap enough for every batch loop.
+        The thresholds mirror Iceberg's rewrite_data_files defaults in
+        spirit: bound reader fan-in, don't chase perfection."""
+        batches = self._delta_batch_ids()
+        if len(batches) >= max_delta_batches:
+            return True
+        n_files = 0
+        for root, _dirs, files in os.walk(self.delta_dir):
+            n_files += sum(1 for f in files if f.endswith(".parquet"))
+            if n_files >= max_delta_files:
+                return True
+        return False
+
     def compact(self, where=None) -> None:
         """Rewrite base from the merged snapshot; fold deltas (reference
         A24 RewriteDataFiles, docs/design.md:394-400).

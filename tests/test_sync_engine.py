@@ -492,3 +492,30 @@ def test_expired_snapshot_raises(spark, tmp_path):
         table.snapshot(as_of_batch=0)
     with pytest.raises(SnapshotExpiredError):
         table.changes(from_batch=0)
+
+
+def test_should_compact_triggers_on_delta_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mongodb_iceberg_sync_spark.sync.table_store import (
+        OP_SEQ,
+        OP_TYPE,
+        MorTable,
+    )
+
+    table = MorTable(spark, str(tmp_path / "tc"), key="doc_id")
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(f"d{i}", i, "upsert")], "doc_id string, x long, op string"
+    ).select(
+        "doc_id",
+        "x",
+        F.col("x").alias(OP_SEQ),
+        F.col("op").alias(OP_TYPE),
+    )
+    for i in range(4):
+        table.commit_batch(mk(i), i)
+    assert table.should_compact(max_delta_batches=8) is False
+    assert table.should_compact(max_delta_batches=4) is True
+    table.compact()
+    # compaction folds deltas: trigger resets
+    assert table.should_compact(max_delta_batches=4) is False
