@@ -324,3 +324,86 @@ def q_stream_static_join(spark, sf_dir):
         "event_type",
         F.coalesce("segment", F.lit("unknown")).alias("segment"),
     )
+
+
+@register(
+    "q_stream_ivm",
+    family="streaming",
+    oracle="""
+    WITH lww AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS grp,
+           count(*)   AS n_keys,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) + 0.0
+             AS sum_value
+    FROM lww
+    WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+    doc="Continuously-maintained materialized aggregate, END TO END on "
+    "a REAL micro-batch stream (streaming/ivm_sink.py): the events "
+    "table becomes an ordered CDC feed (op_seq = event_id, latest "
+    "'error' = delete), streamed as 2 files -> 2 micro-batches into "
+    "foreachBatch, which rolls the per-group aggregate forward with "
+    "delta algebra — retract old rows AS OF the previous batch, "
+    "insert winners, O(batch) per step, never a table rescan. The "
+    "ORACLE recomputes the same aggregate from scratch with plain "
+    "SQL, so the hash equality proves incremental == recompute "
+    "through actual StreamingQuery machinery, not a batch stand-in.",
+)
+def q_stream_ivm(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.ivm_sink import _latest_agg, maintained_group_stats
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("insert")
+        .alias("op_type"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("grp"),
+        "value",
+    )
+    src = tempfile.mkdtemp(prefix="mis_ivm_src_")
+    base_t = time.time() - 100
+    # 2 op_seq-ordered files -> 2 in-order micro-batches (the CDC
+    # resume-token delivery contract); stale-op handling is pinned
+    # separately in tests/test_ivm_stream.py
+    staged = tempfile.mkdtemp(prefix="mis_ivm_stage_")
+    ev.repartitionByRange(2, "op_seq").write.mode("overwrite").parquet(staged)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    for i, p in enumerate(parts):
+        dst = f"{src}/b{i}.parquet"
+        shutil.move(f"{staged}/{p}", dst)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    state = tempfile.mkdtemp(prefix="mis_ivm_state_")
+    stream = (
+        spark.readStream.schema(
+            "op_seq long, op_type string, doc_id string, grp string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintained_group_stats(
+        stream,
+        state,
+        tempfile.mkdtemp(prefix="mis_ivm_ckpt_"),
+        key="doc_id",
+        group_col="grp",
+        value_col="value",
+    )
+    q.awaitTermination()
+    final = _latest_agg(spark, f"{state}/agg", 10**9)
+    return final.select(
+        F.col("g").alias("grp"),
+        F.col("n").alias("n_keys"),
+        (F.round(F.col("s").cast("double"), 4) + 0.0).alias("sum_value"),
+    )

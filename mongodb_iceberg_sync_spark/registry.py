@@ -125,6 +125,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_join_null_safe",
     "q_multimodal_dedup",
     "q_sort_global_rank",
+    "q_stream_ivm",
 )
 
 

@@ -96,18 +96,39 @@ def maintained_group_stats(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         ops = _fold_lww(batch_df).localCheckpoint(eager=True)
         prev_agg = _latest_agg(spark, agg_dir, batch_id)
-        # old rows of touched keys, from the snapshot AS OF the
-        # PREVIOUS batch — not the current head: on replay the head
-        # already contains this batch (and later ones), and retracting
-        # future state would diverge. VERSION AS OF makes the update a
-        # pure function of (state@N-1, batch N), which is what lets a
-        # replayed batch overwrite its own output and converge.
-        snap = table.snapshot(as_of_batch=batch_id - 1) if batch_id > 0 else None
-        if snap is not None:
-            prev_rows = snap.join(ops.select(key), key, "left_semi")
+        # previous per-key state AS OF the PREVIOUS batch — not the
+        # current head: on replay the head already contains this batch
+        # (and later ones), and retracting future state would diverge.
+        # VERSION AS OF makes the update a pure function of
+        # (state@N-1, batch N), which is what lets a replayed batch
+        # overwrite its own output and converge. _latest (not
+        # snapshot) keeps OP_SEQ/OP_TYPE so stale ops can be detected.
+        prev = table._latest(as_of_batch=batch_id - 1) if batch_id > 0 else None
+        if prev is not None:
+            prev_k = prev.select(
+                key,
+                F.col(group_col).alias("_pg"),
+                F.col(value_col).alias("_pv"),
+                F.col(OP_SEQ).alias("_pseq"),
+                F.col(OP_TYPE).alias("_pop"),
+            )
+            joined = ops.join(prev_k, key, "left")
+            # a batch op only takes effect if it WINS the cross-batch
+            # LWW (op_seq above the key's current position) — exactly
+            # the rule MorTable's snapshot applies, so table and
+            # aggregate can never disagree on a stale/out-of-order op
+            effective = joined.filter(
+                F.col("_pseq").isNull() | (F.col(OP_SEQ) > F.col("_pseq"))
+            ).localCheckpoint(eager=True)
+            prev_rows = effective.filter(F.col("_pop") == "upsert").select(
+                key,
+                F.col("_pg").alias(group_col),
+                F.col("_pv").alias(value_col),
+            )
+            new_rows = effective.filter(F.col(OP_TYPE) == "upsert")
         else:
             prev_rows = ops.select(key, group_col, value_col).limit(0)
-        new_rows = ops.filter(F.col(OP_TYPE) == "upsert")
+            new_rows = ops.filter(F.col(OP_TYPE) == "upsert")
         updated = incremental_group_stats(
             prev_agg, prev_rows, new_rows, group_col, value_col
         )

@@ -96,3 +96,34 @@ def test_replay_converges(spark, tmp_path, cdc_dir):
     _run(spark, cdc_dir, state, str(tmp_path / "ck2"))
     second = _canon(_latest_agg(spark, f"{state}/agg", 10**9))
     assert first == second
+
+
+def test_stale_out_of_order_op_is_ignored(spark, tmp_path):
+    """An op whose op_seq is BELOW the key's current position must be a
+    no-op for BOTH the table and the aggregate (cross-batch LWW)."""
+    stale = [
+        [(10, "insert", "a", "g1", 10.0), (11, "insert", "b", "g2", 20.0)],
+        [(5, "update", "a", "g9", 99.0)],  # stale: 5 < 10
+    ]
+    import os
+    import shutil
+    import time
+
+    path = str(tmp_path / "cdc")
+    os.makedirs(path)
+    base = time.time() - 100
+    for i, rows in enumerate(stale):
+        staged = str(tmp_path / f"st_{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        dst = f"{path}/b{i}.parquet"
+        shutil.move(f"{staged}/{part}", dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    state = str(tmp_path / "state")
+    _run(spark, path, state, str(tmp_path / "ck"))
+    final = _canon(_latest_agg(spark, f"{state}/agg", 10**9))
+    assert final == [("g1", 1, 10.0), ("g2", 1, 20.0)]
+    assert _canon(recompute_group_stats(spark, state)) == final
