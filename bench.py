@@ -43,6 +43,11 @@ HEADLINE = [
     "q_sql_correlated",
     "q_events_anomaly",
     "q_text_lm_score",
+    "q_sim_spatial_join",
+    "q_multimodal_dedup",
+    "q_cdc_ivm_agg",
+    "q_events_markov",
+    "q_join_scd2_asof",
 ]
 
 
