@@ -1,0 +1,241 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Four operations every web-scale corpus build runs between raw ingest and
+tokenization, each expressed as a deterministic, oracle-checkable
+DataFrame plan (no RNG, no engine-specific hash in any result column):
+
+  * chunk-level exact dedup (the C4/RefinedWeb "line dedup" step),
+  * temperature-based source-mixture resampling,
+  * heavy-hitter detection (boilerplate mining),
+  * deterministic train-order sharding ("corpus shuffle").
+
+No reference analog — the reference (luketn/mongodb-iceberg-sync) is a
+sync pipeline (docs/design.md describes ingest only); these belong to
+the training-data surface this engine adds per the build brief.
+
+Scale notes per-operator in the docstrings; none uses a global window,
+a Python UDF, or a driver-side collect of per-row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+_CHUNK = 10  # tokens per "line" for chunk-level dedup
+
+
+@register(
+    "q_dedup_chunks",
+    family="dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             i - 1 AS chunk_idx,
+             array_to_string(l[(i-1)*{_CHUNK}+1 : i*{_CHUNK}], ' ') AS chunk
+      FROM toks,
+           LATERAL unnest(range(1, CAST(ceil(len(l) / {_CHUNK}.0) AS BIGINT) + 1))
+             AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (
+               PARTITION BY chunk ORDER BY doc_id, chunk_idx
+             ) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)               AS n_chunks,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                  AS n_dup_chunks,
+           round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                                                  AS dup_ratio
+    FROM ranked
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Chunk-level exact dedup — the C4/RefinedWeb 'line dedup' pass: "
+    "split every document into consecutive 10-token chunks, mark each "
+    "chunk occurrence that is not the corpus-first (first = smallest "
+    "(doc_id, chunk_idx)), and report per-doc duplicated-chunk ratios "
+    "for docs with any duplicated chunk. Canonical corpus order makes "
+    "the result deterministic and engine-independent. Scale: the "
+    "per-chunk window partitions by chunk TEXT, so the shuffle key "
+    "cardinality is the distinct-chunk count and each partition is the "
+    "(tiny) occurrence list of one chunk — no global window, no skew "
+    "beyond boilerplate chunks, which is exactly the data this pass "
+    "exists to find. At 100 TB, shuffle a 16-byte chunk hash + 12-byte "
+    "position instead of the chunk text (same plan shape).",
+)
+def q_dedup_chunks(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    n_chunks = F.ceil(F.size("l") / F.lit(float(_CHUNK))).cast("int")
+    chunks = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("l", (i - F.lit(1)) * _CHUNK + 1, _CHUNK)
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    dup = F.when(F.col("occ") > 1, 1).otherwise(0)
+    return (
+        chunks.withColumn("occ", occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+    )
+
+
+@register(
+    "q_sample_temperature",
+    family="sampling",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    rates AS (
+      -- temperature alpha=0.5: weight per source ~ n^alpha, so the
+      -- per-doc KEEP rate ~ n^(alpha-1), scaled so max rate = 1
+      SELECT source,
+             (n * 1.0 / (SELECT total FROM tot)) ^ (-0.5)
+             / max((n * 1.0 / (SELECT total FROM tot)) ^ (-0.5)) OVER ()
+             AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.source,
+           round(r.rate, 6) AS keep_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+               AS DOUBLE) / 16777216.0 < r.rate
+    """,
+    doc="Temperature-based source-mixture resampling (alpha=0.5, the "
+    "multilingual-LM rebalancing trick): a doc from source s is kept "
+    "with rate ∝ count(s)^(alpha-1), normalized so the rarest source "
+    "keeps everything — downweights dominant sources without dropping "
+    "rare ones. Selection is by md5(doc_id) fraction, so the sample is "
+    "deterministic across engines/retries and nests as rates move. "
+    "Scale: per-source counts are a k-row aggregate broadcast back "
+    "onto the fact scan — map-side join + map-side predicate; the only "
+    "shuffle is the tiny source-count groupBy. At 100 TB this composes "
+    "with partition pruning and never materializes the dropped rows.",
+)
+def q_sample_temperature(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.partitionBy()
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("raw", F.pow(F.col("n") / F.col("total"), -0.5))
+        .withColumn("rate", F.col("raw") / F.max("raw").over(w))
+        .select("source", "rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        / 16777216.0
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 6).alias("keep_rate"))
+    )
+
+
+@register(
+    "q_agg_heavy_hitters",
+    family="aggregates",
+    oracle="""
+    WITH grams AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM grams)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS freq,
+           round(count(*) * 1.0 / (SELECT total FROM tot), 6) AS share
+    FROM grams
+    GROUP BY token
+    HAVING count(*) > (SELECT total FROM tot) / 50
+    """,
+    doc="Heavy hitters: tokens with frequency > 1/50 of the corpus "
+    "token stream — the exact-answer form of the Misra-Gries / "
+    "count-min heavy-hitter query, used to mine boilerplate and "
+    "stop-tokens before filtering. Scale: partial aggregation folds "
+    "each token to one (token, count) per map task before the shuffle, "
+    "so the exchange carries O(vocab) rows per task regardless of "
+    "corpus size; the total-count scalar is a broadcast O(1) "
+    "cross-join, not a driver collect. With a truly unbounded vocab "
+    "(URLs, hashes) the Misra-Gries sketch variant drops in as an "
+    "applyInPandas partial + merge — same output contract.",
+)
+def q_agg_heavy_hitters(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = grams.groupBy("token").agg(F.count("*").alias("freq"))
+    tot = counts.agg(F.sum("freq").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") > F.col("total") / 50)
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "q_shuffle_train",
+    family="sampling",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM documents
+    """,
+    doc="Deterministic training-order shuffle: every doc gets a shard "
+    "(md5 mod 8) and a position within its shard (md5 order) — the "
+    "'global shuffle' step before sequence packing, reproducible "
+    "across engines, runs, and task retries (df.orderBy(rand()) is "
+    "none of those). Scale: one hash shuffle on the shard key, then a "
+    "partition-LOCAL sort+row_number per shard — no global window, no "
+    "single reducer; shard count scales with the cluster. The "
+    "sibling two-pass global rank (q_sort_global_rank) turns "
+    "(shard, pos_in_shard) into a single global sequence when a total "
+    "order is required.",
+)
+def q_shuffle_train(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8
+    win = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(win).cast("long"))
+        .drop("h")
+    )

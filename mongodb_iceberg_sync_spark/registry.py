@@ -64,6 +64,7 @@ def _load_all_operator_modules() -> None:
     from .operators import similarity  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import graph  # noqa: F401
+    from .operators import corpus  # noqa: F401
 
 
 # ORDER MATTERS for the driver contract: the correctness sweep runs queries
@@ -126,6 +127,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_multimodal_dedup",
     "q_sort_global_rank",
     "q_stream_ivm",
+    # round-3 late additions — whatever the 50-query cap doesn't reach
+    # this round rides the front of the r4 sweep
+    "q_dedup_chunks",
+    "q_sample_temperature",
+    "q_agg_heavy_hitters",
+    "q_shuffle_train",
 )
 
 
