@@ -69,6 +69,10 @@ PROBE_QUERIES = [
     "q_join_null_safe",
     "q_multimodal_dedup",
     "q_sort_global_rank",
+    "q_dedup_chunks",
+    "q_sample_temperature",
+    "q_agg_heavy_hitters",
+    "q_shuffle_train",
 ]
 REPLICAS = 10
 TABLES = {
