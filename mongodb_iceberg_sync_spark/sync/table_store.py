@@ -467,6 +467,167 @@ class MorTable:
             shutil.rmtree(f"{self.archive_dir}/{d}", ignore_errors=True)
         return len(doomed)
 
+    # -- metadata inspection ------------------------------------------
+    # Iceberg exposes `db.tbl.files` / `.snapshots` / `.partitions` /
+    # `.history` metadata tables for operational queries (how many
+    # small files? which commits are live? is compaction due?). The
+    # same surface here, driven purely by directory listings + parquet
+    # FOOTER reads — no data pages are touched, so each call is O(files)
+    # metadata work regardless of table size.
+
+    def _walk_parquet(self, root: str):
+        for base, _dirs, fs in os.walk(root):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    yield os.path.join(base, f)
+
+    def _file_row(self, path: str, section: str, batch_id):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        part_val = None
+        if self.partition_col is not None:
+            for seg in path.split(os.sep):
+                if seg.startswith(f"{self.partition_col}="):
+                    part_val = seg.split("=", 1)[1]
+        return {
+            "file_path": os.path.relpath(path, self.path),
+            "section": section,
+            "batch_id": batch_id,
+            "partition": part_val,
+            "record_count": md.num_rows,
+            "file_size_bytes": os.path.getsize(path),
+            "num_row_groups": md.num_row_groups,
+        }
+
+    def _file_rows(self, include_archive: bool = False) -> list[dict]:
+        rows = [
+            self._file_row(p, "base", None) for p in self._walk_parquet(self.base_dir)
+        ]
+        for b in self._delta_batch_ids():
+            d = f"{self.delta_dir}/batch={b}"
+            rows += [self._file_row(p, "delta", b) for p in self._walk_parquet(d)]
+        if include_archive and os.path.isdir(self.archive_dir):
+            rows += [
+                self._file_row(p, "archive", None)
+                for p in self._walk_parquet(self.archive_dir)
+            ]
+        return rows
+
+    def files(self, include_archive: bool = False) -> DataFrame:
+        """Iceberg `files` metadata-table analog: one row per data file
+        with section (base/delta/archive), owning commit, partition
+        value, footer record count and on-disk size."""
+        import pandas as pd
+
+        rows = self._file_rows(include_archive)
+        schema = (
+            "file_path string, section string, batch_id long, partition string,"
+            " record_count long, file_size_bytes long, num_row_groups long"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(
+            pd.DataFrame(rows, dtype=object), schema
+        )
+
+    def snapshots(self) -> DataFrame:
+        """Iceberg `snapshots` analog: one row per live delta commit
+        plus one for the compacted base, with manifest key bounds,
+        file/record counts, and whether VERSION AS OF can still reach
+        versions before it (expired = folded by compact())."""
+        import pandas as pd
+
+        folded = self._last_folded_batch()
+        by_commit: dict[tuple, dict] = {}
+        for r in self._file_rows():
+            k = (r["section"], r["batch_id"])
+            agg = by_commit.setdefault(
+                k, {"n_files": 0, "record_count": 0, "file_size_bytes": 0}
+            )
+            agg["n_files"] += 1
+            agg["record_count"] += r["record_count"]
+            agg["file_size_bytes"] += r["file_size_bytes"]
+        rows = []
+        for (section, batch_id), agg in sorted(
+            by_commit.items(), key=lambda kv: (kv[0][1] is not None, kv[0][1])
+        ):
+            bounds = (
+                self._manifest_bounds(f"{self.delta_dir}/batch={batch_id}")
+                if section == "delta"
+                else None
+            )
+            rows.append(
+                {
+                    "version": batch_id if section == "delta" else folded,
+                    "section": section,
+                    "key_min": None if bounds is None else str(bounds[0]),
+                    "key_max": None if bounds is None else str(bounds[1]),
+                    "history_expired_before": folded if section == "base" else None,
+                    **agg,
+                }
+            )
+        schema = (
+            "version long, section string, key_min string, key_max string,"
+            " history_expired_before long, n_files long, record_count long,"
+            " file_size_bytes long"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(pd.DataFrame(rows, dtype=object), schema)
+
+    def partitions(self) -> DataFrame:
+        """Iceberg `partitions` analog: per-partition live file/record
+        totals (base + deltas) — the input to cold-partition compaction
+        targeting."""
+        import pandas as pd
+
+        agg: dict[str, dict] = {}
+        for r in self._file_rows():
+            p = agg.setdefault(
+                r["partition"], {"n_files": 0, "record_count": 0, "file_size_bytes": 0}
+            )
+            p["n_files"] += 1
+            p["record_count"] += r["record_count"]
+            p["file_size_bytes"] += r["file_size_bytes"]
+        rows = [
+            {"partition": k, **v}
+            for k, v in sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
+        ]
+        schema = (
+            "partition string, n_files long, record_count long, file_size_bytes long"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(pd.DataFrame(rows, dtype=object), schema)
+
+    def history(self) -> DataFrame:
+        """Iceberg `history` analog: the compaction lineage — archived
+        base generations (oldest first), the live base, and the
+        last-folded-batch watermark that bounds time travel."""
+        import pandas as pd
+
+        folded = self._last_folded_batch()
+        rows = [
+            {
+                "generation": int(g.split("=")[1]),
+                "status": "archived",
+                "folded_through": None,
+            }
+            for g in self._generations()
+        ]
+        rows.append(
+            {
+                "generation": (rows[-1]["generation"] + 1) if rows else 0,
+                "status": "current",
+                "folded_through": folded,
+            }
+        )
+        return self.spark.createDataFrame(
+            pd.DataFrame(rows, dtype=object),
+            "generation long, status string, folded_through long",
+        )
+
     def truncate(self) -> None:
         """Drop all data (used by re-initial-sync, reference A23)."""
         shutil.rmtree(self.base_dir, ignore_errors=True)
