@@ -28,6 +28,67 @@ from ._util import t
 _CHUNK = 10  # tokens per "line" for chunk-level dedup
 
 
+def chunk_dup_stats(docs, chunk: int = _CHUNK):
+    """Per-doc duplicated-chunk stats (df-level core of q_dedup_chunks;
+    also a pipeline step). Returns doc_id, n_chunks, n_dup_chunks,
+    dup_ratio for docs with at least one duplicated chunk."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("l"))
+    n_chunks = F.ceil(F.size("l") / F.lit(float(chunk))).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice("l", (i - F.lit(1)) * chunk + 1, chunk)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    dup = F.when(F.col("occ") > 1, 1).otherwise(0)
+    return (
+        chunks.withColumn("occ", occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+    )
+
+
+def temperature_rates(docs, group_col: str = "source", alpha: float = 0.5):
+    """Per-group keep rates ∝ n^(alpha-1), max-normalized (df-level
+    core of q_sample_temperature; also a pipeline step). Returns a
+    tiny (group, rate) dim meant for broadcast."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n"))
+    # scalars ride as 1-row broadcasts, not a global window (which
+    # would funnel the dim through one partition and warn at scale)
+    total = counts.agg(F.sum("n").alias("total"))
+    raw = counts.crossJoin(F.broadcast(total)).withColumn(
+        "raw", F.pow(F.col("n") / F.col("total"), alpha - 1.0)
+    )
+    max_raw = raw.agg(F.max("raw").alias("max_raw"))
+    return (
+        raw.crossJoin(F.broadcast(max_raw))
+        .withColumn("rate", F.col("raw") / F.col("max_raw"))
+        .select(group_col, "rate")
+    )
+
+
+def md5_fraction(col):
+    """Deterministic uniform [0,1) value from md5 — the engine's
+    cross-engine-reproducible stand-in for rand()."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast("double")
+        / 16777216.0
+    )
+
+
 @register(
     "q_dedup_chunks",
     family="dedup",
@@ -74,36 +135,7 @@ _CHUNK = 10  # tokens per "line" for chunk-level dedup
     "position instead of the chunk text (same plan shape).",
 )
 def q_dedup_chunks(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("l"))
-    n_chunks = F.ceil(F.size("l") / F.lit(float(_CHUNK))).cast("int")
-    chunks = (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_chunks),
-                    lambda i: F.concat_ws(
-                        " ", F.slice("l", (i - F.lit(1)) * _CHUNK + 1, _CHUNK)
-                    ),
-                )
-            ).alias("chunk_idx", "chunk"),
-        )
-    )
-    occ = F.row_number().over(
-        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    )
-    dup = F.when(F.col("occ") > 1, 1).otherwise(0)
-    return (
-        chunks.withColumn("occ", occ)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(dup).alias("n_dup_chunks"),
-            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
-        )
-        .filter(F.col("n_dup_chunks") > 0)
-    )
+    return chunk_dup_stats(t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -142,23 +174,10 @@ def q_dedup_chunks(spark, sf_dir):
 )
 def q_sample_temperature(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n"))
-    total = counts.agg(F.sum("n").alias("total"))
-    w = Window.partitionBy()
-    rates = (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("raw", F.pow(F.col("n") / F.col("total"), -0.5))
-        .withColumn("rate", F.col("raw") / F.max("raw").over(w))
-        .select("source", "rate")
-    )
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("double")
-        / 16777216.0
-    )
+    rates = temperature_rates(d, "source", alpha=0.5)
     return (
         d.join(F.broadcast(rates), "source")
-        .filter(frac < F.col("rate"))
+        .filter(md5_fraction(F.col("doc_id")) < F.col("rate"))
         .select("doc_id", "source", F.round("rate", 6).alias("keep_rate"))
     )
 

@@ -199,9 +199,17 @@ PACK_BUDGET = 2048  # tokens per training shard
     "same math as the global window, scale-safe at 100 TB.",
 )
 def q_pack_tokens(spark, sf_dir):
+    return pack_shards(t(spark, sf_dir, "documents"))
+
+
+def pack_shards(docs, budget: int | None = None):
+    """Df-level core of q_pack_tokens (also a pipeline step): assign
+    each doc a training shard by exclusive-prefix token count / budget
+    via the distributed two-pass prefix sum described above."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    budget = PACK_BUDGET if budget is None else budget
+    spark = docs.sparkSession
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -245,7 +253,7 @@ def q_pack_tokens(spark, sf_dir):
                     + F.sum("n_tokens").over(w)
                     - F.col("n_tokens")
                 )
-                / PACK_BUDGET
+                / budget
             )
             .cast("long")
             .alias("shard_id"),
