@@ -496,3 +496,104 @@ def q_join_null_safe(spark, sf_dir):
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    family="joins",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             o_orderdate AS a_s,
+             (o_orderdate + INTERVAL 7 DAY)::DATE AS a_e
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber,
+             l_shipdate AS b_s,
+             (l_shipdate + INTERVAL (1 + l_suppkey % 14) DAY)::DATE AS b_e
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-02-01'
+    )
+    SELECT a.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(date_diff('day', greatest(a_s, b_s), least(a_e, b_e)))
+                AS BIGINT) AS overlap_days
+    FROM a JOIN b ON a_s < b_e AND b_s < a_e
+    GROUP BY a.o_orderkey
+    """,
+    doc="UNKEYED interval-overlap join (interval × interval, not the "
+    "point-in-range shape of q_join_range_banded): order fulfillment "
+    "windows [orderdate, +7d) × shipment transit windows [shipdate, "
+    "+1..14d), pairs that overlap in time. No equi-key exists, so the "
+    "naive plan is a cartesian product; instead both interval sets are "
+    "exploded onto a 7-day epoch-week grid (an interval lands in every "
+    "week it touches — bounded fan-out: ≤2 buckets for A, ≤3 for B), "
+    "the join becomes an equi-join on the week bucket, the exact "
+    "overlap predicate filters residually, and the report-once rule "
+    "(only the week containing the overlap start emits a pair) makes "
+    "dedup a MAP-SIDE filter instead of a distinct() shuffle over the "
+    "joined stream. This is the 1-D version of "
+    "the spatial grid join (q_sim_spatial_join): shuffle volume is "
+    "O(intervals × spanned weeks), never O(|A|·|B|), and the grid "
+    "width tunes fan-out vs bucket selectivity at 100 TB.",
+)
+def q_join_interval_overlap(spark, sf_dir):
+    epoch_week = lambda d: F.floor(F.datediff(d, F.lit("1970-01-01")) / 7)  # noqa: E731
+    a = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-02-01")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("a_s"),
+            F.date_add("o_orderdate", 7).alias("a_e"),
+        )
+    )
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-02-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").alias("b_s"),
+            F.expr("date_add(l_shipdate, int(1 + l_suppkey % 14))").alias("b_e"),
+        )
+    )
+    # explode each interval onto the weeks it touches ([s, e) exclusive
+    # end -> last bucket is the week of e-1)
+    a_g = a.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(epoch_week(F.col("a_s")), epoch_week(F.date_sub("a_e", 1)))
+        ),
+    )
+    b_g = b.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(epoch_week(F.col("b_s")), epoch_week(F.date_sub("b_e", 1)))
+        ),
+    )
+    # report-once rule: a pair co-occurs in up to min(spans) weeks, but
+    # only the week containing the overlap START emits it — a map-side
+    # filter, so no distinct() shuffle over the joined pair stream
+    pairs = (
+        a_g.join(b_g, "bkt")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .filter(F.col("bkt") == epoch_week(F.greatest("a_s", "b_s")))
+        .drop("bkt")
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum(
+            F.datediff(
+                F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+            ).cast("long")
+        ).alias("overlap_days"),
+    )

@@ -133,6 +133,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sample_temperature",
     "q_agg_heavy_hitters",
     "q_shuffle_train",
+    "q_join_interval_overlap",
 )
 
 

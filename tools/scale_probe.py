@@ -73,6 +73,7 @@ PROBE_QUERIES = [
     "q_sample_temperature",
     "q_agg_heavy_hitters",
     "q_shuffle_train",
+    "q_join_interval_overlap",
 ]
 REPLICAS = 10
 TABLES = {
