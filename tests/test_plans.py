@@ -272,3 +272,47 @@ def test_global_rank_window_is_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(pid" in line, line
+
+
+def test_heavy_hitters_aggregate_is_partial(spark, sf_dir):
+    # token counts must fold map-side: the exchange carries O(vocab)
+    # partial counts per task, never the raw token stream
+    df = SPECS["q_agg_heavy_hitters"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+
+
+def test_shuffle_train_window_is_shard_partitioned(spark, sf_dir):
+    # per-shard position must be a partition-LOCAL window keyed on the
+    # shard — an empty partition clause would serialize the corpus
+    df = SPECS["q_shuffle_train"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(shard" in line, line
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_dir):
+    # the per-source rate dim is k rows — it must broadcast onto the
+    # fact scan, not shuffle the corpus on the group key
+    df = SPECS["q_sample_temperature"].func(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_interval_overlap_is_bucket_equi_join(spark, sf_dir):
+    # the week-grid equi-join is the whole point: a nested-loop or
+    # cartesian fallback would be the O(A*B) shape it replaces
+    df = SPECS["q_join_interval_overlap"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "distinct" not in plan.lower()  # report-once rule, no dedup shuffle
+
+
+def test_chunk_dedup_window_is_chunk_partitioned(spark, sf_dir):
+    # occurrence ranking partitions by chunk text (occurrence lists),
+    # never an empty partition clause
+    df = SPECS["q_dedup_chunks"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(chunk" in line, line
