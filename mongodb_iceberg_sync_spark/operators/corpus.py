@@ -258,3 +258,74 @@ def q_shuffle_train(spark, sf_dir):
         .withColumn("pos_in_shard", F.row_number().over(win).cast("long"))
         .drop("h")
     )
+
+
+_MG_K = 256  # sketch width; error <= N/(K+1) per partition-merge keeps
+#              every token with freq > N/50 alive in the summary
+
+
+@register(
+    "q_agg_heavy_hitters_sketch",
+    family="aggregates",
+    oracle="""
+    WITH grams AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM grams)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS freq,
+           round(count(*) * 1.0 / (SELECT total FROM tot), 6) AS share
+    FROM grams
+    GROUP BY token
+    HAVING count(*) > (SELECT total FROM tot) / 50
+    """,
+    doc="Heavy hitters via a Misra-Gries SKETCH — the unbounded-vocab "
+    "scale path the exact q_agg_heavy_hitters docstring promises: "
+    "pass 1 builds a K=256-counter Misra-Gries summary PER PARTITION "
+    "with mapInPandas (per Arrow batch: vectorized value_counts "
+    "merged into the summary, then the (K+1)-th largest count "
+    "subtracted from all — the standard mergeable-summary step, error "
+    "<= N_p/(K+1)), so each task emits <= 256 candidate tokens no "
+    "matter how large its vocabulary; pass 2 exactly counts ONLY the "
+    "broadcast candidate set. Misra-Gries guarantees the union of "
+    "partition summaries is a SUPERSET of every token with global "
+    "freq > N/(K+1) ⊇ freq > N/50, and the exact second pass removes "
+    "false candidates — so the result is IDENTICAL to the exact "
+    "operator (same oracle), deterministic regardless of "
+    "partitioning. At 100 TB: shuffle volume is O(#tasks × K), "
+    "vs O(vocab) per task for the exact partial aggregation.",
+)
+def q_agg_heavy_hitters_sketch(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def mg_summary(batches):
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            s = s.add(pdf["token"].value_counts(), fill_value=0)
+            if len(s) > _MG_K:
+                # subtract the (K+1)-th largest count, keep positives:
+                # the Misra-Gries merge (Agarwal et al., mergeable
+                # summaries) — at most K counters survive
+                thresh = s.nlargest(_MG_K + 1).iloc[_MG_K]
+                s = s[s > thresh] - thresh
+        yield pd.DataFrame({"token": s.index.astype(str)})
+
+    cands = grams.mapInPandas(mg_summary, "token string").distinct()
+    counts = (
+        grams.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = grams.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") > F.col("total") / 50)
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq") / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -597,3 +597,52 @@ def q_join_interval_overlap(spark, sf_dir):
             ).cast("long")
         ).alias("overlap_days"),
     )
+
+
+_CTE_WINDOW_SQL = """
+WITH nat_rev AS (
+  SELECT n.n_name, c.c_custkey,
+         round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS spend
+  FROM {orders} o
+  JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, spend,
+         rank() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rnk
+  FROM nat_rev
+)
+SELECT n_name, c_custkey, spend, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "q_sql_window_cte",
+    family="joins",
+    oracle=_CTE_WINDOW_SQL.format(
+        orders="orders", customer="customer", nation="nation"
+    ),
+    doc="SQL-surface parity for the full analyst shape: chained CTEs + "
+    "a 3-way join + decimal-exact grouped aggregate + ranked window + "
+    "late filter, as ONE ANSI string that runs verbatim on both "
+    "engines (like q_sql_correlated, this pins spark.sql() parity, "
+    "not just the DataFrame API). Catalyst inlines the CTEs, pushes "
+    "the rank<=5 filter into a windowed top-k per nation, broadcasts "
+    "the nation dim, and plans customer⋈orders as one keyed shuffle; "
+    "the window partitions by nation (25 groups of ~corpus/25 — no "
+    "global window). Decimal sum + final round keeps the spend values "
+    "bitwise cross-engine; rank's (spend DESC, custkey) order is a "
+    "total order so ties cannot reshuffle rows between engines.",
+)
+def q_sql_window_cte(spark, sf_dir):
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"mis_cte_{name}")
+    return spark.sql(
+        _CTE_WINDOW_SQL.format(
+            orders="mis_cte_orders",
+            customer="mis_cte_customer",
+            nation="mis_cte_nation",
+        )
+    )

@@ -134,6 +134,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_heavy_hitters",
     "q_shuffle_train",
     "q_join_interval_overlap",
+    "q_sql_window_cte",
+    "q_agg_heavy_hitters_sketch",
 )
 
 
