@@ -731,34 +731,37 @@ def q_text_pii_redact(spark, sf_dir):
 def q_text_lm_score(spark, sf_dir):
     # fan the corpus out BEFORE the explode: the source is few parquet
     # files, and a 300x row explosion inherits the scan's parallelism —
-    # unspread, the interpreted trigram lambda runs on one core
+    # unspread, the trigram expansion runs on one core
     tx = (
         t(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
         .select("doc_id", F.lower("text").alias("s"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # one materialization of the exploded gram stream — it feeds the
-    # model build, the total, and the scoring join; without the pin the
-    # interpreted transform() lambda would re-run 3x (7.5s -> 2.2s at
-    # sf0.1). At 100 TB you'd train the model on a sample instead and
-    # keep scoring single-pass.
-    grams = tx.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
-        ).alias("gram"),
-    ).localCheckpoint(eager=False)
-    model = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    # Explode an INT sequence and slice with a plain codegen substring —
+    # the earlier transform() HOF allocated an array of ~300 strings per
+    # doc inside an interpreted lambda (2.7x slower cold). Then collapse
+    # to per-doc gram COUNTS before anything else: the checkpoint holds
+    # (doc_id, gram, k) — ~5x fewer rows than the raw gram stream — and
+    # the scoring join + final agg ride on counts. sum(k*lp) over exact
+    # decimals == sum of k copies of lp, so the oracle is unchanged.
+    gcounts = (
+        tx.select("doc_id", "s", F.explode(F.expr("sequence(1, length(s) - 2)")).alias("i"))
+        .select("doc_id", F.expr("substring(s, i, 3)").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    model = gcounts.groupBy("gram").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").cast("bigint")).head()[0]
     lp = F.round(F.log(F.col("c") / F.lit(total)), 6).cast("decimal(18,6)")
     return (
-        grams.join(F.broadcast(model), "gram")
+        gcounts.join(F.broadcast(model), "gram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
+            F.sum("k").cast("long").alias("n_grams"),
             (
-                F.round(F.sum(lp).cast("double") / F.count("*"), 4) + 0.0
+                F.round(F.sum(F.col("k") * lp).cast("double") / F.sum("k"), 4) + 0.0
             ).alias("avg_logprob"),
         )
     )

@@ -128,16 +128,13 @@ def enrich_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
 def ohlc_candles(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of q_timeseries_ohlc: per (series, 1h window),
     open/high/low/close candles. min_by/max_by over the same
-    fixed-width sortable timestamp||event_id key as the batch form —
-    deterministic under any micro-batch arrival order, because the
-    aggregate state keeps the (key, value) extremum, not an arrival-
-    order artifact. Complete-mode output (candles update while their
-    window is open); with a watermark, append mode emits each candle
-    once, when its window expires."""
-    key = F.concat(
-        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    struct(ts, event_id) key as the batch form — deterministic under
+    any micro-batch arrival order, because the aggregate state keeps
+    the (key, value) extremum, not an arrival-order artifact.
+    Complete-mode output (candles update while their window is open);
+    with a watermark, append mode emits each candle once, when its
+    window expires."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         _with_event_time(events)
         .withWatermark("ts", watermark)
