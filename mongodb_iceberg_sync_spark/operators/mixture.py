@@ -1,0 +1,329 @@
+"""Data-mixture, sampling-estimator, and corpus-layout operators.
+
+The steps between "cleaned corpus" and "training run": weighted sample
+selection with unbiased estimators (priority sampling), per-domain
+mixture weights under a token-budget cap, RAG-style overlapping
+chunking, embedding quantization for ANN index shipping, and
+curriculum ordering. Reference analog: none of these exist in
+/root/reference (`src/main` is config+CLI only, docs/design.md:1);
+they extend the north-star query surface the same way the dedup/
+similarity families do.
+
+Determinism: every "random" draw is an md5-derived uniform (the same
+cross-engine trick as operators/corpus.py:md5_fraction), every float
+comparison rides on bitwise-identical arithmetic (single divisions of
+identical inputs), and every checksum is an integer sum — so each
+operator here is exactly oracle-checkable, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+_PRI_K = 100  # priority-sample size
+
+
+@register(
+    "q_sample_priority",
+    family="sampling",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id,
+             n_chars AS w,
+             n_chars / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1)
+                        / 16777216.0) AS priority
+      FROM documents
+    ),
+    topk1 AS (
+      SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT {_PRI_K + 1}
+    ),
+    tau AS (SELECT min(priority) AS tau FROM topk1),
+    topk AS (
+      SELECT * FROM topk1 ORDER BY priority DESC, doc_id LIMIT {_PRI_K}
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS w,
+           round(priority, 6) + 0.0 AS priority,
+           round(greatest(w * 1.0, tau), 6) + 0.0 AS est_weight
+    FROM topk CROSS JOIN tau
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup, JACM'07): weighted "
+    "sample of k docs without replacement with an UNBIASED subset-sum "
+    "estimator — the principled way to downsample a weighted corpus "
+    "and still estimate token totals. priority = w/u with u an "
+    "md5-uniform in (0,1]; keep the top k, and each kept item "
+    "estimates its weight as max(w, tau) where tau is the (k+1)-th "
+    "priority. A single division of identical inputs is bitwise "
+    "identical across engines, so ORDER and estimator both "
+    "oracle-check exactly. Scale: top-(k+1) is TakeOrderedAndProject "
+    "— per-partition partial top-k, O(k) rows to one final task, no "
+    "corpus shuffle; tau broadcasts back. At 100 TB this is one scan.",
+)
+def q_sample_priority(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / 16777216.0
+    pri = d.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (F.col("n_chars") / u).alias("priority"),
+    )
+    topk1 = pri.orderBy(F.col("priority").desc(), "doc_id").limit(_PRI_K + 1)
+    # tau = the (k+1)-th priority = min over the k+1 retained rows; one
+    # scalar, broadcast back onto the k winners.
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    topk = topk1.orderBy(F.col("priority").desc(), "doc_id").limit(_PRI_K)
+    return topk.crossJoin(F.broadcast(tau)).select(
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        (F.round("priority", 6) + 0.0).alias("priority"),
+        (F.round(F.greatest(F.col("w") * 1.0, F.col("tau")), 6) + 0.0).alias(
+            "est_weight"
+        ),
+    )
+
+
+@register(
+    "q_mix_domains",
+    family="sampling",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM tok),
+    cap AS (
+      SELECT source, tokens, t,
+             least(tokens, t // 20) AS capped
+      FROM tok CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(sum(capped) AS BIGINT) AS z FROM cap)
+    SELECT source, tokens,
+           round(tokens * 1.0 / t, 6) + 0.0 AS raw_share,
+           round(capped * 1.0 / z, 6) + 0.0 AS mix_weight
+    FROM cap CROSS JOIN z
+    """,
+    doc="Training-mixture weights under a domain cap — the 'no domain "
+    "may exceed 5% of the token budget' rebalance every LLM data "
+    "recipe applies (e.g. The Pile / Dolma mixture tables): per-source "
+    "token counts, capped at total//20 tokens, renormalized into "
+    "sampling weights. All shares are single divisions of exact "
+    "integer sums (cap and renormalizer stay in BIGINT), so the "
+    "result oracle-checks exactly. Scale: one map-side-combinable "
+    "groupBy to O(#domains) rows, then two scalar broadcasts — the "
+    "corpus is scanned once and never shuffled.",
+)
+def q_mix_domains(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").cast("long").alias("t"))
+    cap = tok.crossJoin(F.broadcast(tot)).withColumn(
+        "capped", F.least(F.col("tokens"), F.expr("t DIV 20"))
+    )
+    z = cap.agg(F.sum("capped").cast("long").alias("z"))
+    return cap.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens",
+        (F.round(F.col("tokens") * 1.0 / F.col("t"), 6) + 0.0).alias("raw_share"),
+        (F.round(F.col("capped") * 1.0 / F.col("z"), 6) + 0.0).alias("mix_weight"),
+    )
+
+
+_CHUNK_W = 32  # RAG window tokens
+_CHUNK_S = 24  # stride (8-token overlap)
+
+
+@register(
+    "q_text_chunk_rag",
+    family="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    win AS (
+      SELECT doc_id, l, CAST(i AS BIGINT) AS start_token
+      FROM toks, LATERAL unnest(range(1, len(l) + 1, {_CHUNK_S})) AS u(i)
+    )
+    SELECT doc_id,
+           CAST((start_token - 1) // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           start_token,
+           CAST(len(l[start_token : start_token + {_CHUNK_W} - 1]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(l[start_token : start_token + {_CHUNK_W} - 1], ' ')
+             AS chunk
+    FROM win
+    WHERE start_token = 1
+       OR len(l) - start_token + 1 >= 8
+    """,
+    doc="RAG chunking: split each document into overlapping "
+    f"{_CHUNK_W}-token windows with stride {_CHUNK_S} (8-token "
+    "overlap keeps sentences that straddle a boundary retrievable "
+    "from both sides), dropping tail fragments under 8 tokens unless "
+    "they are the only chunk. Pure codegen: split once, explode an "
+    "INT start sequence, slice+join per window — no lambda "
+    "allocating per-window string arrays. Map-only (zero exchanges), "
+    "so at 100 TB chunking rides the ingest scan; output order is "
+    "keyed by (doc_id, chunk_idx), no sort needed.",
+)
+def q_text_chunk_rag(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    win = toks.select(
+        "doc_id",
+        "l",
+        F.explode(F.expr(f"sequence(1, size(l), {_CHUNK_S})")).alias("start_i"),
+    ).select(
+        "doc_id", "l", F.col("start_i").cast("long").alias("start_token")
+    ).filter(
+        (F.col("start_token") == 1)
+        | (F.size("l") - F.col("start_token") + 1 >= 8)
+    )
+    sl = F.expr(f"slice(l, start_token, {_CHUNK_W})")
+    return win.select(
+        "doc_id",
+        ((F.col("start_token") - 1) / _CHUNK_S).cast("long").alias("chunk_idx"),
+        "start_token",
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk"),
+    )
+
+
+@register(
+    "q_embed_quantize",
+    family="similarity",
+    oracle="""
+    WITH amax AS (
+      SELECT vec_id, embedding,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, n_dims,
+           round(scale, 6) + 0.0 AS scale,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT)
+           END AS q_sum,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_sum(list_transform(embedding,
+                  x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT)))) AS BIGINT)
+           END AS q_l1
+    FROM amax
+    """,
+    doc="Symmetric int8 embedding quantization — the 4x shrink before "
+    "shipping vectors into an ANN index (FAISS SQ8-style): per-vector "
+    "scale = max|x|/127, q_i = floor(x/scale + 0.5). floor(+0.5) "
+    "instead of round() because IEEE half-up is engine-pinned that "
+    "way (Spark HALF_UP vs DuckDB half-even would diverge on exact "
+    ".5 quotients); divisions of identical inputs are bitwise "
+    "identical, and the checksums are INTEGER sums (order-free), so "
+    "the whole op oracle-checks exactly. Map-only JVM-side HOFs over "
+    "the vector column — no Python, no shuffle; at 100 TB this is "
+    "scan-bound and pairs with q_sim_pq's codebook path.",
+)
+def q_embed_quantize(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    amax = e.select(
+        "vec_id",
+        "embedding",
+        F.size("embedding").cast("long").alias("n_dims"),
+        (
+            F.array_max(F.expr("transform(embedding, x -> abs(x))")) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    qsum = F.expr(
+        "aggregate(embedding, 0L, (acc, x) -> acc + CAST(floor(x / scale + 0.5d) AS BIGINT))"
+    )
+    ql1 = F.expr(
+        "aggregate(embedding, 0L, (acc, x) -> acc + abs(CAST(floor(x / scale + 0.5d) AS BIGINT)))"
+    )
+    zero = F.col("scale") == 0
+    return amax.select(
+        "vec_id",
+        "n_dims",
+        (F.round("scale", 6) + 0.0).alias("scale"),
+        F.when(zero, F.lit(0)).otherwise(qsum).cast("long").alias("q_sum"),
+        F.when(zero, F.lit(0)).otherwise(ql1).cast("long").alias("q_l1"),
+    )
+
+
+@register(
+    "q_curriculum_order",
+    family="sampling",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars < 175 THEN 0
+                  WHEN n_chars < 306 THEN 1
+                  WHEN n_chars < 419 THEN 2
+                  ELSE 3 END AS stage,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+             AS curriculum_pos
+    FROM staged
+    """,
+    doc="Curriculum ordering: short/easy documents first, hard ones "
+    "last, SHUFFLED within each difficulty stage (md5 order — "
+    "reproducible across runs and engines), emitted as one global "
+    "position sequence. The global row_number does NOT use a global "
+    "window: range-repartition on (stage, h), count partitions (one "
+    "long each to the driver), exclusive-prefix into offsets, "
+    "partition-local row_number + broadcast offset — the same "
+    "two-pass shape as q_sort_global_rank/q_pack_tokens, fully "
+    "parallel at 100 TB where a bare OVER (ORDER BY ...) would move "
+    "the corpus to one reducer.",
+)
+def q_curriculum_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    stage = (
+        F.when(F.col("n_chars") < 175, 0)
+        .when(F.col("n_chars") < 306, 1)
+        .when(F.col("n_chars") < 419, 2)
+        .otherwise(3)
+    )
+    staged = d.select(
+        "doc_id",
+        stage.cast("long").alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    parted = (
+        staged.repartitionByRange(n_parts, "stage", "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parted.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets, "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy("stage", "h", "doc_id")
+    return (
+        parted.join(F.broadcast(off), "pid")
+        .select(
+            "doc_id",
+            "stage",
+            (F.col("offset") + F.row_number().over(w)).cast("long").alias(
+                "curriculum_pos"
+            ),
+        )
+    )

@@ -65,6 +65,7 @@ def _load_all_operator_modules() -> None:
     from .operators import dedup  # noqa: F401
     from .operators import graph  # noqa: F401
     from .operators import corpus  # noqa: F401
+    from .operators import mixture  # noqa: F401
 
 
 # ORDER MATTERS for the driver contract: the correctness sweep runs queries
@@ -136,6 +137,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_join_interval_overlap",
     "q_sql_window_cte",
     "q_agg_heavy_hitters_sketch",
+    "q_sample_priority",
+    "q_mix_domains",
+    "q_text_chunk_rag",
+    "q_embed_quantize",
+    "q_curriculum_order",
 )
 
 

@@ -316,3 +316,45 @@ def test_chunk_dedup_window_is_chunk_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(chunk" in line, line
+
+
+def test_chunk_rag_is_map_only(spark, sf_dir):
+    # docstring claim: chunking rides the ingest scan — zero exchanges
+    df = SPECS["q_text_chunk_rag"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    # top-(k+1) selection must be TakeOrderedAndProject (per-partition
+    # partial top-k, O(k) to the final task) — a global Sort would
+    # shuffle the corpus
+    df = SPECS["q_sample_priority"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row tau scalar
+
+
+def test_mix_domains_aggregate_is_partial(spark, sf_dir):
+    # token counting must partial-aggregate map-side: the exchange
+    # carries O(#domains) rows, not the corpus
+    df = SPECS["q_mix_domains"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+
+
+def test_embed_quantize_is_map_only(spark, sf_dir):
+    # per-vector quantization is embarrassingly parallel — no exchange
+    df = SPECS["q_embed_quantize"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curriculum_order_window_is_partitioned(spark, sf_dir):
+    # global curriculum position must come from the two-pass prefix
+    # form: every window partitions by pid, never an empty clause
+    df = SPECS["q_curriculum_order"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(pid" in line, line

@@ -74,6 +74,11 @@ PROBE_QUERIES = [
     "q_agg_heavy_hitters",
     "q_shuffle_train",
     "q_join_interval_overlap",
+    "q_sample_priority",
+    "q_mix_domains",
+    "q_text_chunk_rag",
+    "q_embed_quantize",
+    "q_curriculum_order",
 ]
 REPLICAS = 10
 TABLES = {
@@ -121,6 +126,12 @@ def synthesize(spark, src_dir: str, out_dir: str) -> None:
 
 
 def main() -> int:
+    only = None
+    for a in list(sys.argv[1:]):
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+            sys.argv.remove(a)
+    queries = [q for q in PROBE_QUERIES if only is None or q in only]
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
@@ -136,7 +147,7 @@ def main() -> int:
         ("sf0.1", "/root/testdata/sf0.1"),
         ("sf1 (10x)", big),
     ]:
-        for q in PROBE_QUERIES:
+        for q in queries:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
