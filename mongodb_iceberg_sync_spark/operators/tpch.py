@@ -1,0 +1,229 @@
+"""Composite TPC-H-style analytic queries (multi-join + agg + top-k).
+
+The single-operator families (joins.py, aggregates.py, sorts_sets.py)
+each pin one physical pattern; these composites exercise several in ONE
+Catalyst plan — selective filters feeding a join tree feeding a hash
+aggregate feeding a bounded top-k — which is what a real reporting
+query against the synced Iceberg lake looks like (reference analog:
+the lake these queries would run on is the output of the sync daemon,
+docs/design.md:128-137; the reference itself ships no query surface,
+src/main is config+CLI only).
+
+Determinism: every revenue aggregate is computed in EXACT integer
+arithmetic. All money columns in the test data are cent-quantized
+(max |x*100 - round(x*100)| ~ 1e-9 over every SF), so
+``CAST(round(x*100) AS BIGINT)`` reconstructs exact cents in both
+engines; revenue = Σ price_cents·(100 − disc_cents) is an exact
+BIGINT in units of 1e-4 dollars, the ORDER BY rides on that integer,
+and the final /10000.0 is a single FP division of identical inputs —
+bitwise identical cross-engine. This avoids the float-summation-order
+trap that bit q_join_theta_range in round 1.
+
+Scale notes (100 TB): no explicit broadcast hints here on purpose —
+customer/orders/lineitem are all fact-sized at scale, so the right
+physical plan is filter-pushdown → shuffle hash/SMJ joins on the fact
+keys, with AQE converting any post-filter-small side to broadcast at
+runtime. The date/segment filters reach the parquet scan (pinned in
+tests/test_plans.py), so the join inputs are already pruned; the
+top-k is TakeOrderedAndProject (per-partition partial top-k, O(k)
+rows to the driver-side final), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# revenue in 1e-4 dollar units: exact integer, order-insensitive.
+_REV_E4 = "_rev_e4"
+
+
+def _rev_e4_col() -> F.Column:
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+_Q3_DATE = "1998-03-15"
+
+
+@register(
+    "q_tpch_q3",
+    family="tpch",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_e4
+      FROM customer c
+      JOIN orders o   ON o.o_custkey  = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+        AND l.l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT o_orderkey,
+           rev_e4 / 10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM rev
+    ORDER BY rev_e4 DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority): segment-filtered customers ⋈ "
+    "date-filtered orders ⋈ date-filtered lineitem → per-order revenue "
+    "→ top-10. One plan exercising pushed filters on three scans, two "
+    "key joins, partial hash agg, and TakeOrderedAndProject. Revenue "
+    "is an exact integer sum of cents×(100−disc), so the top-k order "
+    "and values are engine-independent.",
+)
+def q_tpch_q3(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    return (
+        c.select("c_custkey")
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_e4_col()).alias(_REV_E4))
+        .orderBy(F.col(_REV_E4).desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            (F.col(_REV_E4) / 10000.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+_Q5_LO, _Q5_HI = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q_tpch_q5",
+    family="tpch",
+    oracle=f"""
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q5_HI}'
+    GROUP BY n.n_name
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) DESC,
+             n.n_name
+    """,
+    doc="TPC-H Q5 (local supplier volume): 6-table join with the "
+    "classic c_nationkey = s_nationkey 'local' constraint, region "
+    "filter, year window, per-nation revenue. nation/region/supplier "
+    "are explicit broadcasts (genuinely dim-sized at any SF — "
+    "supplier is 1e-4 × lineitem); the customer⋈orders⋈lineitem spine "
+    "shuffles on its keys. The local constraint lands as a join-side "
+    "filter after the supplier broadcast, not a second shuffle.",
+)
+def q_tpch_q5(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_e4_col()).alias(_REV_E4))
+        .orderBy(F.col(_REV_E4).desc(), "n_name")
+        .select("n_name", (F.col(_REV_E4) / 10000.0).alias("revenue"))
+    )
+
+
+_Q10_LO, _Q10_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q_tpch_q10",
+    family="tpch",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): quarter of orders ⋈ "
+    "returned lineitems ⋈ customer ⋈ nation → top-20 customers by "
+    "lost revenue. The returnflag + date filters prune ~92% of the "
+    "join input at the scans; nation broadcasts; the group key is the "
+    "customer PK so the aggregate shuffles once on c_custkey.",
+)
+def q_tpch_q10(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.select("o_orderkey", "o_custkey")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_e4_col()).alias(_REV_E4))
+        .orderBy(F.col(_REV_E4).desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col(_REV_E4) / 10000.0).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )

@@ -66,6 +66,7 @@ def _load_all_operator_modules() -> None:
     from .operators import graph  # noqa: F401
     from .operators import corpus  # noqa: F401
     from .operators import mixture  # noqa: F401
+    from .operators import tpch  # noqa: F401
 
 
 # ORDER MATTERS for the driver contract: the correctness sweep runs queries
@@ -142,6 +143,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_chunk_rag",
     "q_embed_quantize",
     "q_curriculum_order",
+    # round-3 session-2 additions
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
 )
 
 

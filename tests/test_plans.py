@@ -358,3 +358,43 @@ def test_curriculum_order_window_is_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(pid" in line, line
+
+
+def test_tpch_q3_plan_shape(spark, sf_dir):
+    # all three scans must receive their pushed filter; the top-10 must
+    # be TakeOrderedAndProject (never a global Sort); the fact joins
+    # must be key joins (no nested-loop anywhere)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q_tpch_q3"].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+        assert "LessThan(o_orderdate" in plan
+        assert "GreaterThan(l_shipdate" in plan
+        assert "NestedLoop" not in plan
+        assert uses_sort_merge_join(df)  # fact⋈fact with broadcasts off
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_tpch_q5_broadcasts_dims_only(spark, sf_dir):
+    # supplier/nation/region broadcast explicitly even with auto-
+    # broadcast off; the customer⋈orders⋈lineitem spine sort-merges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q_tpch_q5"].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert uses_sort_merge_join(df)
+        assert "EqualTo(r_name,ASIA)" in plan  # region filter pushed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_tpch_q10_filters_reach_scans(spark, sf_dir):
+    df = SPECS["q_tpch_q10"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
