@@ -686,3 +686,66 @@ def q_events_markov(spark, sf_dir):
         "n",
         (F.col("n") / F.col("tot").cast("bigint")).alias("p"),
     )
+
+
+_EWMA_LAGS = 7  # bounded history: weights 0.5^0 .. 0.5^7
+_EWMA_A = 0.5
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    """Identical-structure numerator/denominator SQL for the oracle."""
+    num = ["value * 1.0"]
+    den = ["1.0"]
+    for k in range(1, _EWMA_LAGS + 1):
+        w = _EWMA_A**k
+        num.append(
+            f"coalesce(lag(value, {k}) OVER win, 0.0) * {w!r}"
+        )
+        den.append(
+            f"(CASE WHEN lag(value, {k}) OVER win IS NULL THEN 0.0 ELSE {w!r} END)"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@register(
+    "q_timeseries_ewma",
+    family="pipeline",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    LIMIT 5000
+    """,
+    doc="Bounded exponentially-weighted moving average per user "
+    f"(weights {_EWMA_A}^k over the last {_EWMA_LAGS} events + "
+    "current, renormalized at series head) — the smoothing step of a "
+    "metric/feature pipeline. A true infinite-history EWMA is a "
+    "sequential recurrence; the bounded form (tail weight < 0.4% "
+    "here) is a fixed lag-combination, so it runs as ONE keyed window "
+    "— per-user partitions, no recurrence, no applyInPandas. "
+    "Cross-engine exactness: both engines evaluate the SAME "
+    "left-associative float expression per row (lag chains + literal "
+    "power-of-two weights), so results are bitwise identical with no "
+    "rounding. Scale: single shuffle on user_id; window state is "
+    f"{_EWMA_LAGS + 1} rows.",
+)
+def q_timeseries_ewma(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_LAGS + 1):
+        wt = _EWMA_A**k
+        lagv = F.lag("value", k).over(w)
+        num = num + F.coalesce(lagv, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lagv.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return (
+        e.select("event_id", "user_id", "ts", "value", (num / den).alias("ewma"))
+        .orderBy("user_id", "ts", "event_id")
+        .limit(5000)
+    )

@@ -120,3 +120,48 @@ def q_sample_split(spark, sf_dir):
         "doc_id",
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
     )
+
+
+_RES_K = 10  # reservoir size per stratum
+
+
+@register(
+    "q_sample_reservoir",
+    family="sampling",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS slot
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_RES_K}
+    """,
+    doc=f"Distributed reservoir sample, k={_RES_K} per source stratum. "
+    "The classic single-pass reservoir is sequential; the distributed "
+    "equivalent is bottom-k by a uniform key — md5(doc_id) here, so "
+    "the 'reservoir' is reproducible across engines, retries, and "
+    "cluster sizes, and is a genuine uniform sample per stratum (each "
+    "doc's key is i.i.d.-uniform, bottom-k of uniforms = simple random "
+    "sample without replacement). Scale: one shuffle on source, keyed "
+    "window, k rows retained per stratum; for a pathologically hot "
+    "stratum the same bottom-k is computable as a two-level partial "
+    "top-k aggregation without changing results.",
+)
+def q_sample_reservoir(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("slot"))
+        .filter(F.col("slot") <= _RES_K)
+        .select("doc_id", "source", F.col("slot").cast("long").alias("slot"))
+    )

@@ -7,6 +7,7 @@ JVM-side expressions over `documents` (no Python in the hot path), so a
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -798,4 +799,69 @@ def q_text_normalize(spark, sf_dir):
         "doc_id",
         norm.alias("norm_text"),
         F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+_INV_TOPK = 20  # terms reported
+_INV_POST = 15  # postings kept per term
+
+
+@register(
+    "q_text_inverted_index",
+    family="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dfc AS (SELECT term, count(*) AS df FROM tok2 GROUP BY term),
+    top AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM tok2
+    ),
+    post AS (
+      SELECT term, list(doc_id ORDER BY doc_id) AS ids
+      FROM top WHERE rn <= {_INV_POST} GROUP BY term
+    )
+    SELECT d.term, CAST(d.df AS BIGINT) AS df,
+           array_to_string(p.ids, ',') AS postings
+    FROM dfc d JOIN post p ON d.term = p.term
+    ORDER BY d.df DESC, d.term
+    LIMIT {_INV_TOPK}
+    """,
+    doc="Inverted-index build (the IR primitive behind BM25/keyword "
+    "retrieval over a corpus): term → document frequency + a bounded "
+    "posting-list prefix. Deliberately NOT collect_set(doc_id) per "
+    "term — at 100 TB a stopword's posting set is the whole corpus "
+    "and would OOM the aggregate; instead df is a partial-aggregated "
+    "count and the stored postings are capped at the first "
+    f"{_INV_POST} doc_ids via a keyed row_number window, so state "
+    "per term is O(cap) regardless of term frequency. Both legs "
+    "share the term-hash shuffle partitioning; the final top-20 is "
+    "TakeOrderedAndProject.",
+)
+def q_text_inverted_index(spark, sf_dir):
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dfc = tok.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    post = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _INV_POST)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings")
+        )
+    )
+    return (
+        dfc.join(post, "term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_INV_TOPK)
+        .select("term", "df", "postings")
     )

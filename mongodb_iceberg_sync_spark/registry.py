@@ -147,6 +147,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_text_inverted_index",
+    "q_sample_reservoir",
+    "q_timeseries_ewma",
 )
 
 

@@ -398,3 +398,35 @@ def test_tpch_q10_filters_reach_scans(spark, sf_dir):
     assert "EqualTo(l_returnflag,R)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_windows_are_term_keyed(spark, sf_dir):
+    # posting-list cap must come from a term-partitioned window (bounded
+    # state per term), and the final top-20 must be TakeOrderedAndProject
+    df = SPECS["q_text_inverted_index"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(term" in line, line
+
+
+def test_reservoir_window_is_stratum_keyed(spark, sf_dir):
+    df = SPECS["q_sample_reservoir"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(source" in line, line
+
+
+def test_ewma_single_user_shuffle(spark, sf_dir):
+    # one keyed window over user_id; the lag chain must all ride the
+    # SAME window spec (one Window node, not eight)
+    df = SPECS["q_timeseries_ewma"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window exec node: the 7-lag chain shares one spec
+    assert len([ln for ln in plan.splitlines() if ln.lstrip("+- :*(0123456789) ").startswith("Window ")]) <= 1
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line, line
+    assert "TakeOrderedAndProject" in plan  # ORDER+LIMIT never global-sorts
