@@ -455,6 +455,138 @@ class MorTable:
         shutil.rmtree(tmp, ignore_errors=True)
         self._mark_folded(batch_ids[-1] if batch_ids else None)
 
+    # -- write-audit-publish (staged commits) -------------------------
+    # Iceberg's WAP pattern (spark.wap.id / branch commits): a batch is
+    # written to an isolated staging location, validated there, and only
+    # then made visible by an ATOMIC metadata operation — readers never
+    # see unaudited rows, and an audit failure costs nothing but the
+    # staged files. The analog here: staging/batch=N is outside the
+    # deltas/ root the read path unions, and publish is one directory
+    # rename (atomic on POSIX), mirroring Iceberg's snapshot pointer
+    # swap. Reference hook: the design's at-least-once commit protocol
+    # (docs/design.md:339-348) — WAP adds the audit gate in front of it.
+
+    @property
+    def staging_dir(self) -> str:
+        return f"{self.path}/staging"
+
+    def stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Write a batch to staging — invisible to snapshot()/changes().
+        Re-staging the same id overwrites (idempotent, like
+        commit_batch)."""
+        target = f"{self.staging_dir}/batch={batch_id}"
+        self._writer(batch_df).mode("overwrite").parquet(target)
+        self._write_manifest(target)
+
+    def audit_batch(self, batch_id: int, checks=None, expect_min_rows: int = 1):
+        """Validate a staged batch; returns a list of violation strings
+        (empty = clean). Built-in expectations: the key column is
+        never null, OP_SEQ/OP_TYPE are present and valid, and at least
+        ``expect_min_rows`` rows were staged. ``checks`` is an optional
+        list of callables DataFrame -> str | None for table-specific
+        rules (e.g. value ranges, referential spot checks); each runs
+        against the STAGED FILES (read back from disk), so the audit
+        sees exactly what publish would expose, not the batch lineage.
+        """
+        target = f"{self.staging_dir}/batch={batch_id}"
+        if not self._has_parquet(target):
+            return [f"batch {batch_id}: nothing staged"]
+        df = self.spark.read.parquet(target)
+        problems: list[str] = []
+        cols = set(df.columns)
+        for required in (self.key, OP_SEQ, OP_TYPE):
+            if required not in cols:
+                problems.append(f"missing required column {required!r}")
+        if problems:
+            return problems
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(self.key).isNull().cast("long")).alias("null_keys"),
+            F.sum(
+                (~F.col(OP_TYPE).isin("upsert", TOMBSTONE)).cast("long")
+            ).alias("bad_ops"),
+        ).head()
+        if agg.n < expect_min_rows:
+            problems.append(f"staged rows {agg.n} < expected minimum {expect_min_rows}")
+        if agg.null_keys:
+            problems.append(f"{agg.null_keys} rows with null {self.key}")
+        if agg.bad_ops:
+            problems.append(f"{agg.bad_ops} rows with invalid {OP_TYPE}")
+        for check in checks or ():
+            msg = check(df)
+            if msg:
+                problems.append(msg)
+        return problems
+
+    def publish_batch(self, batch_id: int) -> None:
+        """Atomically promote a staged batch into deltas/ (one rename —
+        the snapshot-pointer swap). Fails if nothing is staged; replaces
+        any existing commit with the same id (idempotent replay)."""
+        src = f"{self.staging_dir}/batch={batch_id}"
+        dst = f"{self.delta_dir}/batch={batch_id}"
+        if not self._has_parquet(src):
+            raise FileNotFoundError(f"no staged batch {batch_id} to publish")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+
+    def abort_batch(self, batch_id: int) -> None:
+        """Drop a staged batch (audit failed). No effect on the table."""
+        shutil.rmtree(f"{self.staging_dir}/batch={batch_id}", ignore_errors=True)
+
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> list[str]:
+        """Iceberg remove_orphan_files analog: delete files under the
+        table root that no reader path can reach — leftovers from
+        crashed writes (`.compact_tmp`, `_temporary`, stray files
+        outside any commit dir) and abandoned staging batches. Only
+        entries older than ``older_than_s`` are removed (Iceberg's
+        3-day default) so in-flight writers are never raced. Live
+        data — base/, deltas/batch=*/, archive/gen=*/ and fresh
+        staging — is structurally excluded, not timestamp-excluded:
+        the walk starts from the unreachable roots, so a clock skew
+        can delay cleanup but never delete reachable files. Returns
+        the removed paths (relative to the table root)."""
+        import time
+
+        cutoff = time.time() - older_than_s
+        doomed: list[str] = []
+
+        def _old(p: str) -> bool:
+            try:
+                return os.path.getmtime(p) <= cutoff
+            except OSError:
+                return False
+
+        # 1. crashed-write leftovers anywhere under the root
+        for base, dirs, files in os.walk(self.path):
+            for d in list(dirs):
+                if d in ("_temporary", ".compact_tmp") and _old(os.path.join(base, d)):
+                    doomed.append(os.path.join(base, d))
+                    dirs.remove(d)
+        # 2. stray entries directly under deltas/ (not batch=N) and
+        #    archive/ (not gen=N)
+        for root, prefix in ((self.delta_dir, "batch="), (self.archive_dir, "gen=")):
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                p = os.path.join(root, d)
+                if not d.startswith(prefix) and _old(p):
+                    doomed.append(p)
+        # 3. abandoned staging commits
+        if os.path.isdir(self.staging_dir):
+            for d in os.listdir(self.staging_dir):
+                p = os.path.join(self.staging_dir, d)
+                if _old(p):
+                    doomed.append(p)
+        for p in doomed:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return [os.path.relpath(p, self.path) for p in doomed]
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Retention-based snapshot expiry (reference A25,
         docs/design.md:399 ExpireSnapshots): drop archived base
