@@ -48,6 +48,12 @@ HEADLINE = [
     "q_cdc_ivm_agg",
     "q_events_markov",
     "q_join_scd2_asof",
+    # round-3 session-2 additions
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_text_inverted_index",
+    "q_timeseries_ewma",
 ]
 
 

@@ -544,3 +544,65 @@ def q_agg_mode(spark, sf_dir):
             F.col("c").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    family="aggregates",
+    oracle="""
+    WITH wq AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, p,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM wq
+    )
+    SELECT l_returnflag,
+           min(p) AS weighted_median_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+    doc="Weighted median (50th weighted percentile): smallest price at "
+    "which cumulative quantity-weight reaches half the group total — "
+    "the robust 'typical price per unit sold' statistic percentile_"
+    "approx can only approximate. Weights are exact integers "
+    "(quantity is integral), the cumulative sum is a keyed RANGE "
+    "window (ties accumulate together, so the crossing price is "
+    "well-defined and engine-independent), and the median is a raw "
+    "column passthrough — no float aggregation anywhere, no rounding "
+    "needed. Scale: one shuffle on the group key; the window sorts "
+    "within partitions only. For a 100 TB single-group variant the "
+    "same statistic falls out of a fixed-width histogram sketch + one "
+    "refinement pass; with real group keys this keyed-window form is "
+    "the right shape.",
+)
+def q_agg_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.round("l_quantity").cast("long").alias("w"),
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("p")
+    wa = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "p",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wa).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").alias("weighted_median_price"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )

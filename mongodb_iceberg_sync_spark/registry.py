@@ -150,6 +150,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_inverted_index",
     "q_sample_reservoir",
     "q_timeseries_ewma",
+    "q_agg_weighted_median",
 )
 
 

@@ -79,6 +79,12 @@ PROBE_QUERIES = [
     "q_text_chunk_rag",
     "q_embed_quantize",
     "q_curriculum_order",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_text_inverted_index",
+    "q_sample_reservoir",
+    "q_timeseries_ewma",
 ]
 REPLICAS = 10
 TABLES = {
