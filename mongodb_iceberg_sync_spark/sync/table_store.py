@@ -113,27 +113,86 @@ class MorTable:
         self._writer(batch_df).mode("overwrite").parquet(target)
         self._write_manifest(target)
 
+    # Bloom sizing: 4096 bits / 3 hashes ≈ 1.5% false-positive rate at
+    # 500 distinct keys per commit; the bitmap is 512 bytes of manifest
+    # JSON. Iceberg stores the same idea as puffin bloom blobs.
+    _BLOOM_BITS = 4096
+    _BLOOM_SLICES = ((1, 8), (9, 8), (17, 8))  # 1-based md5-hex substrings
+
+    @classmethod
+    def _bloom_positions(cls, key_value) -> list[int]:
+        """Python-side bit positions for a key — MUST mirror the
+        Spark-side expression in _write_manifest (same md5-hex
+        substrings of str(key))."""
+        import hashlib
+
+        h = hashlib.md5(str(key_value).encode()).hexdigest()
+        return [
+            int(h[start - 1 : start - 1 + ln], 16) % cls._BLOOM_BITS
+            for start, ln in cls._BLOOM_SLICES
+        ]
+
     def _write_manifest(self, target: str) -> None:
-        """Iceberg-manifest analog: per-commit key min/max stats.
+        """Iceberg-manifest analog: per-commit key min/max stats plus a
+        key bloom filter (puffin-blob analog) for point-lookup skipping.
 
         Iceberg's scan planning skips data files whose column bounds
         cannot satisfy the predicate; the same contract here at
-        commit-dir granularity. One tiny agg job per commit (the stats
-        ride the write, not the read path). Stats are advisory — a
-        missing manifest only disables skipping for that commit.
+        commit-dir granularity, and the bloom extends it to point
+        lookups whose key falls INSIDE a commit's [min,max] that the
+        commit doesn't actually contain. One tiny agg job per commit
+        (the stats ride the write, not the read path); the bloom's
+        distinct-position set is bounded at _BLOOM_BITS rows no matter
+        how large the commit, so the driver materializes ≤512 bytes.
+        Stats are advisory — a missing manifest or bloom only disables
+        skipping for that commit.
 
         Bounds come from READING BACK the written files, not from
         re-running the batch DataFrame's lineage — a non-deterministic
         batch recomputed differently would otherwise yield bounds that
         disagree with the files on disk, making skipping lossy.
         """
-        row = (
-            self.spark.read.parquet(target)
-            .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
-            .head()
+        df = self.spark.read.parquet(target)
+        row = df.agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi")).head()
+        h = F.md5(F.col(self.key).cast("string"))
+        positions = [
+            F.conv(F.substring(h, start, ln), 16, 10).cast("long")
+            % self._BLOOM_BITS
+            for start, ln in self._BLOOM_SLICES
+        ]
+        pos_rows = (
+            df.filter(F.col(self.key).isNotNull())
+            .select(F.explode(F.array(*positions)).alias("pos"))
+            .distinct()
+            .collect()
         )
+        bitmap = 0
+        for r in pos_rows:
+            bitmap |= 1 << int(r.pos)
         with open(f"{target}/{MANIFEST}", "w") as f:
-            json.dump({"key": self.key, "min": row.lo, "max": row.hi}, f)
+            json.dump(
+                {
+                    "key": self.key,
+                    "min": row.lo,
+                    "max": row.hi,
+                    "bloom_bits": self._BLOOM_BITS,
+                    "bloom": format(bitmap, "x"),
+                },
+                f,
+            )
+
+    def _bloom_may_contain(self, target: str, key_value) -> bool:
+        """False-negative-free membership: False ⇒ the commit definitely
+        lacks the key; True on any doubt (missing/foreign manifest)."""
+        try:
+            with open(f"{target}/{MANIFEST}") as f:
+                m = json.load(f)
+            if m.get("bloom_bits") != self._BLOOM_BITS or "bloom" not in m:
+                return True
+            bitmap = int(m["bloom"], 16)
+        except (OSError, ValueError, KeyError):
+            return True
+        return all(bitmap >> p & 1 for p in self._bloom_positions(key_value))
 
     def _manifest_bounds(self, target: str):
         try:
@@ -189,8 +248,23 @@ class MorTable:
                     continue
                 if hi is not None and b_lo > hi:
                     continue
+            # point lookup (lo == hi): the bloom can skip commits whose
+            # [min,max] straddles the key without containing it
+            if (
+                lo is not None
+                and lo == hi
+                and not self._bloom_may_contain(path, lo)
+            ):
+                continue
             out.append(path)
         return out
+
+    def lookup(self, key_value) -> DataFrame | None:
+        """Point lookup: current row for one key, or None. Scan planning
+        prunes commits by manifest bounds AND bloom membership, so on a
+        wide table this opens O(commits-containing-key) directories,
+        not O(commits)."""
+        return self.snapshot(lo=key_value, hi=key_value)
 
     # -- read path ----------------------------------------------------
 
