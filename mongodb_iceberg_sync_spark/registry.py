@@ -151,6 +151,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sample_reservoir",
     "q_timeseries_ewma",
     "q_agg_weighted_median",
+    "q_graph_triangles",
 )
 
 
