@@ -865,3 +865,110 @@ def q_text_inverted_index(spark, sf_dir):
         .limit(_INV_TOPK)
         .select("term", "df", "postings")
     )
+
+
+_BM25_TERMS = ("spark", "query", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    stat_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # per-term scores rounded to 6 then decimal-added left-to-right:
+    # the total is exact, so ORDER BY is engine-independent
+    score = " + ".join(
+        f"CAST(round(ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * tf{i} * ({_BM25_K1} + 1.0)"
+        f" / (tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / s.avgdl)),"
+        f" 6) AS DECIMAL(18,6))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             sum(dl) * 1.0 / count(*) AS avgdl,
+             {stat_cols}
+      FROM tf
+    )
+    SELECT doc_id, dl, CAST(({score}) AS DOUBLE) AS bm25
+    FROM tf CROSS JOIN stats s
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY ({score}) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@register(
+    "q_text_bm25",
+    family="text",
+    oracle=_bm25_oracle(),
+    doc="BM25 ranked retrieval (Robertson-Sparck Jones idf, k1=1.2 "
+    "b=0.75) for a fixed 3-term query — the scoring function behind "
+    "keyword search over the corpus, complementing q_text_tfidf "
+    "(weights) and q_text_inverted_index (postings). Plan: term "
+    "frequencies come from JVM-side array HOFs (size(filter(...))) "
+    "per document — MAP-ONLY, no tokenize-explode shuffle — and the "
+    "corpus statistics (N, avgdl, per-term df) are ONE 1-row "
+    "aggregate broadcast back; scoring is row-local arithmetic and "
+    "the top-20 is TakeOrderedAndProject. Two scans total, zero "
+    "wide shuffles — at 100 TB this is scan-throughput-bound. "
+    "Determinism: per-term scores round to 6 decimals then add as "
+    "exact decimals left-to-right (the lm_score pattern), so the "
+    "ranking ORDER itself is engine-independent.",
+)
+def q_text_bm25(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        # tf = |toks| - |toks without the term| (array_remove drops every
+        # occurrence) — pure JVM expressions, no lambda capture pitfalls
+        *[
+            (F.size(toks) - F.size(F.array_remove(toks, trm)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, trm in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = tf.join(F.broadcast(stats))
+    total = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        s = idf * F.col(f"tf{i}") * (_BM25_K1 + 1.0) / (
+            F.col(f"tf{i}")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        s6 = F.round(s, 6).cast("decimal(18,6)")
+        total = s6 if total is None else total + s6
+    return (
+        scored.filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0)
+        .select("doc_id", "dl", total.alias("_t"))
+        .orderBy(F.col("_t").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", "dl", F.col("_t").cast("double").alias("bm25"))
+    )

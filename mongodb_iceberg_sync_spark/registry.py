@@ -152,6 +152,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_timeseries_ewma",
     "q_agg_weighted_median",
     "q_graph_triangles",
+    "q_text_bm25",
 )
 
 

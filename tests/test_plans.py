@@ -430,3 +430,16 @@ def test_ewma_single_user_shuffle(spark, sf_dir):
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(user_id" in line, line
     assert "TakeOrderedAndProject" in plan  # ORDER+LIMIT never global-sorts
+
+
+def test_bm25_is_two_scan_no_wide_shuffle(spark, sf_dir):
+    # tf/dl are map-side HOFs; corpus stats are a 1-row broadcast; the
+    # only "exchange" allowed is the single-partition one feeding the
+    # scalar aggregate — never a corpus-wide keyed shuffle
+    df = SPECS["q_text_bm25"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert not hash_exchanges, hash_exchanges
