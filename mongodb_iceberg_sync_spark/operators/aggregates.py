@@ -606,3 +606,54 @@ def q_agg_weighted_median(spark, sf_dir):
             F.min("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+@register(
+    "q_agg_entropy",
+    family="aggregates",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+    cnt AS (SELECT source, w, count(*) AS c FROM tok2 GROUP BY source, w),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source)
+    SELECT c.source,
+           CAST(max(t.t) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(CAST(sum(CAST(round(-(c.c * 1.0 / t.t) * ln(c.c * 1.0 / t.t), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS entropy
+    FROM cnt c JOIN tot t USING (source)
+    GROUP BY c.source
+    """,
+    doc="Per-domain token Shannon entropy (nats) + vocabulary size — "
+    "the corpus-diversity diagnostic behind mixture decisions (a "
+    "low-entropy domain is boilerplate-heavy and over-weighted by raw "
+    "token counts; Dolma/Pile-style recipes inspect exactly this). "
+    "Determinism: each -p·ln(p) term is a float product of "
+    "bitwise-identical inputs (int/int division + ln), rounded to 6 "
+    "and decimal-summed (the lm_score pattern) so the per-group sum "
+    "is order-insensitive cross-engine. Scale: (source, token) counts "
+    "partial-aggregate map-side; per-source totals are O(#domains) "
+    "and broadcast back; no driver materialization.",
+)
+def q_agg_entropy(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    p = F.col("c") * 1.0 / F.col("t")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            (F.round(F.sum(term).cast("double"), 4) + 0.0).alias("entropy"),
+        )
+    )

@@ -153,6 +153,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_weighted_median",
     "q_graph_triangles",
     "q_text_bm25",
+    "q_agg_entropy",
 )
 
 
