@@ -246,3 +246,59 @@ def q_window_islands(spark, sf_dir):
         )
         .drop("island")
     )
+
+
+@register(
+    "q_window_running_distinct",
+    family="windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, ts, event_id, event_type,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    ORDER BY user_id, ts, event_id
+    LIMIT 5000
+    """,
+    doc="Running DISTINCT count per user (how many distinct event "
+    "types has each user produced so far) — neither engine supports "
+    "count(DISTINCT) over an ordered window, so it is rewritten as "
+    "first-occurrence flag (row_number over (user, type) = 1) + "
+    "running SUM of the flag: exact, incremental, and window-able. "
+    "Scale: both windows hash-partition by user_id (the second "
+    "reuses the first's exchange — (user_id, event_type) is a "
+    "refinement, Spark re-sorts without re-shuffling only when "
+    "partitioning matches; here pass 1 keys by (user,type) so one "
+    "exchange each, both keyed — no global window anywhere). State "
+    "per row is O(1), unlike a naive collect_set-over-window whose "
+    "per-row set grows with history.",
+)
+def q_window_running_distinct(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(5000)
+    )

@@ -154,6 +154,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_graph_triangles",
     "q_text_bm25",
     "q_agg_entropy",
+    "q_window_running_distinct",
 )
 
 
