@@ -67,9 +67,62 @@ class MorTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key = key
-        self.partition_col = partition_col
         os.makedirs(self.base_dir, exist_ok=True)
         os.makedirs(self.delta_dir, exist_ok=True)
+        # Partition spec lives in table metadata (_spec.json), not the
+        # constructor: like Iceberg, the spec can EVOLVE without
+        # rewriting data, so reopening a table must recover the current
+        # spec from disk, and a constructor arg only seeds a NEW table.
+        if not os.path.exists(self._spec_path):
+            self._write_spec(
+                {"current": partition_col, "history": [{"spec_id": 0, "col": partition_col}]}
+            )
+        elif partition_col is not None and self.partition_col != partition_col:
+            raise ValueError(
+                f"table at {self.path} has partition spec "
+                f"{self.partition_col!r}; pass partition_col=None to reopen "
+                "or evolve_partition_spec() to change it"
+            )
+
+    # -- partition spec (evolvable, Iceberg partition-evolution analog) --
+
+    @property
+    def _spec_path(self) -> str:
+        return f"{self.path}/_spec.json"
+
+    def _read_spec(self) -> dict:
+        try:
+            with open(self._spec_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"current": None, "history": [{"spec_id": 0, "col": None}]}
+
+    def _write_spec(self, spec: dict) -> None:
+        with open(self._spec_path, "w") as f:
+            json.dump(spec, f)
+
+    @property
+    def partition_col(self) -> str | None:
+        """The CURRENT partition spec — new commits and compactions use
+        it; already-written commits keep the spec they were written
+        under (recorded in their manifest)."""
+        return self._read_spec()["current"]
+
+    def evolve_partition_spec(self, new_col: str | None) -> int:
+        """Change the partition spec for FUTURE commits without touching
+        existing data — Iceberg partition evolution (metadata-only).
+        Old commits stay in their old layout; the merge-on-read path
+        reads every commit dir independently so mixed layouts coexist;
+        the next full compact() rewrites the whole table under the new
+        spec. Returns the new spec id."""
+        spec = self._read_spec()
+        if new_col == spec["current"]:
+            return spec["history"][-1]["spec_id"]
+        sid = spec["history"][-1]["spec_id"] + 1
+        spec["current"] = new_col
+        spec["history"].append({"spec_id": sid, "col": new_col})
+        self._write_spec(spec)
+        return sid
 
     @property
     def base_dir(self) -> str:
@@ -177,9 +230,23 @@ class MorTable:
                     "max": row.hi,
                     "bloom_bits": self._BLOOM_BITS,
                     "bloom": format(bitmap, "x"),
+                    # spec this commit was written under (partition
+                    # evolution: later commits may use a different one)
+                    "spec": self.partition_col,
                 },
                 f,
             )
+
+    def _manifest_spec(self, target: str):
+        """Partition spec a commit was written under (None if unknown —
+        pre-evolution manifests lack the field and were written under
+        whatever spec was current then; treated as unpartitioned for
+        layout purposes, which per-dir reads make irrelevant)."""
+        try:
+            with open(f"{target}/{MANIFEST}") as f:
+                return json.load(f).get("spec")
+        except (OSError, ValueError):
+            return None
 
     def _bloom_may_contain(self, target: str, key_value) -> bool:
         """False-negative-free membership: False ⇒ the commit definitely
@@ -282,20 +349,15 @@ class MorTable:
             parts.append(base)
         delta_batches = self.prune_batches(lo, hi, as_of_batch)
         if delta_batches:
-            if self.partition_col is None:
-                delta_parts = [
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *delta_batches
-                    )
-                ]
-            else:
-                # one read per commit dir: a combined multi-root read
-                # would try to unify `batch=N` roots with the partition
-                # dirs beneath them (CONFLICTING_DIRECTORY_STRUCTURES)
-                delta_parts = [
-                    self.spark.read.option("mergeSchema", "true").parquet(d)
-                    for d in delta_batches
-                ]
+            # one read per commit dir, always: a combined multi-root read
+            # would try to unify `batch=N` roots with the partition dirs
+            # beneath them (CONFLICTING_DIRECTORY_STRUCTURES), and with
+            # partition EVOLUTION different commits legitimately carry
+            # different layouts — per-dir reads make mixed specs coexist
+            delta_parts = [
+                self.spark.read.option("mergeSchema", "true").parquet(d)
+                for d in delta_batches
+            ]
             for deltas in delta_parts:
                 # manifests prune whole commits; the residual filter
                 # makes the row-level predicate exact (pushes to scan)
@@ -488,6 +550,19 @@ class MorTable:
         skipping stays safe, never lossy."""
         if self.partition_col is None:
             raise ValueError("compact(where=...) requires partition_col")
+        # partition-targeted rewrite moves partition DIRS by name, which
+        # is only sound when every live commit shares the current spec;
+        # after an evolution, run a full compact() first (Iceberg's
+        # guidance for spec changes is the same: old files keep the old
+        # layout until rewritten)
+        for b in self._delta_batch_ids():
+            spec = self._manifest_spec(f"{self.delta_dir}/batch={b}")
+            if spec != self.partition_col:
+                raise ValueError(
+                    f"compact(where=...) needs all commits under spec "
+                    f"{self.partition_col!r}, but batch {b} was written "
+                    f"under {spec!r}; run full compact() first"
+                )
         raw = self._raw()
         if raw is None:
             return
