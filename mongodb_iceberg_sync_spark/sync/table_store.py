@@ -448,6 +448,94 @@ class MorTable:
             *[F.col(f"n.{c}").alias(c) for c in payload],
         )
 
+    # -- MERGE INTO facade --------------------------------------------
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        when_matched_update=True,
+        when_matched_delete=None,
+        when_not_matched_insert=True,
+        stage_only: bool = False,
+    ) -> None:
+        """Iceberg/ANSI ``MERGE INTO`` as a DataFrame facade: match
+        ``source`` rows against the table's CURRENT state on the key
+        and commit one batch of upserts/tombstones.
+
+        Clause semantics mirror Spark SQL MERGE (evaluated in order):
+
+        - ``when_matched_delete``: Column predicate (or None) — matched
+          rows satisfying it become tombstones.
+        - ``when_matched_update``: True, or a Column predicate —
+          remaining matched rows satisfying it are upserted with the
+          source payload.
+        - ``when_not_matched_insert``: True, or a Column predicate —
+          unmatched rows satisfying it are inserted.
+
+        Predicates may reference source columns directly and target
+        columns via the ``_target`` struct (null for unmatched rows),
+        e.g. ``F.col("v") > F.col("_target.v")``.
+
+        Source keys must be unique (one row per key per MERGE, the same
+        precondition SQL MERGE enforces with its cardinality check —
+        use WAP + an audit check to enforce it on untrusted sources).
+        ``stage_only=True`` stages the batch for write-audit-publish
+        instead of committing directly.
+
+        Scale: ONE key-equi left join of source against the merged
+        snapshot (both sides shuffle on the key; AQE broadcasts a
+        small source), plus one O(1)-row aggregate for the op_seq
+        base — no per-row driver work. With Iceberg jars this maps
+        1:1 onto ``MERGE INTO t USING s ON ... WHEN ...``.
+        """
+        latest = self._latest()
+        live = (
+            latest.filter(F.col(OP_TYPE) != TOMBSTONE).drop(OP_TYPE, OP_SEQ)
+            if latest is not None
+            else None
+        )
+        src_cols = [c for c in source.columns if c not in (OP_SEQ, OP_TYPE)]
+        if live is not None:
+            tgt = live.select(
+                F.col(self.key).alias("_tkey"),
+                F.struct(*[F.col(c) for c in live.columns]).alias("_target"),
+            )
+            j = source.join(tgt, source[self.key] == tgt["_tkey"], "left")
+            matched = F.col("_tkey").isNotNull()
+            seq_row = latest.agg(F.max(OP_SEQ).alias("m")).head()
+            seq0 = int(seq_row.m or 0) + 1
+        else:
+            j = source.select("*", F.lit(None).alias("_tkey"), F.lit(None).alias("_target"))
+            matched = F.lit(False)
+            seq0 = 1
+
+        def _cond(c):
+            if c is None:
+                return F.lit(False)
+            if isinstance(c, bool):
+                return F.lit(c)
+            return c  # a Column predicate
+
+        delete_c = matched & _cond(when_matched_delete)
+        update_c = matched & ~delete_c & _cond(when_matched_update)
+        insert_c = ~matched & _cond(when_not_matched_insert)
+        op = (
+            F.when(delete_c, F.lit(TOMBSTONE))
+            .when(update_c | insert_c, F.lit("upsert"))
+            .otherwise(F.lit(None))
+        )
+        batch = (
+            j.withColumn(OP_TYPE, op)
+            .filter(F.col(OP_TYPE).isNotNull())
+            .select(*src_cols, OP_TYPE)
+            .withColumn(OP_SEQ, F.lit(seq0).cast("long"))
+        )
+        if stage_only:
+            self.stage_batch(batch, batch_id)
+        else:
+            self.commit_batch(batch, batch_id)
+
     # -- maintenance --------------------------------------------------
 
     def _generations(self) -> list[str]:
