@@ -646,3 +646,42 @@ def q_sql_window_cte(spark, sf_dir):
             nation="mis_cte_nation",
         )
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT o_orderkey AS start_key, o_orderkey AS cur, 0 AS depth
+  FROM {orders} WHERE o_orderkey <= 100
+  UNION ALL
+  SELECT start_key, CAST(floor(cur / 2) AS BIGINT), depth + 1
+  FROM anc WHERE cur > 1
+)
+SELECT start_key,
+       CAST(max(depth) AS BIGINT) AS depth_to_root,
+       CAST(count(*) AS BIGINT) AS chain_len
+FROM anc
+GROUP BY start_key
+ORDER BY start_key
+"""
+
+
+@register(
+    "q_sql_recursive",
+    family="joins",
+    oracle=_RECURSIVE_SQL.format(orders="orders"),
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4 SPARK-24497): walk the "
+    "synthetic binary-tree hierarchy parent(k)=floor(k/2) from each "
+    "low orderkey to the root, returning depth and chain length — "
+    "the org-chart/BOM-traversal shape, as ONE ANSI string run "
+    "verbatim on both engines (spark.sql parity like "
+    "q_sql_window_cte). Only integer arithmetic, so results are "
+    "engine-exact. Scale: Spark executes the recursion as iterative "
+    "UNION ALL steps — each step is a filtered map of the previous "
+    "frontier (no shuffle inside a step here), frontier size is "
+    "bounded by the seed set, and depth is log2(maxkey) ≈ 17 steps "
+    "at any SF; the alternative hand-rolled loop (q_dedup_clusters' "
+    "pointer-doubling) remains the shape for UNBOUNDED-depth graphs.",
+)
+def q_sql_recursive(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("mis_rec_orders")
+    return spark.sql(_RECURSIVE_SQL.format(orders="mis_rec_orders"))

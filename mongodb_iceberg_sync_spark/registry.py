@@ -155,6 +155,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_bm25",
     "q_agg_entropy",
     "q_window_running_distinct",
+    "q_sql_recursive",
 )
 
 
