@@ -84,3 +84,39 @@ def test_merge_is_replay_idempotent(spark, table):
     after_once = _state(table)
     table.merge_into(src, batch_id=1)  # replayed batch id overwrites
     assert _state(table) == after_once == [("a", 1), ("b", 42), ("c", 3), ("x", 9)]
+
+
+# -- randomized differential test vs a dict reference model -----------
+
+from hypothesis import given, settings, strategies as st
+
+_key = st.sampled_from(["k1", "k2", "k3", "k4", "k5"])
+_val = st.integers(min_value=-5, max_value=50)
+# a batch has unique keys (the MERGE cardinality precondition)
+_batch = st.dictionaries(_key, _val, min_size=1, max_size=5)
+_history = st.lists(_batch, min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(history=_history)
+def test_merge_matches_reference_model(spark, tmp_path_factory, history):
+    t = MorTable(
+        spark, str(tmp_path_factory.mktemp("merge_prop") / "tbl"), key="doc_id"
+    )
+    model: dict[str, int] = {}
+    for i, batch in enumerate(history):
+        rows = sorted(batch.items())
+        t.merge_into(
+            _src(spark, rows),
+            batch_id=i,
+            when_matched_delete=F.col("v") < 0,
+        )
+        for k, v in rows:
+            if k in model:
+                if v < 0:
+                    del model[k]
+                else:
+                    model[k] = v
+            else:
+                model[k] = v  # insert clause takes any value
+    assert _state(t) == sorted(model.items())
