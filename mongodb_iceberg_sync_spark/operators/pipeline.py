@@ -749,3 +749,81 @@ def q_timeseries_ewma(spark, sf_dir):
         .orderBy("user_id", "ts", "event_id")
         .limit(5000)
     )
+
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1000000  # 7-day lookback
+
+
+@register(
+    "q_events_attribution",
+    family="pipeline",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.p_id, p.p_value, c.c_id,
+             count(*) OVER (PARTITION BY p.p_id) AS n_touch
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND epoch_us(c.c_ts) BETWEEN epoch_us(p.p_ts) - {_ATTR_WINDOW_US}
+                                AND epoch_us(p.p_ts)
+    )
+    SELECT c_id,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(p_value / n_touch, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) + 0.0 AS credit
+    FROM touches
+    GROUP BY c_id
+    """,
+    doc="Linear multi-touch attribution: every purchase's value splits "
+    "equally across that user's clicks in the prior 7 days; per-click "
+    "totals are the marketing-spend signal. Shape: user_id equi-join "
+    "with a residual time-band filter (pairs bounded per user, never "
+    "cross-user), per-purchase touch counts from a p_id-keyed window "
+    "riding the SAME join output, then one c_id aggregation. "
+    "Per-touch credit is a single division of identical inputs "
+    "(bitwise cross-engine), rounded and decimal-summed so the "
+    "per-click total is order-insensitive. Scale: two keyed "
+    "shuffles (user join, c_id agg) — both partial-aggregated; a "
+    "hot user with many clicks×purchases is bounded by the 7-day "
+    "band, the same skew profile as q_join_range_banded.",
+)
+def q_events_attribution(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (
+            F.unix_micros(F.col("c_ts").cast("timestamp")).between(
+                F.unix_micros(F.col("p_ts").cast("timestamp")) - _ATTR_WINDOW_US,
+                F.unix_micros(F.col("p_ts").cast("timestamp")),
+            )
+        ),
+    )
+    w = Window.partitionBy("p_id")
+    touches = j.select(
+        "p_id", "p_value", "c_id", F.count("*").over(w).alias("n_touch")
+    )
+    credit = F.round(F.col("p_value") / F.col("n_touch"), 6).cast("decimal(18,6)")
+    return touches.groupBy("c_id").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        (F.sum(credit).cast("double") + 0.0).alias("credit"),
+    )

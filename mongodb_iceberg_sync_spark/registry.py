@@ -156,6 +156,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_entropy",
     "q_window_running_distinct",
     "q_sql_recursive",
+    "q_events_attribution",
 )
 
 
