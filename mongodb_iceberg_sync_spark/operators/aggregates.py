@@ -621,8 +621,8 @@ def q_agg_weighted_median(spark, sf_dir):
     SELECT c.source,
            CAST(max(t.t) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS vocab,
-           round(CAST(sum(CAST(round(-(c.c * 1.0 / t.t) * ln(c.c * 1.0 / t.t), 6)
-                              AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS entropy
+           CAST(sum(CAST(round(-(c.c * 1.0 / t.t) * ln(c.c * 1.0 / t.t), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) + 0.0 AS entropy
     FROM cnt c JOIN tot t USING (source)
     GROUP BY c.source
     """,
@@ -654,6 +654,6 @@ def q_agg_entropy(spark, sf_dir):
         .agg(
             F.max("t").cast("long").alias("n_tokens"),
             F.count("*").cast("long").alias("vocab"),
-            (F.round(F.sum(term).cast("double"), 4) + 0.0).alias("entropy"),
+            (F.sum(term).cast("double") + 0.0).alias("entropy"),
         )
     )

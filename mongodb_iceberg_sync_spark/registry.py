@@ -10,6 +10,15 @@ Determinism rules (so the driver's order-insensitive value-hash matches):
     raw per-row float arithmetic is bitwise-identical and needs no rounding
   - any LIMIT/top-k carries a total order (unique tie-break key)
   - cast DuckDB's HUGEINT sums to BIGINT
+  - NEVER re-round an exact decimal sum to FEWER digits: Spark rounds
+    doubles via the shortest decimal repr with HALF_UP while DuckDB
+    rounds the binary value (half-even-ish), so a value whose shortest
+    repr ends in ...5 at the target digit diverges (bit
+    q_events_attribution: 5.70025 → 5.7003 vs 5.7002). Rounding an
+    exact DECIMAL(p,s) to d >= s digits is identity and safe; rounding
+    a float DIVISION result is near-safe (ties are measure-zero) but
+    rounding an exact decimal to d < s is a loaded gun — just cast the
+    exact decimal to double and compare unrounded.
 """
 
 from __future__ import annotations
