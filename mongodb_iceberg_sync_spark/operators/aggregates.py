@@ -657,3 +657,75 @@ def q_agg_entropy(spark, sf_dir):
             (F.sum(term).cast("double") + 0.0).alias("entropy"),
         )
     )
+
+
+@register(
+    "q_agg_ttest",
+    family="aggregates",
+    oracle="""
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+        CAST(sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+        CAST(sum(CASE WHEN event_type = 'click'
+                 THEN CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))
+                 END) AS DOUBLE) AS q1,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))
+                 END) AS DOUBLE) AS q2
+      FROM events
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           (s1 / n1) AS mean_click,
+           (s2 / n2) AS mean_purchase,
+           ((q1 - (s1 * s1) / n1) / (n1 - 1)) AS var_click,
+           ((q2 - (s2 * s2) / n2) / (n2 - 1)) AS var_purchase,
+           ((s1 / n1) - (s2 / n2))
+             / sqrt(((q1 - (s1 * s1) / n1) / (n1 - 1)) / n1
+                    + ((q2 - (s2 * s2) / n2) / (n2 - 1)) / n2) AS t_stat
+    FROM s
+    """,
+    doc="Welch two-sample t-statistic between click and purchase "
+    "values — the A/B-experiment primitive. Every statistic derives "
+    "from THREE exact decimal sums per group (n, Σv, Σv² — v is "
+    "cent-quantized so v and v² are exact decimals), then identical "
+    "float expression trees on both engines: no rounding anywhere, "
+    "results are bitwise (sqrt is IEEE-correctly-rounded). Scale: "
+    "one map-side-combined aggregation over the fact — the sufficient "
+    "statistics are 6 numbers, the canonical 'don't ship data to the "
+    "stats library' pattern (same trick as q_agg_stats's moments).",
+)
+def q_agg_ttest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    vsq = (vdec * vdec).cast("decimal(28,4)")
+    click = F.col("event_type") == "click"
+    buy = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.sum(F.when(click, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(click, vdec)).cast("double").alias("s1"),
+        F.sum(F.when(click, vsq)).cast("double").alias("q1"),
+        F.sum(F.when(buy, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(buy, vdec)).cast("double").alias("s2"),
+        F.sum(F.when(buy, vsq)).cast("double").alias("q2"),
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    var1 = (q1 - (s1 * s1) / n1) / (n1 - 1)
+    var2 = (q2 - (s2 * s2) / n2) / (n2 - 1)
+    return s.select(
+        n1.cast("long").alias("n_click"),
+        n2.cast("long").alias("n_purchase"),
+        (s1 / n1).alias("mean_click"),
+        (s2 / n2).alias("mean_purchase"),
+        var1.alias("var_click"),
+        var2.alias("var_purchase"),
+        (((s1 / n1) - (s2 / n2)) / F.sqrt(var1 / n1 + var2 / n2)).alias("t_stat"),
+    )

@@ -166,6 +166,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_window_running_distinct",
     "q_sql_recursive",
     "q_events_attribution",
+    "q_agg_ttest",
 )
 
 

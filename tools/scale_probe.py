@@ -85,6 +85,13 @@ PROBE_QUERIES = [
     "q_text_inverted_index",
     "q_sample_reservoir",
     "q_timeseries_ewma",
+    "q_agg_weighted_median",
+    "q_graph_triangles",
+    "q_text_bm25",
+    "q_agg_entropy",
+    "q_window_running_distinct",
+    "q_sql_recursive",
+    "q_events_attribution",
 ]
 REPLICAS = 10
 TABLES = {
