@@ -290,3 +290,101 @@ def q_multimodal_dedup(spark, sf_dir):
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+_PHASH_BITS = 64
+_PHASH_BANDS = 4  # 16 bits each — one collision band ⇒ candidate
+_PHASH_MAX_HAMMING = 6
+
+
+def phash64_batches():
+    """Arrow-batched aHash: payload bytes → 64 mean-bucket sign bits.
+
+    Stand-in for pixel-domain aHash/pHash (no image decoder in this
+    container): the byte stream plays the role of the decoded+resized
+    grayscale plane, which exercises the REAL pipeline shape — bytes
+    cross to Python once per Arrow batch, a numpy kernel folds each
+    payload to a 64-bit signature, and everything downstream (banding,
+    hamming verify) is JVM-side. Swap the kernel body for
+    PIL+DCT when a decoder is available; nothing else changes."""
+    import numpy as np
+    import pandas as pd
+
+    def _batches(batches):
+        for pdf in batches:
+            sigs = []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                if len(a) < _PHASH_BITS:  # pad short payloads
+                    a = np.pad(a, (0, _PHASH_BITS - len(a)))
+                # mean per bucket (truncate the ragged tail), then sign
+                # vs the global mean — classic aHash
+                n = (len(a) // _PHASH_BITS) * _PHASH_BITS
+                buckets = a[:n].reshape(_PHASH_BITS, -1).mean(axis=1)
+                bits = (buckets > buckets.mean()).astype(np.uint64)
+                sig = 0
+                for b in bits:
+                    sig = (sig << 1) | int(b)
+                # store as signed int64 (Spark LongType)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": sigs})
+
+    return _batches
+
+
+@register(
+    "q_multimodal_phash",
+    family="multimodal",
+    oracle=None,  # numpy kernel — pinned by tests/test_multimodal.py
+    doc="Perceptual-hash near-duplicate detection for media payloads — "
+    "the second tier above q_multimodal_dedup's byte-exact sha2: "
+    "64-bit aHash per payload (Arrow-batched numpy, see "
+    "phash64_batches), then banded LSH on 4x16-bit hash bands "
+    "(hamming-near pairs must collide on >=1 band when distance "
+    "<= 16·(bands-1)/bands — same banding math as q_dedup_simhash) "
+    "and a JVM-side hamming verify: bit_count(a XOR b) <= 6. "
+    "Scale: signatures are 8 bytes/payload, band join is an "
+    "equi-join on (band, value16) — never all-pairs; verify touches "
+    "only band-colliding candidates. One GEMM-free pass; the "
+    "expensive bytes never shuffle.",
+)
+def q_multimodal_phash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    sigs = blobs.mapInPandas(phash64_batches(), "doc_id long, phash long")
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .distinct()  # same pair can collide on several bands
+    )
+    return pairs.orderBy("doc_a", "doc_b")

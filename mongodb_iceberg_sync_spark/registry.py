@@ -167,6 +167,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sql_recursive",
     "q_events_attribution",
     "q_agg_ttest",
+    "q_multimodal_phash",
 )
 
 

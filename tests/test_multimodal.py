@@ -53,3 +53,60 @@ def test_resize_halves_dims_and_decimates(spark, sf_dir):
         assert r.new_width == r.width // 2
         assert r.new_height == r.height // 2
         assert r.doc_id % 3 == 1  # image rows only
+
+
+def test_phash_matches_pure_python_reference(spark, sf_dir):
+    """q_multimodal_phash == brute-force numpy reference: same
+    signatures and the banded-LSH candidate set must contain every
+    hamming<=6 pair that shares a band (no false negatives from the
+    distributed banding)."""
+    import numpy as np
+    import duckdb
+
+    from mongodb_iceberg_sync_spark.operators.multimodal import (
+        _PHASH_BANDS,
+        _PHASH_BITS,
+        _PHASH_MAX_HAMMING,
+    )
+    from mongodb_iceberg_sync_spark.registry import all_specs
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    def ref_phash(text: str) -> int:
+        a = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.float64)
+        if len(a) < _PHASH_BITS:
+            a = np.pad(a, (0, _PHASH_BITS - len(a)))
+        n = (len(a) // _PHASH_BITS) * _PHASH_BITS
+        buckets = a[:n].reshape(_PHASH_BITS, -1).mean(axis=1)
+        bits = (buckets > buckets.mean()).astype(np.uint64)
+        sig = 0
+        for b in bits:
+            sig = (sig << 1) | int(b)
+        return sig
+
+    sigs = {doc_id: ref_phash(text) for doc_id, text in rows}
+    expected = set()
+    ids = sorted(sigs)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            x = sigs[da] ^ sigs[db]
+            if bin(x).count("1") > _PHASH_MAX_HAMMING:
+                continue
+            shares_band = any(
+                (sigs[da] >> (16 * k)) & 0xFFFF == (sigs[db] >> (16 * k)) & 0xFFFF
+                for k in range(_PHASH_BANDS)
+            )
+            if shares_band:
+                expected.add((da, db, bin(x).count("1")))
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in all_specs()["q_multimodal_phash"].func(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # hamming<=6 over 4x16 bands: <=6 flipped bits cannot touch all 4
+    # bands, so EVERY such pair shares a band — banding is lossless here
+    for da, db, _h in expected:
+        assert (da, db) in {(a, b) for a, b, _ in got}
