@@ -302,3 +302,66 @@ def q_window_running_distinct(spark, sf_dir):
         .orderBy("user_id", "ts", "event_id")
         .limit(5000)
     )
+
+
+@register(
+    "q_window_rolling_features",
+    family="windows",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') OVER h24
+                AS BIGINT) AS purchases_24h,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+                    END) OVER h24 AS DOUBLE) AS spend_24h,
+           CAST(count(*) OVER d7 AS BIGINT) AS events_7d
+    FROM events
+    WINDOW
+      h24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+      d7 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    LIMIT 5000
+    """,
+    doc="Point-in-time rolling feature aggregates — the feature-store "
+    "primitive (trailing 24h purchase count/spend, trailing 7d "
+    "activity) computed per event with NO future leakage: RANGE "
+    "frames over event-time microseconds, so each row sees exactly "
+    "the interval ending at itself regardless of event spacing (a "
+    "ROWS frame would leak or starve on irregular series). Sums ride "
+    "exact decimals (cent-quantized values) — no rounding needed. "
+    "Scale: one user_id exchange shared by both frames; RANGE frame "
+    "state is the in-window slice per user — bounded by event rate x "
+    "window span, the same bound a streaming watermark version "
+    "carries.",
+)
+def q_window_rolling_features(spark, sf_dir):
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    h24 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86400000000, Window.currentRow)
+    )
+    d7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-604800000000, Window.currentRow)
+    )
+    is_buy = F.col("event_type") == "purchase"
+    vdec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(F.when(is_buy, 1).otherwise(0)).over(h24).cast("long").alias("purchases_24h"),
+            F.sum(F.when(is_buy, vdec).otherwise(zero)).over(h24).cast("double").alias("spend_24h"),
+            F.count("*").over(d7).cast("long").alias("events_7d"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(5000)
+    )

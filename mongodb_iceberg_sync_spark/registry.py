@@ -168,6 +168,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_attribution",
     "q_agg_ttest",
     "q_multimodal_phash",
+    "q_window_rolling_features",
 )
 
 
