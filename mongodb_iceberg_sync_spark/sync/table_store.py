@@ -581,9 +581,15 @@ class MorTable:
                 return True
         return False
 
-    def compact(self, where=None) -> None:
+    def compact(self, where=None, max_records_per_file: int | None = None) -> None:
         """Rewrite base from the merged snapshot; fold deltas (reference
         A24 RewriteDataFiles, docs/design.md:394-400).
+
+        ``max_records_per_file`` bounds output file size (Iceberg's
+        rewrite target-file-size, record-count proxy) via Spark's
+        native maxRecordsPerFile write option — the writer rolls files
+        at the bound with NO extra repartition job, so compaction cost
+        is unchanged and downstream scans get uniformly-sized splits.
 
         ``where=None`` rewrites the whole table. With a predicate over
         ``partition_col`` (a Column, e.g. ``F.col("day") < "2024-01"``),
@@ -602,18 +608,21 @@ class MorTable:
         would be silently wrong).
         """
         if where is not None:
-            self._compact_partitions(where)
+            self._compact_partitions(where, max_records_per_file)
             return
         snap = self.snapshot()
         tmp = f"{self.path}/.compact_tmp"
         if snap is None:
             return
         batch_ids = self._delta_batch_ids()
-        self._writer(
+        w = self._writer(
             snap.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(
                 OP_TYPE, F.lit("upsert")
             )
-        ).mode("overwrite").parquet(tmp)
+        )
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.mode("overwrite").parquet(tmp)
         gens = self._generations()
         next_gen = int(gens[-1].split("=")[1]) + 1 if gens else 0
         os.makedirs(self.archive_dir, exist_ok=True)
@@ -629,7 +638,7 @@ class MorTable:
         # partition keys here
         return f"{self.partition_col}={value}"
 
-    def _compact_partitions(self, where) -> None:
+    def _compact_partitions(self, where, max_records_per_file=None) -> None:
         """Partition-targeted rewrite: fold the matching partitions'
         merged state into base and drop those partitions' delta files;
         every other partition's files are untouched (verified by mtime
@@ -668,11 +677,14 @@ class MorTable:
         snap = self.snapshot()
         cold_snap = snap.filter(F.col(pc).isin(cold_vals))
         tmp = f"{self.path}/.compact_tmp"
-        self._writer(
+        w = self._writer(
             cold_snap.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(
                 OP_TYPE, F.lit("upsert")
             )
-        ).mode("overwrite").parquet(tmp)
+        )
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.mode("overwrite").parquet(tmp)
         gens = self._generations()
         next_gen = int(gens[-1].split("=")[1]) + 1 if gens else 0
         gen_dir = f"{self.archive_dir}/gen={next_gen:06d}"

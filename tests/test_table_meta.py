@@ -102,3 +102,10 @@ def test_empty_table_metadata(spark, tmp_path):
     assert t.snapshots().count() == 0
     assert t.partitions().count() == 0
     assert [tuple(r) for r in t.history().collect()] == [(0, "current", None)]
+
+
+def test_compact_respects_max_records_per_file(spark, table):
+    table.compact(max_records_per_file=1)
+    files = [r for r in table.files().collect() if r.section == "base"]
+    assert all(r.record_count <= 1 for r in files)
+    assert len(files) >= 2  # 2 live keys (c tombstoned) → one file each
