@@ -560,6 +560,21 @@ class MorTable:
             with open(f"{self.path}/{COMPACTION_MARK}", "w") as f:
                 json.dump({"last_folded_batch": batch_id}, f)
 
+    def rollback_to_batch(self, batch_id: int) -> list[int]:
+        """Iceberg rollback_to_snapshot analog: make VERSION AS OF
+        ``batch_id`` the CURRENT state by dropping every later commit
+        (and any staged batches). Metadata-only — nothing is rewritten;
+        the dropped commit dirs are removed like Iceberg orphaning the
+        rolled-back snapshots' files. Refuses to roll back past the
+        last compaction (those versions are expired — same contract as
+        snapshot(as_of_batch=...)). Returns the dropped batch ids."""
+        self._check_not_expired(batch_id)
+        dropped = [b for b in self._delta_batch_ids() if b > batch_id]
+        for b in dropped:
+            shutil.rmtree(f"{self.delta_dir}/batch={b}", ignore_errors=True)
+        shutil.rmtree(self.staging_dir, ignore_errors=True)
+        return dropped
+
     def should_compact(
         self, max_delta_batches: int = 16, max_delta_files: int = 64
     ) -> bool:

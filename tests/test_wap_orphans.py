@@ -126,3 +126,23 @@ def test_orphan_cleanup_age_guard_spares_fresh_files(spark, table):
     assert table.remove_orphan_files() == []
     assert os.path.isdir(f"{table.staging_dir}/batch=10")
     assert os.path.isdir(fresh_tmp)
+
+
+def test_rollback_to_batch(spark, table):
+    table.commit_batch(_mk_batch(spark, [("c", 3, "upsert", 3)]), 1)
+    table.commit_batch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2)
+    table.stage_batch(_mk_batch(spark, [("e", 5, "upsert", 5)]), 3)
+    v1 = sorted(r.doc_id for r in table.snapshot(as_of_batch=1).collect())
+    assert table.rollback_to_batch(1) == [2]
+    assert sorted(r.doc_id for r in table.snapshot().collect()) == v1
+    assert not os.path.isdir(f"{table.staging_dir}/batch=3")  # staged dropped
+
+
+def test_rollback_refuses_expired_versions(spark, table):
+    from mongodb_iceberg_sync_spark.sync.table_store import SnapshotExpiredError
+
+    table.commit_batch(_mk_batch(spark, [("c", 3, "upsert", 3)]), 1)
+    table.compact()
+    table.commit_batch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2)
+    with pytest.raises(SnapshotExpiredError):
+        table.rollback_to_batch(0)
