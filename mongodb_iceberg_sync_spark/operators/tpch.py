@@ -227,3 +227,118 @@ def q_tpch_q10(spark, sf_dir):
             "n_name",
         )
     )
+
+
+_Q14_LO, _Q14_HI = "1997-06-01", "1997-07-01"
+
+
+@register(
+    "q_tpch_q14",
+    family="tpch",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS total_rev_e4,
+           100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q14_HI}'
+    GROUP BY 1=1
+    """,
+    doc="TPC-H Q14 (promotion effect): share of one month's revenue "
+    "from PROMO parts. Both revenue legs are exact integer sums and "
+    "the share is ONE float division of two exact integers — bitwise "
+    "cross-engine with no rounding. Plan: the month filter prunes "
+    "~99% of lineitem at the scan; part joins on its PK (broadcast "
+    "at test SF, SMJ at 100 TB — left to AQE on purpose since part "
+    "is 1/5 of lineitem's cardinality, borderline either way); one "
+    "ungrouped aggregate, map-side combined.",
+)
+def q_tpch_q14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q14_HI).cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_e4_col()
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo_rev).cast("long").alias("promo_rev_e4"),
+            F.sum(rev).cast("long").alias("total_rev_e4"),
+            (100.0 * F.sum(promo_rev) / F.sum(rev)).alias("promo_share_pct"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    family="tpch",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS rev_e4,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 (discounted revenue): three OR'd brand/size/quantity "
+    "predicate branches over lineitem⋈part — the classic test that "
+    "the optimizer derives the IMPLIED single-side filters from a "
+    "cross-side disjunction: Catalyst pushes "
+    "brand∈{...} ∧ size∈[1,50] to the part scan and quantity∈[1,40] "
+    "to the lineitem scan (each branch's condition can't prune alone, "
+    "but their union can), leaving the exact disjunction as a "
+    "post-join residual. Revenue is an exact integer sum; one "
+    "ungrouped aggregate.",
+)
+def q_tpch_q19(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10)
+            & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20)
+            & (q <= 40)
+        )
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_rev_e4_col()).cast("long").alias("rev_e4"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )

@@ -169,6 +169,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_ttest",
     "q_multimodal_phash",
     "q_window_rolling_features",
+    "q_tpch_q14",
+    "q_tpch_q19",
 )
 
 

@@ -443,3 +443,21 @@ def test_bm25_is_two_scan_no_wide_shuffle(spark, sf_dir):
     import re
     hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert not hash_exchanges, hash_exchanges
+
+
+def test_tpch_q19_derives_implied_scan_filters(spark, sf_dir):
+    # the OR-of-ANDs predicate spans both join sides; Catalyst must
+    # derive the union-of-branches filter for EACH side and push it to
+    # that side's scan (brand/size on part, quantity on lineitem)
+    df = SPECS["q_tpch_q19"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    part_pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "p_brand" in ln
+    ]
+    li_pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_quantity" in ln
+    ]
+    assert part_pushed, "brand/size disjunction not pushed to part scan"
+    assert li_pushed, "quantity disjunction not pushed to lineitem scan"
