@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..sync.apply import apply_batch
+from ..sync.apply import apply_batch, apply_batch_wap
 from ..sync.batching import trigger_kwargs
 from ..sync.config import BatchConfig
 from ..sync.table_store import MorTable
@@ -28,6 +28,7 @@ def foreach_batch_merge(
     batch_config: BatchConfig | None = None,
     available_now: bool = True,
     quarantine_dir: str | None = None,
+    audit_checks=None,
 ) -> StreamingQuery:
     """Start the merge stream.
 
@@ -36,12 +37,29 @@ def foreach_batch_merge(
     catch-up); otherwise the trigger interval IS the reference's
     flushIntervalSeconds (sync.batching.trigger_kwargs), and the source
     should be rate-limited to ~maxRecords per micro-batch
-    (sync.batching.source_rate_options on the reader side)."""
+    (sync.batching.source_rate_options on the reader side).
+
+    ``audit_checks`` switches the sink to write-audit-publish commits
+    (sync.apply.apply_batch_wap): each micro-batch is staged, audited
+    (pass ``[]`` for just the built-in expectations), and atomically
+    published only if clean — a failing batch aborts wholesale into
+    the quarantine and the stream continues. Without it, commits are
+    direct and malformed rows are quarantined row-by-row."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(
-            table, batch_df, batch_id, key=key, quarantine_dir=quarantine_dir
-        )
+        if audit_checks is not None:
+            apply_batch_wap(
+                table,
+                batch_df,
+                batch_id,
+                key=key,
+                checks=audit_checks,
+                quarantine_dir=quarantine_dir,
+            )
+        else:
+            apply_batch(
+                table, batch_df, batch_id, key=key, quarantine_dir=quarantine_dir
+            )
 
     return (
         cdc_stream.writeStream.foreachBatch(_apply)

@@ -143,3 +143,65 @@ def apply_batch(
         "n_invalidations": pre.n_invalid,
         "first_invalid_seq": pre.first_invalid_seq,
     }
+
+
+def apply_batch_wap(
+    table: MorTable,
+    events: DataFrame,
+    batch_id: int,
+    key: str = "doc_id",
+    checks=None,
+    quarantine_dir: str | None = None,
+) -> dict:
+    """Write-audit-publish variant of apply_batch: the batch's ops are
+    STAGED (invisible), audited against the staged files (built-in
+    null-key/op-validity expectations + optional ``checks`` callables),
+    and only a clean batch is atomically published; a failing batch is
+    aborted wholesale and, with ``quarantine_dir``, dead-lettered with
+    the audit findings — the stream then continues past it (consumed,
+    not retried), exactly the quarantine contract of apply_batch but
+    at batch granularity instead of row granularity. Use when a
+    single bad row should block the whole commit (e.g. a producer bug
+    flooding nulls) rather than be skipped row-by-row.
+
+    Invalidation ops are NOT handled here (they clear the table, which
+    is an engine-level decision) — route streams that can carry them
+    through apply_batch/SyncEngine instead; this guard raises so the
+    mistake is loud.
+    """
+    n_invalid = events.filter(F.col("op_type").isin(*INVALIDATE_OPS)).count()
+    if n_invalid:
+        raise ValueError(
+            "apply_batch_wap cannot handle invalidation ops "
+            "(drop/rename/invalidate) — use apply_batch/SyncEngine"
+        )
+    stats = events.agg(
+        F.count("*").alias("n"), F.max(F.col("op_seq").cast("long")).alias("mx")
+    ).head()
+    if not stats.n:
+        return {"published": True, "n_events": 0, "max_seq": None, "problems": []}
+    ops = batch_to_ops(events, key=key)
+    table.stage_batch(ops, batch_id)
+    problems = table.audit_batch(batch_id, checks=checks, expect_min_rows=1)
+    if problems:
+        table.abort_batch(batch_id)
+        if quarantine_dir is not None:
+            from .quarantine import write_quarantine
+
+            bad = events.withColumn(
+                "reason", F.lit("audit_failed: " + "; ".join(problems))
+            )
+            write_quarantine(bad, quarantine_dir, batch_id)
+        return {
+            "published": False,
+            "n_events": stats.n,
+            "max_seq": stats.mx,
+            "problems": problems,
+        }
+    table.publish_batch(batch_id)
+    return {
+        "published": True,
+        "n_events": stats.n,
+        "max_seq": stats.mx,
+        "problems": [],
+    }

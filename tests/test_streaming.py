@@ -263,3 +263,44 @@ def test_ohlc_stream_matches_batch(spark, sf_dir, events_stream_dir):
     got_m = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"]) for r in got}
     exp_m = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"]) for r in exp}
     assert got_m == exp_m
+
+
+def test_foreachbatch_wap_audited_merge(spark, tmp_path):
+    """WAP streaming sink: a poisoned micro-batch fails its audit, is
+    aborted wholesale into quarantine, and the stream continues —
+    clean batches' state is exactly the sequential replay of their
+    ops."""
+    import os
+
+    rows = make_events(n_docs=10, n_ops=80)
+    # poison the SECOND quarter (file 2 of 4): one null-key upsert
+    chunk = (len(rows) + 3) // 4
+    poisoned = list(rows)
+    seq, op, _d, ts, payload = poisoned[chunk + 3]
+    poisoned[chunk + 3] = (seq, "insert", None, ts, payload)
+
+    src = write_stream_source(spark, poisoned, str(tmp_path / "src"))
+    table = MorTable(spark, str(tmp_path / "tbl"), key="doc_id")
+    q = foreach_batch_merge(
+        read_stream(spark, src),
+        table,
+        str(tmp_path / "ckpt"),
+        quarantine_dir=str(tmp_path / "dlq"),
+        audit_checks=[],  # built-in expectations only
+    )
+    q.awaitTermination()
+
+    # replay oracle: batch 2's ops are dropped ENTIRELY (aborted), all
+    # other batches apply in order
+    kept = [r for i, r in enumerate(poisoned) if not (chunk <= i < 2 * chunk)]
+    assert {
+        r.doc_id: json.loads(r.full_doc) for r in table.snapshot().collect()
+    } == expected_final_state(kept)
+    # the aborted batch is dead-lettered with the audit reason
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == chunk
+    assert dlq.filter(F.col("reason").startswith("audit_failed")).count() == chunk
+    # nothing left staged
+    assert not os.path.isdir(f"{table.staging_dir}/batch=1") or not os.listdir(
+        f"{table.staging_dir}/batch=1"
+    )
