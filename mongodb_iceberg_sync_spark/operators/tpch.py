@@ -342,3 +342,60 @@ def q_tpch_q19(spark, sf_dir):
             F.count("*").cast("long").alias("n_items"),
         )
     )
+
+
+_Q18_QTY = 180
+
+
+@register(
+    "q_tpch_q18",
+    family="tpch",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {_Q18_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    ORDER BY round(o.o_totalprice * 100) DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 (large-volume customers): orders whose total "
+    f"quantity exceeds {_Q18_QTY}, joined back to orders+customer, "
+    "top-20 by order value. The HAVING subquery is the selective "
+    "driver — at any SF it reduces lineitem to a tiny key set "
+    "(~10% of orders here, far less at TPC-H spec thresholds), so "
+    "the right plan aggregates lineitem FIRST (map-side partial on "
+    "integral quantities — exact bigint sums), then joins the "
+    "survivors to orders/customer; Spark's join reorder + AQE "
+    "broadcast the shrunken side. ORDER rides on exact integer "
+    "cents; top-20 is TakeOrderedAndProject.",
+)
+def q_tpch_q18(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(_cents("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )

@@ -171,6 +171,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_window_rolling_features",
     "q_tpch_q14",
     "q_tpch_q19",
+    "q_tpch_q18",
 )
 
 
