@@ -92,6 +92,11 @@ PROBE_QUERIES = [
     "q_window_running_distinct",
     "q_sql_recursive",
     "q_events_attribution",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_window_rolling_features",
+    "q_multimodal_phash",
 ]
 REPLICAS = 10
 TABLES = {
