@@ -972,3 +972,100 @@ def q_text_bm25(spark, sf_dir):
         .limit(_BM25_TOPK)
         .select("doc_id", "dl", F.col("_t").cast("double").alias("bm25"))
     )
+
+
+_COLL_TOPK = 20
+
+
+@register(
+    "q_text_collocations",
+    family="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    bi AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2
+      FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(p)
+      WHERE u.p[1] <> '' AND u.p[2] <> ''
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    uni AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS cu FROM (
+        SELECT w1 AS w, c FROM bc UNION ALL SELECT w2 AS w, c FROM bc
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bc)
+    SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS pair_count,
+           round(ln((b.c * 1.0 * t.n) / (u1.cu * 1.0 * u2.cu)), 6) + 0.0 AS pmi
+    FROM bc b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+    ORDER BY b.c DESC, b.w1, b.w2
+    LIMIT {_COLL_TOPK}
+    """,
+    doc="Collocation mining: adjacent-token bigram counts with PMI "
+    "scores — the phrase-detection pass (word2vec's phrase step, "
+    "tokenizer merge candidates) every corpus pipeline runs. "
+    "Unigram totals derive FROM the bigram table (sum of incident "
+    "pair counts), so the whole statistic needs one corpus pass: "
+    "bigrams explode map-side, count partial-aggregates, unigram "
+    "marginals are a second small aggregation over the BIGRAM "
+    "table (vocab-sized, not corpus-sized), and the scalar total "
+    "broadcasts. PMI's ln rides a single division of exact "
+    "integers (bitwise inputs), rounded once; ORDER is by exact "
+    "integer count with full tie-break.",
+)
+def q_text_collocations(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bi = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.struct(
+                            F.element_at(toks, i + 1).alias("w1"),
+                            F.element_at(toks, i + 2).alias("w2"),
+                        ),
+                    ),
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = (
+        bc.select(F.col("w1").alias("w"), "c")
+        .unionAll(bc.select(F.col("w2").alias("w"), "c"))
+        .groupBy("w")
+        .agg(F.sum("c").cast("long").alias("cu"))
+    )
+    tot = bc.agg(F.sum("c").cast("long").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            (
+                F.round(
+                    F.log(
+                        (F.col("c") * 1.0 * F.col("n"))
+                        / (F.col("cu1") * 1.0 * F.col("cu2"))
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(_COLL_TOPK)
+    )
