@@ -729,3 +729,59 @@ def q_agg_ttest(spark, sf_dir):
         var2.alias("var_purchase"),
         (((s1 / n1) - (s2 / n2)) / F.sqrt(var1 / n1 + var2 / n2)).alias("t_stat"),
     )
+
+
+@register(
+    "q_agg_gini",
+    family="aggregates",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY round(o_totalprice * 100), o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           (2.0 * sum(rk * cents)) / (count(*) * 1.0 * sum(cents))
+             - (count(*) + 1.0) / count(*) AS gini
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+    doc="Gini coefficient of order-value concentration per priority "
+    "class — the inequality statistic behind 'top-x% of orders carry "
+    "y% of revenue' dashboards. Uses the rank formulation "
+    "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked exact "
+    "cents: every sum is an exact BIGINT (rank×cents included), so "
+    "the final expression is identical float arithmetic on identical "
+    "integers — bitwise cross-engine, no rounding. Scale: one "
+    "keyed window (rank within priority class) + one hash agg — the "
+    "same per-group-sort shape as q_window_rank; for a single "
+    "astronomically-hot group the two-pass global-rank machinery "
+    "(q_sort_global_rank) substitutes directly.",
+)
+def q_agg_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    n = F.count("*")
+    s0 = F.sum("cents")
+    s1 = F.sum(F.col("rk") * F.col("cents"))
+    return ranked.groupBy("o_orderpriority").agg(
+        n.cast("long").alias("n_orders"),
+        s0.cast("long").alias("total_cents"),
+        ((2.0 * s1) / (n * 1.0 * s0) - (n + 1.0) / n).alias("gini"),
+    )

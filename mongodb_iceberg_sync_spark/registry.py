@@ -173,6 +173,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q19",
     "q_tpch_q18",
     "q_text_collocations",
+    "q_agg_gini",
 )
 
 
