@@ -785,3 +785,57 @@ def q_agg_gini(spark, sf_dir):
         s0.cast("long").alias("total_cents"),
         ((2.0 * s1) / (n * 1.0 * s0) - (n + 1.0) / n).alias("gini"),
     )
+
+
+@register(
+    "q_agg_benford",
+    family="aggregates",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+    SELECT c.digit,
+           CAST(c.obs AS BIGINT) AS observed,
+           (c.obs * 1.0 / t.n) AS observed_share,
+           log10(1.0 + 1.0 / c.digit) AS benford_share,
+           ((c.obs * 1.0 / t.n) - log10(1.0 + 1.0 / c.digit))
+             * ((c.obs * 1.0 / t.n) - log10(1.0 + 1.0 / c.digit))
+             / log10(1.0 + 1.0 / c.digit) AS chi2_term
+    FROM c CROSS JOIN tot t
+    ORDER BY c.digit
+    """,
+    doc="Benford's-law first-digit audit over order values — the "
+    "classic fraud / synthetic-data / unit-mixup detector: observed "
+    "leading-digit shares vs log10(1+1/d), with the per-digit "
+    "chi-square contribution. First digits come from the exact-cents "
+    "INTEGER rendered as a string (float formatting differs across "
+    "engines; integer rendering cannot), counts are exact, and every "
+    "float column is the same expression of the same exact integers "
+    "— bitwise. Scale: one map-side-combined 9-group aggregation + a "
+    "broadcast scalar; runs at scan throughput.",
+)
+def q_agg_benford(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(F.count("*").alias("obs"))
+    tot = c.agg(F.sum("obs").cast("long").alias("n"))
+    share = F.col("obs") * 1.0 / F.col("n")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("obs").cast("long").alias("observed"),
+            share.alias("observed_share"),
+            benford.alias("benford_share"),
+            ((share - benford) * (share - benford) / benford).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

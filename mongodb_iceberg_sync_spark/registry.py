@@ -174,6 +174,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q18",
     "q_text_collocations",
     "q_agg_gini",
+    "q_agg_benford",
 )
 
 
