@@ -839,3 +839,106 @@ def q_agg_benford(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_agg_ols",
+    family="aggregates",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(round(l_quantity) AS DECIMAL(38,0)) AS x1,
+             CAST(round(l_discount * 100) AS DECIMAL(38,0)) AS x2,
+             CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(y)  AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx1x1,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx2x2,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx1x2,
+             CAST(sum(x1 * y)  AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y)  AS DOUBLE) AS sx2y
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ((sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+             - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+             + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y))
+            / (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+               - sx1 * (sx1 * sx2x2 - sx2 * sx1x2)
+               + sx2 * (sx1 * sx1x2 - sx2 * sx1x1))) AS beta0,
+           ((n * (sx1y * sx2x2 - sx1x2 * sx2y)
+             - sy * (sx1 * sx2x2 - sx2 * sx1x2)
+             + sx2 * (sx1 * sx2y - sx2 * sx1y))
+            / (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+               - sx1 * (sx1 * sx2x2 - sx2 * sx1x2)
+               + sx2 * (sx1 * sx1x2 - sx2 * sx1x1))) AS beta1,
+           ((n * (sx1x1 * sx2y - sx1y * sx1x2)
+             - sx1 * (sx1 * sx2y - sx2 * sx1y)
+             + sy * (sx1 * sx1x2 - sx2 * sx1x1))
+            / (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+               - sx1 * (sx1 * sx2x2 - sx2 * sx1x2)
+               + sx2 * (sx1 * sx1x2 - sx2 * sx1x1))) AS beta2
+    FROM s
+    """,
+    doc="Closed-form multivariate OLS — price_cents ~ quantity + "
+    "discount_cents — trained in ONE distributed aggregation: the "
+    "normal equations need only 9 sufficient statistics, all exact "
+    "DECIMAL(38,0) sums of integer units (no float accumulates "
+    "anywhere, immune to both summation order and long overflow), "
+    "then a driver-free Cramer's-rule solve as identical float "
+    "expressions of identical exact inputs — bitwise cross-engine. "
+    "This is the 'ship sufficient statistics, not data' pattern that "
+    "trains linear/GLM-ish models at 100 TB with zero extra "
+    "infrastructure: map-side partial sums, a 9-number reduce, O(1) "
+    "driver math.",
+)
+def q_agg_ols(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x1 = F.round("l_quantity").cast("decimal(38,0)")
+    x2 = F.round(F.col("l_discount") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    u = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    s = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    sx1x1, sx2x2, sx1x2 = F.col("sx1x1"), F.col("sx2x2"), F.col("sx1x2")
+    sx1y, sx2y = F.col("sx1y"), F.col("sx2y")
+    det = (
+        n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * sx2x2 - sx2 * sx1x2)
+        + sx2 * (sx1 * sx1x2 - sx2 * sx1x1)
+    )
+    det0 = (
+        sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        - sy * (sx1 * sx2x2 - sx2 * sx1x2)
+        + sx2 * (sx1 * sx2y - sx2 * sx1y)
+    )
+    det2 = (
+        n * (sx1x1 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx2 * sx1y)
+        + sy * (sx1 * sx1x2 - sx2 * sx1x1)
+    )
+    return s.select(
+        n.cast("long").alias("n_rows"),
+        (det0 / det).alias("beta0"),
+        (det1 / det).alias("beta1"),
+        (det2 / det).alias("beta2"),
+    )

@@ -175,6 +175,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_collocations",
     "q_agg_gini",
     "q_agg_benford",
+    "q_agg_ols",
 )
 
 
