@@ -54,6 +54,8 @@ HEADLINE = [
     "q_tpch_q10",
     "q_text_inverted_index",
     "q_timeseries_ewma",
+    "q_tpch_q18",
+    "q_text_collocations",
 ]
 
 

@@ -1020,24 +1020,28 @@ _COLL_TOPK = 20
 def q_text_collocations(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # adjacent pairs = zip(tokens[:-1], tokens[1:]) — two slices + one
+    # zip, no per-index element_at chain (the index-sequence form built
+    # an O(n) struct array with per-element array probes)
+    n_t = F.size(toks)
     bi = (
         d.select(
             F.explode(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(toks) - 2),
-                        lambda i: F.struct(
-                            F.element_at(toks, i + 1).alias("w1"),
-                            F.element_at(toks, i + 2).alias("w2"),
-                        ),
-                    ),
-                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                F.arrays_zip(
+                    F.slice(toks, F.lit(1), n_t - 1).alias("w1"),
+                    F.slice(toks, F.lit(2), n_t - 1).alias("w2"),
                 )
             ).alias("b")
         )
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # bc feeds FOUR consumers (two unigram legs, the total, the join
+    # base) — checkpoint so the bigram explode+agg runs once, not four
+    # times; the pinned relation is vocab²-bounded, not corpus-sized
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     uni = (
         bc.select(F.col("w1").alias("w"), "c")
         .unionAll(bc.select(F.col("w2").alias("w"), "c"))
