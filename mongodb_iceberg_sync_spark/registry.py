@@ -80,7 +80,13 @@ def _load_all_operator_modules() -> None:
 
 # ORDER MATTERS for the driver contract: the correctness sweep runs queries
 # in registration order under a 50-query cap, so queries with no green driver
-# row yet must come FIRST. Two buckets:
+# row yet must come FIRST.
+#
+# ROUND-START TASK: rotate this list against the latest CORRECTNESS_r{N}.json
+# — drop (to the back) every name with a green driver row, promote the
+# never-checked tail to the front, keep any FAIL rows first of all.
+#
+# Two buckets:
 #   1. the two round-1 hash-fails (decimal-sum fix committed round 2, never
 #      re-swept by the driver),
 #   2. the 20 round-2 additions that neither sweep reached.

@@ -71,3 +71,36 @@ def test_targeted_compact_blocked_until_full_rewrite(spark, tmp_path):
     t.commit_batch(_mk_batch(spark, [("c", "d1", 3)], 20), 2)
     t.compact(where=F.col("day") == "d1")  # now legal
     assert _state(t) == [("a", "d1", 1), ("b", "d2", 2), ("c", "d1", 3)]
+
+
+# -- randomized: state is invariant under arbitrary spec evolution ------
+
+from hypothesis import given, settings, strategies as st
+
+_key2 = st.sampled_from(["a", "b", "c", "d"])
+_day = st.sampled_from(["d1", "d2"])
+_batch2 = st.lists(
+    st.tuples(_key2, _day, st.integers(0, 99)), min_size=1, max_size=4
+)
+_step = st.tuples(_batch2, st.sampled_from([None, "day", "keep"]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(history=st.lists(_step, min_size=1, max_size=4))
+def test_state_invariant_under_random_evolution(
+    spark, tmp_path_factory, history
+):
+    t = MorTable(
+        spark, str(tmp_path_factory.mktemp("evo_prop") / "tbl"), key="doc_id"
+    )
+    model: dict[str, tuple] = {}
+    seq = 0
+    for i, (batch, spec) in enumerate(history):
+        if spec != "keep":
+            t.evolve_partition_spec(spec)
+        # last occurrence of a key within the batch wins (LWW on op_seq)
+        t.commit_batch(_mk_batch(spark, batch, seq), i)
+        for k, day, v in batch:
+            model[k] = (day, v)
+        seq += len(batch)
+    assert _state(t) == sorted((k, d, v) for k, (d, v) in model.items())
