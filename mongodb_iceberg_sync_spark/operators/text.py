@@ -1073,3 +1073,83 @@ def q_text_collocations(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), "w1", "w2")
         .limit(_COLL_TOPK)
     )
+
+
+_ZIPF_TOP = 200
+
+
+@register(
+    "q_text_zipf",
+    family="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+    top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT {_ZIPF_TOP}),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM top
+    ),
+    terms AS (
+      SELECT CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y,
+             CAST(round(ln(rk) * ln(rk), 6) AS DECIMAL(18,6)) AS xx,
+             CAST(round(ln(rk) * ln(c), 6) AS DECIMAL(18,6)) AS xy
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_slope,
+           ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+             AS log_intercept
+    FROM s
+    """,
+    doc="Zipf-law fit: log-log OLS slope of the rank-frequency curve "
+    f"over the top-{_ZIPF_TOP} tokens — the corpus-health diagnostic "
+    "(natural text sits near slope -1; template/spam corpora deviate "
+    "sharply). Frequencies and ranks are exact integers; each log "
+    "term is rounded then decimal-summed (the registry's log "
+    "pattern) so the regression inputs — and hence the slope, an "
+    "identical float expression — match bitwise. Scale: vocab "
+    "counts partial-aggregate; the top-K is TakeOrderedAndProject; "
+    "the ranking window's input is LIMIT K rows (a constant), so "
+    "the 'global' window is O(K), never corpus-sized.",
+)
+def q_text_zipf(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "w").limit(_ZIPF_TOP)
+    w_rk = Window.orderBy(F.col("c").desc(), "w")  # input is LIMIT K rows
+    ranked = top.select("c", F.row_number().over(w_rk).alias("rk"))
+    lnrk, lnc = F.log("rk"), F.log("c")
+    terms = ranked.select(
+        F.round(lnrk, 6).cast("decimal(18,6)").alias("x"),
+        F.round(lnc, 6).cast("decimal(18,6)").alias("y"),
+        F.round(lnrk * lnrk, 6).cast("decimal(18,6)").alias("xx"),
+        F.round(lnrk * lnc, 6).cast("decimal(18,6)").alias("xy"),
+    )
+    s = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("log_intercept"),
+    )

@@ -182,6 +182,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_gini",
     "q_agg_benford",
     "q_agg_ols",
+    "q_text_zipf",
 )
 
 
