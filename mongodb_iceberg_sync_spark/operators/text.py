@@ -1153,3 +1153,57 @@ def q_text_zipf(spark, sf_dir):
         slope.alias("zipf_slope"),
         ((sy - slope * sx) / n).alias("log_intercept"),
     )
+
+
+def compress_ratio_batches():
+    """Arrow-batched zlib compression-ratio kernel: bytes cross to
+    Python once per batch; zlib level 6 is deterministic for a given
+    zlib build (pinned by the differential test, not an oracle —
+    DuckDB cannot run zlib)."""
+    import zlib
+
+    import pandas as pd
+
+    def _batches(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.map(len),
+                    "compressed_bytes": comp,
+                }
+            )
+
+    return _batches
+
+
+@register(
+    "q_text_compress_ratio",
+    family="text",
+    oracle=None,  # zlib kernel — pinned by tests/test_text.py
+    doc="Compression-ratio quality signal (Gopher/Dolma rule family): "
+    "compressed/raw byte ratio per document — highly repetitive or "
+    "templated text compresses far below natural prose, making this "
+    "one of the cheapest high-precision spam filters. zlib runs in "
+    "an Arrow-batched mapInPandas kernel (bytes cross once per "
+    "batch); the ratio and the keep/flag verdict are JVM-side. "
+    "Scale: embarrassingly parallel map over the corpus — zero "
+    "shuffles (the output rides the scan partitioning); flagged "
+    "share is whatever downstream wants to aggregate.",
+)
+def q_text_compress_ratio(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = d.mapInPandas(
+        compress_ratio_batches(),
+        "doc_id long, raw_bytes long, compressed_bytes long",
+    )
+    ratio = F.col("compressed_bytes") / F.col("raw_bytes")
+    return stats.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        F.round(ratio, 6).alias("compress_ratio"),
+        (ratio < 0.35).alias("flag_repetitive"),
+    )

@@ -183,6 +183,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_benford",
     "q_agg_ols",
     "q_text_zipf",
+    "q_text_compress_ratio",
 )
 
 

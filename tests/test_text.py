@@ -25,3 +25,27 @@ def test_lang_id_all_zero_scores_alphabetical(spark):
     df = spark.createDataFrame([("zzz qqq xyzzy",)], ["text"])
     got = df.select(lang_id_pred_col("text").alias("p")).head()[0]
     assert got == "de"  # alphabetically first of the five profiles
+
+
+def test_compress_ratio_matches_direct_zlib(spark, sf_dir):
+    """q_text_compress_ratio == per-row zlib reference (same library,
+    same level — the kernel must not alter bytes on the way in)."""
+    import zlib
+
+    import duckdb
+
+    from mongodb_iceberg_sync_spark.registry import all_specs
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expected = {
+        doc_id: (len(text.encode()), len(zlib.compress(text.encode(), 6)))
+        for doc_id, text in rows
+    }
+    got = all_specs()["q_text_compress_ratio"].func(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        raw, comp = expected[r.doc_id]
+        assert (r.raw_bytes, r.compressed_bytes) == (raw, comp)
+        assert r.flag_repetitive == (comp / raw < 0.35)
