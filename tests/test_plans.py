@@ -461,3 +461,27 @@ def test_tpch_q19_derives_implied_scan_filters(spark, sf_dir):
     ]
     assert part_pushed, "brand/size disjunction not pushed to part scan"
     assert li_pushed, "quantity disjunction not pushed to lineitem scan"
+
+
+def test_sufficient_statistics_aggs_are_single_pass(spark, sf_dir):
+    # OLS / t-test / Benford ship statistics, not data: exactly one
+    # partial-aggregated pass over the fact, no joins back to raw rows
+    import re
+
+    for q in ("q_agg_ols", "q_agg_ttest"):
+        plan = formatted_plan(SPECS[q].func(spark, sf_dir))
+        assert "partial" in plan.lower(), q
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, q
+    # benford joins only the 1-row total back (broadcast), never the fact
+    plan = formatted_plan(SPECS["q_agg_benford"].func(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_collocations_bigram_agg_is_pinned_once(spark, sf_dir):
+    # the bigram explode+agg feeds four consumers through ONE pinned
+    # relation: no Generate (explode) may appear more than once
+    df = SPECS["q_text_collocations"].func(spark, sf_dir)
+    # force the checkpoint so the executed plan reflects the pin
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") <= 1, plan[:800]

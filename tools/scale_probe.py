@@ -97,6 +97,13 @@ PROBE_QUERIES = [
     "q_tpch_q19",
     "q_window_rolling_features",
     "q_multimodal_phash",
+    "q_text_collocations",
+    "q_agg_gini",
+    "q_agg_benford",
+    "q_agg_ols",
+    "q_agg_ttest",
+    "q_text_zipf",
+    "q_text_compress_ratio",
 ]
 REPLICAS = 10
 TABLES = {
