@@ -896,13 +896,27 @@ class MorTable:
             "num_row_groups": md.num_row_groups,
         }
 
-    def _file_rows(self, include_archive: bool = False) -> list[dict]:
+    def _file_rows(
+        self, include_archive: bool = False, include_staging: bool = False
+    ) -> list[dict]:
         rows = [
             self._file_row(p, "base", None) for p in self._walk_parquet(self.base_dir)
         ]
         for b in self._delta_batch_ids():
             d = f"{self.delta_dir}/batch={b}"
             rows += [self._file_row(p, "delta", b) for p in self._walk_parquet(d)]
+        # staged (WAP) commits are part of the operational picture —
+        # an operator debugging a stuck audit needs to SEE them in
+        # files() — but they are never part of the readable snapshot,
+        # so snapshots()/partitions() (live-state views) exclude them
+        if include_staging and os.path.isdir(self.staging_dir):
+            for d in sorted(os.listdir(self.staging_dir)):
+                if d.startswith("batch="):
+                    b = int(d.split("=", 1)[1])
+                    rows += [
+                        self._file_row(p, "staged", b)
+                        for p in self._walk_parquet(f"{self.staging_dir}/{d}")
+                    ]
         if include_archive and os.path.isdir(self.archive_dir):
             rows += [
                 self._file_row(p, "archive", None)
@@ -912,11 +926,11 @@ class MorTable:
 
     def files(self, include_archive: bool = False) -> DataFrame:
         """Iceberg `files` metadata-table analog: one row per data file
-        with section (base/delta/archive), owning commit, partition
-        value, footer record count and on-disk size."""
+        with section (base/delta/staged/archive), owning commit,
+        partition value, footer record count and on-disk size."""
         import pandas as pd
 
-        rows = self._file_rows(include_archive)
+        rows = self._file_rows(include_archive, include_staging=True)
         schema = (
             "file_path string, section string, batch_id long, partition string,"
             " record_count long, file_size_bytes long, num_row_groups long"

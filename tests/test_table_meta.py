@@ -109,3 +109,13 @@ def test_compact_respects_max_records_per_file(spark, table):
     files = [r for r in table.files().collect() if r.section == "base"]
     assert all(r.record_count <= 1 for r in files)
     assert len(files) >= 2  # 2 live keys (c tombstoned) → one file each
+
+
+def test_files_show_staged_commits_but_live_views_exclude_them(spark, table):
+    table.stage_batch(
+        _mk_batch(spark, [("x", 9, "upsert", 9)]), 7
+    )
+    staged = [r for r in table.files().collect() if r.section == "staged"]
+    assert len(staged) >= 1 and staged[0].batch_id == 7
+    # snapshots()/partitions() describe the READABLE state only
+    assert all(r.section != "staged" for r in table.snapshots().collect())
