@@ -685,3 +685,65 @@ ORDER BY start_key
 def q_sql_recursive(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("mis_rec_orders")
     return spark.sql(_RECURSIVE_SQL.format(orders="mis_rec_orders"))
+
+
+@register(
+    "q_join_asof_forward",
+    family="joins",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.p_id, p.user_id, c.c_id, c.c_value,
+             CAST(epoch_us(c.c_ts) - epoch_us(p.p_ts) AS BIGINT) AS gap_us,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts, c.c_id) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts > p.p_ts
+    )
+    SELECT p_id, user_id, c_id AS next_click_id, c_value AS next_click_value,
+           gap_us
+    FROM ranked WHERE rn = 1
+    """,
+    doc="FORWARD as-of join: for each purchase, the first click "
+    "strictly AFTER it per user — the follow-up-behavior twin of "
+    "q_join_asof's backward lookup (together they give the "
+    "surrounding-context pair a feature pipeline wants). Same shape: "
+    "user equi-join + time inequality residual + per-left "
+    "row_number()=1 with a deterministic (ts, id) tie-break; same "
+    "100 TB path: repartition by user, sortWithinPartitions(ts), "
+    "mapInPandas merge-scan when the pair fan-out warrants it.",
+)
+def q_join_asof_forward(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    j = p.join(c, (p.user_id == c.c_user) & (c.c_ts > p.p_ts))
+    w = Window.partitionBy("p_id").orderBy(F.col("c_ts"), F.col("c_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "user_id",
+            F.col("c_id").alias("next_click_id"),
+            F.col("c_value").alias("next_click_value"),
+            (
+                F.unix_micros(F.col("c_ts").cast("timestamp"))
+                - F.unix_micros(F.col("p_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )

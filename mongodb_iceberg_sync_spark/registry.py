@@ -184,6 +184,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_ols",
     "q_text_zipf",
     "q_text_compress_ratio",
+    "q_join_asof_forward",
 )
 
 
