@@ -942,3 +942,66 @@ def q_agg_ols(spark, sf_dir):
         (det1 / det).alias("beta1"),
         (det2 / det).alias("beta2"),
     )
+
+
+@register(
+    "q_agg_chisq",
+    family="aggregates",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) // 6 AS BIGINT) AS day_quarter,
+             count(*) AS obs
+      FROM events
+      GROUP BY event_type, CAST(extract(hour FROM ts) // 6 AS BIGINT)
+    ),
+    rows_t AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+               FROM cells GROUP BY event_type),
+    cols_t AS (SELECT day_quarter, CAST(sum(obs) AS BIGINT) AS ct
+               FROM cells GROUP BY day_quarter),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(round(
+             (c.obs - (r.rt * 1.0 * co.ct) / t.n)
+             * (c.obs - (r.rt * 1.0 * co.ct) / t.n)
+             / ((r.rt * 1.0 * co.ct) / t.n), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS chi2
+    FROM cells c
+    JOIN rows_t r ON r.event_type = c.event_type
+    JOIN cols_t co ON co.day_quarter = c.day_quarter
+    CROSS JOIN tot t
+    """,
+    doc="Chi-square test of independence: event type × quarter-of-day "
+    "contingency table — 'does behavior depend on time of day?', the "
+    "categorical-association workhorse. Observed counts and both "
+    "marginals are exact integers; each cell's (O−E)²/E term is an "
+    "identical float expression of exact integers, rounded and "
+    "decimal-summed so the statistic is order-insensitive "
+    "cross-engine. Scale: one map-side-combined aggregation to the "
+    "contingency cells (|types|×4 rows), then everything is "
+    "broadcast-sized — the 'reduce to sufficient statistics first' "
+    "pattern again.",
+)
+def q_agg_chisq(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dq = (F.hour("ts") / 6).cast("long")
+    cells = (
+        ev.groupBy(F.col("event_type"), dq.alias("day_quarter"))
+        .agg(F.count("*").alias("obs"))
+    )
+    rows_t = cells.groupBy("event_type").agg(F.sum("obs").cast("long").alias("rt"))
+    cols_t = cells.groupBy("day_quarter").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    e = (F.col("rt") * 1.0 * F.col("ct")) / F.col("n")
+    term = F.round((F.col("obs") - e) * (F.col("obs") - e) / e, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "day_quarter")
+        .join(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(term).cast("double").alias("chi2"),
+        )
+    )

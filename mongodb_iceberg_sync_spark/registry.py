@@ -185,6 +185,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_zipf",
     "q_text_compress_ratio",
     "q_join_asof_forward",
+    "q_agg_chisq",
 )
 
 
