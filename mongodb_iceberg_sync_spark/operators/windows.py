@@ -365,3 +365,62 @@ def q_window_rolling_features(spark, sf_dir):
         .orderBy("user_id", "ts", "event_id")
         .limit(5000)
     )
+
+
+@register(
+    "q_window_drawdown",
+    family="windows",
+    oracle="""
+    WITH series AS (
+      SELECT user_id, ts, event_id,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                 ELSE -CAST(round(value * 100) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, cum_cents,
+             max(cum_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS peak_cents
+      FROM series
+    )
+    SELECT user_id,
+           CAST(max(peak_cents) AS BIGINT) AS peak_cents,
+           CAST(max(peak_cents - cum_cents) AS BIGINT) AS max_drawdown_cents
+    FROM dd
+    GROUP BY user_id
+    """,
+    doc="Maximum drawdown per user over a signed cumulative-value "
+    "series (purchases add, everything else subtracts — a stand-in "
+    "P&L): running sum → running peak → max(peak − current). The "
+    "canonical path-dependent financial statistic, computed with "
+    "three ROWS-frame windows sharing ONE user_id sort (Spark "
+    "collapses same-spec windows into a single Window exec). Every "
+    "value is exact integer cents — no float anywhere, bitwise "
+    "trivially. Scale: one keyed exchange, O(1) frame state.",
+)
+def q_window_drawdown(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    signed = F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = e.select(
+        "user_id", "ts", "event_id", F.sum(signed).over(w).alias("cum_cents")
+    )
+    dd = series.select(
+        "user_id",
+        "cum_cents",
+        F.max("cum_cents").over(w).alias("peak_cents"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("peak_cents").cast("long").alias("peak_cents"),
+        F.max(F.col("peak_cents") - F.col("cum_cents"))
+        .cast("long")
+        .alias("max_drawdown_cents"),
+    )

@@ -186,6 +186,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_compress_ratio",
     "q_join_asof_forward",
     "q_agg_chisq",
+    "q_window_drawdown",
 )
 
 
