@@ -1005,3 +1005,81 @@ def q_agg_chisq(spark, sf_dir):
             F.sum(term).cast("double").alias("chi2"),
         )
     )
+
+
+@register(
+    "q_agg_mannwhitney",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1v,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2v
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY CAST(round(value * 100) AS BIGINT)
+    ),
+    c AS (
+      SELECT n1v, n2v,
+             sum(n1v + n2v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS cumtot
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+             CAST(sum(n2v) AS BIGINT) AS n2,
+             CAST(sum(n1v * (2 * (cumtot - (n1v + n2v)) + (n1v + n2v) + 1))
+                  AS BIGINT) AS r1x2
+      FROM c
+    )
+    SELECT n1, n2,
+           (r1x2 - n1 * (n1 + 1)) / 2.0 AS u_stat,
+           ((r1x2 - n1 * (n1 + 1)) / 2.0 - (n1 * 1.0 * n2) / 2.0)
+             / sqrt((n1 * 1.0 * n2) * (n1 + n2 + 1) / 12.0) AS z_approx
+    FROM s
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) between click and purchase "
+    "values — the nonparametric A/B test for non-normal metrics, "
+    "complementing q_agg_ttest. Ranks never materialize per row: "
+    "values collapse to the cent-quantized DOMAIN (one row per "
+    "distinct value with per-group counts), midranks come from a "
+    "cumulative count over that domain, and DOUBLED midranks keep "
+    "every quantity an exact BIGINT (ties produce half-ranks; 2x "
+    "clears the fraction) — so U is exact and z is one float "
+    "expression of exact integers (large-sample normal approx, no "
+    "tie-variance correction; same formula both engines). Scale: "
+    "per-value counts partial-aggregate; the unpartitioned cumsum "
+    "window runs over |value domain| rows (~5k for cent-quantized "
+    "bounded values), not the event count — domain-bounded, not "
+    "corpus-bounded.",
+)
+def q_agg_mannwhitney(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy(cents.alias("cents")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n1v"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n2v"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = F.col("n1v") + F.col("n2v")
+    c = g.select("n1v", "n2v", F.sum(tot).over(w).alias("cumtot"))
+    dmid = 2 * (F.col("cumtot") - (F.col("n1v") + F.col("n2v"))) + (
+        F.col("n1v") + F.col("n2v")
+    ) + 1
+    s = c.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+        F.sum(F.col("n1v") * dmid).cast("long").alias("r1x2"),
+    )
+    n1, n2, r1x2 = F.col("n1"), F.col("n2"), F.col("r1x2")
+    u = (r1x2 - n1 * (n1 + 1)) / 2.0
+    z = (u - (n1 * 1.0 * n2) / 2.0) / F.sqrt(
+        (n1 * 1.0 * n2) * (n1 + n2 + 1) / 12.0
+    )
+    return s.select(n1, n2, u.alias("u_stat"), z.alias("z_approx"))

@@ -187,6 +187,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_join_asof_forward",
     "q_agg_chisq",
     "q_window_drawdown",
+    "q_agg_mannwhitney",
 )
 
 
