@@ -1083,3 +1083,74 @@ def q_agg_mannwhitney(spark, sf_dir):
         (n1 * 1.0 * n2) * (n1 + n2 + 1) / 12.0
     )
     return s.select(n1, n2, u.alias("u_stat"), z.alias("z_approx"))
+
+
+@register(
+    "q_agg_ks_test",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1v,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2v
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY CAST(round(value * 100) AS BIGINT)
+    ),
+    c AS (
+      SELECT
+        sum(n1v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1,
+        sum(n2v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c2
+      FROM g
+    ),
+    t AS (SELECT CAST(max(c1) AS BIGINT) AS n1, CAST(max(c2) AS BIGINT) AS n2
+          FROM c)
+    SELECT t.n1, t.n2,
+           max(abs(c.c1 * 1.0 / t.n1 - c.c2 * 1.0 / t.n2)) AS d_stat,
+           max(abs(c.c1 * 1.0 / t.n1 - c.c2 * 1.0 / t.n2))
+             * sqrt((t.n1 * 1.0 * t.n2) / (t.n1 + t.n2)) AS ks_stat
+    FROM c CROSS JOIN t
+    GROUP BY t.n1, t.n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test (click vs purchase value "
+    "distributions): D = max CDF gap over the cent-quantized value "
+    "DOMAIN — each per-value CDF point is one float division of "
+    "exact cumulative counts (bitwise), and max is order-insensitive, "
+    "so D and the scaled KS statistic are exact with zero rounding. "
+    "Completes the A/B toolkit: t-test (means), Mann-Whitney "
+    "(ranks), KS (whole distribution). Scale: same domain-bounded "
+    "shape as q_agg_mannwhitney — per-value counts partial-aggregate, "
+    "the cumsum window runs over |value domain| rows.",
+)
+def q_agg_ks_test(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy(cents.alias("cents")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n1v"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n2v"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        F.sum("n1v").over(w).alias("c1"), F.sum("n2v").over(w).alias("c2")
+    )
+    tt = c.agg(
+        F.max("c1").cast("long").alias("n1"), F.max("c2").cast("long").alias("n2")
+    )
+    gap = F.abs(F.col("c1") * 1.0 / F.col("n1") - F.col("c2") * 1.0 / F.col("n2"))
+    return (
+        c.join(F.broadcast(tt))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(gap).alias("d_stat"),
+            (
+                F.max(gap)
+                * F.sqrt((F.col("n1") * 1.0 * F.col("n2")) / (F.col("n1") + F.col("n2")))
+            ).alias("ks_stat"),
+        )
+    )

@@ -188,6 +188,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_chisq",
     "q_window_drawdown",
     "q_agg_mannwhitney",
+    "q_agg_ks_test",
 )
 
 
