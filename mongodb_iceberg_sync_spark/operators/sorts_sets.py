@@ -208,12 +208,25 @@ def q_sort_zorder(spark, sf_dir):
     "job and the rank job see the same layout.",
 )
 def q_sort_global_rank(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    return global_rank(ev, F.col("value").desc(), F.col("event_id")).select(
+        "event_id", "value", "rank"
+    )
+
+
+def global_rank(df, *order_cols):
+    """Two-pass distributed global rank (df-level core shared by
+    q_sort_global_rank and q_sample_systematic): range-repartition on
+    the order, per-partition counts to the driver (one long each),
+    exclusive-prefix offsets broadcast back, partition-local
+    row_number. Adds a ``rank`` column; identical math to the
+    single-reducer global window, fully parallel."""
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     parted = (
-        ev.repartitionByRange(n_parts, F.col("value").desc(), F.col("event_id"))
+        df.repartitionByRange(n_parts, *order_cols)
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -226,12 +239,41 @@ def q_sort_global_rank(spark, sf_dir):
         offsets.append((pid, acc))
         acc += sizes[pid]
     off = spark.createDataFrame(offsets, "pid int, offset long")
-    w = Window.partitionBy("pid").orderBy(F.col("value").desc(), "event_id")
+    w = Window.partitionBy("pid").orderBy(*order_cols)
     return (
         parted.join(F.broadcast(off), "pid")
-        .select(
-            "event_id",
-            "value",
-            (F.col("offset") + F.row_number().over(w)).cast("long").alias("rank"),
-        )
+        .withColumn("rank", (F.col("offset") + F.row_number().over(w)).cast("long"))
+        .drop("pid", "offset")
+    )
+
+
+_SYS_EVERY = 50
+
+
+@register(
+    "q_sample_systematic",
+    family="sampling",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id, value,
+             row_number() OVER (ORDER BY value DESC, event_id) AS rank
+      FROM events
+    )
+    SELECT event_id, value, rank
+    FROM ranked WHERE (rank - 1) % {_SYS_EVERY} = 0
+    """,
+    doc=f"Systematic sampling: every {_SYS_EVERY}th row of the "
+    "value-ordered population — the stratified-by-order design "
+    "surveys use when a sorted frame exists (guarantees coverage of "
+    "the whole value range, unlike a Bernoulli sample which can "
+    "miss the tails). Rides the SAME two-pass global-rank core as "
+    "q_sort_global_rank (range partition → prefix offsets → local "
+    "row_number): no single-reducer window; the modulo filter is "
+    "map-side after the rank attaches.",
+)
+def q_sample_systematic(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_rank(ev, F.col("value").desc(), F.col("event_id"))
+    return ranked.filter((F.col("rank") - 1) % _SYS_EVERY == 0).select(
+        "event_id", "value", "rank"
     )

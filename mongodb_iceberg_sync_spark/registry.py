@@ -189,6 +189,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_window_drawdown",
     "q_agg_mannwhitney",
     "q_agg_ks_test",
+    "q_sample_systematic",
 )
 
 

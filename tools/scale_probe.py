@@ -104,6 +104,11 @@ PROBE_QUERIES = [
     "q_agg_ttest",
     "q_text_zipf",
     "q_text_compress_ratio",
+    "q_join_asof_forward",
+    "q_agg_chisq",
+    "q_window_drawdown",
+    "q_agg_mannwhitney",
+    "q_agg_ks_test",
 ]
 REPLICAS = 10
 TABLES = {
