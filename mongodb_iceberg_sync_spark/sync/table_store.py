@@ -144,9 +144,37 @@ class MorTable:
             w = w.partitionBy(self.partition_col)
         return w
 
+    def _base_layout_spec(self):
+        """Spec the CURRENT base files are laid out under: None when
+        base is empty or flat; the partition column when base holds
+        `col=value` dirs. Derived from the directory shape, so it is
+        always true of the files on disk."""
+        if not os.path.isdir(self.base_dir):
+            return None
+        for d in os.listdir(self.base_dir):
+            if "=" in d and os.path.isdir(f"{self.base_dir}/{d}"):
+                return d.split("=", 1)[0]
+        return None
+
     def append_base(self, df: DataFrame) -> None:
         """Backfill append (reference A15): rows land in base directly,
-        stamped as op_seq=0 upserts."""
+        stamped as op_seq=0 upserts.
+
+        Guarded against MIXED base layouts: appending under a spec that
+        differs from the existing base files' layout would put flat
+        files and `col=value` dirs in one directory, which parquet
+        directory discovery rejects (CONFLICTING_DIRECTORY_STRUCTURES)
+        — run a full compact() after evolve_partition_spec() before
+        appending more backfill."""
+        if self._has_parquet(self.base_dir):
+            on_disk = self._base_layout_spec()
+            if on_disk != self.partition_col:
+                raise ValueError(
+                    f"append_base under spec {self.partition_col!r} would mix "
+                    f"layouts with the existing base (written under "
+                    f"{on_disk!r}); run compact() first to rewrite base "
+                    "under the current spec"
+                )
         self._writer(
             df.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(
                 OP_TYPE, F.lit("upsert")

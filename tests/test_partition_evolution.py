@@ -104,3 +104,20 @@ def test_state_invariant_under_random_evolution(
             model[k] = (day, v)
         seq += len(batch)
     assert _state(t) == sorted((k, d, v) for k, (d, v) in model.items())
+
+
+def test_append_base_refuses_mixed_layout(spark, tmp_path):
+    t = MorTable(spark, str(tmp_path / "t5"), key="doc_id")
+    base_df = spark.createDataFrame(
+        [("a", "d1", 1)], "doc_id string, day string, v long"
+    )
+    t.append_base(base_df)
+    t.evolve_partition_spec("day")
+    # appending now would mix flat files with day= dirs in base/
+    with pytest.raises(ValueError, match="mix"):
+        t.append_base(base_df)
+    t.compact()  # rewrites base under the new spec
+    t.append_base(
+        spark.createDataFrame([("b", "d2", 2)], "doc_id string, day string, v long")
+    )
+    assert _state(t) == [("a", "d1", 1), ("b", "d2", 2)]
