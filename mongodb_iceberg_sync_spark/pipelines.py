@@ -141,6 +141,24 @@ def _step_split_assign(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_compress_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Drop documents whose zlib compression ratio marks them as
+    repetitive/templated (Gopher/Dolma rule; q_text_compress_ratio's
+    kernel). Join back on doc_id so ONLY the ratio verdict crosses
+    Python — the surviving rows keep their original columns."""
+    from .operators.text import compress_ratio_batches
+
+    min_ratio = float(p.get("min_ratio", 0.35))
+    stats = df.select("doc_id", "text").mapInPandas(
+        compress_ratio_batches(),
+        "doc_id long, raw_bytes long, compressed_bytes long",
+    )
+    keep = stats.filter(
+        F.col("compressed_bytes") / F.col("raw_bytes") >= min_ratio
+    ).select("doc_id")
+    return df.join(keep, "doc_id", "left_semi")
+
+
 def _step_pack(df: DataFrame, p: dict) -> DataFrame:
     from .operators.pipeline import pack_shards
 
@@ -160,6 +178,7 @@ STEPS = {
     "exact_dedup": (_step_exact_dedup, {"col"}),
     "chunk_dedup": (_step_chunk_dedup, {"max_dup_ratio"}),
     "temperature_sample": (_step_temperature_sample, {"alpha", "group_col"}),
+    "compress_filter": (_step_compress_filter, {"min_ratio"}),
     "sample_hash": (_step_sample_hash, {"hex_lt"}),
     "split_assign": (_step_split_assign, {"train_pct", "val_pct"}),
     "pack": (_step_pack, {"budget"}),

@@ -179,3 +179,27 @@ def test_run_pipeline_writes_partitioned(spark, sf_dir, tmp_path):
     assert df.count() > 0
     subdirs = {d.split("=")[0] for d in os.listdir(out) if "=" in d}
     assert subdirs == {"split"}
+
+
+def test_compress_filter_step_matches_operator(spark, sf_dir):
+    """The pipeline step must keep exactly the docs the operator does
+    NOT flag as repetitive (same kernel, same threshold)."""
+    import pyspark.sql.functions as F
+
+    from mongodb_iceberg_sync_spark.pipelines import STEPS
+    from mongodb_iceberg_sync_spark.registry import all_specs
+    from mongodb_iceberg_sync_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = STEPS["compress_filter"][0](docs, {"min_ratio": 0.35})
+    flagged = (
+        all_specs()["q_text_compress_ratio"]
+        .func(spark, sf_dir)
+        .filter(F.col("flag_repetitive"))
+        .select("doc_id")
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    flagged_ids = {r.doc_id for r in flagged.collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - flagged_ids
+    assert kept.columns == docs.columns  # original columns survive
