@@ -282,12 +282,16 @@ def q_schema_union(spark, sf_dir):
 
     docs = _hetero_corpus(spark, sf_dir).select("doc")
     sample = [r.doc for r in docs.limit(1000).collect()]
-    sample.append(
+    # PREPEND (not append): inference samples the FIRST 1000 docs
+    # (reference docs/design.md:426) — an appended doc #1001 would be
+    # silently ignored and the A6 type table never exercised
+    sample.insert(
+        0,
         '{"bson_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d1"},'
         ' "bson_ts": {"$date": "2024-06-01T12:34:56.789Z"},'
         ' "bson_amt": {"$numberDecimal": "1.5"},'
         ' "bson_bin": {"$binary": {"base64": "aGk=", "subType": "00"}},'
-        ' "bson_mk": {"$minKey": 1}}'
+        ' "bson_mk": {"$minKey": 1}}',
     )
     schema = infer_union_schema(sample)
     return spark.createDataFrame(

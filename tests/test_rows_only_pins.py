@@ -1,0 +1,73 @@
+"""Dedicated correctness pins for the no-oracle queries that lack a
+specialized test elsewhere: an error bound for the HLL approximation,
+recall for IVF ANN, exact expectations for the inferred union schema,
+and a round-trip invariant for the partitioned sink."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mongodb_iceberg_sync_spark.registry import all_specs
+from mongodb_iceberg_sync_spark.tables import load_table
+
+SPECS = all_specs()
+
+
+def test_agg_approx_within_rsd_bound(spark, sf_dir):
+    # approx_count_distinct(rsd=0.02): HLL++ error is probabilistic but
+    # 5x the target rsd is far beyond any plausible excursion
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in SPECS["q_agg_approx"].func(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.10, (k, approx[k], n)
+
+
+def test_sim_topk_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = [r[0] for r in SPECS["q_sim_topk"].func(spark, sf_dir).collect()]
+    ivf = {r[0] for r in SPECS["q_sim_topk_ivf"].func(spark, sf_dir).collect()}
+    # nprobe buckets cover a fraction of the space: demand recall@k >= 0.5
+    hits = sum(1 for v in brute[: len(brute)] if v in ivf)
+    assert hits / len(brute) >= 0.5, (hits, len(brute))
+
+
+def test_schema_union_infers_expected_fields(spark, sf_dir):
+    rows = {
+        r.field_path: r.inferred_type
+        for r in SPECS["q_schema_union"].func(spark, sf_dir).collect()
+    }
+    # BSON extended-JSON scalars map per the type table (SURVEY §1.2)
+    assert rows["bson_id"] == "string(objectid)"
+    assert rows["bson_ts"] == "timestamp"
+    assert rows["bson_amt"].startswith("decimal")
+    assert rows["bson_bin"] == "binary"
+    assert "bson_mk" not in rows  # MinKey is dropped by design
+    # k conflicts (int vs str across corpus shapes) → promoted to string
+    assert rows["k"] == "string"
+    assert rows["extra.b"] == "array<long>"
+
+
+def test_sink_partitioned_round_trip_conserves_rows(spark, sf_dir):
+    out = SPECS["q_sink_partitioned"].func(spark, sf_dir)
+    total = out.agg(F.sum("n")).head()[0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    # partition values must cover every month present in the source
+    months = {r.m for r in out.select("m").distinct().collect()}
+    src_months = {
+        r.m
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.month("ts").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert months == src_months
