@@ -399,3 +399,92 @@ def q_tpch_q18(spark, sf_dir):
             F.col("total_qty").cast("long").alias("total_qty"),
         )
     )
+
+
+_Q4_LO, _Q4_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q_tpch_q4",
+    family="tpch",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 (order-priority checking, adapted to the available "
+    "columns: 'late' = any line shipped >60 days after the order "
+    "date): one quarter of orders, EXISTS semi-join against "
+    "lineitem, counts per priority. The EXISTS decorrelates to a "
+    "LEFT SEMI join on l_orderkey with the date comparison as a "
+    "residual — never a per-row subquery; the quarter filter prunes "
+    "orders at the scan and the semi join emits each order at most "
+    "once (no fan-out to dedup).",
+)
+def q_tpch_q4(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+
+
+@register(
+    "q_tpch_q6",
+    family="tpch",
+    oracle=f"""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS forecast_rev_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate <  TIMESTAMP '{_Q6_HI}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    GROUP BY 1=1
+    """,
+    doc="TPC-H Q6 (forecast revenue change): revenue that would be "
+    "gained by eliminating mid-band discounts on small orders in one "
+    "year — the canonical scan-dominated query: every predicate "
+    "pushes to the parquet scan (date range + discount band + "
+    "quantity), the aggregate is one exact integer sum, and the "
+    "whole plan is a single map-side-combined pass with zero joins. "
+    "At 100 TB this runs at storage throughput; it is the query "
+    "min/max page indexes and partition pruning exist for.",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents("l_extendedprice") * _cents("l_discount")
+    return li.agg(
+        F.sum(rev).cast("long").alias("forecast_rev_e4"),
+        F.count("*").cast("long").alias("n_lines"),
+    )

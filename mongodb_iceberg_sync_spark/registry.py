@@ -190,6 +190,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_mannwhitney",
     "q_agg_ks_test",
     "q_sample_systematic",
+    "q_tpch_q4",
+    "q_tpch_q6",
 )
 
 

@@ -485,3 +485,19 @@ def test_collocations_bigram_agg_is_pinned_once(spark, sf_dir):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") <= 1, plan[:800]
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    df = SPECS["q_tpch_q4"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # quarter pushed
+
+
+def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
+    df = SPECS["q_tpch_q6"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan  # pure scan+agg
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
+                 "GreaterThanOrEqual(l_discount"):
+        assert frag in plan, frag
