@@ -109,6 +109,9 @@ PROBE_QUERIES = [
     "q_window_drawdown",
     "q_agg_mannwhitney",
     "q_agg_ks_test",
+    "q_sample_systematic",
+    "q_tpch_q4",
+    "q_tpch_q6",
 ]
 REPLICAS = 10
 TABLES = {
