@@ -488,3 +488,105 @@ def q_tpch_q6(spark, sf_dir):
         F.sum(rev).cast("long").alias("forecast_rev_e4"),
         F.count("*").cast("long").alias("n_lines"),
     )
+
+
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q_tpch_q15",
+    family="tpch",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+        AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+      GROUP BY l_suppkey
+    ),
+    m AS (SELECT max(rev_e4) AS mx FROM srev)
+    SELECT s.s_suppkey, s.s_name,
+           r.rev_e4 / 10000.0 AS total_revenue
+    FROM srev r
+    JOIN m ON r.rev_e4 = m.mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 (top supplier): per-supplier quarter revenue, keep "
+    "the maximum (ties kept, ordered by key — the spec's 'in case of "
+    "ties' clause). The max is a 1-row aggregate joined back as a "
+    "broadcast equality on the EXACT integer revenue — float revenue "
+    "would make 'equals the max' engine-dependent, integer cents "
+    "make it exact. Supplier dim broadcasts; one suppkey agg "
+    "shuffle.",
+)
+def q_tpch_q15(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp_ntz"))
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum(_rev_e4_col()).alias("rev_e4"))
+    m = srev.agg(F.max("rev_e4").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.join(F.broadcast(m), F.col("rev_e4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_e4") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    family="tpch",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS nq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_order_rev_e2,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq    ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.2 * (pq.sq * 1.0 / pq.nq)
+    GROUP BY 1=1
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): lines whose quantity "
+    "is below 20% of their part's average — the classic correlated "
+    "aggregate subquery, decorrelated to a per-part aggregate joined "
+    "back on the part key (one extra suppkey-free agg pass instead "
+    "of a per-row subquery; Spark and DuckDB both plan exactly "
+    "this). The threshold comparison is a float expression of exact "
+    "integer sums — identical both engines; revenue is exact cents. "
+    "Brand filter pushes to the part scan and AQE broadcasts the "
+    "shrunken part side into both joins.",
+)
+def q_tpch_q17(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_key")).agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("sq"),
+        F.count("*").alias("nq"),
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pq_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * (F.col("sq") * 1.0 / F.col("nq")))
+        .agg(
+            F.sum(_cents("l_extendedprice")).cast("long").alias("small_order_rev_e2"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )

@@ -192,6 +192,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sample_systematic",
     "q_tpch_q4",
     "q_tpch_q6",
+    "q_tpch_q15",
+    "q_tpch_q17",
 )
 
 
