@@ -112,6 +112,8 @@ PROBE_QUERIES = [
     "q_sample_systematic",
     "q_tpch_q4",
     "q_tpch_q6",
+    "q_tpch_q15",
+    "q_tpch_q17",
 ]
 REPLICAS = 10
 TABLES = {
