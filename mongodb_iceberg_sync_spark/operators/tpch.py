@@ -590,3 +590,67 @@ def q_tpch_q17(spark, sf_dir):
             F.count("*").cast("long").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q_tpch_q22",
+    family="tpch",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0
+             / count(*) AS cents_avg
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    rich_idle AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c CROSS JOIN avg_bal a
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > a.cents_avg
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM rich_idle r
+    JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="TPC-H Q22 (global sales opportunity, adapted: nation instead "
+    "of phone country code): customers with above-average positive "
+    "balance who have NEVER ordered — per nation. Three optimizer "
+    "patterns in one plan: a 1-row global aggregate broadcast as a "
+    "threshold (exact integer cents so the comparison is "
+    "engine-independent), NOT EXISTS decorrelated to a LEFT ANTI "
+    "join on the customer key, and a broadcast nation dim. At "
+    "100 TB the anti join is the only fact-sized shuffle; the "
+    "threshold costs one scalar.",
+)
+def q_tpch_q22(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_acctbal"),
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum("cents") * 1.0 / F.count("*")).alias("cents_avg"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("cents") > F.col("cents_avg")
+    )
+    idle = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        idle.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -194,6 +194,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_tpch_q15",
     "q_tpch_q17",
+    "q_tpch_q22",
 )
 
 
