@@ -654,3 +654,92 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+_Q8_LO, _Q8_HI = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "q_tpch_q8",
+    family="tpch",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c ON c.c_custkey   = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey   = l.l_partkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '{_Q8_LO}'
+        AND o.o_orderdate <  TIMESTAMP '{_Q8_HI}'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN rev_e4 ELSE 0 END)
+                AS BIGINT) AS focus_rev_e4,
+           CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+           sum(CASE WHEN supp_nation = 'NATION_6' THEN rev_e4 ELSE 0 END) * 1.0
+             / sum(rev_e4) AS mkt_share
+    FROM base
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 (national market share): one nation's (NATION_6) share of AMERICA's "
+    "ECONOMY-part revenue per year — an 8-table join with selective "
+    "filters on three different dimensions feeding one conditional "
+    "aggregate. The share per year is one float division of two "
+    "exact integer sums. Plan: part/supplier/nation/region broadcast "
+    "(explicitly — all dim-sized at any SF), the "
+    "lineitem⋈orders⋈customer spine shuffles on its keys, and the "
+    "p_type + r_name + date filters prune before the spine joins.",
+)
+def q_tpch_q8(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q8_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q8_HI).cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    rev = _rev_e4_col()
+    base = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev_e4"),
+            "supp_nation",
+        )
+    )
+    focus = F.when(F.col("supp_nation") == "NATION_6", F.col("rev_e4")).otherwise(0)
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(focus).cast("long").alias("focus_rev_e4"),
+            F.sum("rev_e4").cast("long").alias("total_rev_e4"),
+            (F.sum(focus) * 1.0 / F.sum("rev_e4")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )

@@ -195,6 +195,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q15",
     "q_tpch_q17",
     "q_tpch_q22",
+    "q_tpch_q8",
 )
 
 
