@@ -114,6 +114,8 @@ PROBE_QUERIES = [
     "q_tpch_q6",
     "q_tpch_q15",
     "q_tpch_q17",
+    "q_tpch_q22",
+    "q_tpch_q8",
 ]
 REPLICAS = 10
 TABLES = {
