@@ -743,3 +743,68 @@ def q_tpch_q8(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+_Q7_A, _Q7_B = "NATION_1", "NATION_6"
+
+
+@register(
+    "q_tpch_q7",
+    family="tpch",
+    oracle=f"""
+    SELECT n2.n_name AS supp_nation,
+           n1.n_name AS cust_nation,
+           CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE ((n1.n_name = '{_Q7_A}' AND n2.n_name = '{_Q7_B}')
+        OR (n1.n_name = '{_Q7_B}' AND n2.n_name = '{_Q7_A}'))
+    GROUP BY n2.n_name, n1.n_name,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, o_year
+    """,
+    doc="TPC-H Q7 (volume shipping): revenue flowing between two "
+    "trading nations in both directions, per year. The symmetric "
+    "nation-pair disjunction spans both legs of the join tree — "
+    "Catalyst derives the implied n_name ∈ {A,B} filter for EACH "
+    "nation dim (pushed to both tiny scans) and keeps the exact "
+    "cross-condition as a residual, so the fact spine only carries "
+    "rows touching the two nations. Revenue exact-integer as "
+    "everywhere in this family.",
+)
+def q_tpch_q7(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == _Q7_A) & (F.col("supp_nation") == _Q7_B)
+    ) | ((F.col("cust_nation") == _Q7_B) & (F.col("supp_nation") == _Q7_A))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(_rev_e4_col()) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
