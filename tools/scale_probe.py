@@ -116,6 +116,7 @@ PROBE_QUERIES = [
     "q_tpch_q17",
     "q_tpch_q22",
     "q_tpch_q8",
+    "q_tpch_q7",
 ]
 REPLICAS = 10
 TABLES = {
