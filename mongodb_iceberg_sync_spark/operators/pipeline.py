@@ -827,3 +827,124 @@ def q_events_attribution(spark, sf_dir):
         F.count("*").cast("long").alias("n_conversions"),
         (F.sum(credit).cast("double") + 0.0).alias("credit"),
     )
+
+
+_KM_CUTOFF_H = 72  # observation window: censor conversions past 72h
+
+
+@register(
+    "q_events_survival",
+    family="pipeline",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS p
+      FROM events e JOIN su ON su.user_id = e.user_id AND e.ts >= su.s
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT su.user_id,
+             CAST(CASE WHEN p IS NOT NULL
+                  AND (epoch_us(p) - epoch_us(s)) // 3600000000 < {_KM_CUTOFF_H}
+                  THEN (epoch_us(p) - epoch_us(s)) // 3600000000
+                  ELSE {_KM_CUTOFF_H} END AS BIGINT) AS h,
+             CASE WHEN p IS NOT NULL
+                  AND (epoch_us(p) - epoch_us(s)) // 3600000000 < {_KM_CUTOFF_H}
+                  THEN 1 ELSE 0 END AS ev
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    grid AS (
+      SELECT h, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leave_n
+      FROM subj GROUP BY h
+    ),
+    risk AS (
+      SELECT h, d,
+             (SELECT count(*) FROM subj)
+               - coalesce(sum(leave_n) OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grid
+    ),
+    km AS (
+      SELECT h, d, n_risk,
+             sum(CAST(round(ln(1.0 - d * 1.0 / n_risk), 6) AS DECIMAL(18,6)))
+               OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS logsurv
+      FROM risk
+    )
+    SELECT h AS hours, CAST(n_risk AS BIGINT) AS n_at_risk, d AS n_events,
+           CAST(logsurv AS DOUBLE) AS log_survival
+    FROM km WHERE d > 0
+    ORDER BY h
+    """,
+    doc=f"Kaplan-Meier survival curve for signup→purchase conversion "
+    f"with right-censoring at {_KM_CUTOFF_H}h — the time-to-event "
+    "statistic behind retention/conversion analyses that a naive "
+    "conversion rate gets wrong when observation windows differ. "
+    "Subjects collapse to the HOUR grid (≤73 distinct times), so "
+    "risk sets and event counts are exact integers from one "
+    "aggregation; each KM factor's log is rounded and decimal-"
+    "summed (the registry's log pattern) and the final exp of an "
+    "exact decimal is engine-identical. Scale: per-subject rows "
+    "reduce to the time grid before any window — the cumsum runs "
+    "over ≤73 rows regardless of cohort size.",
+)
+def q_events_survival(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su.select(F.col("user_id").alias("su_user"), "s"),
+              (F.col("user_id") == F.col("su_user")) & (F.col("ts") >= F.col("s")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    delay_h = (
+        F.unix_micros(F.col("p").cast("timestamp"))
+        - F.unix_micros(F.col("s").cast("timestamp"))
+    ) / F.lit(3600000000)
+    h_floor = F.floor(delay_h).cast("long")
+    converted = F.col("p").isNotNull() & (h_floor < _KM_CUTOFF_H)
+    subj = su.join(pu, "user_id", "left").select(
+        F.when(converted, h_floor).otherwise(F.lit(_KM_CUTOFF_H)).alias("h"),
+        F.when(converted, 1).otherwise(0).alias("ev"),
+    )
+    grid = subj.groupBy("h").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leave_n"),
+    )
+    total = subj.count()  # one scalar; the grid is ≤73 rows
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_risk = F.lit(total) - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
+    log_term = F.round(F.log(1.0 - F.col("d") * 1.0 / n_risk), 6).cast(
+        "decimal(18,6)"
+    )
+    km = grid.select(
+        "h",
+        "d",
+        n_risk.alias("n_risk"),
+        F.sum(log_term).over(w_cum).alias("logsurv"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .orderBy("h")
+        .select(
+            F.col("h").alias("hours"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            # the exact decimal log-survival, NOT exp(): Math.exp and
+            # libm exp disagree by 1 ulp on identical inputs (caught by
+            # the differential sweep) — consumers exponentiate locally
+            F.col("logsurv").cast("double").alias("log_survival"),
+        )
+    )

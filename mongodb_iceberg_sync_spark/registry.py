@@ -197,6 +197,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q22",
     "q_tpch_q8",
     "q_tpch_q7",
+    "q_events_survival",
 )
 
 
