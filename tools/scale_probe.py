@@ -117,6 +117,7 @@ PROBE_QUERIES = [
     "q_tpch_q22",
     "q_tpch_q8",
     "q_tpch_q7",
+    "q_events_survival",
 ]
 REPLICAS = 10
 TABLES = {
