@@ -923,8 +923,21 @@ def q_events_survival(spark, sf_dir):
     total = subj.count()  # one scalar; the grid is ≤73 rows
     from pyspark.sql import Window
 
-    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # explicit constant partition key: the grid is ≤73 rows by
+    # construction, so one partition IS the right plan — naming it
+    # silences the WindowExec no-partition warning without changing it.
+    # h*0 rather than lit(0): a foldable literal is optimizer-stripped
+    # from the partition spec and the warning comes back (h ≥ 0 non-null
+    # here, so h*0 is the constant 0 on every row).
+    one = F.col("h") * F.lit(0)
+    w_prev = (
+        Window.partitionBy(one).orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n_risk = F.lit(total) - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
     log_term = F.round(F.log(1.0 - F.col("d") * 1.0 / n_risk), 6).cast(
         "decimal(18,6)"

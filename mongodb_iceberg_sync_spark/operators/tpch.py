@@ -808,3 +808,179 @@ def q_tpch_q7(spark, sf_dir):
         .agg((F.sum(_rev_e4_col()) / 10000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "o_year")
     )
+
+
+_Q12_LO, _Q12_HI = "1997-01-01", "1998-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q_tpch_q12",
+    family="tpch",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_HI}'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 (shipping-priority classification, adapted to the "
+    "available columns: the schema has no l_shipmode/commit/receipt "
+    "dates, so the group key is l_returnflag and the date window is "
+    "on l_shipdate). Physical shape is Q12's: the year filter prunes "
+    "lineitem AT THE SCAN (pushed filter), the orders side carries "
+    "only (o_orderkey, o_orderpriority), and the priority split is a "
+    "map-side conditional count — partial aggregation runs before the "
+    "3-group exchange, so the shuffle moves six counter rows per "
+    "task, not lines. At 100 TB both sides are fact-sized: SMJ on "
+    "l_orderkey with AQE free to broadcast the post-filter side.",
+)
+def q_tpch_q12(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    family="tpch",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (customer order-count distribution, adapted: the "
+    "schema has no o_comment, so the exclusion predicate is "
+    "o_orderpriority <> '1-URGENT'). The double aggregation is the "
+    "point: LEFT OUTER customer->orders with the exclusion in the "
+    "JOIN condition (zero-order customers must survive with count 0, "
+    "so the filter CANNOT be a WHERE), count per customer, then "
+    "re-aggregate the counts into a distribution. First agg shuffles "
+    "on c_custkey (same key as the join — one exchange serves both "
+    "under AQE), second agg is over ~dozens of distinct counts and is "
+    "map-side combinable to near-nothing. Output ordered by custdist "
+    "then c_count (both integers — total order, no float ties).",
+)
+def q_tpch_q13(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q21_NATIONS = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+
+
+@register(
+    "q_tpch_q21",
+    family="tpch",
+    oracle=f"""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name IN {_Q21_NATIONS!r}
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting, adapted: no "
+    "commit/receipt dates in the schema, so 'late' := l_returnflag = "
+    "'R'). The textbook plan decorrelates EXISTS + NOT EXISTS into a "
+    "semi join and an anti join against the same fact; the Spark form "
+    "here goes one better and folds BOTH into one per-order aggregate "
+    "— n_supp = distinct suppliers on the order, n_late = distinct "
+    "suppliers with an 'R' line — then a single equi-join back to the "
+    "candidate lines with the residual (n_supp >= 2 AND n_late = 1). "
+    "Row-for-row identical to the double-subquery form (each "
+    "candidate line survives iff another supplier exists and no OTHER "
+    "supplier shipped late: since the candidate itself is late, "
+    "n_late = 1 pins it as the sole late one), but it scans lineitem "
+    "twice total instead of three times and replaces two shuffled "
+    "semi/anti joins with one agg + one join, both keyed on "
+    "l_orderkey so AQE can reuse the exchange. Supplier/nation dims "
+    "broadcast.",
+)
+def q_tpch_q21(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q21_NATIONS))
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        cand.join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select(
+                F.col("l_orderkey").alias("po_orderkey")
+            ),
+            F.col("po_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -198,6 +198,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q8",
     "q_tpch_q7",
     "q_events_survival",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q21",
 )
 
 

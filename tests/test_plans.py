@@ -501,3 +501,33 @@ def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
     for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
                  "GreaterThanOrEqual(l_discount"):
         assert frag in plan, frag
+
+
+def test_tpch_q12_year_filter_reaches_lineitem_scan(spark, sf_dir):
+    df = SPECS["q_tpch_q12"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_tpch_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
+    # the exclusion predicate lives in the JOIN condition, which lets
+    # Catalyst push it into the ORDERS scan while customers with no
+    # (remaining) orders still survive the LeftOuter with count 0
+    df = SPECS["q_tpch_q13"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_tpch_q21_single_agg_replaces_double_subquery(spark, sf_dir):
+    # the EXISTS + NOT EXISTS pair is folded into ONE per-order
+    # aggregate: lineitem is scanned exactly twice (candidates + agg),
+    # never three times, and the supplier/nation dims broadcast
+    df = SPECS["q_tpch_q21"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem") == 2, plan.count("lineitem")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2

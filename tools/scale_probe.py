@@ -118,6 +118,9 @@ PROBE_QUERIES = [
     "q_tpch_q8",
     "q_tpch_q7",
     "q_events_survival",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q21",
 ]
 REPLICAS = 10
 TABLES = {
