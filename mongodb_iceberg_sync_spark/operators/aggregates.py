@@ -1154,3 +1154,87 @@ def q_agg_ks_test(spark, sf_dir):
             ).alias("ks_stat"),
         )
     )
+
+
+# (column, cross-engine-safe min/max rendering). Money renders as exact
+# cents (float formatting differs between engines); everything else has
+# an identical VARCHAR cast on both sides.
+_PROFILE_COLS = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "cents":
+            lo = f"CAST(CAST(round(min({c}) * 100) AS BIGINT) AS VARCHAR)"
+            hi = f"CAST(CAST(round(max({c}) * 100) AS BIGINT) AS VARCHAR)"
+        else:
+            lo, hi = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col, CAST(count({c}) AS BIGINT) AS n_nonnull, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{lo} AS min_val, {hi} AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+@register(
+    "q_profile_columns",
+    family="aggregates",
+    oracle=_profile_oracle(),
+    doc="Table profiling: per-column non-null/null/distinct counts and "
+    "min/max in ONE aggregate pass over the table, stacked to a "
+    "(col, stats) long form on the single result row — the "
+    "data-quality summary every lake onboarding step runs. The six "
+    "exact countDistincts share ONE Expand (7x in-partition row "
+    "multiplication collapsed by partial aggregation before anything "
+    "moves), then exactly two exchanges: the distinct-key shuffle and "
+    "a single-row gather; min/max/count are map-side combinable. "
+    "Min/max render "
+    "cross-engine-safely: money as exact cents, the rest via "
+    "identical VARCHAR casts. At 100 TB swap the exact distincts for "
+    "approx_count_distinct (HLL, no Expand, one pass) — the oracle "
+    "pins the exact form at test SF.",
+)
+def q_profile_columns(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c, kind in _PROFILE_COLS:
+        if kind == "cents":
+            lo = F.round(F.min(c) * 100).cast("long").cast("string")
+            hi = F.round(F.max(c) * 100).cast("long").cast("string")
+        else:
+            lo, hi = F.min(c).cast("string"), F.max(c).cast("string")
+        aggs += [
+            F.count(c).alias(f"_n_{c}"),
+            F.countDistinct(c).alias(f"_d_{c}"),
+            lo.alias(f"_lo_{c}"),
+            hi.alias(f"_hi_{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"_n_{c}").alias("n_nonnull"),
+                (F.col("_total") - F.col(f"_n_{c}")).alias("n_null"),
+                F.col(f"_d_{c}").alias("n_distinct"),
+                F.col(f"_lo_{c}").alias("min_val"),
+                F.col(f"_hi_{c}").alias("max_val"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col")
+    )

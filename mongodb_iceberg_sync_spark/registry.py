@@ -201,6 +201,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q21",
+    "q_profile_columns",
 )
 
 

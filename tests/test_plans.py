@@ -531,3 +531,17 @@ def test_tpch_q21_single_agg_replaces_double_subquery(spark, sf_dir):
     assert "EqualTo(l_returnflag,R)" in plan
     assert "EqualTo(o_orderstatus,F)" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_profile_columns_single_expand_two_exchanges(spark, sf_dir):
+    # six exact countDistincts must share ONE Expand (never one
+    # aggregate pass per column) and the whole profile is two
+    # exchanges: the distinct-key shuffle plus a single-row gather
+    df = SPECS["q_profile_columns"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count(") Expand") == 1, plan.count(") Expand")
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) == 2, exchanges

@@ -121,6 +121,7 @@ PROBE_QUERIES = [
     "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q21",
+    "q_profile_columns",
 ]
 REPLICAS = 10
 TABLES = {
