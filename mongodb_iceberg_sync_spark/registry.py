@@ -202,6 +202,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q13",
     "q_tpch_q21",
     "q_profile_columns",
+    "q_cdc_ivm_join",
 )
 
 

@@ -545,3 +545,18 @@ def test_profile_columns_single_expand_two_exchanges(spark, sf_dir):
         if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
     ]
     assert len(exchanges) == 2, exchanges
+
+
+def test_cdc_ivm_join_deltas_broadcast_base_shuffles(spark, sf_dir):
+    # the three delta terms broadcast the ~1% delta sides even with
+    # auto-broadcast off (explicit hints); the base term is the one
+    # fact-joins-fact SMJ — the stored materialization in steady state
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q_cdc_ivm_join"].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert uses_sort_merge_join(df)
+        assert "Union" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

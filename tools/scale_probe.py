@@ -122,6 +122,7 @@ PROBE_QUERIES = [
     "q_tpch_q13",
     "q_tpch_q21",
     "q_profile_columns",
+    "q_cdc_ivm_join",
 ]
 REPLICAS = 10
 TABLES = {
