@@ -1238,3 +1238,84 @@ def q_profile_columns(spark, sf_dir):
         .select("r.*")
         .orderBy("col")
     )
+
+
+_BOOT_R = 32          # bootstrap replicates
+_BOOT_A = 2654435761  # Knuth multiplicative-hash constant
+_BOOT_B = 40503
+_BOOT_M = 100000
+# inverse-CDF thresholds of Poisson(1) scaled to _BOOT_M:
+# P(0)=.36788 P(<=1)=.73576 P(<=2)=.91970 P(<=3)=.98101
+_BOOT_W = ((36788, 0), (73576, 1), (91970, 2), (98101, 3))
+
+
+def _boot_oracle() -> str:
+    w = "CASE " + " ".join(
+        f"WHEN u < {thr} THEN {val}" for thr, val in _BOOT_W
+    ) + " ELSE 4 END"
+    return f"""
+    WITH x AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), expanded AS (
+      SELECT r, cents,
+             ((event_id * {_BOOT_A} + r * {_BOOT_B}) % {_BOOT_M}) AS u
+      FROM x CROSS JOIN (SELECT unnest(range({_BOOT_R})) AS r)
+    ), weighted AS (SELECT r, cents, {w} AS w FROM expanded)
+    SELECT CAST(r AS BIGINT)                    AS replicate,
+           CAST(sum(w) AS BIGINT)               AS n_eff,
+           sum(w * cents) / (100.0 * sum(w))    AS mean_value
+    FROM weighted GROUP BY r ORDER BY r
+    """
+
+
+@register(
+    "q_agg_bootstrap",
+    family="aggregates",
+    oracle=_boot_oracle(),
+    doc="Distributed Poisson bootstrap of a mean (the resampling "
+    "scheme that works when n doesn't fit anywhere: each row draws "
+    "an independent Poisson(1) multiplicity per replicate instead of "
+    "sampling WITH replacement globally — Chamandy et al., "
+    "'Estimating Uncertainty for Massive Data Streams', Google 2012). "
+    "One pass: explode R=32 replicate ids per row (map-side, no "
+    "shuffle of the base), weight w ~ inverse-CDF of Poisson(1), one "
+    "keyed aggregation to R rows of (n_eff, mean). DETERMINISM is "
+    "the engine trick: the multiplicity comes from integer "
+    "arithmetic on (event_id, replicate) — a multiplicative-hash "
+    "LCG, identical in any engine — not from rand() or an "
+    "engine-specific hash, so the bootstrap distribution is exactly "
+    "reproducible cross-engine (hash-checked) and across retries/ "
+    "repartitions, which a rand()-based bootstrap can never be. "
+    "Means stay exact-integer until one final float division. The "
+    "consumer reads the 32-row output as the sampling distribution "
+    "(CI = its quantiles).",
+)
+def q_agg_bootstrap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    x = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rep = x.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    u = (F.col("event_id") * _BOOT_A + F.col("r") * _BOOT_B) % _BOOT_M
+    w = F.when(u < _BOOT_W[0][0], _BOOT_W[0][1])
+    for thr, val in _BOOT_W[1:]:
+        w = w.when(u < thr, val)
+    w = w.otherwise(4)
+    return (
+        rep.select("r", "cents", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            (F.sum(F.col("w") * F.col("cents")) / (100.0 * F.sum("w"))).alias(
+                "mean_value"
+            ),
+        )
+        .select(F.col("r").cast("long").alias("replicate"), "n_eff", "mean_value")
+        .orderBy("replicate")
+    )

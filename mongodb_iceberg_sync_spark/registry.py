@@ -203,6 +203,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q21",
     "q_profile_columns",
     "q_cdc_ivm_join",
+    "q_agg_bootstrap",
 )
 
 

@@ -560,3 +560,18 @@ def test_cdc_ivm_join_deltas_broadcast_base_shuffles(spark, sf_dir):
         assert "Union" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_agg_bootstrap_one_shuffle_no_rand(spark, sf_dir):
+    # the replicate explode is map-side; the only exchange is the
+    # 32-group aggregation, and nothing in the plan is nondeterministic
+    # (the whole point of arithmetic weights over rand())
+    df = SPECS["q_agg_bootstrap"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 2, exchanges  # partial->final agg + ordering
+    assert "rand" not in plan.lower()
+    assert ") Generate" in plan  # map-side replicate explode

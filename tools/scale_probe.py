@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     "q_tpch_q21",
     "q_profile_columns",
     "q_cdc_ivm_join",
+    "q_agg_bootstrap",
 ]
 REPLICAS = 10
 TABLES = {
