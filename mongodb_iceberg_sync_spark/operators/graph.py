@@ -201,3 +201,64 @@ def q_graph_triangles(spark, sf_dir):
         .orderBy(F.col("tri_count").desc(), "part")
         .limit(_TRI_TOPK)
     )
+
+
+_BFS_SRC = 1   # supplier node s_suppkey=1
+_BFS_K = 4     # hop bound
+
+
+@register(
+    "q_graph_bfs",
+    family="graph",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey + {1_000_000} AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs
+    ), walk(node, d) AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT e.dst AS node, w.d + 1 AS d
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < {_BFS_K}
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY dist, node
+    """,
+    doc="Bounded-hop BFS shortest hop-distance from one node over the "
+    "supplier<->customer graph — the reachability/blast-radius query. "
+    "Frontier-style supersteps: each hop is ONE equi-join of the "
+    "current frontier onto edges plus a left-anti join against the "
+    "visited set (so the frontier only ever carries NEWLY reached "
+    "nodes — the BFS invariant that first arrival is minimal "
+    "distance makes a min-aggregation unnecessary); localCheckpoint "
+    "per hop caps lineage depth at O(1) like the other iterative "
+    "operators. Work per superstep is O(frontier ⋈ edges), the "
+    "visited set never exceeds the node count, and nothing "
+    "per-iteration reaches the driver. The oracle walks the same "
+    "graph with a recursive CTE under DISTINCT-state recursion "
+    "(UNION, not UNION ALL — path-count explosion is exponential on "
+    "a dense bipartite graph) and min-aggregates hop counts.",
+)
+def q_graph_bfs(spark, sf_dir):
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = spark.range(1).select(
+        F.lit(_BFS_SRC).cast("long").alias("node"), F.lit(0).alias("d")
+    )
+    frontier = dist
+    for k in range(1, _BFS_K + 1):
+        nxt = (
+            frontier.join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), F.lit(k).alias("d"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.select(
+        "node", F.col("d").cast("long").alias("dist")
+    ).orderBy("dist", "node")

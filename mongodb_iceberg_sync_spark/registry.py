@@ -204,6 +204,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_profile_columns",
     "q_cdc_ivm_join",
     "q_agg_bootstrap",
+    "q_graph_bfs",
 )
 
 

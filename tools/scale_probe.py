@@ -124,6 +124,7 @@ PROBE_QUERIES = [
     "q_profile_columns",
     "q_cdc_ivm_join",
     "q_agg_bootstrap",
+    "q_graph_bfs",
 ]
 REPLICAS = 10
 TABLES = {
