@@ -56,6 +56,10 @@ HEADLINE = [
     "q_timeseries_ewma",
     "q_tpch_q18",
     "q_text_collocations",
+    # round-3 session-3 additions
+    "q_tpch_q13",
+    "q_cdc_ivm_join",
+    "q_agg_bootstrap",
 ]
 
 
