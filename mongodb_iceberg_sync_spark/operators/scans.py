@@ -384,3 +384,58 @@ def q_scan_schema_merge(spark, sf_dir):
         F.count("o_orderpriority").alias("n_with_priority"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+_SORTED_MAX_RECS = 10000
+
+
+@register(
+    "q_sink_sorted_files",
+    family="sinks",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS BIGINT)  AS ship_year,
+           CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(ceil(count(*) / {_SORTED_MAX_RECS}.0) AS BIGINT) AS n_files
+    FROM lineitem
+    GROUP BY year(l_shipdate)
+    ORDER BY ship_year
+    """,
+    doc="Write-layout sink: partitionBy(ship_year) + "
+    "sortWithinPartitions(ship_year, l_shipdate) + maxRecordsPerFile "
+    "— the "
+    "clustered, size-bounded file layout that makes min/max row-group "
+    "skipping actually fire on a 100 TB table (an unsorted partition "
+    "has every file spanning the whole key range; sorted files have "
+    "tight disjoint ranges, so a date-range query prunes to O(range) "
+    "files). repartition on the partition column first: one task per "
+    "partition makes the file count DETERMINISTIC — "
+    "ceil(rows / maxRecordsPerFile) — which is what the oracle "
+    "checks, alongside the row counts surviving the round-trip. The "
+    "per-file range tightness itself is pinned by "
+    "tests/test_plans.py::test_sink_sorted_files_ranges_disjoint.",
+)
+def q_sink_sorted_files(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    out = tempfile.mkdtemp(prefix="mis_sorted_")
+    (
+        li.repartition("ship_year")
+        .sortWithinPartitions("ship_year", "l_shipdate")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _SORTED_MAX_RECS)
+        .partitionBy("ship_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    files = back.select(
+        "ship_year", F.input_file_name().alias("f")
+    )
+    return (
+        files.groupBy("ship_year")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("f").alias("n_files"),
+        )
+        .orderBy("ship_year")
+    )

@@ -205,6 +205,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_cdc_ivm_join",
     "q_agg_bootstrap",
     "q_graph_bfs",
+    "q_sink_sorted_files",
 )
 
 

@@ -125,6 +125,7 @@ PROBE_QUERIES = [
     "q_cdc_ivm_join",
     "q_agg_bootstrap",
     "q_graph_bfs",
+    "q_sink_sorted_files",
 ]
 REPLICAS = 10
 TABLES = {
