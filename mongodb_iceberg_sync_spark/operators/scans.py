@@ -439,3 +439,68 @@ def q_sink_sorted_files(spark, sf_dir):
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "q_scan_dpp",
+    family="scans",
+    oracle="""
+    WITH yrs AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y
+      FROM orders GROUP BY year(o_orderdate)
+      HAVING count(*) % 2 = 1
+    )
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT)           AS n_lines,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0                        AS revenue
+    FROM lineitem l JOIN yrs ON CAST(year(l.l_shipdate) AS BIGINT) = yrs.y
+    GROUP BY year(l.l_shipdate)
+    ORDER BY ship_year
+    """,
+    doc="Dynamic partition pruning: the fact is laid out "
+    "partitionBy(ship_year) and joined to a dim whose qualifying "
+    "years are DATA-DEPENDENT (years with an odd order count — "
+    "nothing Catalyst can constant-fold at plan time), so static "
+    "partition pruning is impossible; Spark instead injects a "
+    "dynamicpruning#N subquery into the fact scan's "
+    "PartitionFilters, reusing the dim's broadcast exchange, and "
+    "entire year directories are SKIPPED at runtime before a single "
+    "row is read (pinned in test_plans). THE mechanism for "
+    "dim-filtered scans of a date-partitioned 100 TB fact table — "
+    "without it this query reads every partition and filters after "
+    "the join. Revenue stays exact integer cents through the parquet "
+    "round-trip (doubles round-trip bit-exactly).",
+)
+def q_scan_dpp(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    )
+    out = tempfile.mkdtemp(prefix="mis_dpp_")
+    li.repartition("ship_year").write.mode("overwrite").partitionBy(
+        "ship_year"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") % 2 == 1)
+        .select("y")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        fact.join(F.broadcast(dim), F.col("ship_year").cast("long") == F.col("y"))
+        .groupBy(F.col("ship_year").cast("long").alias("ship_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum(rev) / 10000.0).alias("revenue"),
+        )
+        .orderBy("ship_year")
+    )

@@ -206,6 +206,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_bootstrap",
     "q_graph_bfs",
     "q_sink_sorted_files",
+    "q_scan_dpp",
 )
 
 

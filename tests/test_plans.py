@@ -613,3 +613,14 @@ def test_sink_sorted_files_ranges_disjoint(spark, sf_dir):
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2, (year, hi1, lo2)
+
+
+def test_scan_dpp_injects_dynamic_pruning(spark, sf_dir):
+    # the data-dependent dim filter can't be constant-folded, so the
+    # partitioned fact scan must carry a dynamicpruning subquery in its
+    # PartitionFilters — runtime directory skipping, not post-join filter
+    df = SPECS["q_scan_dpp"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruning" in l for l in pf), pf

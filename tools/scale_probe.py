@@ -126,6 +126,7 @@ PROBE_QUERIES = [
     "q_agg_bootstrap",
     "q_graph_bfs",
     "q_sink_sorted_files",
+    "q_scan_dpp",
 ]
 REPLICAS = 10
 TABLES = {
