@@ -961,3 +961,85 @@ def q_events_survival(spark, sf_dir):
             F.col("logsurv").cast("double").alias("log_survival"),
         )
     )
+
+
+_RFM_Q = """
+    WITH p AS (
+      SELECT user_id,
+             max(ts)                                   AS last_ts,
+             CAST(count(*) AS BIGINT)                  AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+    rk AS (
+      SELECT p.*, tot.n,
+             row_number() OVER (ORDER BY last_ts DESC, user_id) AS r_rank,
+             row_number() OVER (ORDER BY freq  DESC, user_id)   AS f_rank,
+             row_number() OVER (ORDER BY cents DESC, user_id)   AS m_rank
+      FROM p CROSS JOIN tot
+    )
+    SELECT user_id,
+           CAST((r_rank * 5 + n - 1) // n AS BIGINT) AS r_q,
+           CAST((f_rank * 5 + n - 1) // n AS BIGINT) AS f_q,
+           CAST((m_rank * 5 + n - 1) // n AS BIGINT) AS m_q,
+           CASE WHEN (r_rank * 5 + n - 1) // n = 1
+                 AND (f_rank * 5 + n - 1) // n <= 2 THEN 'champion'
+                WHEN (r_rank * 5 + n - 1) // n >= 4
+                 AND (f_rank * 5 + n - 1) // n <= 2 THEN 'at_risk'
+                WHEN (f_rank * 5 + n - 1) // n = 1 THEN 'loyal'
+                ELSE 'regular' END AS segment
+    FROM rk ORDER BY user_id
+"""
+
+
+@register(
+    "q_events_rfm",
+    family="pipeline",
+    oracle=_RFM_Q,
+    doc="RFM customer segmentation (recency/frequency/monetary "
+    "quintiles + segment rules) WITHOUT a single-reducer window: each "
+    "of the three rankings runs on the shared two-pass global-rank "
+    "core (sorts_sets.global_rank — range-repartition, per-partition "
+    "counts to the driver as one long each, broadcast offsets, "
+    "partition-local row_number), so the corpus-wide ORDER BY that "
+    "ntile() would hide behind one reducer is three balanced range "
+    "shuffles of the USER AGGREGATE (already one row per user, not "
+    "per event). Quintile = (rank*5 + n - 1) div n on exact integers "
+    "— identical arithmetic both engines (ntile's remainder policy "
+    "need not be re-implemented); monetary rides exact cents. The "
+    "segment CASE is pure integer comparisons.",
+)
+def q_events_rfm(spark, sf_dir):
+    from .sorts_sets import global_rank
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    r = global_rank(p, F.col("last_ts").desc(), F.col("user_id")).withColumnRenamed(
+        "rank", "r_rank"
+    )
+    r = global_rank(r, F.col("freq").desc(), F.col("user_id")).withColumnRenamed(
+        "rank", "f_rank"
+    )
+    r = global_rank(r, F.col("cents").desc(), F.col("user_id")).withColumnRenamed(
+        "rank", "m_rank"
+    )
+    n = r.agg(F.count("*").cast("long").alias("n"))
+    r = r.join(F.broadcast(n))
+    q = lambda c: F.expr(f"({c} * 5 + n - 1) div n").cast("long")  # noqa: E731
+    seg = (
+        F.when((q("r_rank") == 1) & (q("f_rank") <= 2), "champion")
+        .when((q("r_rank") >= 4) & (q("f_rank") <= 2), "at_risk")
+        .when(q("f_rank") == 1, "loyal")
+        .otherwise("regular")
+    )
+    return r.select(
+        "user_id",
+        q("r_rank").alias("r_q"),
+        q("f_rank").alias("f_q"),
+        q("m_rank").alias("m_q"),
+        seg.alias("segment"),
+    ).orderBy("user_id")

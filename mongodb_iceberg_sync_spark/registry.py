@@ -207,6 +207,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_graph_bfs",
     "q_sink_sorted_files",
     "q_scan_dpp",
+    "q_events_rfm",
 )
 
 

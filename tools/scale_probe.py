@@ -127,6 +127,7 @@ PROBE_QUERIES = [
     "q_graph_bfs",
     "q_sink_sorted_files",
     "q_scan_dpp",
+    "q_events_rfm",
 ]
 REPLICAS = 10
 TABLES = {
