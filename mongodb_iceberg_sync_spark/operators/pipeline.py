@@ -1043,3 +1043,84 @@ def q_events_rfm(spark, sf_dir):
         q("m_rank").alias("m_q"),
         seg.alias("segment"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_events_cohort_ltv",
+    family="pipeline",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT CAST(year(s.st) * 100 + month(s.st) AS BIGINT) AS cohort_ym,
+             CAST((year(p.ts) * 12 + month(p.ts))
+                  - (year(s.st) * 12 + month(s.st)) AS BIGINT) AS age_m,
+             p.cents
+      FROM s JOIN p ON p.user_id = s.user_id AND p.ts >= s.st
+    ), cell AS (
+      SELECT cohort_ym, age_m,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM j GROUP BY cohort_ym, age_m
+    )
+    SELECT cohort_ym, age_m, n_purchases,
+           CAST(sum(cents) OVER (PARTITION BY cohort_ym ORDER BY age_m
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents
+    FROM cell ORDER BY cohort_ym, age_m
+    """,
+    doc="Cohort lifetime-value curves: signup-month cohort x months-"
+    "since-signup, cumulative revenue per cohort cell — the LTV "
+    "matrix behind payback-period decisions (the money-weighted "
+    "complement of q_events_retention's user counts). Cohort and age "
+    "are pure INTEGER month arithmetic (year*100+month / year*12+"
+    "month deltas — no date_trunc type divergence between engines), "
+    "revenue is exact cents end-to-end, and the running LTV is a "
+    "window PARTITIONED BY cohort over the tiny cell grid (months x "
+    "months), so the only corpus-sized work is the signup agg + one "
+    "user-keyed equi-join with the ts >= signup residual; the "
+    "cumsum input is dozens of rows per cohort regardless of table "
+    "size.",
+)
+def q_events_cohort_ltv(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ym = lambda c: F.year(c) * 100 + F.month(c)  # noqa: E731
+    mix = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cell = (
+        s.join(p, (F.col("p_user") == F.col("user_id")) & (F.col("ts") >= F.col("st")))
+        .select(
+            ym(F.col("st")).cast("long").alias("cohort_ym"),
+            (mix(F.col("ts")) - mix(F.col("st"))).cast("long").alias("age_m"),
+            "cents",
+        )
+        .groupBy("cohort_ym", "age_m")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_ym",
+        "age_m",
+        "n_purchases",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    ).orderBy("cohort_ym", "age_m")

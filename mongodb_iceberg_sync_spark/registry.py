@@ -208,6 +208,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sink_sorted_files",
     "q_scan_dpp",
     "q_events_rfm",
+    "q_events_cohort_ltv",
 )
 
 

@@ -128,6 +128,7 @@ PROBE_QUERIES = [
     "q_sink_sorted_files",
     "q_scan_dpp",
     "q_events_rfm",
+    "q_events_cohort_ltv",
 ]
 REPLICAS = 10
 TABLES = {
