@@ -60,6 +60,8 @@ HEADLINE = [
     "q_tpch_q13",
     "q_cdc_ivm_join",
     "q_agg_bootstrap",
+    "q_scan_dpp",
+    "q_events_cohort_ltv",
 ]
 
 
