@@ -86,110 +86,65 @@ def _load_all_operator_modules() -> None:
 # — drop (to the back) every name with a green driver row, promote the
 # never-checked tail to the front, keep any FAIL rows first of all.
 #
-# Two buckets:
-#   1. the two round-1 hash-fails (decimal-sum fix committed round 2, never
-#      re-swept by the driver),
-#   2. the 20 round-2 additions that neither sweep reached.
-# Everything else follows in module order (all driver-green in r1/r2).
+# Round-4 rotation: the 61 queries below are exactly the set never covered by
+# any driver window (r1 ∪ r2 ∪ r3 = 142 of 203 checked; zero FAIL rows
+# standing). Listed in original registration order; the r4 window takes the
+# first 50, the remaining 11 (all TPC-H composites) lead r5 together with any
+# round-4 additions, which go AFTER this block so they ride the next window.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # stale r1 FAIL, fix committed — must be re-verified first
-    "q_join_theta_range",
-    "q_join_range_banded",
-    # round-2 additions never reached by a driver sweep
-    "q_agg_pivot",
-    "q_agg_percentile",
-    "q_agg_hll",
-    "q_agg_unpivot",
-    "q_agg_salted",
-    "q_agg_corr",
-    "q_agg_collect",
-    "q_cdc_scd2",
-    "q_cdc_time_travel",
-    "q_cdc_changefeed",
-    "q_join_salted",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_sim_ann_lsh",
-    "q_sim_knn_join",
-    "q_sim_pq",
-    "q_cluster_kmeans",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_scan_orc",
-    # round-3 additions (never driver-checked yet)
-    "q_text_decontaminate",
-    "q_text_repetition",
-    "q_agg_histogram",
-    "q_timeseries_interp",
-    "q_events_retention",
-    "q_scan_text",
-    "q_scan_binaryfile",
-    "q_text_pii_redact",
-    "q_timeseries_ohlc",
-    "q_sql_correlated",
-    "q_window_islands",
-    "q_events_anomaly",
-    "q_text_lm_score",
-    "q_agg_mode",
-    "q_graph_pagerank",
-    "q_dedup_bloom",
-    "q_sim_spatial_join",
-    "q_cdc_ivm_agg",
-    "q_text_containment",
-    "q_events_markov",
-    "q_join_scd2_asof",
-    "q_scan_schema_merge",
-    "q_text_normalize",
-    "q_join_null_safe",
-    "q_multimodal_dedup",
-    "q_sort_global_rank",
-    "q_stream_ivm",
-    # round-3 late additions — whatever the 50-query cap doesn't reach
-    # this round rides the front of the r4 sweep
-    "q_dedup_chunks",
+    # --- never driver-checked (round-3 additions), oldest first ---
+    "q_window_running_distinct",
+    "q_window_rolling_features",
+    "q_window_drawdown",
+    "q_sample_systematic",
+    "q_text_inverted_index",
+    "q_text_bm25",
+    "q_text_collocations",
+    "q_text_zipf",
+    "q_text_compress_ratio",
+    "q_sample_reservoir",
+    "q_timeseries_ewma",
+    "q_events_attribution",
+    "q_events_survival",
+    "q_events_rfm",
+    "q_events_cohort_ltv",
+    "q_sink_sorted_files",
+    "q_scan_dpp",
+    "q_agg_weighted_median",
+    "q_agg_entropy",
+    "q_agg_ttest",
+    "q_agg_gini",
+    "q_agg_benford",
+    "q_agg_ols",
+    "q_agg_chisq",
+    "q_agg_mannwhitney",
+    "q_agg_ks_test",
+    "q_profile_columns",
+    "q_agg_bootstrap",
+    "q_join_interval_overlap",
+    "q_sql_window_cte",
+    "q_sql_recursive",
+    "q_join_asof_forward",
+    "q_cdc_ivm_join",
+    "q_multimodal_phash",
+    "q_graph_triangles",
+    "q_graph_bfs",
     "q_sample_temperature",
     "q_agg_heavy_hitters",
     "q_shuffle_train",
-    "q_join_interval_overlap",
-    "q_sql_window_cte",
     "q_agg_heavy_hitters_sketch",
     "q_sample_priority",
     "q_mix_domains",
     "q_text_chunk_rag",
     "q_embed_quantize",
     "q_curriculum_order",
-    # round-3 session-2 additions
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q10",
-    "q_text_inverted_index",
-    "q_sample_reservoir",
-    "q_timeseries_ewma",
-    "q_agg_weighted_median",
-    "q_graph_triangles",
-    "q_text_bm25",
-    "q_agg_entropy",
-    "q_window_running_distinct",
-    "q_sql_recursive",
-    "q_events_attribution",
-    "q_agg_ttest",
-    "q_multimodal_phash",
-    "q_window_rolling_features",
     "q_tpch_q14",
     "q_tpch_q19",
+    # --- 50-query cap lands here in r4; the 11 below lead the r5 window ---
     "q_tpch_q18",
-    "q_text_collocations",
-    "q_agg_gini",
-    "q_agg_benford",
-    "q_agg_ols",
-    "q_text_zipf",
-    "q_text_compress_ratio",
-    "q_join_asof_forward",
-    "q_agg_chisq",
-    "q_window_drawdown",
-    "q_agg_mannwhitney",
-    "q_agg_ks_test",
-    "q_sample_systematic",
     "q_tpch_q4",
     "q_tpch_q6",
     "q_tpch_q15",
@@ -197,18 +152,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q22",
     "q_tpch_q8",
     "q_tpch_q7",
-    "q_events_survival",
     "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q21",
-    "q_profile_columns",
-    "q_cdc_ivm_join",
-    "q_agg_bootstrap",
-    "q_graph_bfs",
-    "q_sink_sorted_files",
-    "q_scan_dpp",
-    "q_events_rfm",
-    "q_events_cohort_ltv",
+    # --- round-4 additions registered below ride the r5 window ---
 )
 
 

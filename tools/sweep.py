@@ -40,6 +40,7 @@ def main() -> int:
 
     t_total = time.time()
     results = {}
+    failures = 0
     for name, spec in specs.items():  # registration order == driver order
         if only and name not in only:
             continue
@@ -56,20 +57,23 @@ def main() -> int:
                 problems = compare_frames(spark_pdf, duck_pdf, name)
                 if problems:
                     status = "MISMATCH"
+                    failures += 1
             else:
                 status = f"rows-only({len(spark_pdf)})"
         except Exception as e:  # noqa: BLE001
             status = f"ERROR: {type(e).__name__}: {e}"
+            failures += 1
         dt = time.time() - t0
         results[name] = dt
         print(f"{dt:7.2f}s  {name:32s} {status}")
         for p in problems[:4]:
             print(f"         | {p}")
     total = time.time() - t_total
-    print(f"\nTOTAL {total:.1f}s for {len(results)} queries")
+    print(f"\nTOTAL {total:.1f}s for {len(results)} queries, {failures} MISMATCH/ERROR")
     slow = sorted(results.items(), key=lambda kv: -kv[1])[:10]
     print("slowest:", json.dumps({k: round(v, 2) for k, v in slow}))
-    return 0
+    # Nonzero exit on any broken query so CI / the verify recipe fail loudly.
+    return failures
 
 
 if __name__ == "__main__":
