@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+from collections.abc import Callable
+from typing import Hashable
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import load_table
@@ -9,3 +15,50 @@ from ..tables import load_table
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped fixture store for write-then-read operators.
+#
+# Operators that demonstrate a STORAGE layout (scan round-trips through
+# json/csv/orc/text, the DPP-partitioned fact, the sorted-file sink) must
+# materialize files on local disk. Rebuilding the layout on every sweep /
+# bench / pytest invocation both leaks sf-scale parquet copies into /tmp
+# (9 mkdtemp sites grew without bound) and pollutes the measured time of
+# the READ path the operator exists to showcase. Instead: one temp root
+# per process, removed at interpreter exit; layouts cached per key so the
+# second invocation within a session reuses the files.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_ROOT: str | None = None
+_FIXTURE_CACHE: dict[tuple[Hashable, ...], str] = {}
+
+
+def _fixture_root() -> str:
+    global _FIXTURE_ROOT
+    if _FIXTURE_ROOT is None:
+        _FIXTURE_ROOT = tempfile.mkdtemp(prefix="mis_session_")
+        atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
+    return _FIXTURE_ROOT
+
+
+def session_tmpdir(prefix: str) -> str:
+    """Fresh (uncached) temp dir under the session root — cleaned at exit.
+
+    For fixtures that must NOT be reused (streaming checkpoints, CDC
+    source feeds) but should still not accumulate across invocations.
+    """
+    return tempfile.mkdtemp(prefix=prefix, dir=_fixture_root())
+
+
+def session_fixture(key: tuple[Hashable, ...], build: Callable[[str], None]) -> str:
+    """Build-once-per-session on-disk layout keyed on (op, sf_dir, ...).
+
+    ``build(path)`` writes the layout into ``path`` on first use; later
+    calls with the same key return the cached path untouched.
+    """
+    if key not in _FIXTURE_CACHE:
+        out = tempfile.mkdtemp(prefix=str(key[0]) + "_", dir=_fixture_root())
+        build(out)
+        _FIXTURE_CACHE[key] = out
+    return _FIXTURE_CACHE[key]

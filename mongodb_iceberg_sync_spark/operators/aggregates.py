@@ -1240,6 +1240,56 @@ def q_profile_columns(spark, sf_dir):
     )
 
 
+@register(
+    "q_profile_columns_sketch",
+    family="aggregates",
+    oracle=None,  # HLL sketch values are engine-specific; pytest pins the
+    # relative error vs the exact profile instead
+    doc="Table profiling, 100 TB default: identical long-form output to "
+    "q_profile_columns but distinct counts come from "
+    "approx_count_distinct (HyperLogLog++, rsd=0.02). The exact "
+    "variant's countDistinct on the table's unique key shuffles every "
+    "key (its own 1x/10x/100x probe is linear in distincts); the "
+    "sketch folds each column into a fixed few-KB register set that "
+    "merges map-side, so the whole profile is ONE pass, NO Expand, "
+    "and exactly one partial->final aggregate exchange regardless of "
+    "cardinality. Deterministic (hash-based, no rng) so repeated runs "
+    "hash-stably. tests/test_scale_patterns.py pins each approx count "
+    "within 3*rsd of the exact operator and test_plans pins the "
+    "Expand-free single-exchange shape.",
+)
+def q_profile_columns_sketch(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c, kind in _PROFILE_COLS:
+        if kind == "cents":
+            lo = F.round(F.min(c) * 100).cast("long").cast("string")
+            hi = F.round(F.max(c) * 100).cast("long").cast("string")
+        else:
+            lo, hi = F.min(c).cast("string"), F.max(c).cast("string")
+        aggs += [
+            F.count(c).alias(f"_n_{c}"),
+            F.approx_count_distinct(c, 0.02).alias(f"_d_{c}"),
+            lo.alias(f"_lo_{c}"),
+            hi.alias(f"_hi_{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"_n_{c}").alias("n_nonnull"),
+                (F.col("_total") - F.col(f"_n_{c}")).alias("n_null"),
+                F.col(f"_d_{c}").alias("n_distinct_approx"),
+                F.col(f"_lo_{c}").alias("min_val"),
+                F.col(f"_hi_{c}").alias("max_val"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*").orderBy("col")
+
+
 _BOOT_R = 32          # bootstrap replicates
 _BOOT_A = 2654435761  # Knuth multiplicative-hash constant
 _BOOT_B = 40503

@@ -9,12 +9,10 @@ filters and prunes columns into the parquet scan (verified via
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import session_fixture, t
 
 
 @register(
@@ -139,12 +137,14 @@ def q_case_when(spark, sf_dir):
     "code lands month/bucket directories that Spark partition-prunes.",
 )
 def q_sink_partitioned(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="mis_sink_")
-    derived = ev.withColumn("m", F.month("ts")).withColumn(
-        "b", F.pmod(F.hash("user_id"), F.lit(8))
-    )
-    derived.write.mode("overwrite").partitionBy("m", "b").parquet(out)
+    def build(out):
+        ev = t(spark, sf_dir, "events")
+        derived = ev.withColumn("m", F.month("ts")).withColumn(
+            "b", F.pmod(F.hash("user_id"), F.lit(8))
+        )
+        derived.write.mode("overwrite").partitionBy("m", "b").parquet(out)
+
+    out = session_fixture(("mis_sink", sf_dir), build)
     back = spark.read.parquet(out)
     return (
         back.groupBy("m", "b")
@@ -172,13 +172,16 @@ def q_sink_partitioned(spark, sf_dir):
     "the float aggregate order-insensitive.",
 )
 def q_scan_json(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    out = tempfile.mkdtemp(prefix="mis_json_")
     # TIMESTAMP_NTZ serialization is governed by timestampNTZFormat
     # (timestampFormat only covers the LTZ type) — default format drops
     # to millis and silently loses microsecond precision on round-trip
     fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-    ev.write.mode("overwrite").option("timestampNTZFormat", fmt).json(out)
+
+    def build(out):
+        ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+        ev.write.mode("overwrite").option("timestampNTZFormat", fmt).json(out)
+
+    out = session_fixture(("mis_json", sf_dir), build)
     back = (
         spark.read.schema(
             "event_id bigint, ts timestamp_ntz, event_type string, value double"
@@ -214,9 +217,13 @@ def q_scan_json(spark, sf_dir):
     "inferSchema and silent type drift.",
 )
 def q_scan_csv(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    out = tempfile.mkdtemp(prefix="mis_csv_")
-    ev.write.mode("overwrite").option("header", True).csv(out)
+    def build(out):
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.write.mode("overwrite").option("header", True).csv(out)
+
+    out = session_fixture(("mis_csv", sf_dir), build)
     back = spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double"
     ).option("header", True).csv(out)
@@ -248,11 +255,13 @@ def q_scan_csv(spark, sf_dir):
     "parquet, so the scan-side design notes transfer unchanged.",
 )
 def q_scan_orc(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_extendedprice"
-    )
-    out = tempfile.mkdtemp(prefix="mis_orc_")
-    li.write.mode("overwrite").orc(out)
+    def build(out):
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        li.write.mode("overwrite").orc(out)
+
+    out = session_fixture(("mis_orc", sf_dir), build)
     back = spark.read.schema(
         "l_returnflag string, l_quantity double, l_extendedprice double"
     ).orc(out)
@@ -282,9 +291,11 @@ def q_scan_orc(spark, sf_dir):
     "coordination.",
 )
 def q_scan_text(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("text")
-    out = tempfile.mkdtemp(prefix="mis_txt_")
-    docs.write.mode("overwrite").text(out)
+    def build(out):
+        docs = t(spark, sf_dir, "documents").select("text")
+        docs.write.mode("overwrite").text(out)
+
+    out = session_fixture(("mis_txt", sf_dir), build)
     back = spark.read.text(out).withColumnRenamed("value", "text")
     return back.agg(
         F.count("*").alias("n_lines"),
@@ -315,9 +326,11 @@ def q_scan_text(spark, sf_dir):
     "read; maxPartitionBytes packs small blobs into shared tasks.",
 )
 def q_scan_binaryfile(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("text")
-    out = tempfile.mkdtemp(prefix="mis_bin_")
-    docs.coalesce(4).write.mode("overwrite").text(out)
+    def build(out):
+        docs = t(spark, sf_dir, "documents").select("text")
+        docs.coalesce(4).write.mode("overwrite").text(out)
+
+    out = session_fixture(("mis_bin", sf_dir), build)
     blobs = (
         spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
     )
@@ -365,14 +378,16 @@ def q_scan_binaryfile(spark, sf_dir):
     "generations is N footer reads, not a table rewrite.",
 )
 def q_scan_schema_merge(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="mis_sm_")
-    o.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_totalprice"
-    ).write.mode("overwrite").parquet(f"{out}/gen=1")
-    o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    ).write.mode("overwrite").parquet(f"{out}/gen=2")
+    def build(out):
+        o = t(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{out}/gen=1")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{out}/gen=2")
+
+    out = session_fixture(("mis_sm", sf_dir), build)
     back = spark.read.option("mergeSchema", True).parquet(
         f"{out}/gen=1", f"{out}/gen=2"
     )
@@ -387,55 +402,70 @@ def q_scan_schema_merge(spark, sf_dir):
 
 
 _SORTED_MAX_RECS = 10000
+# Range-shuffle width for the sorted sink. Fixed (not defaultParallelism)
+# so the oracle's file-count bound is environment-independent; on a real
+# cluster this is sized to executor count × a few, and the bound below
+# scales with it automatically.
+_SORTED_RANGE_TASKS = 8
 
 
 @register(
     "q_sink_sorted_files",
     family="sinks",
-    oracle=f"""
+    oracle="""
     SELECT CAST(year(l_shipdate) AS BIGINT)  AS ship_year,
            CAST(count(*) AS BIGINT)          AS n_rows,
-           CAST(ceil(count(*) / {_SORTED_MAX_RECS}.0) AS BIGINT) AS n_files
+           TRUE                              AS files_in_bound
     FROM lineitem
     GROUP BY year(l_shipdate)
     ORDER BY ship_year
     """,
-    doc="Write-layout sink: partitionBy(ship_year) + "
-    "sortWithinPartitions(ship_year, l_shipdate) + maxRecordsPerFile "
-    "— the "
-    "clustered, size-bounded file layout that makes min/max row-group "
-    "skipping actually fire on a 100 TB table (an unsorted partition "
-    "has every file spanning the whole key range; sorted files have "
-    "tight disjoint ranges, so a date-range query prunes to O(range) "
-    "files). repartition on the partition column first: one task per "
-    "partition makes the file count DETERMINISTIC — "
-    "ceil(rows / maxRecordsPerFile) — which is what the oracle "
-    "checks, alongside the row counts surviving the round-trip. The "
-    "per-file range tightness itself is pinned by "
+    doc="Write-layout sink: repartitionByRange(N, ship_year, l_shipdate) "
+    "+ sortWithinPartitions(ship_year, l_shipdate) + partitionBy + "
+    "maxRecordsPerFile — the clustered, size-bounded file layout that "
+    "makes min/max row-group skipping fire on a 100 TB table (an "
+    "unsorted partition has every file spanning the whole key range; "
+    "sorted files have tight disjoint ranges, so a date-range query "
+    "prunes to O(range) files). The RANGE shuffle is the scale-safe "
+    "part: a plain repartition(ship_year) funnels each year — ~14 TB "
+    "at target scale — through ONE task (straggler/OOM); ranging on "
+    "(ship_year, l_shipdate) spreads every year across many tasks "
+    "while keeping files range-disjoint, because range-partition "
+    "slices nest inside the year directories and the sort key "
+    "prefixes the partition column (partitionBy would otherwise "
+    "re-sort and destroy clustering). File count per year is then "
+    "bounded, not exact: ceil(rows/maxRecs) <= n_files <= "
+    "ceil(rows/maxRecs) + N tasks; the query emits the bound check as "
+    "a column the oracle pins to TRUE, and per-file range "
+    "disjointness is pinned by "
     "tests/test_plans.py::test_sink_sorted_files_ranges_disjoint.",
 )
 def q_sink_sorted_files(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year("l_shipdate").cast("long")
-    )
-    out = tempfile.mkdtemp(prefix="mis_sorted_")
-    (
-        li.repartition("ship_year")
-        .sortWithinPartitions("ship_year", "l_shipdate")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", _SORTED_MAX_RECS)
-        .partitionBy("ship_year")
-        .parquet(out)
-    )
+    def build(out):
+        li = t(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate").cast("long")
+        )
+        (
+            li.repartitionByRange(_SORTED_RANGE_TASKS, "ship_year", "l_shipdate")
+            .sortWithinPartitions("ship_year", "l_shipdate")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", _SORTED_MAX_RECS)
+            .partitionBy("ship_year")
+            .parquet(out)
+        )
+
+    out = session_fixture(("mis_sorted", sf_dir), build)
     back = spark.read.parquet(out)
-    files = back.select(
-        "ship_year", F.input_file_name().alias("f")
-    )
+    files = back.select("ship_year", F.input_file_name().alias("f"))
+    min_files = F.ceil(F.count("*") / F.lit(float(_SORTED_MAX_RECS)))
     return (
         files.groupBy("ship_year")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            F.countDistinct("f").alias("n_files"),
+            (
+                (F.countDistinct("f") >= min_files)
+                & (F.countDistinct("f") <= min_files + F.lit(_SORTED_RANGE_TASKS))
+            ).alias("files_in_bound"),
         )
         .orderBy("ship_year")
     )
@@ -474,16 +504,18 @@ def q_sink_sorted_files(spark, sf_dir):
     "round-trip (doubles round-trip bit-exactly).",
 )
 def q_scan_dpp(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_shipdate",
-        "l_extendedprice",
-        "l_discount",
-        F.year("l_shipdate").cast("long").alias("ship_year"),
-    )
-    out = tempfile.mkdtemp(prefix="mis_dpp_")
-    li.repartition("ship_year").write.mode("overwrite").partitionBy(
-        "ship_year"
-    ).parquet(out)
+    def build(out):
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        li.repartitionByRange(
+            _SORTED_RANGE_TASKS, "ship_year", "l_shipdate"
+        ).write.mode("overwrite").partitionBy("ship_year").parquet(out)
+
+    out = session_fixture(("mis_dpp", sf_dir), build)
     fact = spark.read.parquet(out)
     dim = (
         t(spark, sf_dir, "orders")

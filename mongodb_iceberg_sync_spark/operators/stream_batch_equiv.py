@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import session_tmpdir, t
 
 _HOUR_US = 3_600_000_000
 _SLIDE_US = 900_000_000  # 15 minutes
@@ -155,8 +155,6 @@ def q_stream_watermark_dedup(spark, sf_dir):
     "the sequential-replay oracle in sources.cdc_feed.",
 )
 def q_stream_foreachbatch_merge(spark, sf_dir):
-    import tempfile
-
     from ..sources.cdc_feed import make_events, read_stream, write_stream_source
     from ..streaming.sink import foreach_batch_merge
     from ..sync.table_store import MorTable
@@ -166,11 +164,11 @@ def q_stream_foreachbatch_merge(spark, sf_dir):
     # idempotent commit; each extra micro-batch is ~1s of fixed
     # StreamingQuery overhead in the driver's correctness sweep.
     src = write_stream_source(
-        spark, rows, tempfile.mkdtemp(prefix="mis_cdc_src_"), files=2
+        spark, rows, session_tmpdir("mis_cdc_src_"), files=2
     )
-    table = MorTable(spark, tempfile.mkdtemp(prefix="mis_cdc_tbl_"), key="doc_id")
+    table = MorTable(spark, session_tmpdir("mis_cdc_tbl_"), key="doc_id")
     q = foreach_batch_merge(
-        read_stream(spark, src), table, tempfile.mkdtemp(prefix="mis_cdc_ckpt_")
+        read_stream(spark, src), table, session_tmpdir("mis_cdc_ckpt_")
     )
     q.awaitTermination()
     snap = table.snapshot()
@@ -358,7 +356,6 @@ def q_stream_static_join(spark, sf_dir):
 def q_stream_ivm(spark, sf_dir):
     import os
     import shutil
-    import tempfile
     import time
 
     from ..streaming.ivm_sink import _latest_agg, maintained_group_stats
@@ -372,19 +369,19 @@ def q_stream_ivm(spark, sf_dir):
         F.col("event_type").alias("grp"),
         "value",
     )
-    src = tempfile.mkdtemp(prefix="mis_ivm_src_")
+    src = session_tmpdir("mis_ivm_src_")
     base_t = time.time() - 100
     # 2 op_seq-ordered files -> 2 in-order micro-batches (the CDC
     # resume-token delivery contract); stale-op handling is pinned
     # separately in tests/test_ivm_stream.py
-    staged = tempfile.mkdtemp(prefix="mis_ivm_stage_")
+    staged = session_tmpdir("mis_ivm_stage_")
     ev.repartitionByRange(2, "op_seq").write.mode("overwrite").parquet(staged)
     parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
     for i, p in enumerate(parts):
         dst = f"{src}/b{i}.parquet"
         shutil.move(f"{staged}/{p}", dst)
         os.utime(dst, (base_t + i * 10, base_t + i * 10))
-    state = tempfile.mkdtemp(prefix="mis_ivm_state_")
+    state = session_tmpdir("mis_ivm_state_")
     stream = (
         spark.readStream.schema(
             "op_seq long, op_type string, doc_id string, grp string, value double"
@@ -395,7 +392,7 @@ def q_stream_ivm(spark, sf_dir):
     q = maintained_group_stats(
         stream,
         state,
-        tempfile.mkdtemp(prefix="mis_ivm_ckpt_"),
+        session_tmpdir("mis_ivm_ckpt_"),
         key="doc_id",
         group_col="grp",
         value_col="value",

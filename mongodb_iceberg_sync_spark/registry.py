@@ -155,7 +155,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q21",
-    # --- round-4 additions registered below ride the r5 window ---
+    # --- round-4 additions ride the r5 window ---
+    "q_profile_columns_sketch",
 )
 
 

@@ -580,21 +580,29 @@ def test_agg_bootstrap_one_shuffle_no_rand(spark, sf_dir):
 def test_sink_sorted_files_ranges_disjoint(spark, sf_dir):
     # the layout claim: within a partition, per-file [min,max] of the
     # sort key must not overlap — that disjointness is exactly what
-    # lets min/max skipping prune a date-range query to O(range) files
+    # lets min/max skipping prune a date-range query to O(range) files.
+    # Uses the operator's own recipe (repartitionByRange across MANY
+    # tasks per year — no single-task partition writes) at a smaller
+    # maxRecordsPerFile so the sizing split actually kicks in at sf0.001.
     df = SPECS["q_sink_sorted_files"].func(spark, sf_dir)
-    df.count()  # force the write
+    assert all(r.files_in_bound for r in df.collect())
     import pyspark.sql.functions as F
-    # re-derive the written dir from the operator is awkward; redo a
-    # tiny write here with the same recipe and inspect file ranges
     import tempfile
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
         "ship_year", F.year("l_shipdate").cast("long")
     )
     out = tempfile.mkdtemp(prefix="mis_sorted_pin_")
+    writer_df = li.repartitionByRange(
+        8, "ship_year", "l_shipdate"
+    ).sortWithinPartitions("ship_year", "l_shipdate")
+    # scale pin: the shuffle feeding the writer is RANGE on
+    # (ship_year, l_shipdate) — many tasks per year directory — not a
+    # hash repartition on ship_year alone (one ~14TB task per year at
+    # target scale)
+    shuffle_plan = writer_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(ship_year" in shuffle_plan.lower(), shuffle_plan
     (
-        li.repartition("ship_year")
-        .sortWithinPartitions("ship_year", "l_shipdate")
-        .write.mode("overwrite")
+        writer_df.write.mode("overwrite")
         .option("maxRecordsPerFile", 500)
         .partitionBy("ship_year")
         .parquet(out)
@@ -624,3 +632,17 @@ def test_scan_dpp_injects_dynamic_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("dynamicpruning" in l for l in pf), pf
+
+
+def test_profile_sketch_no_expand_single_exchange(spark, sf_dir):
+    # the 100 TB profiling default: HLL registers merge map-side, so the
+    # plan must carry NO Expand (the exact variant multiplies rows 7x
+    # through one) and only the partial->final aggregate exchange
+    df = SPECS["q_profile_columns_sketch"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 1, exchanges

@@ -273,3 +273,27 @@ def test_pq_recall_vs_exact_topk(spark):
     exact = set(ids[mask][np.argsort(-sims[mask], kind="stable")[:10]])
     recall = len(set(pq_ids) & exact) / 10
     assert recall >= 0.6, f"PQ recall@10 {recall} below floor"
+
+
+def test_profile_sketch_within_3rsd_of_exact(spark):
+    """q_profile_columns_sketch must agree with the exact profile on
+    everything except n_distinct, and each approx count must land
+    within 3*rsd (rsd=0.02 -> 6%) of the exact distinct count — the
+    bound that makes the sketch a drop-in 100 TB default."""
+    from mongodb_iceberg_sync_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    specs = all_specs()
+    exact = {r.col: r for r in specs["q_profile_columns"].func(spark, sf).collect()}
+    sketch = {
+        r.col: r for r in specs["q_profile_columns_sketch"].func(spark, sf).collect()
+    }
+    assert set(exact) == set(sketch)
+    for c, e in exact.items():
+        s = sketch[c]
+        assert (s.n_nonnull, s.n_null, s.min_val, s.max_val) == (
+            e.n_nonnull, e.n_null, e.min_val, e.max_val
+        ), c
+        assert abs(s.n_distinct_approx - e.n_distinct) <= 0.06 * max(e.n_distinct, 1), (
+            c, s.n_distinct_approx, e.n_distinct
+        )
