@@ -201,12 +201,23 @@ class MorTable:
     _BLOOM_SLICES = ((1, 8), (9, 8), (17, 8))  # 1-based md5-hex substrings
 
     @classmethod
-    def _bloom_positions(cls, key_value) -> list[int]:
+    def _bloom_positions(cls, key_value) -> list[int] | None:
         """Python-side bit positions for a key — MUST mirror the
         Spark-side expression in _write_manifest (same md5-hex
-        substrings of str(key))."""
+        substrings of CAST(key AS STRING)).
+
+        Only str and int keys are hashed: their Python rendering equals
+        Spark's string cast byte-for-byte. For any other type (bool
+        'True' vs 'true', double '10000000.0' vs '1.0E7', decimal,
+        bytes) the renderings can diverge and a wrong hash would be a
+        bloom FALSE NEGATIVE — a silently skipped commit. Returns None
+        for those; callers treat None as 'maybe present', so skipping
+        degrades to manifest-bounds-only and the false-negative-free
+        contract holds for every key type."""
         import hashlib
 
+        if isinstance(key_value, bool) or not isinstance(key_value, (str, int)):
+            return None
         h = hashlib.md5(str(key_value).encode()).hexdigest()
         return [
             int(h[start - 1 : start - 1 + ln], 16) % cls._BLOOM_BITS
@@ -287,7 +298,10 @@ class MorTable:
             bitmap = int(m["bloom"], 16)
         except (OSError, ValueError, KeyError):
             return True
-        return all(bitmap >> p & 1 for p in self._bloom_positions(key_value))
+        positions = self._bloom_positions(key_value)
+        if positions is None:  # unhashable key type: never skip on bloom
+            return True
+        return all(bitmap >> p & 1 for p in positions)
 
     def _manifest_bounds(self, target: str):
         try:
@@ -543,7 +557,11 @@ class MorTable:
                 return F.lit(False)
             if isinstance(c, bool):
                 return F.lit(c)
-            return c  # a Column predicate
+            # SQL MERGE treats a NULL clause predicate as "not satisfied":
+            # without the coalesce, a NULL delete predicate (e.g. a null
+            # source value in v < 0) would propagate through ~delete_c and
+            # silently drop the row from every later clause.
+            return F.coalesce(c, F.lit(False))
 
         delete_c = matched & _cond(when_matched_delete)
         update_c = matched & ~delete_c & _cond(when_matched_update)
@@ -813,11 +831,41 @@ class MorTable:
     def publish_batch(self, batch_id: int) -> None:
         """Atomically promote a staged batch into deltas/ (one rename —
         the snapshot-pointer swap). Fails if nothing is staged; replaces
-        any existing commit with the same id (idempotent replay)."""
+        any existing commit with the same id (idempotent replay).
+
+        Optimistic-concurrency rebase (Iceberg's retry-on-commit
+        analog): op_seq is assigned at STAGE time, so if another batch
+        committed between stage and publish, the staged seqs can
+        collide with already-committed ones and the LWW resolver
+        (max_by on op_seq) would pick an arbitrary winner for
+        overlapping keys. Before the rename, compare the staged batch's
+        min op_seq against the table's current max; on conflict, SHIFT
+        every staged op_seq by a constant so the batch lands strictly
+        after the interloper, preserving intra-batch order. The check
+        reads only op_seq columns (map-combinable aggs). CDC feeds with
+        globally monotone resume-token seqs never trigger it; writers
+        are otherwise assumed single-publisher per table (no
+        cross-process commit lock here — the catalog provides that in a
+        real Iceberg deployment)."""
         src = f"{self.staging_dir}/batch={batch_id}"
         dst = f"{self.delta_dir}/batch={batch_id}"
         if not self._has_parquet(src):
             raise FileNotFoundError(f"no staged batch {batch_id} to publish")
+        staged = self.spark.read.parquet(src)
+        s = staged.agg(F.min(OP_SEQ).alias("lo"), F.max(OP_SEQ).alias("hi")).head()
+        current = self._raw()
+        cur_max = 0
+        if current is not None:
+            cur_max = int(current.agg(F.max(OP_SEQ).alias("m")).head().m or 0)
+        if s.lo is not None and int(s.lo) <= cur_max:
+            shift = cur_max + 1 - int(s.lo)
+            rebase = f"{src}.rebase"
+            self._writer(
+                staged.withColumn(OP_SEQ, (F.col(OP_SEQ) + F.lit(shift)).cast("long"))
+            ).mode("overwrite").parquet(rebase)
+            shutil.rmtree(src)
+            os.rename(rebase, src)
+            self._write_manifest(src)
         shutil.rmtree(dst, ignore_errors=True)
         os.rename(src, dst)
 

@@ -70,3 +70,56 @@ def test_legacy_manifest_without_bloom_is_kept(spark, table):
         json.dump(m, f)
     dirs = table.prune_batches("e", "e")  # in-bounds for all 3 commits
     assert {d.rsplit("=", 1)[1] for d in dirs} == {"2"}
+
+
+def test_python_positions_match_spark_cast_for_supported_types(spark):
+    # differential pin: for the SUPPORTED key types (str, int) the
+    # Python-side renderer must agree byte-for-byte with Spark's
+    # CAST(key AS STRING) that built the manifest bitmap
+    from pyspark.sql import functions as F
+
+    str_vals = ["abc", "", "True", "1.0E7"]
+    int_vals = [0, -5, 123456789012345]
+    rendered = {}
+    for vals, typ in ((str_vals, "string"), (int_vals, "long")):
+        df = spark.createDataFrame([(v,) for v in vals], f"k {typ}")
+        rendered.update(
+            (r.orig, r.s)
+            for r in df.select(
+                F.col("k").alias("orig"), F.col("k").cast("string").alias("s")
+            ).collect()
+        )
+    vals = str_vals + int_vals
+    import hashlib
+
+    for v in vals:
+        got = MorTable._bloom_positions(v)
+        h = hashlib.md5(rendered[v].encode()).hexdigest()
+        want = [
+            int(h[s - 1 : s - 1 + ln], 16) % MorTable._BLOOM_BITS
+            for s, ln in MorTable._BLOOM_SLICES
+        ]
+        assert got == want, v
+
+
+def test_unsupported_key_types_never_skip(spark, tmp_path):
+    # bool/float/decimal render differently in Python vs Spark's string
+    # cast ('True' vs 'true', '10000000.0' vs '1.0E7'); the bloom must
+    # refuse to hash them (None -> maybe-present) instead of risking a
+    # false-negative skip
+    from decimal import Decimal
+
+    for v in (True, False, 1e7, 0.5, Decimal("1.5"), b"xx", None):
+        assert MorTable._bloom_positions(v) is None
+
+    # end-to-end: a float-keyed table still finds every key it holds
+    t = MorTable(spark, str(tmp_path / "float_tbl"), key="fk")
+    t.commit_batch(
+        spark.createDataFrame(
+            [(1e7, 1, "upsert"), (0.5, 2, "upsert")],
+            "fk double, _op_seq long, _op string",
+        ),
+        0,
+    )
+    got = t.lookup(1e7)
+    assert got is not None and got.count() == 1

@@ -120,3 +120,39 @@ def test_merge_matches_reference_model(spark, tmp_path_factory, history):
             else:
                 model[k] = v  # insert clause takes any value
     assert _state(t) == sorted(model.items())
+
+
+def test_null_delete_predicate_falls_through_to_update(spark, table):
+    # SQL MERGE: a NULL clause predicate means "not satisfied" — a null
+    # source value in the delete condition must NOT poison the update
+    # clause (the row updates with the null payload, not silently no-op)
+    src = spark.createDataFrame([("a", None), ("b", 22)], "doc_id string, v long")
+    table.merge_into(
+        src,
+        batch_id=1,
+        when_matched_delete=F.col("v") < 0,
+    )
+    assert _state(table) == [("a", None), ("b", 22), ("c", 3)]
+
+
+def test_null_update_predicate_is_not_satisfied(spark, table):
+    # NULL in the update condition -> clause not taken; matched row keeps
+    # its target value instead of erroring or dropping
+    src = spark.createDataFrame([("a", None)], "doc_id string, v long")
+    table.merge_into(
+        src,
+        batch_id=1,
+        when_matched_update=F.col("v") > F.col("_target.v"),
+    )
+    assert _state(table) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_publish_rebases_op_seq_on_concurrent_commit(spark, table):
+    # WAP race: stage batch 1, then batch 2 commits directly before
+    # publish. Staged op_seq would collide with batch 2's; publish must
+    # shift the staged seqs past the interloper so the published batch
+    # (the later publish) deterministically wins LWW on overlapping keys.
+    table.merge_into(_src(spark, [("a", 100)]), batch_id=1, stage_only=True)
+    table.merge_into(_src(spark, [("a", 200), ("z", 9)]), batch_id=2)
+    table.publish_batch(1)
+    assert _state(table) == [("a", 100), ("b", 2), ("c", 3), ("z", 9)]
