@@ -39,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
         help="run a self-contained local sync demo (synthetic CDC feed) "
         "under DIR using the config's first collection mapping",
     )
+    ap.add_argument(
+        "--demo-stream",
+        metavar="DIR",
+        help="run the write-audit-publish STREAMING demo under DIR: a "
+        "real micro-batch run where each batch is staged, audited and "
+        "atomically published, and a poisoned batch is aborted wholesale "
+        "into the dead-letter quarantine",
+    )
     args = ap.parse_args(argv)
 
     from .sync.config import ConfigError, load_config
@@ -65,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.demo:
         return _run_demo(cfg, args.demo)
+    if args.demo_stream:
+        return _run_stream_demo(cfg, args.demo_stream)
 
     # Real MongoDB connectivity is out of scope for this environment
     # (no driver/daemon here); a production build would start one
@@ -162,6 +172,91 @@ def _run_demo(cfg, demo_dir: str) -> int:
             }
         )
     print(json.dumps({"demo_ok": ok, "syncs": report}))
+    return 0 if ok else 1
+
+
+def _run_stream_demo(cfg, demo_dir: str) -> int:
+    """End-to-end WAP streaming lifecycle (A15 staged commits + A3
+    dead-letter quarantine on a REAL micro-batch run): a file-backed CDC
+    feed drains through foreach_batch_merge with audit_checks enabled,
+    so every micro-batch is staged -> audited -> atomically published;
+    one deliberately poisoned batch (null keys) must abort wholesale
+    into the quarantine while the stream continues. Asserts the final
+    table equals the sequential replay of the CLEAN ops, the published
+    commit count, the quarantined row count + reason, and that staging
+    is empty afterwards."""
+    import json as _json
+    import os
+
+    from .session import get_spark
+    from .sources.cdc_feed import (
+        events_df,
+        expected_final_state,
+        make_events,
+        read_stream,
+        write_stream_source,
+    )
+    from .streaming.sink import foreach_batch_merge
+    from .sync.table_store import MorTable
+
+    spark = get_spark(app_name="mis-stream-demo", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(demo_dir, exist_ok=True)
+    coll = cfg.collections[0]
+
+    clean = make_events(n_docs=15, n_ops=120)
+    max_seq = clean[-1][0]
+    n_poison = 7
+    poison = [
+        (max_seq + 1 + i, "update", None, None, _json.dumps({"v": i}))
+        for i in range(n_poison)
+    ]
+    src = os.path.join(demo_dir, "feed")
+    write_stream_source(spark, clean, src, files=3)
+    # the poisoned micro-batch rides its own file (one file ≙ one batch)
+    events_df(spark, poison).coalesce(1).write.mode("append").parquet(src)
+
+    table = MorTable(
+        spark, os.path.join(demo_dir, f"tbl_{coll.target_table}"), key="doc_id"
+    )
+    # quarantine lives under the demo dir (the config's quarantineDir
+    # shape, rooted locally so repeated demos stay isolated)
+    qdir = os.path.join(demo_dir, f"quarantine_{coll.target_table}")
+    q = foreach_batch_merge(
+        read_stream(spark, src),
+        table,
+        os.path.join(demo_dir, "ckpt"),
+        audit_checks=[],  # built-in expectations: null key, valid op
+        quarantine_dir=qdir,
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in table.snapshot().collect()}
+    want = set(expected_final_state(clean))
+    published = table._delta_batch_ids()
+    quarantined = spark.read.parquet(qdir)
+    n_quarantined = quarantined.count()
+    reasons = {r.reason.split(":")[0] for r in quarantined.select("reason").collect()}
+    staging_left = os.listdir(table.staging_dir) if os.path.isdir(table.staging_dir) else []
+    ok = (
+        got == want
+        and len(published) == 3
+        and n_quarantined == n_poison
+        and reasons == {"audit_failed"}
+        and not staging_left
+    )
+    print(
+        _json.dumps(
+            {
+                "stream_demo_ok": ok,
+                "final_docs": len(got),
+                "published_batches": len(published),
+                "quarantined_rows": n_quarantined,
+                "quarantine_reasons": sorted(reasons),
+                "staging_leftovers": staging_left,
+            }
+        )
+    )
     return 0 if ok else 1
 
 

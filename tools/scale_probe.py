@@ -131,6 +131,31 @@ PROBE_QUERIES = [
     "q_events_cohort_ltv",
 ]
 REPLICAS = 10
+
+# 100x tier: the ~10 heaviest operators whose failure class (single-reducer
+# residue, constant-bound driver work, exact-distinct growth) only shows
+# past the 10x tier. ngram_jaccard is deliberately EXCLUDED: under
+# replica synthesis every text gains 99 exact copies, so its pair-output
+# is C(replicas,2)-degenerate — not a measurement of the operator;
+# q_dedup_clusters (linear output per dup group) probes the same shape.
+HEAVY_100X = [
+    "q_events_rfm",
+    "q_profile_columns",
+    "q_profile_columns_sketch",
+    "q_tpch_q21",
+    "q_graph_bfs",
+    "q_graph_pagerank",
+    "q_dedup_clusters",
+    "q_sink_sorted_files",
+    "q_pack_tokens",
+    "q_sort_global_rank",
+    "q_agg_groupby",  # linear baseline for the tier
+]
+# tables the HEAVY_100X set touches — synthesizing all ten tables at
+# 100x would write ~10 GB it never reads
+TABLES_100X = {"events", "orders", "lineitem", "supplier", "nation",
+               "customer", "documents"}
+
 TABLES = {
     "documents": "doc_id",
     "embeddings": "vec_id",
@@ -145,9 +170,14 @@ TABLES = {
 }
 
 
-def synthesize(spark, src_dir: str, out_dir: str) -> None:
+def synthesize(
+    spark, src_dir: str, out_dir: str, replicas: int = REPLICAS,
+    tables: set[str] | None = None,
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, key in TABLES.items():
+        if tables is not None and name not in tables:
+            continue
         src = spark.read.parquet(f"{src_dir}/{name}.parquet")
         if key is None:  # tiny dims stay as-is
             out = src
@@ -155,7 +185,7 @@ def synthesize(spark, src_dir: str, out_dir: str) -> None:
             # replicate with shifted ids: joins/dedup keep their
             # within-replica structure, ids stay globally unique
             shift = 100_000_000
-            k = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("_r")
+            k = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r")
             out = src.select("*", k).withColumn(
                 key, F.col(key) + F.col("_r").cast("long") * shift
             )
@@ -177,39 +207,62 @@ def synthesize(spark, src_dir: str, out_dir: str) -> None:
 
 def main() -> int:
     only = None
+    tier100 = False
+    keep = False
     for a in list(sys.argv[1:]):
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
             sys.argv.remove(a)
-    queries = [q for q in PROBE_QUERIES if only is None or q in only]
+        if a == "--tier=100":
+            tier100 = True
+            sys.argv.remove(a)
+        if a == "--keep":
+            keep = True
+            sys.argv.remove(a)
+    base = HEAVY_100X if tier100 else PROBE_QUERIES
+    queries = [q for q in base if only is None or q in only]
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
-    big = f"{out_dir}/sf1x10"
-    if not os.path.isdir(big):
-        t0 = time.time()
-        synthesize(spark, "/root/testdata/sf0.1", big)
-        print(f"synthesized 10x copy in {time.time()-t0:.1f}s", flush=True)
+
+    if tier100:
+        big = f"{out_dir}/sf1x100"
+        if not os.path.isdir(big):
+            t0 = time.time()
+            synthesize(spark, "/root/testdata/sf0.1", big, replicas=100,
+                       tables=TABLES_100X)
+            print(f"synthesized 100x copy in {time.time()-t0:.1f}s", flush=True)
+        tiers = [("sf0.1", "/root/testdata/sf0.1"), ("sf10 (100x)", big)]
+        repeats = 1  # one pass: the 100x signal is orders, not noise
+    else:
+        big = f"{out_dir}/sf1x10"
+        if not os.path.isdir(big):
+            t0 = time.time()
+            synthesize(spark, "/root/testdata/sf0.1", big)
+            print(f"synthesized 10x copy in {time.time()-t0:.1f}s", flush=True)
+        tiers = [
+            ("sf0.01", "/root/testdata/sf0.01"),
+            ("sf0.1", "/root/testdata/sf0.1"),
+            ("sf1 (10x)", big),
+        ]
+        repeats = 2
 
     results: dict[str, dict[str, float]] = {}
-    for label, sf_dir in [
-        ("sf0.01", "/root/testdata/sf0.01"),
-        ("sf0.1", "/root/testdata/sf0.1"),
-        ("sf1 (10x)", big),
-    ]:
+    for label, sf_dir in tiers:
         for q in queries:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 specs[q].func(spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(q, {})[label] = round(best, 2)
-            print(f"{label:10s} {q:28s} {best:6.2f}s", flush=True)
+            print(f"{label:12s} {q:28s} {best:6.2f}s", flush=True)
     print(json.dumps(results))
     spark.stop()
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return 0
 
 
