@@ -1369,3 +1369,30 @@ def q_agg_bootstrap(spark, sf_dir):
         .select(F.col("r").cast("long").alias("replicate"), "n_eff", "mean_value")
         .orderBy("replicate")
     )
+
+
+@register(
+    "q_agg_percentile_sketch",
+    family="aggregates",
+    oracle=None,  # sketch estimates are implementation-specific; pytest
+    # pins them against the exact percentiles instead
+    doc="Per-group quantiles, 100 TB default: approx_percentile "
+    "(Greenwald-Khanna sketch, accuracy=10000) over the same groups "
+    "as q_agg_percentile. The exact form buffers and sorts every "
+    "group's values in the aggregation buffer — memory grows with "
+    "group size; the sketch holds O(accuracy) entries per group and "
+    "merges map-side, so a billion-row group costs the same buffer "
+    "as a thousand-row one. Deterministic (no rng). "
+    "tests/test_scale_patterns.py pins each sketch quantile inside "
+    "the one-sided GK rank-error bound vs the exact operator.",
+)
+def q_agg_percentile_sketch(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.expr(f"approx_percentile(o_totalprice, {q}, 10000)"), 4
+            ).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )

@@ -747,3 +747,89 @@ def q_join_asof_forward(spark, sf_dir):
             ).alias("gap_us"),
         )
     )
+
+
+@register(
+    "q_join_bucketed",
+    family="joins",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0 AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bucketed co-located fact-fact join: both lineitem and orders "
+    "are written ONCE as bucketBy(8, orderkey).sortBy(orderkey) "
+    "tables, so the join executes with ZERO shuffle on either side — "
+    "the bucket layout IS the exchange, amortized across every "
+    "downstream join on the key. At 100 TB this is the difference "
+    "between re-shuffling ~100 TB per query and reading co-located "
+    "buckets; the per-order partial aggregate also reuses the bucket "
+    "partitioning (no exchange), leaving only the final tiny "
+    "per-priority rollup to shuffle (5 groups). Plan-pinned in "
+    "tests/test_plans.py::test_bucketed_join_shuffles_nothing: "
+    "SortMergeJoin with no Exchange on either input. The bucketed "
+    "tables are session-cached per sf_dir (Hive-style layout under "
+    "the Spark warehouse), mirroring how a lakehouse would maintain "
+    "them as standing tables.",
+)
+def q_join_bucketed(spark, sf_dir):
+    li_name, o_name = _bucketed_pair(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name)
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    # per-order partial rides the bucket partitioning (hash(l_orderkey)
+    # satisfies clustering on the superset grouping key — no exchange);
+    # only the ~n_orders partial rows shuffle into the 5-group rollup
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.count("*").alias("_n"), F.sum(rev).alias("_rev"))
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.sum("_n").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum("_rev") / 10000.0).alias("revenue"),
+    )
+
+
+def _bucketed_pair(spark, sf_dir) -> tuple[str, str]:
+    """Write-once bucketed lineitem/orders tables for ``sf_dir`` (names
+    carry an sf tag so scale factors coexist in one warehouse)."""
+    import hashlib
+
+    from ._util import session_tmpdir
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_name, o_name = f"mis_bkt_li_{tag}", f"mis_bkt_ord_{tag}"
+    # EXTERNAL tables (explicit path under the atexit-cleaned session
+    # root): the bucket files never land in the process cwd's
+    # spark-warehouse, and the in-memory catalog entry dies with the
+    # session while the next session rebuilds under a fresh root
+    if not spark.catalog.tableExists(li_name):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", session_tmpdir("mis_bkt_li_"))
+            .mode("overwrite")
+            .saveAsTable(li_name)
+        )
+    if not spark.catalog.tableExists(o_name):
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", session_tmpdir("mis_bkt_ord_"))
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+    return li_name, o_name

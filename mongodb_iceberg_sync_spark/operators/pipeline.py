@@ -1124,3 +1124,76 @@ def q_events_cohort_ltv(spark, sf_dir):
         "n_purchases",
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
     ).orderBy("cohort_ym", "age_m")
+
+
+@register(
+    "q_events_sessionize",
+    family="pipeline",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT)               AS session_no,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           min(ts)                                  AS t_start,
+           max(ts)                                  AS t_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT)                          AS n_purchases
+    FROM tagged
+    GROUP BY user_id, session_no
+    """,
+    doc="Batch sessionization (30-min inactivity gap): lag per user "
+    "marks session starts, a running sum numbers them, then one "
+    "per-session rollup — the canonical clickstream prep before "
+    "funnel/retention features, and the batch twin of "
+    "q_stream_session's session_window (same cut rule, so stream and "
+    "batch sessions agree). Scale: both windows and the final agg "
+    "share ONE hash shuffle on user_id (per-user ordering is "
+    "partition-local within the window sort); no global sort, no "
+    "single reducer — per-user event counts are bounded, so the "
+    "window buffer is too. Ties cut deterministically on (ts, "
+    "event_id).",
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    tagged = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | ((us(F.col("ts")) - us(F.lag("ts").over(w))) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return tagged.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.floor(
+            (us(F.max("ts")) - us(F.min("ts"))) / F.lit(1_000_000)
+        ).cast("long").alias("duration_s"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("n_purchases"),
+    )

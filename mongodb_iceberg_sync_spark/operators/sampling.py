@@ -165,3 +165,48 @@ def q_sample_reservoir(spark, sf_dir):
         .filter(F.col("slot") <= _RES_K)
         .select("doc_id", "source", F.col("slot").cast("long").alias("slot"))
     )
+
+
+@register(
+    "q_sample_balanced",
+    family="sampling",
+    oracle="""
+    WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT min(n) AS target FROM sizes),
+    ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, sample_rank
+    FROM ranked, tgt WHERE sample_rank <= tgt.target
+    """,
+    doc="Class-balanced downsample: every lang keeps exactly "
+    "min-class-size docs (the training-data rebalance that stops a "
+    "90% majority class from dominating a fine-tune mix), chosen by "
+    "md5(doc_id) order so the subset is deterministic, reproducible "
+    "and nested across runs. Differs from q_sample_stratified "
+    "(proportional k-per-stratum): here the cap is DATA-DEPENDENT — "
+    "one tiny per-class count agg feeds the scalar target via a "
+    "broadcast cross join (one row; never a shuffle). One hash "
+    "shuffle on the class key for the rank window; at 100 TB the "
+    "mega-class window input is pre-capped by a hash-prefix filter "
+    "exactly as documented on q_sample_stratified.",
+)
+def q_sample_balanced(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    target = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("target"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("sample_rank", F.row_number().over(w))
+    return ranked.join(F.broadcast(target)).filter(
+        F.col("sample_rank") <= F.col("target")
+    ).drop("target")

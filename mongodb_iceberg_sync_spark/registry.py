@@ -157,6 +157,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q21",
     # --- round-4 additions ride the r5 window ---
     "q_profile_columns_sketch",
+    "q_join_bucketed",
+    "q_sample_balanced",
+    "q_events_sessionize",
+    "q_agg_percentile_sketch",
 )
 
 

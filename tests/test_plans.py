@@ -646,3 +646,20 @@ def test_profile_sketch_no_expand_single_exchange(spark, sf_dir):
         if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
     ]
     assert len(exchanges) <= 1, exchanges
+
+
+def test_bucketed_join_shuffles_nothing(spark, sf_dir):
+    # both sides bucketed on the join key: the SMJ must read co-located
+    # buckets with NO Exchange on either input, and the per-order
+    # partial agg must reuse the bucket partitioning — the only
+    # exchange in the whole plan is the final tiny priority rollup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q_join_bucketed"].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+        assert count_shuffles(df) == 1, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

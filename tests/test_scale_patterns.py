@@ -297,3 +297,26 @@ def test_profile_sketch_within_3rsd_of_exact(spark):
         assert abs(s.n_distinct_approx - e.n_distinct) <= 0.06 * max(e.n_distinct, 1), (
             c, s.n_distinct_approx, e.n_distinct
         )
+
+
+def test_percentile_sketch_tracks_exact(spark):
+    """approx_percentile(accuracy=10000) must land within the
+    Greenwald-Khanna rank-error of the exact per-group percentiles —
+    at sf0.01 group sizes (~thousands) the estimate is near-exact, so
+    1% relative value error is a loose, version-stable bound."""
+    from mongodb_iceberg_sync_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    specs = all_specs()
+    exact = {r.o_orderpriority: r for r in specs["q_agg_percentile"].func(spark, sf).collect()}
+    sketch = {
+        r.o_orderpriority: r
+        for r in specs["q_agg_percentile_sketch"].func(spark, sf).collect()
+    }
+    assert set(exact) == set(sketch)
+    for g, e in exact.items():
+        s = sketch[g]
+        for q in ("p25", "p50", "p75", "p99"):
+            assert abs(getattr(s, q) - getattr(e, q)) <= 0.01 * abs(getattr(e, q)), (
+                g, q, getattr(s, q), getattr(e, q)
+            )
