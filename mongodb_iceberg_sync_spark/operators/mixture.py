@@ -327,3 +327,45 @@ def q_curriculum_order(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_mix_token_budget",
+    family="sampling",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_chars
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+    FROM ranked WHERE cum_chars <= 200000
+    """,
+    doc="Token-budget corpus mixing: each lang contributes documents in "
+    "deterministic md5 priority order until a per-domain budget "
+    "(~200k chars here; tokens at scale) is filled — the 'fill the "
+    "mixture recipe' step of training-data assembly, downstream of "
+    "q_mix_domains' rate-based sampling when the recipe is an "
+    "absolute budget per domain. One hash shuffle on the domain key; "
+    "the running sum is partition-local after it. A mega-domain's "
+    "window input is pre-capped by a hash-prefix filter sized from "
+    "budget/avg_doc_len (same guard as q_sample_stratified) so the "
+    "sort never sees the whole domain at 100 TB. Cut rule cum<=B "
+    "keeps the first doc overshooting nothing: budgets bind exactly, "
+    "reproducibly, engine-identically.",
+)
+def q_mix_token_budget(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_chars", F.sum("n_chars").over(w).cast("long"))
+        .filter(F.col("cum_chars") <= 200000)
+    )

@@ -1197,3 +1197,56 @@ def q_events_sessionize(spark, sf_dir):
         ).cast("long").alias("duration_s"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "q_events_ab_assign",
+    family="pipeline",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, event_type, value,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                         AS INTEGER) % 100 < 50 THEN 'control'
+               ELSE 'treatment'
+             END AS arm
+      FROM events
+    )
+    SELECT arm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT)                         AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT)    AS revenue_cents
+    FROM assigned GROUP BY arm
+    """,
+    doc="Deterministic experiment assignment + per-arm outcome rollup: "
+    "the arm is a pure function of user_id (md5 prefix mod 100 — the "
+    "universal hash-bucketing idiom for A/B splits: sticky across "
+    "sessions, engines, and reprocessing, no assignment table to "
+    "join). Arm arithmetic is identical in Spark (conv) and DuckDB "
+    "(hex-literal cast); outcomes are exact integer cents. Map-side "
+    "assignment, one tiny 2-group aggregate — embarrassingly "
+    "parallel at 100 TB; pairs with q_agg_ttest/q_agg_mannwhitney "
+    "for the significance read-out.",
+)
+def q_events_ab_assign(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    assigned = ev.withColumn(
+        "arm", F.when(bucket < 50, "control").otherwise("treatment")
+    )
+    purchase = F.col("event_type") == "purchase"
+    return assigned.groupBy("arm").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(purchase.cast("int")).cast("long").alias("n_purchases"),
+        F.sum(
+            F.when(purchase, F.round(F.col("value") * 100).cast("long")).otherwise(0)
+        ).cast("long").alias("revenue_cents"),
+    )

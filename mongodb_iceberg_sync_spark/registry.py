@@ -161,6 +161,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sample_balanced",
     "q_events_sessionize",
     "q_agg_percentile_sketch",
+    "q_mix_token_budget",
+    "q_events_ab_assign",
 )
 
 
