@@ -544,13 +544,67 @@ def q_dedup_incremental(spark, sf_dir):
     return new.join(corpus, "text_sha", "left_anti")
 
 
+def _rep_jaccard_pairs(reps):
+    """Jaccard >= 0.2 candidate pairs between exact-text REPRESENTATIVES.
+
+    Same rare-shingle inverted-index shape as _ngram_common_pairs, with
+    one twist: shingle document frequency is weighted by the exact-group
+    size each rep stands for (sum(gsize) == the raw per-doc count), so
+    the hot-shingle cutoff — max(16, 5% of the FULL corpus) — selects
+    exactly the shingles it would on the uncollapsed corpus. The join
+    itself only ever sees distinct texts: a k-copy boilerplate clique
+    costs one row here, not k (and not C(k,2) downstream).
+    """
+    shingled = shingled_docs(reps.select("doc_id", "text")).join(
+        reps.select("doc_id", "gsize"), "doc_id"
+    )
+    sh = shingled.select(
+        "doc_id",
+        "gsize",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("s"),
+    ).localCheckpoint(eager=True)
+    n_docs = reps.groupBy().agg(F.sum("gsize").alias("n_docs"))
+    hot = (
+        sh.groupBy("s")
+        .agg(F.sum("gsize").alias("df"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") > F.greatest(F.lit(16.0), F.lit(0.05) * F.col("n_docs")))
+    ).select("s")
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("c"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
+        .filter(jac >= 0.2)
+    )
+
+
 _CLUSTERS_ORACLE = """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    WITH RECURSIVE grp AS (
+      SELECT text, min(doc_id) AS rep_id, count(*) AS gsize
+      FROM documents GROUP BY text
+    ),
+    star AS (
+      SELECT d.doc_id AS u, g.rep_id AS v
+      FROM documents d JOIN grp g ON d.text = g.text
+      WHERE d.doc_id <> g.rep_id
+    ),
+    toks AS (
+      SELECT rep_id AS doc_id, gsize, string_split(text, ' ') AS l FROM grp
     ),
     sh AS (
-      SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id,
+      SELECT DISTINCT doc_id, gsize, s FROM (
+        SELECT doc_id, gsize,
                unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
         FROM toks
@@ -561,7 +615,7 @@ _CLUSTERS_ORACLE = """
     rare AS (
       SELECT doc_id, s FROM sh
       WHERE s NOT IN (
-        SELECT s FROM sh GROUP BY s HAVING count(*) > (SELECT c FROM cutoff)
+        SELECT s FROM sh GROUP BY s HAVING sum(gsize) > (SELECT c FROM cutoff)
       )
     ),
     cand AS (
@@ -579,6 +633,8 @@ _CLUSTERS_ORACLE = """
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
+      UNION ALL SELECT u, v FROM star
+      UNION ALL SELECT v, u FROM star
     ),
     walk(node, comp) AS (
       SELECT doc_id, doc_id FROM documents
@@ -597,22 +653,52 @@ _CLUSTERS_ORACLE = """
     family="dedup",
     oracle=_CLUSTERS_ORACLE,
     doc="Duplicate CLUSTERS, not just pairs: connected components over "
-    "the n-gram-Jaccard similarity graph via iterative hash-min label "
+    "exact-dup STAR edges plus the n-gram-Jaccard graph between "
+    "exact-text REPRESENTATIVES, via iterative hash-min label "
     "propagation (the Pregel idiom in pure DataFrames). Every doc gets "
     "cluster_id = min doc_id reachable through dup edges, plus the "
     "cluster size — the canonical keep-one-per-cluster shape a "
-    "training-data dedup actually ships. Each round is ONE shuffle "
-    "join (labels flow along edges) + a min-aggregation, with "
-    "localCheckpoint truncating the iterative lineage; rounds ~= "
-    "cluster diameter (tiny for dup clusters). The driver-side loop "
-    "only ever sees a per-round changed-count scalar, never data. "
-    "Oracle: DuckDB recursive CTE over the identical edge set.",
+    "training-data dedup actually ships. The two-layer edge set is "
+    "the scale-critical part: a boilerplate page with k exact copies "
+    "contributes k-1 star edges instead of the C(k,2) pairs the "
+    "member-level pair graph carries — the 100x probe filled the DISK "
+    "with the pair form (C(100,2) per clique); components are "
+    "IDENTICAL because similarity is a pure function of the text, so "
+    "any member-level near-dup edge maps onto the rep-level edge, and "
+    "shingle document frequencies stay corpus-weighted (sum of group "
+    "sizes == raw doc counts) so the hot-shingle cutoff is unchanged. "
+    "Each round is ONE shuffle join (labels flow along edges) + a "
+    "min-aggregation, with localCheckpoint truncating the iterative "
+    "lineage; rounds ~= log(diameter) via pointer doubling. The "
+    "driver-side loop only ever sees a per-round changed-count "
+    "scalar, never data. Oracle: DuckDB recursive CTE over the "
+    "identical two-layer edge set.",
 )
 def q_dedup_clusters(spark, sf_dir):
-    pairs = _ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # exact-text groups: shuffle carries 32-byte hashes, not documents
+    grp = (
+        docs.groupBy(F.sha2("text", 256).alias("_sha"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("gsize"))
+    )
+    member = docs.select(F.sha2("text", 256).alias("_sha"), "doc_id")
+    star = (
+        member.join(grp, "_sha")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("doc_id").alias("u"), F.col("rep_id").alias("v"))
+    )
+    reps = (
+        member.join(grp, (member._sha == grp._sha) & (member.doc_id == grp.rep_id))
+        .join(docs, "doc_id")
+        .select(F.col("doc_id"), "text", "gsize")
+    )
+    pairs = _rep_jaccard_pairs(reps).select("doc_a", "doc_b")
+    undirected = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        undirected.unionAll(star)
+        .unionAll(star.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)  # read every round; compute once
     )
     docs = t(spark, sf_dir, "documents").select("doc_id")
