@@ -62,6 +62,15 @@ HEADLINE = [
     "q_agg_bootstrap",
     "q_scan_dpp",
     "q_events_cohort_ltv",
+    # round-4 additions
+    "q_join_bucketed",
+    "q_events_sessionize",
+    "q_profile_columns_sketch",
+    "q_agg_percentile_sketch",
+    "q_sample_balanced",
+    "q_mix_token_budget",
+    "q_events_ab_assign",
+    "q_dedup_clusters",
 ]
 
 

@@ -606,3 +606,47 @@ def q_sim_spatial_join(spark, sf_dir):
         .filter(dist2 <= F.lit(d * d))
         .select("vec_a", "vec_b", dist2.alias("dist2"))
     )
+
+
+@register(
+    "q_sim_range_search",
+    family="similarity",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT p.probe_id, e.vec_id,
+           round(list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM p, embeddings e
+    WHERE e.vec_id <> p.probe_id
+      AND list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) >= 0.3
+    """,
+    doc="Cosine RANGE search (radius query, not top-k): every corpus "
+    "vector within cosine >= 0.3 of each probe — the shape behind "
+    "'find everything semantically near this example' (contamination "
+    "sweeps, near-dup fences, policy screens) where the answer size "
+    "is data-dependent rather than a fixed k. The probe set "
+    "broadcasts (tiny) and similarity is a JVM higher-order-function "
+    "dot over the corpus — map-side, embarrassingly parallel, no "
+    "shuffle at all: .explain shows scan -> broadcast join -> filter. "
+    "At 100 TB this is one pass over the embedding shards; the "
+    "LSH/IVF variants (q_sim_ann_lsh, q_sim_topk_ivf) bound the "
+    "scanned fraction when passes get expensive. Exact cross-engine: "
+    "both sides fold float32 values into a sequential DOUBLE "
+    "accumulation (DuckDB needs CAST(emb AS DOUBLE[]) — its FLOAT[] "
+    "kernel accumulates in float32 and diverges in the 8th digit).",
+)
+def q_sim_range_search(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    sim = cosine("pe", "embedding")
+    return (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .filter(sim >= 0.3)
+        .select("probe_id", "vec_id", F.round(sim, 6).alias("cos_sim"))
+    )

@@ -163,6 +163,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_percentile_sketch",
     "q_mix_token_budget",
     "q_events_ab_assign",
+    "q_sim_range_search",
 )
 
 
