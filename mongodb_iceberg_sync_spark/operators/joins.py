@@ -833,3 +833,76 @@ def _bucketed_pair(spark, sf_dir) -> tuple[str, str]:
             .saveAsTable(o_name)
         )
     return li_name, o_name
+
+
+@register(
+    "q_join_asof_tolerance",
+    family="joins",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click'
+    ),
+    best AS (
+      SELECT p.p_id, p.user_id, c.c_id, c.c_value,
+             epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.p_id ORDER BY c.c_ts DESC, c.c_id DESC
+             ) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.c_user
+       AND c.c_ts <= p.p_ts
+       AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 3600000000
+    )
+    SELECT p.p_id, p.user_id, b.c_id AS last_click_id,
+           b.c_value AS last_click_value, b.gap_us
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (p_id, user_id)
+    """,
+    doc="As-of join with a STALENESS TOLERANCE (feature-store "
+    "semantics): each purchase matches its latest preceding click "
+    "only if it is at most 1 hour old — older state is stale and the "
+    "row keeps NULL features rather than silently training on "
+    "outdated values (pandas merge_asof(tolerance=...) semantics). "
+    "Same shape as q_join_asof — the tolerance RIDES the user_id "
+    "equi-join as a residual band predicate, which also SHRINKS the "
+    "join's intermediate (only in-window clicks survive to the "
+    "window), then a left join restores tolerance-orphaned "
+    "purchases. Never a nested loop; at 100 TB the band predicate is "
+    "the difference between per-user full history fan-out and a "
+    "bounded 1-hour window per probe.",
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (us("p_ts") - us("c_ts") <= 3_600_000_000),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "user_id",
+            F.col("c_id").alias("last_click_id"),
+            F.col("c_value").alias("last_click_value"),
+            (us("p_ts") - us("c_ts")).alias("gap_us"),
+        )
+    )
+    return p.select("p_id", "user_id").join(best, ["p_id", "user_id"], "left")

@@ -388,3 +388,38 @@ def q_multimodal_phash(spark, sf_dir):
         .distinct()  # same pair can collide on several bands
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_multimodal_shard_pack",
+    family="multimodal",
+    oracle="""
+    WITH b AS (
+      SELECT d.doc_id, octet_length(encode(d.text)) AS nb
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT doc_id,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST((sum(nb) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nb)
+                // 16384 AS BIGINT) AS shard_id
+    FROM b
+    """,
+    doc="Blob shard packing: assign each media payload to a "
+    "~16 KiB-bounded training shard by exclusive-prefix BYTE count — "
+    "the webdataset/tar-shard layout step for multimodal corpora, "
+    "where shard byte size (not document count) bounds both the "
+    "downstream reader's memory and the object-store request "
+    "granularity. Reuses q_pack_tokens' two-pass distributed prefix "
+    "sum (range partition -> O(#partitions) subtotals to the driver "
+    "-> broadcast offsets -> partition-local cumsum) with payload "
+    "octet_length as the weight, so there is NO single-reducer global "
+    "window at any scale; the oracle is the straightforward global "
+    "window over the same byte counts.",
+)
+def q_multimodal_shard_pack(spark, sf_dir):
+    from .pipeline import pack_shards
+
+    blobs = _assembled(spark, sf_dir).select("doc_id", "payload")
+    return pack_shards(
+        blobs, budget=16384, weight=F.octet_length("payload").cast("long")
+    ).select("doc_id", F.col("n_tokens").alias("n_bytes"), "shard_id")

@@ -202,18 +202,21 @@ def q_pack_tokens(spark, sf_dir):
     return pack_shards(t(spark, sf_dir, "documents"))
 
 
-def pack_shards(docs, budget: int | None = None):
+def pack_shards(docs, budget: int | None = None, weight=None):
     """Df-level core of q_pack_tokens (also a pipeline step): assign
     each doc a training shard by exclusive-prefix token count / budget
-    via the distributed two-pass prefix sum described above."""
+    via the distributed two-pass prefix sum described above.
+
+    ``weight`` overrides the per-row cost column (default: whitespace
+    token count of ``text``) — q_multimodal_shard_pack packs on payload
+    bytes through the same two-pass core."""
     from pyspark.sql import Window
 
     budget = PACK_BUDGET if budget is None else budget
     spark = docs.sparkSession
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    if weight is None:
+        weight = F.size(F.split("text", " ")).cast("long")
+    toks = docs.select("doc_id", weight.alias("n_tokens"))
     # Pass 0: range-partition so partition i holds a contiguous doc_id
     # range and ids increase with doc_id. localCheckpoint pins the data
     # AND the partitioning so the subtotal job and the final job see the

@@ -164,6 +164,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_mix_token_budget",
     "q_events_ab_assign",
     "q_sim_range_search",
+    "q_multimodal_shard_pack",
+    "q_join_asof_tolerance",
 )
 
 
