@@ -262,3 +262,111 @@ def q_graph_bfs(spark, sf_dir):
     return dist.select(
         "node", F.col("d").cast("long").alias("dist")
     ).orderBy("dist", "node")
+
+
+_CC_MIN_COOCCUR = 4   # edge = supplier/customer sharing >= 4 orders
+_CC_MAX_ROUNDS = 30   # pointer doubling => rounds ~ log2(diameter)
+
+
+@register(
+    "q_graph_components",
+    family="graph",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT l.l_suppkey AS s, o.o_custkey + {_CUST_NS} AS c,
+             count(DISTINCT l.l_orderkey) AS n
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), e0 AS (
+      SELECT s AS src, c AS dst FROM pairs WHERE n >= {_CC_MIN_COOCCUR}
+    ), e AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), walk(node, lab) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(lab) AS BIGINT) AS comp
+    FROM walk GROUP BY node ORDER BY comp, node
+    """,
+    doc="Connected components over the REPEAT-business graph: supplier "
+    "and customer are adjacent only when they share >= 4 distinct "
+    "orders, which fragments the dense bipartite co-occurrence graph "
+    "into real communities (54 components at sf0.01). The standalone, "
+    "oracle-checked form of the hash-min label propagation that "
+    "q_dedup_clusters uses internally: each round is ONE edge join "
+    "(labels flow to neighbours) + ONE label-of-label self-join "
+    "(pointer doubling) + a min-combine, so convergence is "
+    "O(log diameter) supersteps, not O(diameter) — the difference "
+    "between 6 and 60 shuffles on a 100 TB chain-shaped graph. "
+    "Labels are node ids (exact integers), so the component id — "
+    "min reachable node id — is bitwise cross-engine. localCheckpoint "
+    "per round caps lineage; a non-converged exit raises rather than "
+    "returning wrong labels. The oracle walks the same edges with "
+    "DISTINCT-state recursion and min-aggregates the reached labels.",
+)
+def q_graph_components(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("o_custkey").cast("long") + _CUST_NS).alias("c"),
+            "l_orderkey",
+        )
+        .distinct()  # (s, c, order) triples -> count distinct orders per pair
+        .groupBy("s", "c")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    e0 = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr = edges.join(labels, edges.src == F.col("node")).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        hop = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "q_graph_components: hash-min not converged after "
+            f"{_CC_MAX_ROUNDS} rounds"
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("comp").cast("long").alias("comp"),
+    ).orderBy("comp", "node")

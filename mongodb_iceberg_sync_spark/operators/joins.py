@@ -906,3 +906,73 @@ def q_join_asof_tolerance(spark, sf_dir):
         )
     )
     return p.select("p_id", "user_id").join(best, ["p_id", "user_id"], "left")
+
+
+@register(
+    "q_join_asof_nearest",
+    family="joins",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.p_id, p.user_id, c.c_id, c.c_value,
+             CAST(epoch_us(c.c_ts) - epoch_us(p.p_ts) AS BIGINT)
+               AS signed_gap_us,
+             row_number() OVER (
+               PARTITION BY p.p_id
+               ORDER BY abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)),
+                        c.c_ts, c.c_id) AS rn
+      FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+    )
+    SELECT p_id, user_id, c_id AS near_click_id,
+           c_value AS near_click_value, signed_gap_us
+    FROM ranked WHERE rn = 1
+    """,
+    doc="NEAREST as-of join: for each purchase, the click closest in "
+    "time in EITHER direction per user (pandas "
+    "merge_asof(direction='nearest') semantics) — completes the "
+    "backward/forward/tolerance as-of family. Deterministic total "
+    "order: |gap| first, then (ts, id) so an exact before/after tie "
+    "picks the earlier click. The signed gap is exact integer "
+    "microseconds (negative = click preceded the purchase). Same "
+    "shape and same 100 TB path as q_join_asof: user equi-join + "
+    "per-left row_number()=1 here; repartition by user, "
+    "sortWithinPartitions(ts), one mapInPandas merge-scan when the "
+    "per-user pair fan-out warrants it.",
+)
+def q_join_asof_nearest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    j = p.join(c, p.user_id == c.c_user).withColumn(
+        "signed_gap_us",
+        F.unix_micros(F.col("c_ts").cast("timestamp"))
+        - F.unix_micros(F.col("p_ts").cast("timestamp")),
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.abs(F.col("signed_gap_us")), F.col("c_ts"), F.col("c_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "user_id",
+            F.col("c_id").alias("near_click_id"),
+            F.col("c_value").alias("near_click_value"),
+            "signed_gap_us",
+        )
+    )

@@ -1253,3 +1253,80 @@ def q_events_ab_assign(spark, sf_dir):
             F.when(purchase, F.round(F.col("value") * 100).cast("long")).otherwise(0)
         ).cast("long").alias("revenue_cents"),
     )
+
+
+_DECAY_REF = "2024-02-01"   # scoring date (events span Jan 2024)
+_DECAY_HALF_DAYS = 7        # half-life: one week
+_DECAY_MAX_HALVINGS = 8     # horizon: weight 0 past 8 half-lives (56 days)
+
+
+@register(
+    "q_events_decay",
+    family="events",
+    oracle=f"""
+    WITH aged AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_REF}')
+               // {_DECAY_HALF_DAYS} AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(min(k) AS BIGINT) AS freshest_halvings,
+           CAST(sum(CAST(cents * (1 << ({_DECAY_MAX_HALVINGS} - k))
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / {float(2 ** _DECAY_MAX_HALVINGS * 100)} AS decayed_value
+    FROM aged
+    WHERE k <= {_DECAY_MAX_HALVINGS}
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-decayed engagement feature (feature-store staple): per "
+    "user, purchase value decayed with a one-week half-life as of a "
+    "reference date. The decay weight is 2^(-k) with k = whole "
+    "half-lives elapsed — a deliberately EXACT formulation: "
+    "every term cents*2^(K-k) is an integer, the DECIMAL(38,0) sum "
+    "is order-insensitive, and one final division by the constant "
+    "2^K*100 is a single exact-by-IEEE float op — so the score is "
+    "bitwise reproducible across engines, retries, and partitionings, "
+    "where the textbook sum(value*exp(-age/tau)) differs by summation "
+    "order AND by libm exp() ulps (the q_events_survival lesson). "
+    "Plan: one scan filtered to purchases inside the decay horizon "
+    "(both predicates pushed), map-side-combinable sum/count/min — "
+    "a single shuffle on user_id at any scale.",
+)
+def q_events_decay(spark, sf_dir):
+    scale = float(2 ** _DECAY_MAX_HALVINGS * 100)
+    aged = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (
+                F.datediff(
+                    F.lit(_DECAY_REF).cast("date"), F.col("ts").cast("date")
+                )
+                / _DECAY_HALF_DAYS
+            )
+            .cast("long")  # truncating int division (ages are non-negative)
+            .alias("k"),
+        )
+        .filter(F.col("k") <= _DECAY_MAX_HALVINGS)
+    )
+    weighted = aged.withColumn(
+        "scaled",
+        (
+            F.col("cents")
+            * F.expr(f"shiftleft(1L, int({_DECAY_MAX_HALVINGS} - k))")
+        ).cast("decimal(38,0)"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.min("k").cast("long").alias("freshest_halvings"),
+            (F.sum("scaled").cast("double") / scale).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
