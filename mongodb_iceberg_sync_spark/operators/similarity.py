@@ -650,3 +650,102 @@ def q_sim_range_search(spark, sf_dir):
         .filter(sim >= 0.3)
         .select("probe_id", "vec_id", F.round(sim, 6).alias("cos_sim"))
     )
+
+
+@register(
+    "q_embed_pca",
+    family="similarity",
+    oracle=None,  # float covariance + LAPACK eigensolve → rows-only;
+    # tests/test_scale_patterns.py pins projections vs a direct numpy
+    # PCA at sf0.001 and orthogonality/variance invariants
+    doc="Distributed PCA over the embedding column — the projection "
+    "pass behind whitening, visualization, and cheap linear probes. "
+    "Scale shape is the textbook one-pass Gramian: each partition "
+    "reduces its Arrow batches to a d x d partial (M^T M, column sum, "
+    "count) inside mapInPandas, so ONLY p x d^2 floats cross the "
+    "wire; the driver merges partials in deterministic "
+    "partition-range order (bitwise-stable sums), eigensolves the "
+    "64 x 64 covariance (O(d^3), microseconds), and the top-2 "
+    "components fold back into the plan as LITERAL arrays — the "
+    "projection is zip_with/aggregate inside whole-stage codegen, no "
+    "Python, no join, no second shuffle. Sign is canonicalized "
+    "(largest-|loading| coordinate positive) so output does not "
+    "depend on LAPACK's arbitrary eigenvector sign.",
+)
+def q_embed_pca(spark, sf_dir):
+    import numpy as np
+
+    from ..functions.vector import dot_with_literal
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def gram(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        G = None
+        s = None
+        n = 0
+        first = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np_.asarray(pdf["embedding"].tolist(), dtype=np_.float64)
+            g = M.T @ M
+            cs = M.sum(axis=0)
+            if G is None:
+                G, s, n, first = g, cs, len(M), int(pdf["vec_id"].min())
+            else:
+                G += g
+                s += cs
+                n += len(M)
+                first = min(first, int(pdf["vec_id"].min()))
+        if G is None:
+            return
+        yield pd_.DataFrame(
+            {
+                "pkey": [first],
+                "n": [n],
+                "gram": [G.ravel().tolist()],
+                "colsum": [s.tolist()],
+            }
+        )
+
+    partials = (
+        e.repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .mapInPandas(
+            gram, "pkey long, n long, gram array<double>, colsum array<double>"
+        )
+        .collect()  # p x (d^2 + d) floats — partition count, not rows
+    )
+    partials.sort(key=lambda r: r.pkey)
+    d = int(len(partials[0].colsum))
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for r in partials:
+        G += np.asarray(r.gram).reshape(d, d)
+        s += np.asarray(r.colsum)
+        n += r.n
+    mean = s / n
+    cov = (G - np.outer(s, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    comps = []
+    for idx in order[:2]:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    centered = F.zip_with(
+        F.col("embedding"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x.cast("double") - m,
+    )
+    proj = e.withColumn("c", centered)
+    return proj.select(
+        "vec_id",
+        F.round(dot_with_literal("c", [float(x) for x in comps[0]]), 6).alias("pc1"),
+        F.round(dot_with_literal("c", [float(x) for x in comps[1]]), 6).alias("pc2"),
+    ).orderBy("vec_id")

@@ -1207,3 +1207,66 @@ def q_text_compress_ratio(spark, sf_dir):
         F.round(ratio, 6).alias("compress_ratio"),
         (ratio < 0.35).alias("flag_repetitive"),
     )
+
+
+_BPE_TOPK = 50
+
+
+@register(
+    "q_text_bpe_pairs",
+    family="text",
+    oracle=f"""
+    WITH words AS (
+      SELECT u.w AS w FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''
+    ),
+    vocab AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+    pairs AS (
+      SELECT u.p[1] AS c1, u.p[2] AS c2, v.freq
+      FROM (SELECT w, freq, string_split(w, '') AS cl FROM vocab) v,
+           unnest(list_zip(cl[1:len(cl)-1], cl[2:len(cl)])) AS u(p)
+    )
+    SELECT c1, c2, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY c1, c2
+    ORDER BY pair_count DESC, c1, c2
+    LIMIT {_BPE_TOPK}
+    """,
+    doc="BPE merge-candidate counting — the inner loop of tokenizer "
+    "training: corpus-weighted frequency of adjacent symbol pairs "
+    "WITHIN words, top-50 merge candidates. The two-level shape is "
+    "the whole scale story: the corpus pass collapses to a "
+    "vocab-sized (word, freq) table first, and the character-pair "
+    "explode runs over DISTINCT words weighted by freq — per merge "
+    "iteration the work is O(vocab), not O(corpus), exactly why "
+    "production BPE trainers operate on a word-frequency table. Both "
+    "aggregations are map-side combinable; counts are exact integers "
+    "with full (count, c1, c2) ordering so the top-k is "
+    "deterministic. Complements q_text_collocations (cross-word "
+    "bigram PMI) at the sub-word level.",
+)
+def q_text_bpe_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    chars = F.split(F.col("w"), "")
+    n_c = F.size(chars)
+    pairs = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(chars, F.lit(1), n_c - 1).alias("c1"),
+                    F.slice(chars, F.lit(2), n_c - 1).alias("c2"),
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"), "freq")
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "c1", "c2")
+        .limit(_BPE_TOPK)
+    )

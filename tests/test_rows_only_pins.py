@@ -71,3 +71,42 @@ def test_sink_partitioned_round_trip_conserves_rows(spark, sf_dir):
         .collect()
     }
     assert months == src_months
+
+
+def test_embed_pca_matches_direct_numpy(spark, sf_dir):
+    """q_embed_pca's distributed Gramian + literal-array projection must
+    agree with a single-box numpy PCA (same centering, same
+    sign-canonicalization) to float tolerance, and PC1 must explain at
+    least as much projected variance as PC2."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    C = np.cov(M, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1]
+    comps = []
+    for idx in order[:2]:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    X = M - M.mean(axis=0)
+    want_pc1 = X @ comps[0]
+    want_pc2 = X @ comps[1]
+
+    got = SPECS["q_embed_pca"].func(spark, sf_dir).collect()
+    got_ids = np.array([r.vec_id for r in got])
+    assert np.array_equal(got_ids, ids)
+    pc1 = np.array([r.pc1 for r in got])
+    pc2 = np.array([r.pc2 for r in got])
+    # rounding in the operator is 6dp; allow that plus float noise
+    assert np.max(np.abs(pc1 - want_pc1)) < 1e-5
+    assert np.max(np.abs(pc2 - want_pc2)) < 1e-5
+    assert pc1.var() >= pc2.var()
