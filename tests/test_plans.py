@@ -663,3 +663,67 @@ def test_bucketed_join_shuffles_nothing(spark, sf_dir):
         assert count_shuffles(df) == 1, plan[:1500]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+def _hash_exchange_ids(plan: str) -> list[int]:
+    """Node ids of hash-shuffle Exchanges (formatted details put the
+    partitioning on the Arguments line, not the node header)."""
+    import re
+
+    ids = []
+    for m in re.finditer(r"^\((\d+)\) Exchange\n(?:[^\n]*\n){0,3}?Arguments: hashpartitioning", plan, re.M):
+        ids.append(int(m.group(1)))
+    return ids
+
+
+def test_events_decay_single_hash_shuffle_pushed_filter(spark, sf_dir):
+    # the purchase filter must reach the scan; the whole feature is one
+    # map-side-combinable agg -> exactly one hashpartitioning exchange
+    # (the trailing rangepartitioning is the presentation sort)
+    df = SPECS["q_events_decay"].func(spark, sf_dir)
+    assert has_pushed_filters(df)
+    plan = formatted_plan(df)
+    assert len(_hash_exchange_ids(plan)) == 1, plan
+    assert ") Expand" not in plan
+
+
+def test_bpe_pairs_explode_runs_over_vocab_not_corpus(spark, sf_dir):
+    # two-level BPE shape: corpus collapses to the word-frequency table
+    # FIRST, and the char-pair Generate consumes that aggregate — node
+    # ids grow leaf->root, so the order must be
+    #   word Generate < vocab Exchange < pair Generate,
+    # with exactly two hash exchanges (vocab, pair counts) and the
+    # top-50 as TakeOrdered, never a global sort
+    df = SPECS["q_text_bpe_pairs"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    exchanges = _hash_exchange_ids(plan)
+    assert len(exchanges) == 2, plan
+    import re
+
+    generates = [int(m) for m in re.findall(r"^\((\d+)\) Generate", plan, re.M)]
+    assert len(generates) == 2, plan
+    assert min(generates) < min(exchanges) < max(generates), (generates, exchanges)
+
+
+def test_join_asof_nearest_filters_reach_scans(spark, sf_dir):
+    # both event_type residuals push into the parquet scans, and the
+    # rank<=1 filter must become a WindowGroupLimit (per-group early
+    # top-1 during the sort, not a full window then filter)
+    df = SPECS["q_join_asof_nearest"].func(spark, sf_dir)
+    assert has_pushed_filters(df)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert len(_hash_exchange_ids(plan)) <= 2, plan
+
+
+def test_embed_pca_projection_stays_jvm_side(spark, sf_dir):
+    # the RETURNED projection plan must be pure codegen over the scan:
+    # the Gramian mapInPandas ran during operator construction, so no
+    # Python eval node may appear in the per-vector projection
+    df = SPECS["q_embed_pca"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    # the dot products are zip_with/aggregate expressions inside a
+    # Project over the scan — a JVM expression, not a Python stage
+    assert "zip_with" in plan and ") Project" in plan

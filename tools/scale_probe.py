@@ -129,6 +129,11 @@ PROBE_QUERIES = [
     "q_scan_dpp",
     "q_events_rfm",
     "q_events_cohort_ltv",
+    "q_graph_components",
+    "q_join_asof_nearest",
+    "q_events_decay",
+    "q_text_bpe_pairs",
+    "q_embed_pca",
 ]
 REPLICAS = 10
 
