@@ -71,6 +71,14 @@ HEADLINE = [
     "q_mix_token_budget",
     "q_events_ab_assign",
     "q_dedup_clusters",
+    # round-4 session-2 additions
+    "q_graph_components",
+    "q_join_asof_nearest",
+    "q_events_decay",
+    "q_text_bpe_pairs",
+    "q_embed_pca",
+    "q_timeseries_backtest",
+    "q_text_feature_hash",
 ]
 
 

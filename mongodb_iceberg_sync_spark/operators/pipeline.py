@@ -1330,3 +1330,74 @@ def q_events_decay(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_BT_SEASON_DAYS = 7     # seasonal-naive lag: one week
+_BT_EVAL_FROM = "2024-01-17"   # backtest window: the last two weeks
+
+
+@register(
+    "q_timeseries_backtest",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.d, a.n,
+             b.n AS forecast
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.d = a.d - INTERVAL {_BT_SEASON_DAYS} DAY
+      WHERE a.d >= DATE '{_BT_EVAL_FROM}'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(n - forecast)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs(n - forecast)) AS DOUBLE) / count(*) AS mae
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Forecast backtesting with a seasonal-naive baseline — the "
+    "sanity harness every production forecaster is judged against: "
+    "daily event counts per type, forecast(d) = actual(d - 7 days), "
+    "MAE over the final two weeks. The seasonal join is BY DATE "
+    "ARITHMETIC (d-7), not lag(7 rows), so calendar gaps can never "
+    "silently misalign the season. Everything is exact integers "
+    "until one final division (bitwise cross-engine); the daily "
+    "rollup is the only corpus-sized pass — the backtest itself runs "
+    "on the days x types grid, which is trivially small at any "
+    "corpus scale.",
+)
+def q_timeseries_backtest(spark, sf_dir):
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        # the self-join consumes daily twice; pin the days x types grid
+        # (tiny at any corpus scale) so events is scanned ONCE
+        .localCheckpoint(eager=True)
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("d").alias("b_d"),
+        F.col("n").alias("forecast"),
+    )
+    joined = a.join(
+        b,
+        (F.col("b_type") == F.col("a.event_type"))
+        & (F.col("b_d") == F.date_sub(F.col("a.d"), _BT_SEASON_DAYS)),
+    ).filter(F.col("a.d") >= F.lit(_BT_EVAL_FROM).cast("date"))
+    err = F.abs(F.col("a.n") - F.col("forecast"))
+    return (
+        joined.groupBy("a.event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(err).cast("long").alias("sum_abs_err"),
+            (F.sum(err).cast("double") / F.count("*")).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

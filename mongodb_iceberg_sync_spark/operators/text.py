@@ -1270,3 +1270,78 @@ def q_text_bpe_pairs(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), "c1", "c2")
         .limit(_BPE_TOPK)
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "q_text_feature_hash",
+    family="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT) % {_FH_BUCKETS}
+               AS bucket
+      FROM toks
+    ),
+    cnts AS (
+      SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+      FROM cnts GROUP BY doc_id
+    )
+    SELECT c.doc_id AS doc_id, CAST(c.bucket AS BIGINT) AS bucket,
+           CAST(c.c AS BIGINT) AS cnt,
+           CAST(c.c AS DOUBLE) / n.nrm AS weight
+    FROM cnts c JOIN norms n ON n.doc_id = c.doc_id
+    ORDER BY c.doc_id, bucket
+    """,
+    doc="Feature hashing (the 'hashing trick') — the vocabulary-free "
+    "featurizer for linear probes / quality classifiers at corpus "
+    "scale: each token hashes straight into one of 64 buckets via the "
+    "first 6 hex digits of md5 (an engine-neutral hash — Spark's "
+    "conv(hex,16,10) and the oracle's 0x-cast parse the same "
+    "string), per-doc bucket counts L2-normalize into sparse vector "
+    "entries. NO vocabulary pass, no global state, no join against a "
+    "dictionary — the property that makes this THE featurizer when "
+    "the vocab itself would be a 100 GB table. Both aggregations key "
+    "on doc_id(+bucket) so the normalizing join is co-partitioned; "
+    "weights are exact-integer counts over one correctly-rounded "
+    "sqrt and one division — bitwise identical cross-engine.",
+)
+def q_text_feature_hash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("long") % _FH_BUCKETS
+    )
+    cnts = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    # the L2 norm is a per-doc window over the tiny (doc, bucket) table,
+    # not a groupBy + self-join — one fewer shuffle, no join at all
+    nrm = F.sqrt(
+        F.sum(F.col("c") * F.col("c"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("double")
+    )
+    return (
+        cnts.select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("c").cast("long").alias("cnt"),
+            (F.col("c").cast("double") / nrm).alias("weight"),
+        )
+        .orderBy("doc_id", "bucket")
+    )

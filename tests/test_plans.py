@@ -727,3 +727,22 @@ def test_embed_pca_projection_stays_jvm_side(spark, sf_dir):
     # the dot products are zip_with/aggregate expressions inside a
     # Project over the scan — a JVM expression, not a Python stage
     assert "zip_with" in plan and ") Project" in plan
+
+
+def test_feature_hash_two_shuffles_no_join(spark, sf_dir):
+    # hashing-trick featurizer: (doc,bucket) count shuffle + per-doc
+    # window shuffle — the L2 norm must be a window over the counts,
+    # never a groupBy + self-join (which would add a third exchange)
+    df = SPECS["q_text_feature_hash"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(_hash_exchange_ids(plan)) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_timeseries_backtest_scans_events_once(spark, sf_dir):
+    # the daily grid is checkpointed: the seasonal self-join runs on
+    # the days x types table, so the corpus is scanned exactly once
+    # (during construction) and the returned plan reads no parquet
+    df = SPECS["q_timeseries_backtest"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert ") Scan parquet" not in plan, plan

@@ -134,6 +134,8 @@ PROBE_QUERIES = [
     "q_events_decay",
     "q_text_bpe_pairs",
     "q_embed_pca",
+    "q_timeseries_backtest",
+    "q_text_feature_hash",
 ]
 REPLICAS = 10
 
