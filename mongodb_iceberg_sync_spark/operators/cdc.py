@@ -611,3 +611,70 @@ def q_cdc_ivm_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+_META_BATCH = 2000  # ops per commit when building the metadata fixture
+
+
+@register(
+    "q_cdc_store_meta",
+    family="cdc",
+    oracle=f"""
+    SELECT CAST(event_id // {_META_BATCH} AS BIGINT) AS version,
+           CAST(min(user_id) AS VARCHAR)             AS key_min,
+           CAST(max(user_id) AS VARCHAR)             AS key_max,
+           CAST(count(*) AS BIGINT)                  AS record_count
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="Metadata-table inspection through the driver gate: build a "
+    "real MorTable (the Iceberg MoR analog, sync/table_store.py) by "
+    "committing the event log in 2000-op micro-batches — one commit "
+    "per batch, manifests with key bounds + bloom written commit-time "
+    "— then read its `snapshots` metadata table (Iceberg `snapshots`/"
+    "`manifests` analog) and emit per-version key bounds and record "
+    "counts. The oracle recomputes the SAME stats straight from the "
+    "log, so this hash-checks the store's commit machinery end to "
+    "end: batch routing, footer record counts, manifest bound "
+    "rendering. Metadata reads touch footers and manifest JSON only — "
+    "O(commits), never the data — which is exactly why a 100 TB "
+    "operational check (is compaction due? which commits does a key "
+    "touch?) costs milliseconds. Fixture is session-cached; the build "
+    "cost is one keyed write per batch, not per query run.",
+)
+def q_cdc_store_meta(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        ev = t(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).head()[0]
+        b = 0
+        while b * _META_BATCH <= n:
+            lo, hi = b * _META_BATCH, (b + 1) * _META_BATCH - 1
+            batch = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+            ).select(
+                "user_id",
+                F.col("event_id").alias(OP_SEQ),
+                F.lit("upsert").alias(OP_TYPE),
+                "event_type",
+                "value",
+                "ts",
+            )
+            tbl.commit_batch(batch, batch_id=b)
+            b += 1
+
+    path = session_fixture(("cdc_store_meta", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    return (
+        tbl.snapshots()
+        .filter(F.col("section") == "delta")
+        .select(
+            F.col("version").cast("long").alias("version"),
+            "key_min",
+            "key_max",
+            F.col("record_count").cast("long").alias("record_count"),
+        )
+        .orderBy("version")
+    )
