@@ -370,3 +370,81 @@ def q_graph_components(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("comp").cast("long").alias("comp"),
     ).orderBy("comp", "node")
+
+
+_CN_TOPK = 50
+
+
+@register(
+    "q_graph_common_neighbors",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT s, count(*) AS d FROM pairs GROUP BY s),
+    wedge AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS shared
+      FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT w.s1, w.s2, CAST(w.shared AS BIGINT) AS shared,
+           CAST(w.shared AS DOUBLE) / (d1.d + d2.d - w.shared) AS jaccard
+    FROM wedge w
+    JOIN deg d1 ON d1.s = w.s1
+    JOIN deg d2 ON d2.s = w.s2
+    ORDER BY jaccard DESC, s1, s2
+    LIMIT {_CN_TOPK}
+    """,
+    doc="Common-neighbor link prediction: supplier pairs ranked by "
+    "Jaccard similarity of their customer neighborhoods — the "
+    "related-items / who-competes-with-whom primitive behind "
+    "recommendation candidates. One wedge self-join keyed on the "
+    "shared customer (the same bounded-fan-out shape as "
+    "q_graph_triangles' wedge enumeration), per-pair shared counts "
+    "map-side-combinable, degrees joined from the O(V) table "
+    "(broadcast here; keyed join when V outgrows it — same plan). "
+    "The score is one division of exact integers — bitwise "
+    "cross-engine without any rounding — and the top-50 is "
+    "TakeOrdered with a full (score, s1, s2) tie-break. At 100 TB "
+    "the wedge fan-out is bounded per customer; a hub-customer cap "
+    "(drop neighborhoods past k) is the documented skew valve, the "
+    "same valve the LSH band caps use.",
+)
+def q_graph_common_neighbors(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("o_custkey").cast("long").alias("c"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the wedge join twice + degrees
+    )
+    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        wedge.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("shared").cast("long").alias("shared"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(_CN_TOPK)
+    )

@@ -1401,3 +1401,101 @@ def q_timeseries_backtest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_DID_SPLIT = "2024-01-16"   # pre/post boundary (events span Jan 2024)
+
+
+@register(
+    "q_events_did",
+    family="events",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE
+               WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                         AS INTEGER) % 100 < 50 THEN 'control'
+               ELSE 'treatment'
+             END AS arm,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_DID_SPLIT}'
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT arm, period,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM assigned GROUP BY arm, period
+    ),
+    m AS (
+      SELECT arm, period, n, cents,
+             CAST(cents AS DOUBLE) / n AS mean_cents
+      FROM cell
+    )
+    SELECT t_post.mean_cents - t_pre.mean_cents
+             - (c_post.mean_cents - c_pre.mean_cents) AS did_cents,
+           t_pre.mean_cents  AS treat_pre,
+           t_post.mean_cents AS treat_post,
+           c_pre.mean_cents  AS control_pre,
+           c_post.mean_cents AS control_post,
+           t_pre.n + t_post.n + c_pre.n + c_post.n AS n_purchases
+    FROM m t_pre, m t_post, m c_pre, m c_post
+    WHERE t_pre.arm  = 'treatment' AND t_pre.period  = 'pre'
+      AND t_post.arm = 'treatment' AND t_post.period = 'post'
+      AND c_pre.arm  = 'control'   AND c_pre.period  = 'pre'
+      AND c_post.arm = 'control'   AND c_post.period = 'post'
+    """,
+    doc="Difference-in-differences estimator over the deterministic "
+    "hash-assigned experiment (q_events_ab_assign's arms x a pre/post "
+    "boundary): DiD = (treat_post - treat_pre) - (ctrl_post - "
+    "ctrl_pre) on mean purchase cents — the causal read-out layer on "
+    "top of the assignment + significance operators. One pushed-"
+    "filter corpus pass to a 4-cell aggregate; each mean is ONE "
+    "division of exact integers, and the estimator is three "
+    "subtractions of those bitwise-identical doubles — fully "
+    "deterministic cross-engine with no variance-reduction magic "
+    "hiding float drift. The 2 x 2 cell grid pivots driver-side "
+    "via first()-style conditional aggregation, so nothing beyond "
+    "four rows ever leaves the executors.",
+)
+def q_events_did(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    cells = (
+        ev.select(
+            F.when(bucket < 50, "control").otherwise("treatment").alias("arm"),
+            F.when(
+                F.col("ts").cast("date") < F.lit(_DID_SPLIT).cast("date"), "pre"
+            )
+            .otherwise("post")
+            .alias("period"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("arm", "period")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .withColumn("mean_cents", F.col("cents").cast("double") / F.col("n"))
+    )
+
+    def cell(arm, period, col):
+        return F.max(
+            F.when((F.col("arm") == arm) & (F.col("period") == period), F.col(col))
+        )
+
+    return cells.agg(
+        (
+            cell("treatment", "post", "mean_cents")
+            - cell("treatment", "pre", "mean_cents")
+            - (
+                cell("control", "post", "mean_cents")
+                - cell("control", "pre", "mean_cents")
+            )
+        ).alias("did_cents"),
+        cell("treatment", "pre", "mean_cents").alias("treat_pre"),
+        cell("treatment", "post", "mean_cents").alias("treat_post"),
+        cell("control", "pre", "mean_cents").alias("control_pre"),
+        cell("control", "post", "mean_cents").alias("control_post"),
+        F.sum("n").cast("long").alias("n_purchases"),
+    )

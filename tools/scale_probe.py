@@ -136,6 +136,8 @@ PROBE_QUERIES = [
     "q_embed_pca",
     "q_timeseries_backtest",
     "q_text_feature_hash",
+    "q_events_did",
+    "q_graph_common_neighbors",
 ]
 REPLICAS = 10
 
