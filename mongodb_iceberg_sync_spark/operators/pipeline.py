@@ -1296,9 +1296,19 @@ _DECAY_MAX_HALVINGS = 8     # horizon: weight 0 past 8 half-lives (56 days)
     "a single shuffle on user_id at any scale.",
 )
 def q_events_decay(spark, sf_dir):
+    return decay_features(t(spark, sf_dir, "events"))
+
+
+def decay_features(events):
+    """Shared decay core — q_events_decay's batch body, also run under
+    readStream by tests/test_streaming.py: the scaled-integer sum is a
+    plain keyed aggregate (no window, no event-time dependence beyond
+    the row itself), so update-mode streaming state converges to the
+    batch result exactly — the incrementally-maintained feature-store
+    view of the same feature."""
     scale = float(2 ** _DECAY_MAX_HALVINGS * 100)
     aged = (
-        t(spark, sf_dir, "events")
+        events
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",

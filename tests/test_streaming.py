@@ -304,3 +304,18 @@ def test_foreachbatch_wap_audited_merge(spark, tmp_path):
     assert not os.path.isdir(f"{table.staging_dir}/batch=1") or not os.listdir(
         f"{table.staging_dir}/batch=1"
     )
+
+
+def test_decay_feature_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    """decay_features is a plain keyed aggregate of scaled integers, so
+    update/complete-mode streaming state must converge to the batch
+    feature exactly (bitwise: the scaled sum is integer arithmetic) —
+    the incrementally-maintained feature-store form of q_events_decay."""
+    from mongodb_iceberg_sync_spark.operators.pipeline import decay_features
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(
+        spark, decay_features(stream), "t_decay", "complete"
+    ).collect()
+    exp = decay_features(load_table(spark, sf_dir, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
