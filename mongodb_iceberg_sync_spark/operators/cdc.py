@@ -678,3 +678,65 @@ def q_cdc_store_meta(spark, sf_dir):
         )
         .orderBy("version")
     )
+
+
+@register(
+    "q_cdc_compact_meta",
+    family="cdc",
+    oracle=f"""
+    SELECT 'base'                                        AS section,
+           CAST(max(event_id) // {_META_BATCH} AS BIGINT) AS version,
+           CAST(max(event_id) // {_META_BATCH} AS BIGINT) AS history_expired_before,
+           CAST(count(DISTINCT user_id) AS BIGINT)        AS record_count
+    FROM events
+    """,
+    doc="Compaction verified through the metadata tables: build the "
+    "same 2000-op-commit MorTable as q_cdc_store_meta, run a full "
+    "compact() (Iceberg RewriteDataFiles analog: base rewritten from "
+    "the LWW-merged snapshot, deltas folded, prior generation "
+    "archived), then read `snapshots` — which must now show exactly "
+    "one live base version whose record count equals the DISTINCT "
+    "key count (every key upserted at least once, tombstone-free "
+    "log) and whose history-expired mark equals the last folded "
+    "commit. The oracle derives all three from the raw log, so the "
+    "hash check covers the compaction rewrite, LWW fold, and "
+    "version-expiry bookkeeping end to end — the read-amplification "
+    "contract (post-compact reads touch ONE generation, no delta "
+    "merge) expressed as a checkable query. Separate session fixture "
+    "from q_cdc_store_meta: that one must keep its deltas live.",
+)
+def q_cdc_compact_meta(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        ev = t(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).head()[0]
+        b = 0
+        while b * _META_BATCH <= n:
+            lo, hi = b * _META_BATCH, (b + 1) * _META_BATCH - 1
+            batch = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+            ).select(
+                "user_id",
+                F.col("event_id").alias(OP_SEQ),
+                F.lit("upsert").alias(OP_TYPE),
+                "event_type",
+                "value",
+                "ts",
+            )
+            tbl.commit_batch(batch, batch_id=b)
+            b += 1
+        tbl.compact()
+
+    path = session_fixture(("cdc_compact_meta", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    return tbl.snapshots().select(
+        "section",
+        F.col("version").cast("long").alias("version"),
+        F.col("history_expired_before").cast("long").alias(
+            "history_expired_before"
+        ),
+        F.col("record_count").cast("long").alias("record_count"),
+    )

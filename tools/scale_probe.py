@@ -159,6 +159,7 @@ HEAVY_100X = [
     "q_pack_tokens",
     "q_sort_global_rank",
     "q_agg_groupby",  # linear baseline for the tier
+    "q_graph_common_neighbors",
 ]
 # tables the HEAVY_100X set touches — synthesizing all ten tables at
 # 100x would write ~10 GB it never reads
