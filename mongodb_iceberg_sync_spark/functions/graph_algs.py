@@ -1,0 +1,78 @@
+"""Distributed connected components: hash-min label propagation with
+pointer doubling.
+
+The BSP primitive behind q_graph_components and (in representative
+form) q_dedup_clusters' duplicate grouping. Each superstep is one
+edge join (labels flow to neighbours) plus one label-of-label
+self-join (pointer doubling) and a min-combine — so convergence is
+O(log diameter) supersteps rather than O(diameter): on a 100 TB
+chain-shaped graph that is the difference between ~6 and ~60 keyed
+shuffles. Labels are node ids (exact integers), making the component
+id — the min reachable node id — bitwise deterministic across
+engines, partitionings, and retries.
+
+Reference has no analog (sync pipeline, not a graph engine); public
+precedent: GraphX/GraphFrames connectedComponents and the
+large-star/small-star formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Label every node of an UNDIRECTED graph with its component id.
+
+    ``edges`` must already contain both arc directions (symmetric);
+    every node must appear in ``src`` at least once (an isolated node
+    with no edges is its own component and can be unioned by the
+    caller). Returns (node, comp) where comp = min reachable node id.
+    Raises RuntimeError if not converged within ``max_rounds`` —
+    pointer doubling makes that bound ~log2(diameter), so 30 covers
+    any graph whose diameter fits in a long.
+    """
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = edges.join(labels, edges.src == F.col("node")).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        hop = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: not converged after {max_rounds} rounds"
+    )

@@ -306,6 +306,8 @@ _CC_MAX_ROUNDS = 30   # pointer doubling => rounds ~ log2(diameter)
     "DISTINCT-state recursion and min-aggregates the reached labels.",
 )
 def q_graph_components(spark, sf_dir):
+    from ..functions.graph_algs import connected_components
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -321,51 +323,10 @@ def q_graph_components(spark, sf_dir):
         .filter(F.col("n") >= _CC_MIN_COOCCUR)
     )
     e0 = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(_CC_MAX_ROUNDS):
-        nbr = edges.join(labels, edges.src == F.col("node")).select(
-            F.col("dst").alias("node"), "comp"
-        )
-        hop = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
-            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
-        )
-        new = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "q_graph_components: hash-min not converged after "
-            f"{_CC_MAX_ROUNDS} rounds"
-        )
+    labels = connected_components(edges, max_rounds=_CC_MAX_ROUNDS)
     return labels.select(
         F.col("node").cast("long").alias("node"),
         F.col("comp").cast("long").alias("comp"),
