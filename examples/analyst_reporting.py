@@ -33,6 +33,11 @@ TOUR = [
     ("q_agg_ols", "OLS: price ~ quantity + discount (one aggregation)"),
     ("q_events_attribution", "Linear multi-touch click attribution"),
     ("q_window_rolling_features", "Trailing 24h/7d per-user features"),
+    # round-4 causal / feature / forecasting additions
+    ("q_events_did", "Difference-in-differences over the hash-assigned A/B"),
+    ("q_events_decay", "Half-life-decayed engagement score (exact 2^-k)"),
+    ("q_timeseries_backtest", "Seasonal-naive forecast backtest (MAE)"),
+    ("q_graph_common_neighbors", "Supplier similarity by shared customers"),
 ]
 
 
