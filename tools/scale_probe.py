@@ -138,6 +138,7 @@ PROBE_QUERIES = [
     "q_text_feature_hash",
     "q_events_did",
     "q_graph_common_neighbors",
+    "q_graph_components",
 ]
 REPLICAS = 10
 
@@ -160,6 +161,7 @@ HEAVY_100X = [
     "q_sort_global_rank",
     "q_agg_groupby",  # linear baseline for the tier
     "q_graph_common_neighbors",
+    "q_graph_components",
 ]
 # tables the HEAVY_100X set touches — synthesizing all ten tables at
 # 100x would write ~10 GB it never reads
