@@ -210,3 +210,48 @@ def q_sample_balanced(spark, sf_dir):
     return ranked.join(F.broadcast(target)).filter(
         F.col("sample_rank") <= F.col("target")
     ).drop("target")
+
+
+@register(
+    "q_sample_entity",
+    family="sampling",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS revenue_cents
+    FROM events
+    WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '1a'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ENTITY-coherent sampling: a ~10% user-level holdout that keeps "
+    "ALL of a user's events or none — the correct shape for eval "
+    "holdouts, privacy slices, and per-entity debugging, where "
+    "row-level sampling (q_sample_hash) would shear users' histories "
+    "mid-sequence and silently bias every sessionized/funnel metric "
+    "computed on the sample. Membership is a pure function of the "
+    "ENTITY key (md5 prefix), so it is sticky across reprocessing and "
+    "consistent across every table sharing the key — sampling events, "
+    "checkpoints, and features by the same predicate yields aligned "
+    "slices with no join. Map-side predicate into the scan + one "
+    "user-keyed rollup; embarrassingly parallel at 100 TB.",
+)
+def q_sample_entity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "1a"
+    )
+    purchase = F.col("event_type") == "purchase"
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(purchase, F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("user_id")
+    )
