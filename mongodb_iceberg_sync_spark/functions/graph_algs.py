@@ -47,18 +47,25 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr = edges.join(labels, edges.src == F.col("node")).select(
             F.col("dst").alias("node"), "comp"
         )
-        hop = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
-            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
-        )
+        cands = labels.unionByName(nbr)
+        if rnd > 0:
+            # pointer doubling: label-of-label. On round 0 labels are
+            # the identity map, so the self-join would reproduce labels
+            # verbatim — skip the wasted n x n equi-join that round.
+            hop = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+                .select(
+                    F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp")
+                )
+            )
+            cands = cands.unionByName(hop)
         new = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
+            cands
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
