@@ -206,6 +206,8 @@ def kmeans_fit(
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not init_rows:  # empty input: no centroids (callers emit empty)
+        return []
     centroids = [[float(x) for x in r[1]] for r in init_rows]
     dim = len(centroids[0])
     for _ in range(iters):

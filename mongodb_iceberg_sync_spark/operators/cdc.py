@@ -223,6 +223,14 @@ def q_sync_automap(spark, sf_dir):
 
     corpus = _hetero_corpus(spark, sf_dir)
     mapped = auto_map(corpus, doc_col="doc", keep_cols=("event_id",))
+    if "k" not in mapped.columns:
+        # empty source: inference saw zero documents, so the union
+        # schema has no fields — emit the documented shape, empty
+        return spark.createDataFrame(
+            [],
+            "event_id long, k string, extra_a double, "
+            "extra_b_len int, tag boolean",
+        )
     return mapped.select(
         "event_id",
         "k",
@@ -252,6 +260,12 @@ def q_sync_explicit_map(spark, sf_dir):
     from ..sync.mapper import explicit_map
 
     corpus = _hetero_corpus(spark, sf_dir)
+    if corpus.head() is None:
+        # empty source: from_json has no sample to bind struct paths
+        # against — emit the declared mapping's shape, empty
+        return spark.createDataFrame(
+            [], "event_id long, k_str string, extra_a double, is_tagged boolean"
+        )
     return explicit_map(
         corpus,
         [
@@ -650,7 +664,7 @@ def q_cdc_store_meta(spark, sf_dir):
         ev = t(spark, sf_dir, "events")
         n = ev.agg(F.max("event_id")).head()[0]
         b = 0
-        while b * _META_BATCH <= n:
+        while n is not None and b * _META_BATCH <= n:
             lo, hi = b * _META_BATCH, (b + 1) * _META_BATCH - 1
             batch = ev.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
@@ -714,7 +728,7 @@ def q_cdc_compact_meta(spark, sf_dir):
         ev = t(spark, sf_dir, "events")
         n = ev.agg(F.max("event_id")).head()[0]
         b = 0
-        while b * _META_BATCH <= n:
+        while n is not None and b * _META_BATCH <= n:
             lo, hi = b * _META_BATCH, (b + 1) * _META_BATCH - 1
             batch = ev.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") <= hi)

@@ -74,6 +74,8 @@ def q_graph_pagerank(spark, sf_dir):
         eager=True
     )
     n_nodes = nodes.count()  # O(1) driver scalar (graph size)
+    if n_nodes == 0:  # empty graph: empty ranking
+        return spark.createDataFrame([], "node long, rank double")
     base = (1.0 - _DAMPING) / n_nodes
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))

@@ -137,15 +137,20 @@ def q_case_when(spark, sf_dir):
     "code lands month/bucket directories that Spark partition-prunes.",
 )
 def q_sink_partitioned(spark, sf_dir):
+    derived = (
+        t(spark, sf_dir, "events")
+        .withColumn("m", F.month("ts"))
+        .withColumn("b", F.pmod(F.hash("user_id"), F.lit(8)))
+    )
+
     def build(out):
-        ev = t(spark, sf_dir, "events")
-        derived = ev.withColumn("m", F.month("ts")).withColumn(
-            "b", F.pmod(F.hash("user_id"), F.lit(8))
-        )
         derived.write.mode("overwrite").partitionBy("m", "b").parquet(out)
 
     out = session_fixture(("mis_sink", sf_dir), build)
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY input writes zero partition directories,
+    # and schema inference on a fileless dir fails — the read-back must
+    # behave like any other empty table (empty in -> empty out)
+    back = spark.read.schema(derived.schema).parquet(out)
     return (
         back.groupBy("m", "b")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -441,10 +446,11 @@ _SORTED_RANGE_TASKS = 8
     "tests/test_plans.py::test_sink_sorted_files_ranges_disjoint.",
 )
 def q_sink_sorted_files(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+
     def build(out):
-        li = t(spark, sf_dir, "lineitem").withColumn(
-            "ship_year", F.year("l_shipdate").cast("long")
-        )
         (
             li.repartitionByRange(_SORTED_RANGE_TASKS, "ship_year", "l_shipdate")
             .sortWithinPartitions("ship_year", "l_shipdate")
@@ -455,7 +461,8 @@ def q_sink_sorted_files(spark, sf_dir):
         )
 
     out = session_fixture(("mis_sorted", sf_dir), build)
-    back = spark.read.parquet(out)
+    # explicit schema: empty input writes no directories (see q_sink_partitioned)
+    back = spark.read.schema(li.schema).parquet(out)
     files = back.select("ship_year", F.input_file_name().alias("f"))
     min_files = F.ceil(F.count("*") / F.lit(float(_SORTED_MAX_RECS)))
     return (
@@ -504,19 +511,22 @@ def q_sink_sorted_files(spark, sf_dir):
     "round-trip (doubles round-trip bit-exactly).",
 )
 def q_scan_dpp(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    )
+
     def build(out):
-        li = t(spark, sf_dir, "lineitem").select(
-            "l_shipdate",
-            "l_extendedprice",
-            "l_discount",
-            F.year("l_shipdate").cast("long").alias("ship_year"),
-        )
         li.repartitionByRange(
             _SORTED_RANGE_TASKS, "ship_year", "l_shipdate"
         ).write.mode("overwrite").partitionBy("ship_year").parquet(out)
 
     out = session_fixture(("mis_dpp", sf_dir), build)
-    fact = spark.read.parquet(out)
+    # explicit schema: empty input writes no directories (see q_sink_partitioned);
+    # partition columns still resolve by name, so DPP pruning is unchanged
+    fact = spark.read.schema(li.schema).parquet(out)
     dim = (
         t(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").cast("long").alias("y"))

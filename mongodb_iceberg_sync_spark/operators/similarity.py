@@ -47,10 +47,10 @@ _TOPK_ORACLE = f"""
 )
 def q_sim_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    probe = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == _PROBE_ID).head().embedding
-    ]
+    probe_row = e.filter(F.col("vec_id") == _PROBE_ID).head()
+    if probe_row is None:  # empty corpus / missing probe: empty result
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    probe = [float(x) for x in probe_row.embedding]
     import math
 
     probe_norm = math.sqrt(sum(x * x for x in probe))
@@ -80,9 +80,12 @@ def q_sim_topk_ivf(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, "embedding", "vec_id", k=8, iters=2)
-    probe = [
-        float(x) for x in e.filter(F.col("vec_id") == _PROBE_ID).head().embedding
-    ]
+    probe_row = e.filter(F.col("vec_id") == _PROBE_ID).head()
+    if not centroids or probe_row is None:  # empty corpus: empty result
+        return spark.createDataFrame(
+            [], "vec_id long, bucket int, cos_sim double"
+        )
+    probe = [float(x) for x in probe_row.embedding]
 
     assigned = e.withColumn(
         "bucket", bucket_assign_udf(centroids)("embedding")
@@ -215,6 +218,10 @@ def q_sim_knn_join(spark, sf_dir):
         .orderBy("vec_id")
         .collect()
     )
+    if not probe_rows:  # empty corpus: no probes, empty result
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, cos_sim double, knn_rank int"
+        )
     probe_ids = np.array([int(r.vec_id) for r in probe_rows])
     P = np.array([[float(x) for x in r.embedding] for r in probe_rows])
     Pn = P / np.sqrt((P * P).sum(axis=1))[:, None]
@@ -430,6 +437,10 @@ def q_cluster_kmeans(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, "embedding", "vec_id", k=8, iters=2)
+    if not centroids:  # empty corpus: empty result
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, cluster_size long"
+        )
     assigned = e.select(
         "vec_id",
         bucket_assign_udf(centroids)("embedding").alias("cluster"),
@@ -470,6 +481,8 @@ def q_sim_pq(spark, sf_dir):
         [r.embedding for r in e.orderBy("vec_id").limit(256).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0:  # empty corpus: no codebook, empty result
+        return spark.createDataFrame([], "vec_id long, approx_cos double")
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     dim = sample.shape[1]
     sub = dim // _PQ_M
@@ -719,6 +732,8 @@ def q_embed_pca(spark, sf_dir):
         )
         .collect()  # p x (d^2 + d) floats — partition count, not rows
     )
+    if not partials:  # empty corpus: nothing to decompose
+        return spark.createDataFrame([], "vec_id long, pc1 double, pc2 double")
     partials.sort(key=lambda r: r.pkey)
     d = int(len(partials[0].colsum))
     G = np.zeros((d, d))
