@@ -47,6 +47,19 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: labels only ever DECREASE (cands always contains
+    # the current label and the combine is min), so the label sum is
+    # strictly monotone — an unchanged sum means an unchanged labelling.
+    # That turns the per-round converged? probe into a partial-agg scalar
+    # (map-side combine, one number to the driver) instead of a keyed
+    # self-join shuffle of both label sets. decimal(38,0) keeps the sum
+    # exact for any node-id magnitude, so the test never false-converges.
+    def _label_sum(lab):
+        return lab.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).head()[0]
+
+    prev_sum = _label_sum(labels)
     for rnd in range(max_rounds):
         nbr = edges.join(labels, edges.src == F.col("node")).select(
             F.col("dst").alias("node"), "comp"
@@ -70,16 +83,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components: not converged after {max_rounds} rounds"
     )

@@ -667,81 +667,48 @@ _CLUSTERS_ORACLE = """
     "any member-level near-dup edge maps onto the rep-level edge, and "
     "shingle document frequencies stay corpus-weighted (sum of group "
     "sizes == raw doc counts) so the hot-shingle cutoff is unchanged. "
-    "Each round is ONE shuffle join (labels flow along edges) + a "
-    "min-aggregation, with localCheckpoint truncating the iterative "
-    "lineage; rounds ~= log(diameter) via pointer doubling. The "
-    "driver-side loop only ever sees a per-round changed-count "
-    "scalar, never data. Oracle: DuckDB recursive CTE over the "
-    "identical two-layer edge set.",
+    "The iteration itself (functions/graph_algs.connected_components: "
+    "per-round edge join + pointer doubling + min-combine, "
+    "localCheckpoint-truncated lineage, O(log diameter) rounds) runs "
+    "over the REP-PAIR graph only — nodes are the reps with >=1 "
+    "near-dup edge, a tiny fraction of the corpus — which is exact "
+    "because cluster_id = min reachable doc_id = min rep_id in the rep "
+    "component (each rep is its group's min), and star members inherit "
+    "it through ONE post-hoc hash join instead of riding every round's "
+    "shuffle. Oracle: DuckDB recursive CTE over the equivalent "
+    "two-layer (star + rep-pair) edge set.",
 )
 def q_dedup_clusters(spark, sf_dir):
+    from ..functions.graph_algs import connected_components
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     # exact-text groups: shuffle carries 32-byte hashes, not documents
     grp = (
         docs.groupBy(F.sha2("text", 256).alias("_sha"))
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("gsize"))
+        .localCheckpoint(eager=True)  # read twice: rep texts + label fan-out
     )
     member = docs.select(F.sha2("text", 256).alias("_sha"), "doc_id")
-    star = (
-        member.join(grp, "_sha")
-        .filter(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("doc_id").alias("u"), F.col("rep_id").alias("v"))
-    )
-    reps = (
-        member.join(grp, (member._sha == grp._sha) & (member.doc_id == grp.rep_id))
-        .join(docs, "doc_id")
-        .select(F.col("doc_id"), "text", "gsize")
+    reps = grp.join(docs, grp.rep_id == docs.doc_id).select(
+        "doc_id", "text", "gsize"
     )
     pairs = _rep_jaccard_pairs(reps).select("doc_a", "doc_b")
-    undirected = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    edges = (
-        undirected.unionAll(star)
-        .unionAll(star.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)  # read every round; compute once
+    rep_edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
+    # Components over the REP graph only — its node set is the reps that
+    # have at least one near-dup pair, a tiny fraction of the corpus.
+    # cluster_id = min doc_id reachable = min rep_id in the rep component,
+    # because every rep is its exact-group's minimum doc_id; so running
+    # the iteration rep-level is exact, and the full-corpus label map is
+    # ONE hash join afterwards instead of a per-round corpus-wide shuffle.
+    comp = connected_components(rep_edges, max_rounds=20)
+    rep_cluster = grp.join(comp, grp.rep_id == comp.node, "left").select(
+        "_sha", F.coalesce("comp", "rep_id").alias("cluster_id")
     )
-    # Pointer-doubling (label-of-label) alongside edge propagation makes
-    # rounds O(log diameter), so 20 rounds covers diameter ~2^20 — and a
-    # non-converged exit raises instead of returning wrong labels.
-    for _ in range(20):
-        nbr = edges.join(
-            labels, edges.u == labels.doc_id, "inner"
-        ).select(F.col("v").alias("doc_id"), "cluster_id")
-        hop = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id"))
-            .select(
-                F.col("l1.doc_id").alias("doc_id"),
-                F.col("l2.cluster_id").alias("cluster_id"),
-            )
-        )
-        new_labels = (
-            labels.unionAll(nbr)
-            .unionAll(hop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            "q_dedup_clusters: label propagation not converged after 20 "
-            "pointer-doubling rounds (diameter > ~2^20?) — refusing to "
-            "return partial labels"
-        )
+    labels = member.join(rep_cluster, "_sha").select("doc_id", "cluster_id")
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 

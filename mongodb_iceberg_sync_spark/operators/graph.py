@@ -266,7 +266,8 @@ def q_graph_bfs(spark, sf_dir):
     ).orderBy("dist", "node")
 
 
-_CC_MIN_COOCCUR = 4   # edge = supplier/customer sharing >= 4 orders
+_CC_EDGE_CAP = 4000   # keep the STRONGEST ties: smallest co-occurrence
+                      # level whose qualifying pair count fits this cap
 _CC_MAX_ROUNDS = 30   # pointer doubling => rounds ~ log2(diameter)
 
 
@@ -279,8 +280,17 @@ _CC_MAX_ROUNDS = 30   # pointer doubling => rounds ~ log2(diameter)
              count(DISTINCT l.l_orderkey) AS n
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
+    ), hist AS (
+      SELECT n, count(*) AS cnt FROM pairs GROUP BY n
+    ), cum AS (
+      SELECT n, sum(cnt) OVER (ORDER BY n DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+      FROM hist
+    ), thr AS (
+      SELECT coalesce(min(n) FILTER (WHERE cg <= {_CC_EDGE_CAP}), max(n)) AS t
+      FROM cum
     ), e0 AS (
-      SELECT s AS src, c AS dst FROM pairs WHERE n >= {_CC_MIN_COOCCUR}
+      SELECT s AS src, c AS dst FROM pairs WHERE n >= (SELECT t FROM thr)
     ), e AS (
       SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
     ), walk(node, lab) AS (
@@ -292,20 +302,26 @@ _CC_MAX_ROUNDS = 30   # pointer doubling => rounds ~ log2(diameter)
     FROM walk GROUP BY node ORDER BY comp, node
     """,
     doc="Connected components over the REPEAT-business graph: supplier "
-    "and customer are adjacent only when they share >= 4 distinct "
-    "orders, which fragments the dense bipartite co-occurrence graph "
-    "into real communities (54 components at sf0.01). The standalone, "
-    "oracle-checked form of the hash-min label propagation that "
-    "q_dedup_clusters uses internally: each round is ONE edge join "
-    "(labels flow to neighbours) + ONE label-of-label self-join "
-    "(pointer doubling) + a min-combine, so convergence is "
-    "O(log diameter) supersteps, not O(diameter) — the difference "
-    "between 6 and 60 shuffles on a 100 TB chain-shaped graph. "
-    "Labels are node ids (exact integers), so the component id — "
-    "min reachable node id — is bitwise cross-engine. localCheckpoint "
-    "per round caps lineage; a non-converged exit raises rather than "
-    "returning wrong labels. The oracle walks the same edges with "
-    "DISTINCT-state recursion and min-aggregates the reached labels.",
+    "and customer are adjacent when they share enough distinct orders. "
+    "'Enough' is ADAPTIVE — the smallest co-occurrence level whose "
+    "qualifying pair count fits a fixed edge cap — because any absolute "
+    "threshold is wrong at some scale (a fixed >=4 empties the graph at "
+    "sf0.1, where the max shared-order count is 3, and drowns it at "
+    "sf0.001). The level is chosen from the co-occurrence HISTOGRAM — "
+    "one tiny aggregate (rows = distinct levels, ~10), its running "
+    "total scanned on the driver — so the strongest-ties edge set is "
+    "bounded and deterministic at every scale, which is exactly how a "
+    "100 TB co-occurrence graph must be capped before components run. "
+    "The standalone, oracle-checked form of the hash-min label "
+    "propagation q_dedup_clusters uses internally: each round is ONE "
+    "edge join (labels flow to neighbours) + ONE label-of-label "
+    "self-join (pointer doubling) + a min-combine, so convergence is "
+    "O(log diameter) supersteps, not O(diameter). Labels are node ids "
+    "(exact integers), so the component id — min reachable node id — "
+    "is bitwise cross-engine. localCheckpoint per round caps lineage; "
+    "a non-converged exit raises rather than returning wrong labels. "
+    "The oracle picks the identical threshold via a window running "
+    "total and walks the same edges with DISTINCT-state recursion.",
 )
 def q_graph_components(spark, sf_dir):
     from ..functions.graph_algs import connected_components
@@ -322,8 +338,22 @@ def q_graph_components(spark, sf_dir):
         .distinct()  # (s, c, order) triples -> count distinct orders per pair
         .groupBy("s", "c")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+        .localCheckpoint(eager=True)  # read twice: histogram + edge filter
     )
+    # adaptive strongest-ties threshold: histogram rows = distinct
+    # co-occurrence levels (a handful), so the collect is O(levels)
+    levels = sorted(
+        [(r["n"], r["cnt"]) for r in
+         pairs.groupBy("n").agg(F.count("*").alias("cnt")).collect()],
+        reverse=True,
+    )
+    thr, cum = (levels[0][0] if levels else 0), 0
+    for n, cnt in levels:
+        cum += cnt
+        if cum > _CC_EDGE_CAP:
+            break
+        thr = n
+    pairs = pairs.filter(F.col("n") >= thr)
     e0 = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
