@@ -329,3 +329,91 @@ def q_agg_heavy_hitters_sketch(spark, sf_dir):
             F.round(F.col("freq") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "q_text_scrub_chunks",
+    family="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             i - 1 AS chunk_idx,
+             array_to_string(l[(i-1)*{_CHUNK}+1 : i*{_CHUNK}], ' ') AS chunk
+      FROM toks,
+           LATERAL unnest(range(1, CAST(ceil(len(l) / {_CHUNK}.0) AS BIGINT) + 1))
+             AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (
+               PARTITION BY chunk ORDER BY doc_id, chunk_idx
+             ) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE occ = 1) AS BIGINT)  AS n_kept,
+           CAST(count(*) FILTER (WHERE occ > 1) AS BIGINT)  AS n_removed,
+           nullif(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                    FILTER (WHERE occ = 1), '')             AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE occ > 1) > 0
+    """,
+    doc="Duplicated-chunk SCRUB — the transform twin of q_dedup_chunks' "
+    "report: every consecutive 10-token chunk that is not the corpus-"
+    "first occurrence (first = smallest (doc_id, chunk_idx)) is REMOVED "
+    "and the surviving chunks are reassembled in original order into a "
+    "cleaned document (C4/RefinedWeb line-dedup actually rewrites the "
+    "corpus this way; the report alone can't feed a tokenizer). "
+    "Reassembly is array_sort(collect_list(struct(chunk_idx, chunk))) "
+    "-> transform -> array_join: the sort happens inside each doc's "
+    "aggregation buffer (docs are small), never a global order-by. "
+    "Only changed docs are emitted; a doc whose every chunk was "
+    "boilerplate yields clean_text NULL, the drop signal. Scale: "
+    "identical shuffle shape to q_dedup_chunks (partition by chunk "
+    "text, then by doc_id) — both keys are data-sized, no skew beyond "
+    "the boilerplate chunks this pass removes; at 100 TB shuffle a "
+    "16-byte chunk hash + position and join the kept positions back "
+    "to the chunk text.",
+)
+def q_text_scrub_chunks(spark, sf_dir):
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    n_chunks = F.ceil(F.size("l") / F.lit(float(_CHUNK))).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice("l", (i - F.lit(1)) * _CHUNK + 1, _CHUNK)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    marked = chunks.withColumn("occ", occ)
+    kept = F.when(F.col("occ") == 1, F.struct("chunk_idx", "chunk"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda s: s.chunk
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )

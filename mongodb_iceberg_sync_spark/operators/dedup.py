@@ -864,3 +864,95 @@ def q_text_containment(spark, sf_dir):
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+_SEM_TAU = 0.25     # within-bucket cosine that marks an epsilon-ball dup
+_SEM_SIGN_BITS = 4  # coarse bucket = sign bits of the first 4 dims
+
+
+_SEMANTIC_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + 2*(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+           + 4*(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+           + 8*(CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    dup AS (
+      SELECT hi.vec_id, count(*) AS n_dups
+      FROM b lo JOIN b hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+      WHERE round(
+              list_sum(list_transform(range(1, 65),
+                       i -> lo.embedding[i]::DOUBLE * hi.embedding[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> lo.embedding[i]::DOUBLE * lo.embedding[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> hi.embedding[i]::DOUBLE * hi.embedding[i]::DOUBLE)))),
+              6) >= {_SEM_TAU}
+      GROUP BY hi.vec_id
+    )
+    SELECT b.vec_id, b.bucket,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(d.n_dups, 0) = 0             AS kept
+    FROM b LEFT JOIN dup d ON b.vec_id = d.vec_id
+"""
+
+
+@register(
+    "q_dedup_semantic",
+    family="dedup",
+    oracle=_SEMANTIC_ORACLE,
+    doc="SemDedup-style semantic pruning (Abbas et al. 2023): a vector "
+    "is dropped when a LOWER-id vector in the same coarse bucket sits "
+    "within its epsilon-ball (cos >= 0.25 on this near-random synthetic "
+    "data; ~0.95+ on a real corpus). Keep-lowest-id makes the greedy "
+    "epsilon-cover deterministic — no RNG, no iteration order. The "
+    "coarse bucket here is the sign pattern of the first 4 dims (a "
+    "16-cell random hyperplane partition, the degenerate form of the "
+    "k-means clustering SemDedup uses); pairwise cosine runs ONLY "
+    "within buckets, so the self-join is bucket-blocked, never "
+    "all-pairs — the same candidate-capping shape as q_sim_ann_lsh. "
+    "At 100 TB: more sign bits (or IVF centroids from "
+    "q_sim_topk_ivf's trainer) keep per-bucket pair counts bounded; "
+    "the cross-bucket misses this introduces are exactly SemDedup's "
+    "documented cluster-boundary misses. Elementwise double casts "
+    "before the dot product + round-6 make the score bitwise "
+    "cross-engine (same contract as q_dedup_embedding).",
+)
+def q_dedup_semantic(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucket = sum(
+        F.when(F.element_at("v", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_SEM_SIGN_BITS)
+    )
+    nrm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    b = e.select("vec_id", "v", bucket.alias("bucket"), nrm.alias("nrm"))
+    lo, hi = b.alias("lo"), b.alias("hi")
+    dot = F.aggregate(
+        F.zip_with(F.col("lo.v"), F.col("hi.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("lo.nrm") * F.col("hi.nrm")), 6)
+    dup = (
+        lo.join(
+            hi,
+            (F.col("lo.bucket") == F.col("hi.bucket"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .filter(cos >= _SEM_TAU)
+        .groupBy(F.col("hi.vec_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_dups"))
+    )
+    return b.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
+    )
