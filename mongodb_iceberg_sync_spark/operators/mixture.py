@@ -369,3 +369,70 @@ def q_mix_token_budget(spark, sf_dir):
         d.withColumn("cum_chars", F.sum("n_chars").over(w).cast("long"))
         .filter(F.col("cum_chars") <= 200000)
     )
+
+
+_EPOCH_CAP = 4  # never repeat a domain more than this many times
+
+
+@register(
+    "q_mix_epochs",
+    family="sampling",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    mx AS (SELECT max(tokens) AS m FROM tok),
+    ep AS (
+      SELECT source, tokens,
+             least({_EPOCH_CAP},
+                   CAST(ceil(m * 1.0 / tokens) AS BIGINT)) AS epochs
+      FROM tok CROSS JOIN mx
+    )
+    SELECT d.doc_id, d.source, e.epochs, CAST(u.epoch AS BIGINT) AS epoch
+    FROM documents d
+    JOIN ep e ON d.source = e.source,
+    LATERAL unnest(range(1, e.epochs + 1)) AS u(epoch)
+    """,
+    doc="Epoch-based domain upsampling — the 'repeat small domains, cap "
+    "the repeats' mixing rule (Llama/Chinchilla-style data recipes; "
+    "Muennighoff et al. 2023 shows ~4 epochs is where repetition stops "
+    "helping, hence the cap): each source is replicated "
+    "ceil(max_domain_tokens / domain_tokens) times, capped at 4, so "
+    "small domains approach the largest one's token share without "
+    "unbounded repetition. Emits one row per (doc, epoch) — the "
+    "materialized training list q_shuffle_train would then shard. "
+    "Fully deterministic: no RNG, the epoch count is a pure function "
+    "of the token histogram. Scale: the per-source token table is a "
+    "handful of rows (broadcast), the replication is a map-side "
+    "explode(sequence(1, epochs)) — output is at most EPOCH_CAP x "
+    "input with zero shuffles after the tiny dim agg, and at 100 TB "
+    "the explode emits (doc_id, epoch) pairs, never duplicated "
+    "document bytes.",
+)
+def q_mix_epochs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    mx = tok.agg(F.max("tokens").alias("m"))
+    ep = (
+        tok.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            F.least(
+                F.lit(_EPOCH_CAP),
+                F.ceil(F.col("m") * 1.0 / F.col("tokens")),
+            ).alias("epochs"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(ep), "source")
+        .select(
+            "doc_id",
+            "source",
+            "epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), "epochs")).alias("epoch"),
+        )
+    )

@@ -1509,3 +1509,168 @@ def q_events_did(spark, sf_dir):
         cell("control", "post", "mean_cents").alias("control_post"),
         F.sum("n").cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "q_timeseries_cusum",
+    family="pipeline",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    dim AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    walk AS (
+      SELECT d.event_type, d.day, m.n_days,
+             sum(d.cents * m.n_days - m.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING)                       AS r
+      FROM daily d JOIN dim m USING (event_type)
+    ),
+    stat AS (
+      SELECT event_type, day, n_days,
+             r - min(r) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)                       AS s
+      FROM walk
+    ),
+    ranked AS (
+      SELECT event_type, day AS cp_day, n_days,
+             CAST(s AS BIGINT) AS cusum_scaled,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY s DESC, day)  AS rk
+      FROM stat
+    )
+    SELECT event_type, cp_day, n_days, cusum_scaled
+    FROM ranked WHERE rk = 1
+    """,
+    doc="CUSUM changepoint detection per series: the classic recursive "
+    "statistic s_t = max(0, s_{t-1} + (x_t - mean)) is NOT a window "
+    "function, but its closed form IS — s_t = R_t - min(R_1..R_t) "
+    "where R is the running sum of demeaned values — so the whole "
+    "detector is two cumulative windows (sum, then min) plus an "
+    "argmax, no recursion, no UDF. Everything stays exact BIGINT: "
+    "demeaning multiplies through by n_days (x_t*n - total, unit = "
+    "cents*days) instead of subtracting a float mean, so the reported "
+    "peak location and scaled statistic are bitwise cross-engine. "
+    "The changepoint is the s-argmax (ties -> earliest day). Scale: "
+    "windows partition by series over the DAILY rollup (rows = days, "
+    "map-side-combined before the shuffle), so window partitions are "
+    "bounded by calendar length, not data volume — at 100 TB the "
+    "detector's input is #series x #days rows regardless of event "
+    "count.",
+)
+def q_timeseries_cusum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    dim = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("cents").alias("total")
+    )
+    walk = daily.join(F.broadcast(dim), "event_type")
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = F.sum(F.col("cents") * F.col("n_days") - F.col("total")).over(cum)
+    stat = walk.select(
+        "event_type", "day", "n_days", (r - F.min(r).over(cum)).alias("s")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("s"), "day")
+    )
+    return (
+        stat.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "n_days",
+            F.col("s").cast("long").alias("cusum_scaled"),
+        )
+    )
+
+
+@register(
+    "q_timeseries_seasonal",
+    family="pipeline",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    ma AS (
+      SELECT day, rev,
+             sum(rev)  OVER w AS sum7,
+             count(*)  OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT ((day - DATE '1970-01-01') + 3) % 7 AS dow,
+             round(rev - sum7 / 7.0, 6) AS detr
+      FROM ma WHERE n7 = 7
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(CAST(detr AS DECIMAL(38, 6))) AS DOUBLE) / count(*), 6)
+             AS seasonal
+    FROM det GROUP BY dow
+    """,
+    doc="Seasonal decomposition (classical additive, the moving-average "
+    "core of STL): daily revenue -> centered 7-day moving-average "
+    "trend -> detrended residual -> day-of-week seasonal index = mean "
+    "residual per weekday. Incomplete edge windows (n7 < 7) are "
+    "excluded, as in the textbook decomposition. Determinism: daily "
+    "revenue is exact integer (cents x (100 - disc_cents)); the trend "
+    "is one FP division of that exact sum (bitwise cross-engine); "
+    "residuals round to 6 before the DECIMAL sum (registry rule 3); "
+    "day-of-week comes from days-since-epoch arithmetic ((d+3) mod 7, "
+    "0 = Monday), immune to engine dayofweek() convention drift. "
+    "Scale: the ROWS window runs over the DAILY rollup — one row per "
+    "calendar day after a map-side-combined groupBy — so the "
+    "single-series window holds #days rows (bounded by the calendar, "
+    "~2.5k here) regardless of raw volume; the constant-partition key "
+    "keeps WindowExec from warning without repartitioning real data. "
+    "Multi-series corpora would partition these windows by series key.",
+)
+def q_timeseries_seasonal(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(price_c * (F.lit(100) - disc_c)).alias("rev")
+    )
+    one = F.col("rev") * F.lit(0)  # non-foldable constant partition key
+    w = Window.partitionBy(one).orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("sum7"),
+        F.count("*").over(w).alias("n7"),
+    )
+    dow = (F.datediff("day", F.lit("1970-01-01").cast("date")) + 3) % 7
+    det = ma.filter(F.col("n7") == 7).select(
+        dow.alias("dow"),
+        F.round(F.col("rev") - F.col("sum7") / 7.0, 6).alias("detr"),
+    )
+    return det.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(F.col("detr").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("seasonal"),
+    )

@@ -764,3 +764,127 @@ def q_embed_pca(spark, sf_dir):
         F.round(dot_with_literal("c", [float(x) for x in comps[0]]), 6).alias("pc1"),
         F.round(dot_with_literal("c", [float(x) for x in comps[1]]), 6).alias("pc2"),
     ).orderBy("vec_id")
+
+
+_MAXSIM_NQ = 3       # query vectors: vec_id < 3
+_MAXSIM_TOKENS = 8   # treat the 64-dim embedding as 8 token-vectors of 8 dims
+_MAXSIM_DIM = 8
+_MAXSIM_TOPK = 5
+
+
+_MAXSIM_ORACLE = f"""
+    WITH toks AS (
+      SELECT vec_id, j,
+             list_transform(
+               embedding[j*{_MAXSIM_DIM}+1 : (j+1)*{_MAXSIM_DIM}],
+               x -> x::DOUBLE)                                    AS tv
+      FROM embeddings,
+           LATERAL unnest(range(0, {_MAXSIM_TOKENS})) AS u(j)
+    ),
+    ntoks AS (
+      SELECT vec_id, j, tv,
+             sqrt(list_sum(list_transform(tv, x -> x * x))) AS nrm
+      FROM toks
+    ),
+    tokmax AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS doc_id, q.j,
+             max(round(
+               list_sum(list_transform(range(1, {_MAXSIM_DIM} + 1),
+                        i -> q.tv[i] * d.tv[i])) / (q.nrm * d.nrm),
+               6)) AS best
+      FROM ntoks q JOIN ntoks d
+        ON q.vec_id < {_MAXSIM_NQ} AND d.vec_id >= {_MAXSIM_NQ}
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(sum(CAST(best AS DECIMAL(18, 6))) AS DOUBLE) AS score
+      FROM tokmax GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_MAXSIM_TOPK}
+"""
+
+
+@register(
+    "q_sim_maxsim",
+    family="similarity",
+    oracle=_MAXSIM_ORACLE,
+    doc="ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+    "2020): query and document are BAGS of token vectors (the 64-dim "
+    "embedding sliced into 8x8 here; real corpora store "
+    "array<array<float>>), and score(q,d) = sum over query tokens of "
+    "the max cosine against any doc token — MaxSim. Fully relational: "
+    "token vectors are exploded to rows, the 3-query token side "
+    "(nq x 8 = 24 rows) broadcasts into the doc-token stream, max per "
+    "(query, doc, qtoken) then sum per (query, doc) are ordinary "
+    "hash aggregations with map-side partials, and top-k rides a "
+    "per-query window. Per-token cosines round to 6 before the "
+    "DECIMAL sum, so the score — and therefore the top-k cut — is "
+    "exact cross-engine (registry float rules). Scale: the doc-token "
+    "side never shuffles full vectors more than once (explode is "
+    "map-side); candidate generation at 100 TB precedes this with "
+    "q_sim_ann_lsh / q_sim_topk_ivf so MaxSim only rescores a "
+    "bounded candidate set per query — exactly ColBERT's "
+    "retrieve-then-rescore split.",
+)
+def q_sim_maxsim(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    tok = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MAXSIM_TOKENS - 1)),
+                lambda j: F.slice("v", j * _MAXSIM_DIM + 1, _MAXSIM_DIM),
+            )
+        ).alias("j", "tv"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("tv", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    q = tok.filter(F.col("vec_id") < _MAXSIM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("j").alias("qj"),
+        F.col("tv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    d = tok.filter(F.col("vec_id") >= _MAXSIM_NQ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("tv").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("qv", "dv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("qn") * F.col("dn")),
+        6,
+    )
+    tokmax = (
+        d.join(F.broadcast(q))
+        .groupBy("query_id", "doc_id", "qj")
+        .agg(F.max(cos).alias("best"))
+    )
+    scored = tokmax.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("best").cast("decimal(18,6)")).cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _MAXSIM_TOPK)
+        .select("query_id", "doc_id", "score", "rk")
+    )
