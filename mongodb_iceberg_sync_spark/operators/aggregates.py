@@ -1396,3 +1396,95 @@ def q_agg_percentile_sketch(spark, sf_dir):
             for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
         ]
     )
+
+
+@register(
+    "q_agg_moments",
+    family="aggregates",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)        AS n,
+             CAST(sum(c)             AS DOUBLE) AS s1,
+             CAST(sum(c*c)           AS DOUBLE) AS s2,
+             CAST(sum(c*c*c)         AS DOUBLE) AS s3,
+             CAST(sum(c*c*c*c)       AS DOUBLE) AS s4
+      FROM c GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n,
+             s1 / n                                          AS mean,
+             s2 / n - (s1 / n) * (s1 / n)                    AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n)     AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT event_type, n,
+           round(mean, 6)                    AS mean_cents,
+           round(m2, 6)                      AS var_cents,
+           round(m3 / (m2 * sqrt(m2)), 6)    AS skewness,
+           round(m4 / (m2 * m2) - 3, 6)      AS excess_kurtosis
+    FROM m
+    """,
+    doc="Exact distribution moments (mean/variance/skewness/excess "
+    "kurtosis) per series — the profiling stats a data-quality monitor "
+    "tracks per batch. Built-in skewness()/kurtosis() would diverge "
+    "cross-engine (sample-vs-population conventions AND float "
+    "summation order), so the operator aggregates exact integer POWER "
+    "SUMS instead — cents as DECIMAL(38,0), c..c^4 all exact up to "
+    "~1e38, mergeable map-side like any sum — and derives the moments "
+    "with an identical floating expression tree in both engines: "
+    "divisions/multiplies of exactly-equal doubles plus sqrt (IEEE "
+    "correctly-rounded; never pow(), whose libm vs JVM results differ "
+    "by 1 ulp — registry trap 5). Scale: one map-side-combinable "
+    "groupBy; the shuffle carries 6 numbers per series. The power-sum "
+    "vector is also the mergeable per-shard sketch a 100 TB profiler "
+    "would store per file/partition and fold — same math as "
+    "q_profile_columns_sketch's HLL but for moments.",
+)
+def q_agg_moments(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("c"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("c") * F.col("c"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("c") * F.col("c") * F.col("c"))).cast("double").alias("s3"),
+        F.sum(
+            dec(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+        ).cast("double").alias("s4"),
+    )
+    s1n = F.col("s1") / F.col("n")
+    s2n = F.col("s2") / F.col("n")
+    s3n = F.col("s3") / F.col("n")
+    s4n = F.col("s4") / F.col("n")
+    m = s.select(
+        "event_type",
+        "n",
+        s1n.alias("mean"),
+        (s2n - s1n * s1n).alias("m2"),
+        (s3n - F.lit(3) * s1n * s2n + F.lit(2) * s1n * s1n * s1n).alias("m3"),
+        (
+            s4n
+            - F.lit(4) * s1n * s3n
+            + F.lit(6) * s1n * s1n * s2n
+            - F.lit(3) * s1n * s1n * s1n * s1n
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return m.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean_cents"),
+        F.round(m2, 6).alias("var_cents"),
+        F.round(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(F.col("m4") / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )

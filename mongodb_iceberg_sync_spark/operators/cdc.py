@@ -754,3 +754,102 @@ def q_cdc_compact_meta(spark, sf_dir):
         ),
         F.col("record_count").cast("long").alias("record_count"),
     )
+
+
+@register(
+    "q_cdc_branch_diff",
+    family="cdc",
+    oracle="""
+    WITH cut AS (
+      SELECT (max(event_id) + 1) * 3 // 5 AS c FROM events
+    ),
+    br AS (
+      SELECT user_id,
+             arg_max(event_type, event_id) AS et,
+             max(event_id)                 AS seq
+      FROM events GROUP BY 1
+    ),
+    mn AS (
+      SELECT user_id, max(event_id) AS seq
+      FROM events CROSS JOIN cut WHERE event_id < c GROUP BY 1
+    )
+    SELECT CASE WHEN mn.user_id IS NULL THEN 'insert' ELSE 'update' END
+             AS change_type,
+           br.et                     AS event_type,
+           CAST(count(*) AS BIGINT)  AS n_keys
+    FROM br LEFT JOIN mn USING (user_id)
+    WHERE mn.user_id IS NULL OR br.seq <> mn.seq
+    GROUP BY 1, 2
+    """,
+    doc="Branch refs through the driver gate: build a MorTable whose "
+    "MAIN holds the first 60% of the event log (three commits), fork "
+    "an `audit` branch (Iceberg branching, sync/table_store.py "
+    "create_branch/commit_to_branch), land the remaining 40% as two "
+    "branch commits — invisible to main readers — and emit the "
+    "branch-vs-main diff: per (change_type, winning event_type), how "
+    "many keys the unpublished branch would change. The oracle "
+    "recomputes the same diff from the raw log with the same 60% cut, "
+    "so the hash check covers fork-point pinning, branch-only commit "
+    "routing, and the two-ref merge-on-read view end to end. "
+    "The multi-commit audit-then-fast-forward flow this enables is "
+    "Iceberg's WAP-on-a-branch; fast_forward() itself is "
+    "pytest-pinned (tests/test_branches.py) because publishing "
+    "mutates state — queries here stay pure reads. Scale: branch "
+    "reads plan scans exactly like main reads (manifest bounds + "
+    "bloom per commit dir), and the diff is one keyed outer join of "
+    "two LWW aggregations — the q_cdc_changefeed shape.",
+)
+def q_cdc_branch_diff(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    ev = t(spark, sf_dir, "events")
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        n = ev.agg(F.max("event_id")).head()[0]
+        cut = (n + 1) * 3 // 5
+
+        def commit(lo, hi, batch_id, branch=None):
+            batch = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            ).select(
+                "user_id",
+                F.col("event_id").alias(OP_SEQ),
+                F.lit("upsert").alias(OP_TYPE),
+                "event_type",
+                F.col("event_id").alias("src_event"),
+            )
+            if branch is None:
+                tbl.commit_batch(batch, batch_id)
+            else:
+                tbl.commit_to_branch(batch, batch_id, branch)
+
+        step = max(cut // 3, 1)
+        for b, lo in enumerate(range(0, cut, step)):
+            commit(lo, min(lo + step, cut), b)
+        tbl.create_branch("audit")
+        hi = n + 1
+        mid = cut + max((hi - cut) // 2, 1)
+        next_id = (cut + step - 1) // step
+        commit(cut, mid, next_id, branch="audit")
+        if mid < hi:
+            commit(mid, hi, next_id + 1, branch="audit")
+
+    path = session_fixture(("cdc_branch_diff", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    mn = tbl.snapshot().select("user_id", F.col("src_event").alias("m_seq"))
+    br = tbl.snapshot(branch="audit").select(
+        "user_id", "event_type", F.col("src_event").alias("b_seq")
+    )
+    return (
+        br.join(mn, "user_id", "left")
+        .filter(F.col("m_seq").isNull() | (F.col("b_seq") != F.col("m_seq")))
+        .groupBy(
+            F.when(F.col("m_seq").isNull(), "insert")
+            .otherwise("update")
+            .alias("change_type"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_keys"))
+    )

@@ -866,18 +866,27 @@ def q_text_containment(spark, sf_dir):
     )
 
 
-_SEM_TAU = 0.25     # within-bucket cosine that marks an epsilon-ball dup
-_SEM_SIGN_BITS = 4  # coarse bucket = sign bits of the first 4 dims
+_SEM_TAU = 0.25        # within-bucket cosine that marks an epsilon-ball dup
+_SEM_MIN_BITS = 4      # never fewer than 16 buckets
+_SEM_MAX_BITS = 16     # never more sign dims than the embedding can give
+_SEM_BUCKET_ROWS = 64  # target rows per bucket — bounds the per-bucket
+                       # pair count, so the self-join stays ~linear in n
 
 
 _SEMANTIC_ORACLE = f"""
-    WITH b AS (
-      SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-           + 2*(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
-           + 4*(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
-           + 8*(CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+    WITH nn AS (
+      SELECT greatest({_SEM_MIN_BITS}, least({_SEM_MAX_BITS},
+               CAST(ceil(log2(greatest(count(*) / {_SEM_BUCKET_ROWS}.0, 1.0)))
+                    AS BIGINT))) AS bits
       FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(1, nn.bits + 1),
+                    i -> CASE WHEN embedding[i] >= 0
+                              THEN 1 << (i - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
+      FROM embeddings CROSS JOIN nn
     ),
     dup AS (
       SELECT hi.vec_id, count(*) AS n_dups
@@ -913,21 +922,35 @@ _SEMANTIC_ORACLE = f"""
     "k-means clustering SemDedup uses); pairwise cosine runs ONLY "
     "within buckets, so the self-join is bucket-blocked, never "
     "all-pairs — the same candidate-capping shape as q_sim_ann_lsh. "
-    "At 100 TB: more sign bits (or IVF centroids from "
-    "q_sim_topk_ivf's trainer) keep per-bucket pair counts bounded; "
-    "the cross-bucket misses this introduces are exactly SemDedup's "
+    "The bit count ADAPTS to corpus size (ceil(log2(n/64)), floor 4): "
+    "buckets multiply as n grows so per-bucket pair counts stay "
+    "~constant and the self-join stays ~linear — the 10x probe caught "
+    "the fixed-4-bit version at 86x growth; SemDedup does the same by "
+    "scaling k-means k with n. Cross-bucket misses are SemDedup's "
     "documented cluster-boundary misses. Elementwise double casts "
     "before the dot product + round-6 make the score bitwise "
-    "cross-engine (same contract as q_dedup_embedding).",
+    "cross-engine (same contract as q_dedup_embedding). The count "
+    "feeding the bit choice is one scalar to the driver (same "
+    "bounded-collect class as q_graph_components' histogram).",
 )
 def q_dedup_semantic(spark, sf_dir):
+    import math
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    n_vec = e.count()
+    bits = max(
+        _SEM_MIN_BITS,
+        min(
+            _SEM_MAX_BITS,
+            math.ceil(math.log2(max(n_vec / float(_SEM_BUCKET_ROWS), 1.0))),
+        ),
+    )
     bucket = sum(
         F.when(F.element_at("v", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(_SEM_SIGN_BITS)
+        for i in range(bits)
     )
     nrm = F.sqrt(
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)

@@ -333,19 +333,25 @@ class MorTable:
             f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
         )
 
-    def prune_batches(self, lo=None, hi=None, as_of_batch: int | None = None) -> list[str]:
+    def prune_batches(
+        self, lo=None, hi=None, as_of_batch: int | None = None, root: str | None = None
+    ) -> list[str]:
         """Scan planning: delta commit dirs that can contain keys in
         [lo, hi] (either bound may be None) at or before as_of_batch.
         Dirs without a manifest are conservatively kept; dirs left
         without data files (partition-targeted compaction folded all
-        their partitions) are dropped."""
+        their partitions) are dropped. ``root`` defaults to main's
+        delta dir; branch reads pass the branch's commit root."""
+        root = root or self.delta_dir
+        if not os.path.isdir(root):
+            return []
         out = []
-        for d in sorted(os.listdir(self.delta_dir)):
+        for d in sorted(os.listdir(root)):
             if not d.startswith("batch="):
                 continue
             if as_of_batch is not None and int(d.split("=", 1)[1]) > as_of_batch:
                 continue
-            path = f"{self.delta_dir}/{d}"
+            path = f"{root}/{d}"
             if not self._has_parquet(path):
                 continue
             bounds = self._manifest_bounds(path)
@@ -378,7 +384,11 @@ class MorTable:
     # -- read path ----------------------------------------------------
 
     def _raw(
-        self, lo=None, hi=None, as_of_batch: int | None = None
+        self,
+        lo=None,
+        hi=None,
+        as_of_batch: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame | None:
         self._check_not_expired(as_of_batch)
         parts = []
@@ -389,7 +399,19 @@ class MorTable:
             if hi is not None:
                 base = base.filter(F.col(self.key) <= hi)
             parts.append(base)
-        delta_batches = self.prune_batches(lo, hi, as_of_batch)
+        if branch is not None:
+            # branch view = main AS OF the fork + the branch's commits;
+            # as_of_batch (if given) bounds the BRANCH-side commit ids
+            ref = self._branch_ref(branch)
+            main_as_of = ref["fork_batch"]
+            delta_batches = (
+                [] if main_as_of is None else self.prune_batches(lo, hi, main_as_of)
+            )
+            delta_batches += self.prune_batches(
+                lo, hi, as_of_batch, root=f"{self.branches_dir}/{branch}"
+            )
+        else:
+            delta_batches = self.prune_batches(lo, hi, as_of_batch)
         if delta_batches:
             # one read per commit dir, always: a combined multi-root read
             # would try to unify `batch=N` roots with the partition dirs
@@ -416,7 +438,11 @@ class MorTable:
         return df
 
     def snapshot(
-        self, lo=None, hi=None, as_of_batch: int | None = None
+        self,
+        lo=None,
+        hi=None,
+        as_of_batch: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame | None:
         """LWW state: max op_seq per key wins; tombstones drop.
 
@@ -430,16 +456,20 @@ class MorTable:
         commit (Iceberg time travel); only valid back to the last
         compact(), which folds deltas into base like ExpireSnapshots.
         """
-        latest = self._latest(lo, hi, as_of_batch)
+        latest = self._latest(lo, hi, as_of_batch, branch)
         if latest is None:
             return None
         return latest.filter(F.col(OP_TYPE) != TOMBSTONE).drop(OP_TYPE, OP_SEQ)
 
     def _latest(
-        self, lo=None, hi=None, as_of_batch: int | None = None
+        self,
+        lo=None,
+        hi=None,
+        as_of_batch: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame | None:
         """Per-key winning row INCLUDING op metadata (op type + seq)."""
-        raw = self._raw(lo, hi, as_of_batch)
+        raw = self._raw(lo, hi, as_of_batch, branch)
         if raw is None:
             return None
         payload = [c for c in raw.columns if c not in (OP_SEQ, OP_TYPE)]
@@ -620,6 +650,120 @@ class MorTable:
             shutil.rmtree(f"{self.delta_dir}/batch={b}", ignore_errors=True)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return dropped
+
+    # -- branch refs (Iceberg branching / multi-commit WAP analog) ----
+    #
+    # A branch is a named ref forked from a main version: its commits
+    # land under branches/<name>/batch=N (invisible to main readers),
+    # its view is "main AS OF the fork + the branch's own commits", and
+    # fast_forward() publishes by MOVING the commit dirs into deltas —
+    # metadata + rename only, no data rewrite, exactly Iceberg's
+    # fast-forward of main to a validated audit branch. The single-
+    # commit WAP path (stage/audit/publish) is the degenerate form.
+    # Reference: the staged-commit plan item (docs/design.md WAP notes);
+    # Iceberg ref semantics per the public spec (refs map in table
+    # metadata).
+
+    @property
+    def branches_dir(self) -> str:
+        return f"{self.path}/branches"
+
+    @property
+    def _refs_path(self) -> str:
+        return f"{self.path}/_refs.json"
+
+    def _read_refs(self) -> dict:
+        try:
+            with open(self._refs_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"branches": {}}
+
+    def _write_refs(self, refs: dict) -> None:
+        with open(self._refs_path, "w") as f:
+            json.dump(refs, f)
+
+    def _main_head(self) -> int | None:
+        ids = self._delta_batch_ids()
+        return ids[-1] if ids else None
+
+    def create_branch(self, name: str, at_batch: int | None = None) -> int | None:
+        """Fork a branch at ``at_batch`` (default: current main head).
+        Metadata-only. Returns the fork batch id (None = empty table)."""
+        refs = self._read_refs()
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name!r} already exists")
+        fork = at_batch if at_batch is not None else self._main_head()
+        if fork is not None:
+            self._check_not_expired(fork)
+        refs["branches"][name] = {"fork_batch": fork, "batches": []}
+        self._write_refs(refs)
+        return fork
+
+    def _branch_ref(self, name: str) -> dict:
+        refs = self._read_refs()
+        if name not in refs["branches"]:
+            raise ValueError(f"no such branch {name!r}")
+        return refs["branches"][name]
+
+    def commit_to_branch(self, batch_df: DataFrame, batch_id: int, name: str) -> None:
+        """commit_batch onto a branch: same idempotent overwrite + key
+        manifest, but the commit dir is reachable only via the ref."""
+        ref = self._branch_ref(name)
+        head = ref["batches"][-1] if ref["batches"] else ref["fork_batch"]
+        if head is not None and batch_id <= head and batch_id not in ref["batches"]:
+            raise ValueError(
+                f"branch {name!r} head is {head}; new batch id must advance"
+            )
+        target = f"{self.branches_dir}/{name}/batch={batch_id}"
+        self._writer(batch_df).mode("overwrite").parquet(target)
+        self._write_manifest(target)
+        if batch_id not in ref["batches"]:
+            refs = self._read_refs()
+            refs["branches"][name]["batches"].append(batch_id)
+            self._write_refs(refs)
+
+    def fast_forward(self, name: str) -> list[int]:
+        """Publish a branch: move its commit dirs into main's deltas and
+        drop the ref. Requires main to still be AT the fork point (a
+        true fast-forward — Iceberg's fastForwardBranch contract);
+        anything else would silently interleave diverged histories.
+        Returns the published batch ids."""
+        ref = self._branch_ref(name)
+        if self._main_head() != ref["fork_batch"]:
+            raise ValueError(
+                f"cannot fast-forward {name!r}: main advanced past fork "
+                f"batch {ref['fork_batch']} (now at {self._main_head()}); "
+                "recreate the branch from the new head"
+            )
+        for b in ref["batches"]:
+            src = f"{self.branches_dir}/{name}/batch={b}"
+            dst = f"{self.delta_dir}/batch={b}"
+            if os.path.exists(dst):
+                raise ValueError(f"batch {b} already exists on main")
+            os.replace(src, dst)
+        published = list(ref["batches"])
+        self.drop_branch(name)
+        return published
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's ref and its unpublished commit dirs."""
+        refs = self._read_refs()
+        refs["branches"].pop(name, None)
+        self._write_refs(refs)
+        shutil.rmtree(f"{self.branches_dir}/{name}", ignore_errors=True)
+
+    def refs(self) -> DataFrame:
+        """Metadata table of named refs (Iceberg `refs` analog): main
+        plus every branch with fork point, head, and commit count."""
+        refs = self._read_refs()
+        rows = [("main", None, self._main_head(), len(self._delta_batch_ids()))]
+        for name, ref in sorted(refs["branches"].items()):
+            head = ref["batches"][-1] if ref["batches"] else ref["fork_batch"]
+            rows.append((name, ref["fork_batch"], head, len(ref["batches"])))
+        return self.spark.createDataFrame(
+            rows, "ref string, fork_batch long, head_batch long, n_commits long"
+        )
 
     def should_compact(
         self, max_delta_batches: int = 16, max_delta_files: int = 64

@@ -1,0 +1,123 @@
+"""Branch refs on MorTable (Iceberg branching / multi-commit WAP):
+branch commits must be invisible to main, the branch view must equal
+"main AS OF the fork + branch commits", fast-forward publish must equal
+committing the same batches to main directly, and a diverged main must
+refuse the fast-forward."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mongodb_iceberg_sync_spark.sync.table_store import MorTable
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        [(d, s, op, json.dumps({"v": v})) for d, s, op, v in rows],
+        "doc_id string, _op_seq long, _op string, full_doc string",
+    )
+
+
+def _state(t, **kw):
+    snap = t.snapshot(**kw)
+    return sorted((r.doc_id, r.full_doc) for r in snap.collect()) if snap else []
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = MorTable(spark, str(tmp_path / "br_tbl"), key="doc_id")
+    t.commit_batch(_mk_batch(spark, [("a", 1, "upsert", 1), ("b", 2, "upsert", 2)]), 0)
+    t.commit_batch(_mk_batch(spark, [("c", 3, "upsert", 3)]), 1)
+    return t
+
+
+def test_branch_commits_invisible_to_main(spark, table):
+    before = _state(table)
+    table.create_branch("audit")
+    table.commit_to_branch(
+        _mk_batch(spark, [("d", 4, "upsert", 4), ("b", 5, "delete", None)]), 2, "audit"
+    )
+    assert _state(table) == before
+    assert _state(table, branch="audit") == sorted(
+        [("a", json.dumps({"v": 1})), ("c", json.dumps({"v": 3})),
+         ("d", json.dumps({"v": 4}))]
+    )
+
+
+def test_branch_view_pins_fork_point(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2, "audit")
+    # main advances AFTER the fork: branch view must NOT see batch 3
+    table.commit_batch(_mk_batch(spark, [("e", 5, "upsert", 5)]), 3)
+    branch_ids = {r[0] for r in _state(table, branch="audit")}
+    assert "e" not in branch_ids and "d" in branch_ids
+
+
+def test_fast_forward_equals_direct_commits(spark, table, tmp_path):
+    rows1 = [("b", 4, "upsert", 20), ("d", 5, "upsert", 4)]
+    rows2 = [("a", 6, "delete", None)]
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, rows1), 2, "audit")
+    table.commit_to_branch(_mk_batch(spark, rows2), 3, "audit")
+    assert table.fast_forward("audit") == [2, 3]
+
+    direct = MorTable(spark, str(tmp_path / "direct_tbl"), key="doc_id")
+    direct.commit_batch(
+        _mk_batch(spark, [("a", 1, "upsert", 1), ("b", 2, "upsert", 2)]), 0
+    )
+    direct.commit_batch(_mk_batch(spark, [("c", 3, "upsert", 3)]), 1)
+    direct.commit_batch(_mk_batch(spark, rows1), 2)
+    direct.commit_batch(_mk_batch(spark, rows2), 3)
+    assert _state(table) == _state(direct)
+    # ref is gone, commits are on main
+    refs = {r.ref for r in table.refs().collect()}
+    assert refs == {"main"}
+
+
+def test_diverged_main_refuses_fast_forward(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2, "audit")
+    table.commit_batch(_mk_batch(spark, [("e", 5, "upsert", 5)]), 3)
+    with pytest.raises(ValueError, match="fast-forward"):
+        table.fast_forward("audit")
+    # the branch is intact after the refusal
+    assert ("d", json.dumps({"v": 4})) in _state(table, branch="audit")
+
+
+def test_drop_branch_removes_ref_and_dirs(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2, "audit")
+    table.drop_branch("audit")
+    with pytest.raises(ValueError, match="no such branch"):
+        table.snapshot(branch="audit")
+    assert _state(table) == sorted(
+        [("a", json.dumps({"v": 1})), ("b", json.dumps({"v": 2})),
+         ("c", json.dumps({"v": 3}))]
+    )
+
+
+def test_refs_metadata_table(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2, "audit")
+    rows = {r.ref: r for r in table.refs().collect()}
+    assert rows["main"].head_batch == 1 and rows["main"].n_commits == 2
+    assert rows["audit"].fork_batch == 1
+    assert rows["audit"].head_batch == 2 and rows["audit"].n_commits == 1
+
+
+def test_branch_batch_id_must_advance(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2, "audit")
+    with pytest.raises(ValueError, match="must advance"):
+        table.commit_to_branch(_mk_batch(spark, [("e", 5, "upsert", 5)]), 1, "audit")
+    # idempotent replay of the SAME branch batch id is allowed
+    table.commit_to_branch(_mk_batch(spark, [("d", 6, "upsert", 40)]), 2, "audit")
+    assert ("d", json.dumps({"v": 40})) in _state(table, branch="audit")
+
+
+def test_duplicate_branch_rejected(table):
+    table.create_branch("audit")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("audit")

@@ -139,6 +139,12 @@ PROBE_QUERIES = [
     "q_events_did",
     "q_graph_common_neighbors",
     "q_graph_components",
+    "q_text_scrub_chunks",
+    "q_dedup_semantic",
+    "q_sim_maxsim",
+    "q_mix_epochs",
+    "q_timeseries_cusum",
+    "q_timeseries_seasonal",
 ]
 REPLICAS = 10
 
