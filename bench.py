@@ -81,6 +81,13 @@ HEADLINE = [
     "q_text_feature_hash",
     "q_events_did",
     "q_graph_common_neighbors",
+    "q_text_scrub_chunks",
+    "q_dedup_semantic",
+    "q_sim_maxsim",
+    "q_mix_epochs",
+    "q_timeseries_cusum",
+    "q_timeseries_seasonal",
+    "q_agg_moments",
 ]
 
 

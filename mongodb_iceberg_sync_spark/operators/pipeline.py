@@ -1534,9 +1534,9 @@ def q_events_did(spark, sf_dir):
     ),
     stat AS (
       SELECT event_type, day, n_days,
-             r - min(r) OVER (
+             r - least(0, min(r) OVER (
                PARTITION BY event_type ORDER BY day
-               ROWS UNBOUNDED PRECEDING)                       AS s
+               ROWS UNBOUNDED PRECEDING))                      AS s
       FROM walk
     ),
     ranked AS (
@@ -1551,10 +1551,12 @@ def q_events_did(spark, sf_dir):
     """,
     doc="CUSUM changepoint detection per series: the classic recursive "
     "statistic s_t = max(0, s_{t-1} + (x_t - mean)) is NOT a window "
-    "function, but its closed form IS — s_t = R_t - min(R_1..R_t) "
-    "where R is the running sum of demeaned values — so the whole "
-    "detector is two cumulative windows (sum, then min) plus an "
-    "argmax, no recursion, no UDF. Everything stays exact BIGINT: "
+    "function, but its closed form IS — s_t = R_t - min(R_0..R_t) "
+    "with R_0 = 0 (the empty prefix MUST participate, hence the "
+    "least(0, running_min)) — so the whole detector is two "
+    "cumulative windows (sum, then min) plus an argmax, no "
+    "recursion, no UDF; the identity is hypothesis-tested against "
+    "the recursion in tests/test_cusum_props.py. Everything stays exact BIGINT: "
     "demeaning multiplies through by n_days (x_t*n - total, unit = "
     "cents*days) instead of subtracting a float mean, so the reported "
     "peak location and scaled statistic are bitwise cross-engine. "
@@ -1580,8 +1582,13 @@ def q_timeseries_cusum(spark, sf_dir):
         Window.unboundedPreceding, Window.currentRow
     )
     r = F.sum(F.col("cents") * F.col("n_days") - F.col("total")).over(cum)
+    # the prefix-min must include the EMPTY prefix (R_0 = 0), or s_1 is
+    # zeroed whenever the first demeaned value is positive
     stat = walk.select(
-        "event_type", "day", "n_days", (r - F.min(r).over(cum)).alias("s")
+        "event_type",
+        "day",
+        "n_days",
+        (r - F.least(F.min(r).over(cum), F.lit(0))).alias("s"),
     )
     rk = F.row_number().over(
         Window.partitionBy("event_type").orderBy(F.desc("s"), "day")
