@@ -88,6 +88,8 @@ HEADLINE = [
     "q_timeseries_cusum",
     "q_timeseries_seasonal",
     "q_agg_moments",
+    "q_events_pathing",
+    "q_timeseries_autocorr",
 ]
 
 

@@ -1681,3 +1681,183 @@ def q_timeseries_seasonal(spark, sf_dir):
             6,
         ).alias("seasonal"),
     )
+
+
+_PATH_LEN = 5   # first N events define a user's entry path
+_PATH_TOPK = 10
+
+
+@register(
+    "q_events_pathing",
+    family="pipeline",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    ),
+    counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      FROM paths GROUP BY path
+    ),
+    topk AS (
+      SELECT path, n_users,
+             row_number() OVER (ORDER BY n_users DESC, path) AS rk
+      FROM counted
+    )
+    SELECT path, n_users, CAST(rk AS BIGINT) AS rk
+    FROM topk WHERE rk <= {_PATH_TOPK}
+    """,
+    doc="Top entry paths — the product-analytics 'what do users do "
+    "first' readout that funnels (fixed steps) and Markov chains "
+    "(memoryless transitions) both miss: each user's first 5 events "
+    "in (ts, event_id) order become a path string, and the most "
+    "common paths are ranked. The per-user sequence window partitions "
+    "by user_id (bounded partitions — a user's history, further "
+    "capped by the rank filter); path assembly sorts inside each "
+    "user's aggregation buffer; the final count is a hash agg whose "
+    "key cardinality is the distinct-path count (<= |event_types|^5, "
+    "tiny). Top-k carries a total order (count desc, then path) so "
+    "the cut is deterministic cross-engine. Scale: the only "
+    "data-sized shuffle is the user-keyed one; everything after "
+    "operates on one row per user, then one row per path.",
+)
+def q_events_pathing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    paths = (
+        ev.select("user_id", "event_type", rn.alias("rn"))
+        .filter(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    rk = F.row_number().over(
+        Window.partitionBy(F.col("n_users") * F.lit(0)).orderBy(
+            F.desc("n_users"), "path"
+        )
+    )
+    return (
+        counted.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= _PATH_TOPK)
+        .select("path", "n_users", "rk")
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_timeseries_autocorr",
+    family="pipeline",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    rn AS (
+      SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    pairs AS (
+      SELECT u.k, a.rev AS x, b.rev AS y
+      FROM rn a
+      CROSS JOIN unnest(range(1, {_ACF_MAX_LAG} + 1)) AS u(k)
+      JOIN rn b ON a.rn = b.rn + u.k
+    ),
+    s AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE)     AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE)     AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS autocorr
+    FROM s
+    """,
+    doc="Autocorrelation function of the daily revenue series (lags "
+    "1..7) — the seasonality detector that motivates "
+    "q_timeseries_seasonal's weekly period. Lagged pairs come from a "
+    "row-number SELF-JOIN against an exploded lag range rather than "
+    "7 window passes: one window assigns rn over the daily rollup, "
+    "one equi-join (rn = rn + k) builds every (lag, x, y) pair. "
+    "Pearson r per lag derives from exact integer power sums "
+    "(HUGEINT/DECIMAL(38)) cast to double, with the identical "
+    "n*sxy - sx*sy expression tree both engines and sqrt-only "
+    "algebra — the q_agg_moments determinism contract. Scale: the "
+    "daily rollup is calendar-bound (~2.5k rows), so the self-join "
+    "is trivially small no matter the raw volume; the rollup itself "
+    "is one map-side-combinable groupBy.",
+)
+def q_timeseries_autocorr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(price_c * (F.lit(100) - disc_c)).alias("rev")
+    )
+    rn = daily.select(
+        "rev",
+        F.row_number()
+        .over(Window.partitionBy(F.col("rev") * F.lit(0)).orderBy("day"))
+        .alias("rn"),
+    )
+    lags = rn.select(
+        "rev", "rn", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("k")
+    )
+    a, b = lags.alias("a"), rn.alias("b")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(
+        b, F.col("a.rn") == F.col("b.rn") + F.col("a.k")
+    ).select(
+        F.col("a.k").alias("k"),
+        dec(F.col("a.rev")).alias("x"),
+        dec(F.col("b.rev")).alias("y"),
+    )
+    s = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        F.col("k").cast("long").alias("lag"),
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("autocorr"),
+    )

@@ -145,6 +145,9 @@ PROBE_QUERIES = [
     "q_mix_epochs",
     "q_timeseries_cusum",
     "q_timeseries_seasonal",
+    "q_agg_moments",
+    "q_events_pathing",
+    "q_timeseries_autocorr",
 ]
 REPLICAS = 10
 
