@@ -945,7 +945,12 @@ class MorTable:
         target = f"{self.staging_dir}/batch={batch_id}"
         if not self._has_parquet(target):
             return [f"batch {batch_id}: nothing staged"]
-        df = self.spark.read.parquet(target)
+        return self._audit_df(self.spark.read.parquet(target), expect_min_rows, checks)
+
+    def _audit_df(self, df, expect_min_rows: int, checks) -> list:
+        """The audit core shared by staged-batch and branch audits:
+        built-in expectations (key never null, OP_SEQ/OP_TYPE present
+        and valid, minimum row count) + caller ``checks`` callables."""
         problems: list[str] = []
         cols = set(df.columns)
         for required in (self.key, OP_SEQ, OP_TYPE):
@@ -971,6 +976,49 @@ class MorTable:
             if msg:
                 problems.append(msg)
         return problems
+
+    def audit_branch(self, name: str, checks=None, expect_min_rows: int = 1):
+        """Validate EVERY commit on a branch before publishing it —
+        the multi-commit generalization of audit_batch. Built-in
+        expectations run per commit dir (exactly what fast_forward
+        would expose); ``checks`` callables additionally run once
+        against the whole branch VIEW (main-as-of-fork + branch), so
+        cross-commit rules (referential counts, aggregate drift) see
+        the state readers would. Returns violation strings, empty =
+        clean."""
+        ref = self._branch_ref(name)
+        problems: list[str] = []
+        if not ref["batches"]:
+            return [f"branch {name!r}: no commits to publish"]
+        for b in ref["batches"]:
+            target = f"{self.branches_dir}/{name}/batch={b}"
+            if not self._has_parquet(target):
+                problems.append(f"branch commit {b}: no data files")
+                continue
+            problems += [
+                f"branch commit {b}: {p}"
+                for p in self._audit_df(
+                    self.spark.read.parquet(target), expect_min_rows, None
+                )
+            ]
+        if not problems:
+            view = self.snapshot(branch=name)
+            for check in checks or ():
+                msg = check(view)
+                if msg:
+                    problems.append(msg)
+        return problems
+
+    def publish_branch(self, name: str, checks=None) -> dict:
+        """Audit-then-fast-forward: the branch flavor of WAP. A clean
+        audit fast-forwards main to the branch (rename-only) and
+        returns the published batch ids; any violation leaves the
+        branch INTACT for inspection (drop_branch to discard) and
+        nothing reaches main."""
+        problems = self.audit_branch(name, checks=checks)
+        if problems:
+            return {"published": [], "problems": problems}
+        return {"published": self.fast_forward(name), "problems": []}
 
     def publish_batch(self, batch_id: int) -> None:
         """Atomically promote a staged batch into deltas/ (one rename —

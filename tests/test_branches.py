@@ -121,3 +121,71 @@ def test_duplicate_branch_rejected(table):
     table.create_branch("audit")
     with pytest.raises(ValueError, match="already exists"):
         table.create_branch("audit")
+
+
+# -- streaming onto a branch (multi-commit WAP) -----------------------
+
+
+def test_streaming_branch_wap(spark, tmp_path):
+    """Micro-batches accumulate on a branch (main never sees them),
+    then one publish_branch audit + fast-forward lands the whole run —
+    and the final state equals the sequential replay of all ops."""
+    from mongodb_iceberg_sync_spark.sources.cdc_feed import (
+        expected_final_state,
+        make_events,
+        read_stream,
+        write_stream_source,
+    )
+    from mongodb_iceberg_sync_spark.streaming.sink import foreach_batch_branch
+
+    rows = make_events(n_docs=10, n_ops=60)
+    src = write_stream_source(spark, rows, str(tmp_path / "src"))
+    table = MorTable(spark, str(tmp_path / "tbl"), key="doc_id")
+    table.commit_batch(
+        _mk_batch(spark, [("seed", 1, "upsert", 0)]), 0
+    )
+    before = _state(table)
+    table.create_branch("ingest")
+    q = foreach_batch_branch(
+        read_stream(spark, src), table, str(tmp_path / "ckpt"), "ingest"
+    )
+    q.awaitTermination()
+
+    # nothing reached main while streaming
+    assert _state(table) == before
+    # branch sees the full replay
+    got = table.publish_branch("ingest")
+    assert got["problems"] == [] and len(got["published"]) >= 1
+    final = {
+        r.doc_id: json.loads(r.full_doc)
+        for r in table.snapshot().collect()
+        if r.doc_id != "seed"
+    }
+    assert final == expected_final_state(rows)
+
+
+def test_publish_branch_refuses_dirty_audit(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(
+        _mk_batch(spark, [(None, 4, "upsert", 4)]), 2, "audit"
+    )
+    got = table.publish_branch("audit")
+    assert got["published"] == [] and any("null" in p for p in got["problems"])
+    # branch intact for inspection, main untouched
+    assert "audit" in {r.ref for r in table.refs().collect()}
+
+
+def test_publish_branch_runs_view_checks(spark, table):
+    table.create_branch("audit")
+    table.commit_to_branch(_mk_batch(spark, [("d", 4, "upsert", 4)]), 2, "audit")
+    got = table.publish_branch(
+        "audit",
+        checks=[
+            lambda view: None
+            if view.count() >= 100
+            else "view smaller than contract minimum"
+        ],
+    )
+    assert got["published"] == [] and got["problems"] == [
+        "view smaller than contract minimum"
+    ]
