@@ -675,9 +675,12 @@ class MorTable:
     def _read_refs(self) -> dict:
         try:
             with open(self._refs_path) as f:
-                return json.load(f)
+                refs = json.load(f)
+                refs.setdefault("branches", {})
+                refs.setdefault("tags", {})
+                return refs
         except (OSError, ValueError):
-            return {"branches": {}}
+            return {"branches": {}, "tags": {}}
 
     def _write_refs(self, refs: dict) -> None:
         with open(self._refs_path, "w") as f:
@@ -691,8 +694,8 @@ class MorTable:
         """Fork a branch at ``at_batch`` (default: current main head).
         Metadata-only. Returns the fork batch id (None = empty table)."""
         refs = self._read_refs()
-        if name in refs["branches"]:
-            raise ValueError(f"branch {name!r} already exists")
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref {name!r} already exists")
         fork = at_batch if at_batch is not None else self._main_head()
         if fork is not None:
             self._check_not_expired(fork)
@@ -753,16 +756,52 @@ class MorTable:
         self._write_refs(refs)
         shutil.rmtree(f"{self.branches_dir}/{name}", ignore_errors=True)
 
-    def refs(self) -> DataFrame:
-        """Metadata table of named refs (Iceberg `refs` analog): main
-        plus every branch with fork point, head, and commit count."""
+    def create_tag(self, name: str, at_batch: int | None = None) -> int:
+        """Pin a named immutable ref to a version (Iceberg tag):
+        ``snapshot(as_of_batch=resolve_tag(name))`` reads it forever —
+        or until compaction expires the version, which resolve_tag
+        surfaces as SnapshotExpiredError, same contract as any
+        time-travel read. Tags and branches share the ref namespace."""
         refs = self._read_refs()
-        rows = [("main", None, self._main_head(), len(self._delta_batch_ids()))]
+        if name in refs["tags"] or name in refs["branches"]:
+            raise ValueError(f"ref {name!r} already exists")
+        at = at_batch if at_batch is not None else self._main_head()
+        if at is None:
+            raise ValueError("cannot tag an empty table")
+        self._check_not_expired(at)
+        refs["tags"][name] = at
+        self._write_refs(refs)
+        return at
+
+    def resolve_tag(self, name: str) -> int:
+        refs = self._read_refs()
+        if name not in refs["tags"]:
+            raise ValueError(f"no such tag {name!r}")
+        at = refs["tags"][name]
+        self._check_not_expired(at)
+        return at
+
+    def drop_tag(self, name: str) -> None:
+        refs = self._read_refs()
+        refs["tags"].pop(name, None)
+        self._write_refs(refs)
+
+    def refs(self) -> DataFrame:
+        """Metadata table of named refs (Iceberg `refs` analog): main,
+        every branch (fork point, head, commit count), every tag."""
+        refs = self._read_refs()
+        rows = [
+            ("main", "branch", None, self._main_head(), len(self._delta_batch_ids()))
+        ]
         for name, ref in sorted(refs["branches"].items()):
             head = ref["batches"][-1] if ref["batches"] else ref["fork_batch"]
-            rows.append((name, ref["fork_batch"], head, len(ref["batches"])))
+            rows.append((name, "branch", ref["fork_batch"], head, len(ref["batches"])))
+        for name, at in sorted(refs["tags"].items()):
+            rows.append((name, "tag", None, at, 0))
         return self.spark.createDataFrame(
-            rows, "ref string, fork_batch long, head_batch long, n_commits long"
+            rows,
+            "ref string, kind string, fork_batch long, head_batch long, "
+            "n_commits long",
         )
 
     def should_compact(
@@ -786,7 +825,12 @@ class MorTable:
                 return True
         return False
 
-    def compact(self, where=None, max_records_per_file: int | None = None) -> None:
+    def compact(
+        self,
+        where=None,
+        max_records_per_file: int | None = None,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> None:
         """Rewrite base from the merged snapshot; fold deltas (reference
         A24 RewriteDataFiles, docs/design.md:394-400).
 
@@ -795,6 +839,19 @@ class MorTable:
         native maxRecordsPerFile write option — the writer rolls files
         at the bound with NO extra repartition job, so compaction cost
         is unchanged and downstream scans get uniformly-sized splits.
+
+        ``zorder_by=(colA, colB)`` clusters the rewritten base on the
+        Morton interleaving of the two columns (Iceberg's z-ordered
+        RewriteDataFiles / Delta Z-ORDER): a range repartition on the
+        z-code spreads the rewrite across MANY tasks (ranges nest, so
+        per-file z-ranges stay disjoint — the q_sink_sorted_files
+        lesson; one-task-per-file layouts don't survive 100 TB), and a
+        within-partition sort clusters rows so each file covers a small
+        rectangle of the 2-D key space — min/max footer stats then
+        prune scans filtered on EITHER column. Columns must be
+        non-negative integers (morton_code contract). With a table
+        partition spec, the sort is prefixed by the partition column so
+        the writer's own partition sort cannot destroy the clustering.
 
         ``where=None`` rewrites the whole table. With a predicate over
         ``partition_col`` (a Column, e.g. ``F.col("day") < "2024-01"``),
@@ -813,12 +870,24 @@ class MorTable:
         would be silently wrong).
         """
         if where is not None:
+            if zorder_by is not None:
+                raise ValueError(
+                    "zorder_by requires a full rewrite (where=None): a "
+                    "partial rewrite would interleave clustered and "
+                    "unclustered files in one layout"
+                )
             self._compact_partitions(where, max_records_per_file)
             return
         snap = self.snapshot()
         tmp = f"{self.path}/.compact_tmp"
         if snap is None:
             return
+        if zorder_by is not None:
+            from ..functions.zorder import morton_code
+
+            z = morton_code(F.col(zorder_by[0]), F.col(zorder_by[1]))
+            keys = ([F.col(self.partition_col)] if self.partition_col else []) + [z]
+            snap = snap.repartitionByRange(*keys).sortWithinPartitions(*keys)
         batch_ids = self._delta_batch_ids()
         w = self._writer(
             snap.withColumn(OP_SEQ, F.lit(0).cast("long")).withColumn(

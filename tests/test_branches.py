@@ -189,3 +189,91 @@ def test_publish_branch_runs_view_checks(spark, table):
     assert got["published"] == [] and got["problems"] == [
         "view smaller than contract minimum"
     ]
+
+
+# -- tags + z-ordered compaction --------------------------------------
+
+
+def test_tag_pins_a_version(spark, table):
+    at = table.create_tag("v1")
+    assert at == 1
+    table.commit_batch(_mk_batch(spark, [("a", 9, "upsert", 99)]), 2)
+    tagged = _state(table, as_of_batch=table.resolve_tag("v1"))
+    assert ("a", json.dumps({"v": 1})) in tagged  # pre-update value
+    now = _state(table)
+    assert ("a", json.dumps({"v": 99})) in now
+
+
+def test_tag_expires_with_compaction(spark, table):
+    table.create_tag("v1", at_batch=0)
+    table.compact()
+    from mongodb_iceberg_sync_spark.sync.table_store import SnapshotExpiredError
+
+    with pytest.raises(SnapshotExpiredError):
+        table.resolve_tag("v1")
+    table.drop_tag("v1")
+
+
+def test_tag_and_branch_share_namespace(table):
+    table.create_tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("v1")
+    rows = {r.ref: r.kind for r in table.refs().collect()}
+    assert rows == {"main": "branch", "v1": "tag"}
+
+
+def test_compact_zorder_clusters_files(spark, tmp_path):
+    """Z-ordered compaction: per-file z-code ranges must be disjoint
+    (range repartition + within-partition sort), so footer min/max
+    stats prune on either dimension."""
+    import glob
+    import itertools
+
+    from mongodb_iceberg_sync_spark.functions.zorder import morton_code
+    from pyspark.sql import functions as F
+
+    t = MorTable(spark, str(tmp_path / "z_tbl"), key="k")
+    rows = [(i, i % 251, (i * 7919) % 251) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, x long, y long").select(
+        "k", "x", "y",
+        F.lit(1).cast("long").alias("_op_seq"),
+        F.lit("upsert").alias("_op"),
+    )
+    t.commit_batch(df, 0)
+    t.compact(zorder_by=("x", "y"), max_records_per_file=500)
+
+    files = glob.glob(f"{t.base_dir}/**/*.parquet", recursive=True)
+    assert len(files) >= 4  # the rewrite actually split across files
+    bounds = []
+    for f in files:
+        zdf = spark.read.parquet(f).select(
+            F.min(morton_code("x", "y")).alias("lo"),
+            F.max(morton_code("x", "y")).alias("hi"),
+        ).head()
+        bounds.append((zdf.lo, zdf.hi))
+    # disjoint up to boundary ties: duplicate z-codes may legitimately
+    # straddle a file roll, so ranges may TOUCH at one shared value but
+    # never interleave
+    for (lo1, hi1), (lo2, hi2) in itertools.combinations(bounds, 2):
+        assert hi1 <= lo2 or hi2 <= lo1, "file z-ranges interleave"
+    # data survived intact
+    assert t.snapshot().count() == 4000
+
+
+def test_compact_zorder_refuses_partial(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = MorTable(spark, str(tmp_path / "zp_tbl"), key="k", partition_col="p")
+    df = spark.createDataFrame(
+        [(i, i % 3, i, i) for i in range(100)], "k long, p long, x long, y long"
+    ).select(
+        "k", "p", "x", "y",
+        F.lit(1).cast("long").alias("_op_seq"),
+        F.lit("upsert").alias("_op"),
+    )
+    t.commit_batch(df, 0)
+    with pytest.raises(ValueError, match="full rewrite"):
+        t.compact(where=F.col("p") == 0, zorder_by=("x", "y"))
+    # full-table zorder under a partition spec keeps the spec layout
+    t.compact(zorder_by=("x", "y"))
+    assert t.snapshot().count() == 100
