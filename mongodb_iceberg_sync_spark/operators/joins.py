@@ -976,3 +976,44 @@ def q_join_asof_nearest(spark, sf_dir):
             "signed_gap_us",
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+"""
+
+
+@register(
+    "q_sql_lateral",
+    family="joins",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT — "
+    "the ANSI 'top-N per outer row' idiom (SQL:1999 lateral derived "
+    "table; the form every BI tool emits for 'top 3 orders per "
+    "account'). Catalyst DECORRELATES it into a DomainJoin: the inner "
+    "query becomes ONE grouped window/group-limit over orders "
+    "pre-filtered to the surviving customer domain, joined back on "
+    "o_custkey — two scans + one shuffle join, never a per-outer-row "
+    "re-scan (nested-loop semantics, hash-join execution; the naive "
+    "reading is O(customers x orders) and dead at 100 TB). "
+    "Deterministic: the LIMIT rides a total order (totalprice DESC, "
+    "orderkey) of per-row doubles — no aggregation, no rounding "
+    "needed. The identical SQL string runs on DuckDB as the oracle, "
+    "pinning SQL-surface parity like q_sql_correlated/q_sql_recursive.",
+)
+def q_sql_lateral(spark, sf_dir):
+    from ._util import t as _t
+
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("mis_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("mis_lat_orders")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="mis_lat_customer", orders="mis_lat_orders")
+    )

@@ -203,6 +203,17 @@ def test_pack_tokens_window_is_partitioned(spark, sf_dir):
             assert "windowspecdefinition(pid" in line, line
 
 
+def test_lateral_subquery_is_decorrelated(spark, sf_dir):
+    # the per-outer-row ORDER BY + LIMIT 3 must become a per-group
+    # WindowGroupLimit (early top-3 per custkey) feeding ONE equi-join
+    # — never a nested-loop re-scan of orders per customer
+    df = SPECS["q_sql_lateral"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     # Catalyst must rewrite the correlated scalar subquery into a
     # grouped aggregate + equi-join — a nested-loop (re-scan per outer
