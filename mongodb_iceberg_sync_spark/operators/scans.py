@@ -546,3 +546,58 @@ def q_scan_dpp(spark, sf_dir):
         )
         .orderBy("ship_year")
     )
+
+
+_PYDS_OPS = 2000
+_PYDS_DOCS = 50
+
+
+@register(
+    "q_scan_pyds",
+    family="scans",
+    oracle=f"""
+    WITH i AS (SELECT unnest(range(0, {_PYDS_OPS})) AS i),
+    ops AS (
+      SELECT i,
+             CASE WHEN i > 0 AND i % 7 = 0 THEN 'delete'
+                  WHEN i < {_PYDS_DOCS}    THEN 'insert'
+                  WHEN i % 11 = 0          THEN 'replace'
+                  ELSE 'update' END AS op_type
+      FROM i
+    )
+    SELECT op_type,
+           CAST(count(*) AS BIGINT)   AS n_ops,
+           CAST(min(i + 1) AS BIGINT) AS first_seq,
+           CAST(max(i + 1) AS BIGINT) AS last_seq
+    FROM ops GROUP BY op_type
+    """,
+    doc="Python Data Source scan through the driver gate: read the "
+    "registered `mongo_cdc_sim` format (sources/pyds.py — the CDC "
+    "feed as a NATIVE Spark source: engine-planned input partitions, "
+    "streaming offsets as resume tokens) and aggregate the op-type "
+    "census. The oracle rebuilds the identical deterministic log from "
+    "generate_series, so the hash check covers the source's partition "
+    "planning and row generation end to end — every input partition "
+    "must produce exactly its op_seq slice, no dupes, no gaps "
+    "(a short-read or double-read source shifts a count and fails). "
+    "Scale: the scan parallelizes across input partitions like any "
+    "file source; a real deployment swaps the generator for a pymongo "
+    "cursor per partition (sources/mongo_live.py) with the same "
+    "Spark-facing contract.",
+)
+def q_scan_pyds(spark, sf_dir):
+    from ..sources.pyds import register_cdc_sim
+
+    register_cdc_sim(spark)
+    df = (
+        spark.read.format("mongo_cdc_sim")
+        .option("n_ops", _PYDS_OPS)
+        .option("n_docs", _PYDS_DOCS)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("op_type").agg(
+        F.count("*").alias("n_ops"),
+        F.min("op_seq").alias("first_seq"),
+        F.max("op_seq").alias("last_seq"),
+    )
