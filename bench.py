@@ -90,6 +90,12 @@ HEADLINE = [
     "q_agg_moments",
     "q_events_pathing",
     "q_timeseries_autocorr",
+    # round-4 session-4 additions
+    "q_agg_covar_matrix",
+    "q_agg_basket_lift",
+    "q_events_sequence_match",
+    "q_text_readability",
+    "q_window_regr_slope",
 ]
 
 

@@ -1488,3 +1488,247 @@ def q_agg_moments(spark, sf_dir):
         F.round(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(F.col("m4") / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+# Pairs for the one-pass covariance matrix: exact integer encodings of the
+# four lineitem measures (unit factor = what one integer step is worth).
+_COVAR_COLS = (
+    ("qty", 1),        # whole units
+    ("price_c", 100),  # cents
+    ("disc_b", 100),   # basis points of 1.0 (0.01 steps)
+    ("tax_b", 100),
+)
+_COVAR_PAIRS = [
+    (_COVAR_COLS[i], _COVAR_COLS[j])
+    for i in range(len(_COVAR_COLS))
+    for j in range(i, len(_COVAR_COLS))
+]
+
+
+def _covar_oracle() -> str:
+    terms = ",\n           ".join(
+        f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS DOUBLE) AS s_{a}_{b}"
+        for (a, _), (b, _) in _COVAR_PAIRS
+    )
+    sums = ",\n           ".join(
+        f"CAST(sum(CAST({c} AS HUGEINT)) AS DOUBLE) AS s_{c}"
+        for c, _ in _COVAR_COLS
+    )
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+        f" round((n * s_{a}_{b} - s_{a} * s_{b}) / (n * n * {fa} * {fb}), 6)"
+        f" AS covar,"
+        f" round((n * s_{a}_{b} - s_{a} * s_{b})"
+        f" / (sqrt(n * s_{a}_{a} - s_{a} * s_{a})"
+        f"    * sqrt(n * s_{b}_{b} - s_{b} * s_{b})), 6) AS corr"
+        f" FROM s"
+        for (a, fa), (b, fb) in _COVAR_PAIRS
+    )
+    return f"""
+    WITH enc AS (
+      SELECT CAST(round(l_quantity) AS BIGINT)            AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT)      AS disc_b,
+             CAST(round(l_tax * 100) AS BIGINT)           AS tax_b
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+           {sums},
+           {terms}
+      FROM enc
+    )
+    SELECT * FROM (
+      {rows}
+    ) ORDER BY col_x, col_y
+    """
+
+
+@register(
+    "q_agg_covar_matrix",
+    family="aggregates",
+    oracle=_covar_oracle(),
+    doc="Full covariance/correlation matrix of the four lineitem "
+    "measures in ONE aggregation pass — the feature-correlation "
+    "screen every modeling pipeline runs before training. Each "
+    "measure is encoded as exact integers (units/cents/basis "
+    "points), all 10 upper-triangle cross-product sums ride "
+    "decimal(38,0) accumulators in a single hash agg (map-side "
+    "partial, one row out), and covar/corr come from the exact "
+    "sufficient statistics with one float division per cell — "
+    "no covar_pop/corr builtin, whose float accumulation order "
+    "differs per engine. Scale: one pass, zero shuffle beyond the "
+    "single-row final agg; 10 extra multiply-adds per row is free "
+    "inside whole-stage codegen. The long-form output is a "
+    "constant 10 rows regardless of input size.",
+)
+def q_agg_covar_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    enc = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_b"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_b"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c, _ in _COVAR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("double").alias(f"s_{c}")
+        )
+    for (a, _), (b, _) in _COVAR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}_{b}")
+        )
+    s = enc.agg(*aggs)
+    cells = []
+    n = F.col("n")
+    for (a, fa), (b, fb) in _COVAR_PAIRS:
+        sxy, sx, sy = F.col(f"s_{a}_{b}"), F.col(f"s_{a}"), F.col(f"s_{b}")
+        sxx, syy = F.col(f"s_{a}_{a}"), F.col(f"s_{b}_{b}")
+        cells.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.round(
+                    (n * sxy - sx * sy) / (n * n * F.lit(float(fa * fb))), 6
+                ).alias("covar"),
+                F.round(
+                    (n * sxy - sx * sy)
+                    / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                    6,
+                ).alias("corr"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*cells)).alias("cell"))
+        .select("cell.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+_BASKET_TOPK = 20
+
+
+@register(
+    "q_agg_basket_lift",
+    family="aggregates",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+    ),
+    brand_n AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b
+      FROM baskets GROUP BY p_brand
+    ),
+    pair_n AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.brand_a, p.brand_b, p.n_ab,
+             round(CAST(p.n_ab AS DOUBLE) / o.n, 6) AS support,
+             round(CAST(p.n_ab AS DOUBLE) * o.n
+                   / (CAST(na.n_b AS DOUBLE) * nb.n_b), 6) AS lift
+      FROM pair_n p
+      JOIN brand_n na ON p.brand_a = na.p_brand
+      JOIN brand_n nb ON p.brand_b = nb.p_brand
+      CROSS JOIN n_orders o
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY n_ab DESC, brand_a, brand_b) AS r
+      FROM scored
+    )
+    SELECT brand_a, brand_b, n_ab, support, lift
+    FROM rk WHERE r <= {_BASKET_TOPK}
+    ORDER BY n_ab DESC, brand_a, brand_b
+    """,
+    doc="Market-basket co-occurrence with support and lift — the "
+    "association-rule screen over order contents. Baskets are "
+    "DISTINCT (order, brand) rows (brand via a BROADCAST join to "
+    "the tiny part dim); the pair count is a self-equi-join on "
+    "l_orderkey with brand_a < brand_b, so the blow-up per order is "
+    "C(k,2) where k is bounded by order size (<= 7 lines in TPC-H, "
+    "<= distinct brands in general) — never cross-corpus quadratic. "
+    "Brand marginals and the order total join back as broadcasts "
+    "(25 brands, 1 scalar). Counts are exact integers; "
+    "support/lift are one float division each, rounded. Top-k "
+    "carries a total order (n_ab desc, then pair) so the cut is "
+    "deterministic. Scale: shuffles are keyed on l_orderkey "
+    "(bounded fan-out) and the 300-ish brand-pair key — both safe "
+    "at any corpus size.",
+)
+def q_agg_basket_lift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    brand_n = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb")
+    )
+    scored = (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(
+            F.desc("n_ab"), "brand_a", "brand_b"
+        )
+    )
+    return (
+        scored.withColumn("r", rk)
+        .filter(F.col("r") <= _BASKET_TOPK)
+        .select("brand_a", "brand_b", "n_ab", "support", "lift")
+        .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
+    )

@@ -1861,3 +1861,103 @@ def q_timeseries_autocorr(spark, sf_dir):
             6,
         ).alias("autocorr"),
     )
+
+
+# Sequence-match: first N events per user form the searchable path.
+# The cap bounds per-user state (collect_list buffer) at scale; 200
+# events dwarfs any funnel depth worth matching.
+_SEQ_CAP = 200
+# Ordered-subsequence patterns over the '>'-delimited, '>'-wrapped path.
+# '(.*>)?' = "zero or more whole events between the anchors" — the same
+# RE evaluates identically under Java regex (Spark rlike) and RE2
+# (DuckDB regexp_matches) because it uses no backrefs/lookaround.
+_SEQ_FULL = ">view>(.*>)?click>(.*>)?purchase>"
+_SEQ_PARTIAL = ">view>(.*>)?click>"
+_SEQ_ENTRY = ">view>"
+
+
+@register(
+    "q_events_sequence_match",
+    family="pipeline",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             '>' || string_agg(event_type, '>' ORDER BY rn) || '>' AS path
+      FROM ranked WHERE rn <= {_SEQ_CAP}
+      GROUP BY user_id
+    ),
+    staged AS (
+      SELECT CASE
+               WHEN regexp_matches(path, '{_SEQ_FULL}')
+                 THEN 'view>click>purchase'
+               WHEN regexp_matches(path, '{_SEQ_PARTIAL}')
+                 THEN 'view>click'
+               WHEN regexp_matches(path, '{_SEQ_ENTRY}')
+                 THEN 'view'
+               ELSE 'none'
+             END AS stage
+      FROM paths
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY stage
+    ORDER BY stage
+    """,
+    doc="MATCH_RECOGNIZE-style sequence matching — which users "
+    "completed the view -> click -> purchase journey as an ORDERED "
+    "SUBSEQUENCE (any events in between), vs stalled at view -> "
+    "click, vs only ever viewed. Each user's first 200 events "
+    "(cap bounds aggregation-buffer state at scale) are assembled "
+    "into one delimited path string inside the user-keyed "
+    "aggregation — the same single exchange every per-user op "
+    "shares — and the funnel stages are three anchored regexes "
+    "evaluated most-specific-first in a CASE. Regexes use no "
+    "backreferences or lookaround, so Java regex (Spark) and RE2 "
+    "(DuckDB) agree. Scale: one user-keyed shuffle; the regex runs "
+    "once per USER (not per event) on a <=~2KB string; output is "
+    "one row per stage. The pattern alphabet is the event-type "
+    "domain, so no symbol table is needed — the path IS the "
+    "delimited type sequence.",
+)
+def q_events_sequence_match(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    paths = (
+        ev.select("user_id", "event_type", rn.alias("rn"))
+        .filter(F.col("rn") <= _SEQ_CAP)
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit(">"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rn", "event_type"))
+                        ),
+                        lambda s: s.event_type,
+                    ),
+                    ">",
+                ),
+                F.lit(">"),
+            ).alias("path")
+        )
+    )
+    stage = (
+        F.when(F.col("path").rlike(_SEQ_FULL), "view>click>purchase")
+        .when(F.col("path").rlike(_SEQ_PARTIAL), "view>click")
+        .when(F.col("path").rlike(_SEQ_ENTRY), "view")
+        .otherwise("none")
+    )
+    return (
+        paths.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("stage")
+    )

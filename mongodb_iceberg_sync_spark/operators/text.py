@@ -1345,3 +1345,67 @@ def q_text_feature_hash(spark, sf_dir):
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "q_text_readability",
+    family="text",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS words,
+             CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sentences,
+             CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                   - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+           END AS flesch
+    FROM c ORDER BY doc_id
+    """,
+    doc="Flesch reading-ease per document from three EXACT integer "
+    "counts — words ([A-Za-z]+ runs), sentences (terminal-punct "
+    "runs, floored at 1), and a syllable proxy (vowel-group runs, "
+    "the standard dictionary-free approximation). The famous "
+    "206.835 - 1.015*(W/S) - 84.6*(Sy/W) formula is then two float "
+    "divisions + fixed-point arithmetic on identical doubles, so "
+    "both engines agree bit-for-bit before the final round. All "
+    "three counts are single-regex codegen scans (regexp_count) — "
+    "zero Python, zero shuffle; the whole operator is map-only and "
+    "embarrassingly parallel at any corpus size. Readability is a "
+    "core quality-filter signal for training-data curation "
+    "(complexity-band mixing, gibberish rejection).",
+)
+def q_text_readability(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long")
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long"), F.lit(1)
+    )
+    sylls = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "long"
+    )
+    c = d.select(
+        "doc_id",
+        words.alias("words"),
+        sents.alias("sentences"),
+        sylls.alias("syllables"),
+    )
+    flesch = F.when(
+        F.col("words") > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words")),
+            4,
+        ),
+    )
+    return c.withColumn("flesch", flesch).orderBy("doc_id")

@@ -424,3 +424,97 @@ def q_window_drawdown(spark, sf_dir):
         .cast("long")
         .alias("max_drawdown_cents"),
     )
+
+
+@register(
+    "q_window_regr_slope",
+    family="windows",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(*) OVER w AS BIGINT)        AS n_7d,
+             CAST(sum(x) OVER w AS BIGINT)          AS sx,
+             CAST(sum(y) OVER w AS BIGINT)          AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT)      AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT)      AS sxx
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, n_7d,
+           CASE WHEN n_7d * sxx - sx * sx > 0 THEN
+             round((CAST(n_7d AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n_7d AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                   6)
+           END AS slope_cents_per_day
+    FROM s ORDER BY user_id, ts, event_id
+    LIMIT 5000
+    """,
+    doc="Per-event trailing-7-day OLS spend-trend slope — the "
+    "point-in-time trend feature (is this user's spend rising or "
+    "falling?) that churn/propensity models consume, with NO future "
+    "leakage. x is an exact integer day index, y exact cents; the "
+    "five sufficient statistics (n, Sx, Sy, Sxy, Sxx) are windowed "
+    "integer sums over ONE shared RANGE frame (7 preceding days on "
+    "the day index), so every engine sums the same integers — the "
+    "slope is then a single float division of exact integers, NULL "
+    "when the frame has no x-variance (all purchases same day). "
+    "This is the windowed sibling of q_agg_ols: same closed form, "
+    "per-row frames instead of one global fit. Scale: one user-keyed "
+    "exchange shared by all five sums (same window spec collapses "
+    "into a single WindowExec); frame state is the in-window slice, "
+    "bounded by purchase rate x 7 days.",
+)
+def q_window_regr_slope(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(-7, Window.currentRow)
+    )
+    s = p.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    n, sx, sy = F.col("n_7d"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = F.when(
+        n * sxx - sx * sx > 0,
+        F.round(
+            (n.cast("double") * sxy - sx.cast("double") * sy)
+            / (n.cast("double") * sxx - sx.cast("double") * sx),
+            6,
+        ),
+    )
+    return (
+        s.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "n_7d",
+            slope.alias("slope_cents_per_day"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(5000)
+    )

@@ -166,6 +166,37 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sim_range_search",
     "q_multimodal_shard_pack",
     "q_join_asof_tolerance",
+    # --- round-4 session-2/3 additions (registration order) — also r5 ---
+    "q_text_bpe_pairs",
+    "q_text_feature_hash",
+    "q_sample_entity",
+    "q_events_decay",
+    "q_timeseries_backtest",
+    "q_events_did",
+    "q_timeseries_cusum",
+    "q_timeseries_seasonal",
+    "q_events_pathing",
+    "q_timeseries_autocorr",
+    "q_scan_pyds",
+    "q_agg_moments",
+    "q_join_asof_nearest",
+    "q_sql_lateral",
+    "q_cdc_store_meta",
+    "q_cdc_compact_meta",
+    "q_cdc_branch_diff",
+    "q_embed_pca",
+    "q_sim_maxsim",
+    "q_dedup_semantic",
+    "q_graph_components",
+    "q_graph_common_neighbors",
+    "q_text_scrub_chunks",
+    "q_mix_epochs",
+    # --- round-4 session-4 additions — also r5 ---
+    "q_agg_covar_matrix",
+    "q_agg_basket_lift",
+    "q_events_sequence_match",
+    "q_text_readability",
+    "q_window_regr_slope",
 )
 
 

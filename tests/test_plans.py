@@ -757,3 +757,72 @@ def test_timeseries_backtest_scans_events_once(spark, sf_dir):
     df = SPECS["q_timeseries_backtest"].func(spark, sf_dir)
     plan = formatted_plan(df)
     assert ") Scan parquet" not in plan, plan
+
+
+def test_covar_matrix_single_agg_pass(spark, sf_dir):
+    # One hash-agg pass over lineitem: exactly one scan, and the only
+    # exchange is the single-row final agg (SinglePartition), never a
+    # data-sized shuffle.
+    import re
+
+    df = SPECS["q_agg_covar_matrix"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 1, exchanges  # the single-row final agg only
+    assert "SinglePartition" in plan
+    assert "hashpartitioning" not in plan  # never a data-sized keyed shuffle
+
+
+def test_basket_lift_dims_broadcast_pairs_bounded(spark, sf_dir):
+    # part dim and both brand marginals broadcast; the pair self-join is
+    # an equi-join on l_orderkey, never a cross product.
+    df = SPECS["q_agg_basket_lift"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    bnl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnl) <= 1, bnl  # the 1-row order-total scalar only
+
+
+def test_sequence_match_single_user_shuffle(spark, sf_dir):
+    # Path assembly + stage classification happen inside ONE user-keyed
+    # exchange; the stage rollup shuffles <= |stages| rows.
+    import re
+
+    df = SPECS["q_events_sequence_match"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_readability_is_map_only(spark, sf_dir):
+    # Zero joins, zero aggregations — regexp counting runs inside codegen
+    # on the single documents scan (the ORDER BY is presentation only).
+    import re
+
+    df = SPECS["q_text_readability"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_regr_slope_one_window_exec(spark, sf_dir):
+    # All five sufficient-stat sums share one window spec -> exactly one
+    # Window node, one user-keyed exchange; the purchase filter reaches
+    # the scan.
+    df = SPECS["q_window_regr_slope"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_window = len(
+        [ln for ln in plan.splitlines()
+         if ln.lstrip("+- :*(0123456789) ").startswith("Window ")]
+    )
+    assert n_window == 1
+    assert has_pushed_filters(df)

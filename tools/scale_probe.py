@@ -148,6 +148,11 @@ PROBE_QUERIES = [
     "q_agg_moments",
     "q_events_pathing",
     "q_timeseries_autocorr",
+    "q_agg_covar_matrix",
+    "q_agg_basket_lift",
+    "q_events_sequence_match",
+    "q_text_readability",
+    "q_window_regr_slope",
 ]
 REPLICAS = 10
 
