@@ -96,6 +96,13 @@ HEADLINE = [
     "q_events_sequence_match",
     "q_text_readability",
     "q_window_regr_slope",
+    "q_cdc_pos_delete",
+    "q_corpus_datacard",
+    "q_text_bpe_encode",
+    "q_agg_countmin",
+    "q_text_substring_dup",
+    "q_json_shred",
+    "q_events_funnel_timed",
 ]
 
 

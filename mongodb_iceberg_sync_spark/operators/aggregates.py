@@ -1732,3 +1732,109 @@ def q_agg_basket_lift(spark, sf_dir):
         .select("brand_a", "brand_b", "n_ab", "support", "lift")
         .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
     )
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row
+_CMS_PROBE = 10
+
+
+@register(
+    "q_agg_countmin",
+    family="aggregates",
+    oracle=f"""
+    WITH keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+    cells AS (
+      SELECT d.seed,
+             CAST(('0x' || substr(md5(d.seed || ':' || k), 1, 6)) AS BIGINT)
+               % {_CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM keyed CROSS JOIN (SELECT unnest(range(1, {_CMS_D} + 1)) AS seed) d
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS true_n
+      FROM keyed GROUP BY k
+    ),
+    probe AS (
+      SELECT k, true_n,
+             row_number() OVER (ORDER BY true_n DESC, k) AS rk
+      FROM truth
+    ),
+    est AS (
+      SELECT p.k, p.true_n, p.rk,
+             min(c.cnt) AS cms_est
+      FROM probe p
+      JOIN (SELECT unnest(range(1, {_CMS_D} + 1)) AS seed) d ON true
+      JOIN cells c
+        ON c.seed = d.seed
+       AND c.bucket = CAST(('0x' || substr(md5(d.seed || ':' || p.k), 1, 6))
+                           AS BIGINT) % {_CMS_W}
+      WHERE p.rk <= {_CMS_PROBE}
+      GROUP BY p.k, p.true_n, p.rk
+    )
+    SELECT CAST(k AS BIGINT) AS l_partkey, true_n, CAST(cms_est AS BIGINT) AS cms_est
+    FROM est ORDER BY true_n DESC, l_partkey
+    """,
+    doc="Count-min sketch — the mergeable frequency-estimation "
+    "structure for unbounded key domains (the counter-array sibling "
+    "of q_agg_heavy_hitters_sketch's Misra-Gries): 4 hash rows x 256 "
+    "counters built in ONE corpus pass (map-side x4 seed explode "
+    "collapsing straight into a 1024-cell hash agg — the shuffle "
+    "carries cells, never keys), then point estimates for the 10 "
+    "hottest keys as min over the 4 addressed counters. The hash is "
+    "engine-neutral (first 6 md5 hex digits, the q_text_feature_hash "
+    "contract), so the ENTIRE sketch — not just a bound — is "
+    "hash-checked against the oracle, overestimation arithmetic "
+    "included. Scale: sketch size is a constant 1024 cells whatever "
+    "the corpus; merging shards is cell-wise addition (the partial "
+    "agg IS the merge); the probe join broadcasts the sketch. "
+    "CMS guarantee (est >= true, within eps*N w.h.p.) is visible in "
+    "the output columns.",
+)
+def q_agg_countmin(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(1, _CMS_D + 1)])
+
+    def bucket(seed_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col)),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        li.select("k", F.explode(seeds).alias("seed"))
+        .groupBy("seed", bucket(F.col("seed"), F.col("k")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("true_n"), "k")
+    )
+    probe = (
+        truth.withColumn("rk", rk)
+        .filter(F.col("rk") <= _CMS_PROBE)
+        .select("k", "true_n")
+        .withColumn("seed", F.explode(seeds))
+        .withColumn("bucket", bucket(F.col("seed"), F.col("k")))
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("k", "true_n")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").cast("long").alias("l_partkey"), "true_n", "cms_est"
+    ).orderBy(F.desc("true_n"), "l_partkey")

@@ -808,6 +808,8 @@ def q_cdc_branch_diff(spark, sf_dir):
     def build(path):
         tbl = MorTable(spark, path, key="user_id")
         n = ev.agg(F.max("event_id")).head()[0]
+        if n is None:  # empty source: an empty table is a valid fixture
+            return
         cut = (n + 1) * 3 // 5
 
         def commit(lo, hi, batch_id, branch=None):
@@ -838,8 +840,18 @@ def q_cdc_branch_diff(spark, sf_dir):
 
     path = session_fixture(("cdc_branch_diff", sf_dir), build)
     tbl = MorTable(spark, path, key="user_id")
-    mn = tbl.snapshot().select("user_id", F.col("src_event").alias("m_seq"))
-    br = tbl.snapshot(branch="audit").select(
+    mn_snap = tbl.snapshot()
+    br_snap = (
+        tbl.snapshot(branch="audit")
+        if "audit" in tbl._read_refs()["branches"]
+        else None
+    )
+    if mn_snap is None or br_snap is None:  # empty source
+        return spark.createDataFrame(
+            [], "change_type string, event_type string, n_keys long"
+        )
+    mn = mn_snap.select("user_id", F.col("src_event").alias("m_seq"))
+    br = br_snap.select(
         "user_id", "event_type", F.col("src_event").alias("b_seq")
     )
     return (
@@ -852,4 +864,98 @@ def q_cdc_branch_diff(spark, sf_dir):
             "event_type",
         )
         .agg(F.count("*").alias("n_keys"))
+    )
+
+
+@register(
+    "q_cdc_pos_delete",
+    family="cdc",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, max(event_id) AS last_id FROM events GROUP BY user_id
+    ),
+    state AS (
+      SELECT e.user_id, e.event_type, e.value
+      FROM events e JOIN latest l
+        ON e.user_id = l.user_id AND e.event_id = l.last_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM state WHERE event_type <> 'error'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Iceberg v2 POSITIONAL deletes through the driver gate: build "
+    "a MorTable from the event log (2000-op commits), compact() so "
+    "state lives in base data files, then DELETE WHERE "
+    "event_type='error' as a positional-delete commit — (file_path, "
+    "row_index) pairs from the parquet reader's hidden _metadata "
+    "columns, zero data files rewritten (pinned by mtime in "
+    "tests/test_pos_deletes.py). The read applies delete files as one "
+    "broadcast anti-join before the LWW fold — the per-task delete-"
+    "index shape Iceberg readers use. The oracle recomputes from the "
+    "raw log (latest event per user, minus the deleted predicate), so "
+    "the hash check covers position capture, delete-file visibility "
+    "and the anti-join read end to end. Scale: the delete commit "
+    "costs one predicate scan + a 2-column write sized by DELETED "
+    "rows; reads pay one broadcast anti-join, never a rewrite. "
+    "Fixture is session-cached (build once, read per run).",
+)
+def q_cdc_pos_delete(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        ev = t(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).head()[0]
+        if n is None:
+            return
+        # Commit in ~50 id-range buckets over the OCCUPIED id space:
+        # iterating dense 2000-op windows would loop max_id/2000 times,
+        # which explodes when ids are sparse (the 10x scale-probe
+        # replica shifts ids by 100M — the probe caught exactly that).
+        width = max(_META_BATCH, (n + 1) // 50 + 1)
+        batches = sorted(
+            r[0]
+            for r in ev.select(
+                (F.col("event_id") / width).cast("long").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        for b in batches:
+            lo, hi = b * width, (b + 1) * width - 1
+            batch = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+            ).select(
+                "user_id",
+                F.col("event_id").alias(OP_SEQ),
+                F.lit("upsert").alias(OP_TYPE),
+                "event_type",
+                "value",
+            )
+            tbl.commit_batch(batch, batch_id=b)
+        tbl.compact()  # fold to base: positional deletes target data files
+        tbl.delete_where(
+            F.col("event_type") == "error", batch_id=batches[-1] + 1
+        )
+
+    path = session_fixture(("cdc_pos_delete", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    snap = tbl.snapshot()
+    if snap is None:  # empty source built an empty table
+        return spark.createDataFrame(
+            [], "event_type string, n_users long, sum_value_cents long"
+        )
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
     )

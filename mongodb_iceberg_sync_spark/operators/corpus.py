@@ -417,3 +417,96 @@ def q_text_scrub_chunks(spark, sf_dir):
         )
         .filter(F.col("n_removed") > 0)
     )
+
+
+@register(
+    "q_corpus_datacard",
+    family="text",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT)                   AS n_docs,
+             CAST(sum(n_chars) AS BIGINT)               AS total_chars,
+             CAST(count(DISTINCT md5(text)) AS BIGINT)  AS n_distinct_texts,
+             CAST(sum(length(regexp_extract_all(text, '\\S+')) ) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    lang_n AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rk
+      FROM lang_n
+    )
+    SELECT p.source, p.n_docs, p.total_chars, p.n_distinct_texts,
+           round(CAST(p.n_docs - p.n_distinct_texts AS DOUBLE)
+                 / p.n_docs, 6) AS dup_rate,
+           t.lang AS top_lang,
+           round(CAST(t.n AS DOUBLE) / p.n_docs, 6) AS top_lang_share,
+           p.total_tokens
+    FROM per_source p JOIN top_lang t
+      ON p.source = t.source AND t.rk = 1
+    ORDER BY p.source
+    """,
+    doc="Dataset card per corpus source — the one-page governance "
+    "readout (HuggingFace dataset-card / Datasheets-for-Datasets "
+    "numbers) every training-data release ships: document and "
+    "character volume, exact-duplicate rate (distinct md5(text) vs "
+    "rows), dominant language with its share, and whitespace token "
+    "volume. Two aggregation passes over documents: the per-source "
+    "rollup (count/sum/one DISTINCT on the text hash — 32-byte "
+    "hashes shuffle, text never does) and the (source, lang) "
+    "rollup whose top-1 is a row_number over the tiny "
+    "sources x langs grid with a total order (count desc, lang) so "
+    "ties cut deterministically. Ratios are single float divisions "
+    "of exact integers. Scale: both shuffles are keyed on source "
+    "(or source x lang) — bounded cardinality; the distinct-hash "
+    "partial aggregation is the same shape as q_dedup_exact.",
+)
+def q_corpus_datacard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    lang_n = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    )
+    top_lang = (
+        lang_n.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n")
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_distinct_texts",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "top_lang",
+            F.round(F.col("n").cast("double") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            "total_tokens",
+        )
+        .orderBy("source")
+    )

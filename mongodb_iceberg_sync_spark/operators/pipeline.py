@@ -1961,3 +1961,102 @@ def q_events_sequence_match(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("stage")
     )
+
+
+_TF_WINDOW_US = 7 * 86400 * 1000 * 1000  # 7 days, microseconds
+
+
+@register(
+    "q_events_funnel_timed",
+    family="pipeline",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v.t
+        AND epoch_us(e.ts) <= v.t + {_TF_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.t
+        AND epoch_us(e.ts) <= c.t + {_TF_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+             CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click',
+             CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase',
+             CAST((SELECT count(*) FROM p) AS BIGINT)
+    ) ORDER BY stage
+    """,
+    doc="TIME-CONSTRAINED funnel — view -> click -> purchase where "
+    "each stage must land within 7 days of the PREVIOUS stage's "
+    "first completion (q_events_funnel counts any-order-in-history "
+    "completion; product conversion windows never do). Stage "
+    "anchors are exact micro-second minima: first view, first "
+    "qualifying click strictly after it inside the window, then "
+    "any qualifying purchase. Each stage is one keyed rollup "
+    "joined back to events ON user_id — three co-partitioned "
+    "shuffles on the same key (Spark reuses the exchange "
+    "partitioning), no windows, no inequality join wider than the "
+    "per-user slice. Exact integer microseconds make the window "
+    "edges bitwise-identical cross-engine. Scale: per-stage state "
+    "is one row per surviving user; survivors only shrink.",
+)
+def q_events_funnel_timed(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("t_us") > F.col("vt"))
+            & (F.col("t_us") <= F.col("vt") + _TF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t_us") > F.col("ct"))
+            & (F.col("t_us") <= F.col("ct") + _TF_WINDOW_US)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    rows = [
+        (1, "view", v),
+        (2, "click", c),
+        (3, "purchase", p),
+    ]
+    counts = None
+    for stage, name, df in rows:
+        one = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    return counts.orderBy("stage")

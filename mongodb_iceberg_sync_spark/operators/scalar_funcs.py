@@ -179,3 +179,53 @@ def q_map_funcs(spark, sf_dir):
         "event_id", F.size("m").alias("map_size"), F.explode("m").alias("map_key", "map_value")
     )
     return exploded.select("event_id", "map_key", "map_value", "map_size")
+
+
+@register(
+    "q_json_shred",
+    family="scalar_funcs",
+    oracle="""
+    WITH shredded AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(sum(k) AS BIGINT)    AS sum_k,
+           CAST(min(k) AS BIGINT)    AS min_k,
+           CAST(max(k) AS BIGINT)    AS max_k,
+           round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
+    FROM shredded GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured shredding: parse the events.props JSON string "
+    "into typed columns with an EXPLICIT schema (from_json with "
+    "'k BIGINT' — never schema inference in the hot path, which "
+    "would cost a sampling pass and produce run-dependent types), "
+    "then aggregate the shredded integer like any native column. "
+    "This is the lakehouse VARIANT-column pattern: JSON stays "
+    "opaque in storage, the scan projects just the parsed field, "
+    "and everything downstream is codegen arithmetic on exact "
+    "integers (one rounded division for the mean). Scale: map-side "
+    "parse + map-side partial agg into a |event_types|-row result — "
+    "the parse cost is the scan, nothing else grows.",
+)
+def q_json_shred(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    shredded = e.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

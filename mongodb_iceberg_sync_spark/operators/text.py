@@ -1409,3 +1409,195 @@ def q_text_readability(spark, sf_dir):
         ),
     )
     return c.withColumn("flesch", flesch).orderBy("doc_id")
+
+
+_BPE_MERGES = 8  # learned merge rules; each costs one O(vocab) job
+_BPE_OUT = 40
+
+
+def _bpe_apply_merge(col, a: str, b: str):
+    """Left-to-right, non-overlapping application of one merge rule
+    (a, b) -> ab over a symbol array, as a pure JVM fold: push each
+    symbol, except when the accumulator ends in `a` and the incoming
+    symbol is `b` — then replace the tail with the merged token. The
+    fold naturally enforces BPE's non-overlap rule ('aaa' under (a,a)
+    becomes [aa, a], because the merged 'aa' tail no longer equals
+    'a')."""
+    ab = a + b
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(ab)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_top_pair(vocab):
+    """Most frequent adjacent symbol pair, corpus-weighted, with the
+    full (count desc, a, b) total order so training is deterministic."""
+    syms = F.col("syms")
+    n_s = F.size(syms)
+    pairs = vocab.filter(n_s >= 2).select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.slice(syms, F.lit(1), n_s - 1).alias("a"),
+                F.slice(syms, F.lit(2), n_s - 1).alias("b"),
+            )
+        ).alias("p"),
+    )
+    top = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(1)
+        .collect()
+    )
+    return (top[0]["a"], top[0]["b"]) if top else None
+
+
+@register(
+    "q_text_bpe_encode",
+    family="text",
+    oracle=None,  # iterative trainer: pinned vs a pure-Python reference
+    doc="BPE tokenizer TRAINING + ENCODING end to end — the step "
+    "q_text_bpe_pairs only scores candidates for: 8 merge rules are "
+    "learned by the real iterative loop (count adjacent pairs over "
+    "the corpus-weighted VOCAB, take the top pair with a total "
+    "order, merge, repeat), then applied as 8 composed JVM array "
+    "folds to segment every word. Output: the 40 most frequent "
+    "words with their BPE segmentation and piece count. The scale "
+    "story is the production-tokenizer shape: after one corpus pass "
+    "collapses to (word, freq), every training iteration and the "
+    "final encoding are O(DISTINCT words) — corpus size only "
+    "affects the initial rollup. Driver traffic is 2 strings per "
+    "iteration (the argmax pair). No oracle: the 8-iteration "
+    "trainer is not SQL-expressible; tests/test_bpe_encode.py pins "
+    "the learned merges AND segmentations against an independent "
+    "pure-Python BPE implementation on the same word counts.",
+)
+def q_text_bpe_encode(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+    )
+    vocab = vocab.localCheckpoint()  # pin the rollup; iterations reuse it
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_MERGES):
+        pair = _bpe_top_pair(vocab)
+        if pair is None:
+            break
+        merges.append(pair)
+        vocab = vocab.withColumn(
+            "syms", _bpe_apply_merge(F.col("syms"), *pair)
+        ).localCheckpoint()
+    return (
+        vocab.select(
+            "w",
+            F.col("freq").cast("long").alias("freq"),
+            F.array_join("syms", " ").alias("segmentation"),
+            F.size("syms").cast("long").alias("n_pieces"),
+        )
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(_BPE_OUT)
+    )
+
+
+_SSD_LEN = 40   # shingle length (chars)
+_SSD_STRIDE = 10
+
+
+@register(
+    "q_text_substring_dup",
+    family="text",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(u.p AS INTEGER), {_SSD_LEN})) AS h
+      FROM documents,
+           unnest(range(1, greatest(length(text) - {_SSD_LEN} + 1, 1) + 1,
+                        {_SSD_STRIDE})) AS u(p)
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE d.h IS NOT NULL) AS BIGINT)
+               AS n_dup_shingles
+      FROM sh s LEFT JOIN dup d ON s.h = d.h
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_dup_shingles,
+           round(CAST(n_dup_shingles AS DOUBLE) / n_shingles, 6) AS dup_rate
+    FROM per_doc WHERE n_dup_shingles > 0 ORDER BY doc_id
+    """,
+    doc="Cross-document repeated-substring scan — the scalable "
+    "approximation of suffix-array substring dedup (the 'dedup "
+    "training data at the 50-token level' result): 40-char shingles "
+    "at stride 10 per document, a shingle is DUPLICATED when it "
+    "appears in >= 2 distinct documents, and each document reports "
+    "its duplicated-shingle share. Boilerplate, mirrored pages and "
+    "licence blocks light up at rates exact paragraph dedup misses "
+    "(they shift by a few chars). Everything shuffles as 16-byte "
+    "md5 values — document text never crosses the wire; per-doc "
+    "shingle count is bounded by n_chars/stride, so the explode is "
+    "linear with a 1/10 constant; the dup set rides a shingle-keyed "
+    "aggregation (same shape as q_dedup_chunks) and joins back "
+    "co-partitioned on the hash. Counts exact, one division per "
+    "doc.",
+)
+def q_text_substring_dup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - _SSD_LEN + 1, F.lit(1)),
+        F.lit(_SSD_STRIDE),
+    )
+    sh = d.select(
+        "doc_id", "text", F.explode(positions).alias("p")
+    ).select(
+        "doc_id",
+        F.md5(F.col("text").substr(F.col("p"), F.lit(_SSD_LEN))).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        sh.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_shingles"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_dup_shingles") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )

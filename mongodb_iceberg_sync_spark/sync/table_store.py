@@ -136,6 +136,88 @@ class MorTable:
     def archive_dir(self) -> str:
         return f"{self.path}/archive"
 
+    @property
+    def pos_delete_dir(self) -> str:
+        return f"{self.path}/pos_deletes"
+
+    # -- positional deletes (Iceberg v2 merge-on-read delete files) ---
+    #
+    # The key-tombstone path (commit_batch with op=delete) is the
+    # EQUALITY-delete analog: it kills a KEY, whatever row currently
+    # carries it. Positional deletes are the other Iceberg v2 delete
+    # shape: a delete FILE of (file_path, row_index) pairs that kills
+    # specific physical rows of specific data files — DELETE WHERE
+    # without rewriting a single data file, and without any key
+    # semantics (a later upsert of the same key resurrects it, exactly
+    # Iceberg's row-level contract). Spark-first: positions come from
+    # the parquet reader's hidden `_metadata.file_path` /
+    # `_metadata.row_index` columns, and the read path applies delete
+    # files as one broadcast anti-join — the same per-task delete-index
+    # shape Iceberg readers use. Reference hook: docs/design.md's MoR
+    # delete handling (equality deletes); this adds the v2 positional
+    # half of that spec.
+
+    def _pos_delete_ids(self) -> list[int]:
+        if not os.path.isdir(self.pos_delete_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.pos_delete_dir)
+            if d.startswith("delete=")
+        )
+
+    def delete_where(self, cond, batch_id: int) -> int:
+        """DELETE FROM t WHERE cond, as an Iceberg v2 positional-delete
+        commit: scan base, record (file_path, row_index) of matching
+        rows into pos_deletes/delete=<batch_id>, touch no data file.
+        Shares the commit id-space with delta batches so VERSION AS OF
+        an earlier batch does not see the delete and rollback drops it.
+        Returns the number of delete records written. Rows living in
+        un-compacted DELTA commits are not covered — run compact()
+        first (Iceberg positional deletes likewise only target already-
+        written data files; the engine's DELETE falls back to equality
+        deletes for hot rows)."""
+        if not self._has_parquet(self.base_dir):
+            return 0
+        base = self.spark.read.parquet(self.base_dir)
+        dels = base.filter(cond).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        target = f"{self.pos_delete_dir}/delete={batch_id}"
+        dels.write.mode("overwrite").parquet(target)
+        return self.spark.read.parquet(target).count()
+
+    def _apply_pos_deletes(self, base: DataFrame, as_of_batch) -> DataFrame:
+        """Anti-join the base scan against every visible delete file.
+        Broadcast: delete files are the small side by construction
+        (they hold two columns of deleted-row positions, not data);
+        at 100 TB the per-task build is the same bounded delete-index
+        Iceberg readers carry."""
+        ids = [
+            i
+            for i in self._pos_delete_ids()
+            if (as_of_batch is None or i <= as_of_batch)
+            and self._has_parquet(f"{self.pos_delete_dir}/delete={i}")
+        ]
+        if not ids:
+            return base
+        dels = self.spark.read.parquet(
+            *[f"{self.pos_delete_dir}/delete={i}" for i in ids]
+        ).select("file_path", "row_index")
+        tagged = base.withColumns(
+            {
+                "_pd_file": F.col("_metadata.file_path"),
+                "_pd_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return tagged.join(
+            F.broadcast(dels),
+            (tagged["_pd_file"] == dels["file_path"])
+            & (tagged["_pd_pos"] == dels["row_index"]),
+            "left_anti",
+        ).drop("_pd_file", "_pd_pos")
+
     # -- write path ---------------------------------------------------
 
     def _writer(self, df: DataFrame):
@@ -394,6 +476,9 @@ class MorTable:
         parts = []
         if self._has_parquet(self.base_dir):
             base = self.spark.read.parquet(self.base_dir)
+            # positional deletes strike physical base rows before any
+            # logical (LWW) merge — the Iceberg v2 read contract
+            base = self._apply_pos_deletes(base, as_of_batch)
             if lo is not None:
                 base = base.filter(F.col(self.key) >= lo)
             if hi is not None:
@@ -648,6 +733,13 @@ class MorTable:
         dropped = [b for b in self._delta_batch_ids() if b > batch_id]
         for b in dropped:
             shutil.rmtree(f"{self.delta_dir}/batch={b}", ignore_errors=True)
+        # positional-delete commits share the id-space: roll them back too
+        for i in self._pos_delete_ids():
+            if i > batch_id:
+                shutil.rmtree(
+                    f"{self.pos_delete_dir}/delete={i}", ignore_errors=True
+                )
+                dropped.append(i)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return dropped
 
@@ -900,8 +992,18 @@ class MorTable:
         gens = self._generations()
         next_gen = int(gens[-1].split("=")[1]) + 1 if gens else 0
         os.makedirs(self.archive_dir, exist_ok=True)
-        os.rename(self.base_dir, f"{self.archive_dir}/gen={next_gen:06d}")
+        gen_dir = f"{self.archive_dir}/gen={next_gen:06d}"
+        os.rename(self.base_dir, gen_dir)
         os.rename(tmp, self.base_dir)
+        # positional deletes were applied by the snapshot() read above,
+        # so they are folded into the rewritten base; archive them with
+        # the generation whose files they reference (an expired delete
+        # file against a live base would silently match nothing — fine —
+        # but keeping them beside their data files preserves the
+        # audit trail exactly like Iceberg's snapshot-reachable delete
+        # files)
+        if os.path.isdir(self.pos_delete_dir):
+            os.rename(self.pos_delete_dir, f"{gen_dir}/pos_deletes")
         shutil.rmtree(self.delta_dir, ignore_errors=True)
         os.makedirs(self.delta_dir, exist_ok=True)
         self._mark_folded(batch_ids[-1] if batch_ids else None)
@@ -1242,6 +1344,14 @@ class MorTable:
         for b in self._delta_batch_ids():
             d = f"{self.delta_dir}/batch={b}"
             rows += [self._file_row(p, "delta", b) for p in self._walk_parquet(d)]
+        # Iceberg's files metadata lists delete files alongside data
+        # files (content=POSITION_DELETES); same here, as their own
+        # section keyed by the delete commit id
+        for i in self._pos_delete_ids():
+            d = f"{self.pos_delete_dir}/delete={i}"
+            rows += [
+                self._file_row(p, "pos_delete", i) for p in self._walk_parquet(d)
+            ]
         # staged (WAP) commits are part of the operational picture —
         # an operator debugging a stuck audit needs to SEE them in
         # files() — but they are never part of the readable snapshot,

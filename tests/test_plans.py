@@ -826,3 +826,55 @@ def test_regr_slope_one_window_exec(spark, sf_dir):
     )
     assert n_window == 1
     assert has_pushed_filters(df)
+
+
+def test_countmin_sketch_broadcasts_to_probe(spark, sf_dir):
+    # the 1024-cell sketch is the broadcast side of the probe join;
+    # no cross product anywhere
+    df = SPECS["q_agg_countmin"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dup_shuffles_hashes_not_text(spark, sf_dir):
+    # every exchange's output schema must carry the 16-byte shingle md5
+    # (or doc-keyed aggregates) — never the raw text column
+    import re
+
+    df = SPECS["q_text_substring_dup"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    for m in re.finditer(r"^\(\d+\) Exchange\n(?:.*\n){1,3}", plan, re.M):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_datacard_rollups_are_source_keyed(spark, sf_dir):
+    df = SPECS["q_corpus_datacard"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_json_shred_is_single_pass_map_side(spark, sf_dir):
+    # explicit-schema from_json + partial agg: one scan, one exchange
+    # keyed on the tiny event_type domain
+    import re
+
+    df = SPECS["q_json_shred"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "from_json" in plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 2  # event_type agg + presentation sort
+
+
+def test_funnel_timed_joins_stay_user_keyed(spark, sf_dir):
+    # all three stage joins are equi-joins on user_id; the window
+    # predicate rides as a post-join filter, never a theta join
+    df = SPECS["q_events_funnel_timed"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
