@@ -103,6 +103,9 @@ HEADLINE = [
     "q_text_substring_dup",
     "q_json_shred",
     "q_events_funnel_timed",
+    "q_cdc_merge_into",
+    "q_cdc_wap_publish",
+    "q_ml_logreg",
 ]
 
 

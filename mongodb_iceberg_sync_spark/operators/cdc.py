@@ -959,3 +959,170 @@ def q_cdc_pos_delete(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cdc_merge_into",
+    family="cdc",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, arg_max(event_type, event_id) AS event_type,
+             arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id
+    ),
+    source AS (               -- one MERGE source row per target key
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    ),
+    merged AS (               -- WHEN MATCHED AND n_purchases = 0 DELETE
+                              -- WHEN MATCHED UPDATE (take source payload)
+      SELECT l.user_id, s.n_purchases
+      FROM latest l JOIN source s ON l.user_id = s.user_id
+      WHERE s.n_purchases > 0
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(n_purchases) AS BIGINT) AS total_purchases,
+           CAST(min(user_id) AS BIGINT)     AS min_user,
+           CAST(max(user_id) AS BIGINT)     AS max_user
+    FROM merged
+    """,
+    doc="MERGE INTO through the driver gate: the table is the LWW "
+    "event state keyed on user_id; the MERGE source is each user's "
+    "purchase count; clauses are WHEN MATCHED AND n_purchases = 0 "
+    "THEN DELETE, WHEN MATCHED THEN UPDATE (replace payload with "
+    "the source's), WHEN NOT MATCHED INSERT (vacuous here — every "
+    "source key matches). The oracle recomputes the post-MERGE "
+    "state from the raw log, so the hash check covers the facade's "
+    "clause ordering, NULL-predicate coalescing, tombstone routing "
+    "and the LWW read of the merged result (sync/table_store.py:610 "
+    "— one key-equi join of source vs snapshot, no per-row driver "
+    "work; maps 1:1 onto Iceberg MERGE INTO with jars). Fixture "
+    "session-cached like the other store queries.",
+)
+def q_cdc_merge_into(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    ev = t(spark, sf_dir, "events")
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        n = ev.agg(F.max("event_id")).head()[0]
+        if n is None:
+            return
+        base = ev.select(
+            "user_id",
+            F.col("event_id").alias(OP_SEQ),
+            F.lit("upsert").alias(OP_TYPE),
+            "event_type",
+            "value",
+        )
+        tbl.commit_batch(base, batch_id=0)
+        source = ev.groupBy("user_id").agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases")
+        )
+        tbl.merge_into(
+            source,
+            batch_id=1,
+            when_matched_delete=F.col("n_purchases") == 0,
+            when_matched_update=True,
+            when_not_matched_insert=True,
+        )
+
+    path = session_fixture(("cdc_merge_into", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    snap = tbl.snapshot()
+    if snap is None:
+        return spark.createDataFrame(
+            [],
+            "n_rows long, total_purchases long, min_user long, max_user long",
+        )
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_purchases").cast("long").alias("total_purchases"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )
+
+
+@register(
+    "q_cdc_wap_publish",
+    family="cdc",
+    oracle="""
+    WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
+    visible AS (
+      SELECT e.* FROM events e, cut
+      WHERE e.event_id < cut.c
+         OR (e.event_id >= cut.c AND e.event_type = 'purchase')
+    ),
+    latest AS (
+      SELECT user_id, arg_max(event_type, event_id) AS event_type
+      FROM visible GROUP BY user_id
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Write-audit-publish through the driver gate: the base commit "
+    "is the first half of the log; batch A (the purchases of the "
+    "second half) is STAGED, audited clean, and published; batch B "
+    "(an empty slice) is staged, FAILS its min-rows audit, and is "
+    "aborted. The table state the query reads must therefore be "
+    "base + A only — WAP isolation (staged rows invisible), the "
+    "audit gate, the atomic publish rename, and the abort path are "
+    "all inside the oracle hash, which recomputes the same state "
+    "from the raw log with a visibility predicate. "
+    "(sync/table_store.py:1098-1135; Iceberg's spark.wap.id staged-"
+    "commit pattern.) Scale: stage is one keyed write, audit one "
+    "aggregation over the STAGED FILES, publish one directory "
+    "rename — cost independent of table size.",
+)
+def q_cdc_wap_publish(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    ev = t(spark, sf_dir, "events")
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        n = ev.agg(F.max("event_id")).head()[0]
+        if n is None:
+            return
+        cut = (n + 1) // 2
+        sel = lambda df: df.select(  # noqa: E731
+            "user_id",
+            F.col("event_id").alias(OP_SEQ),
+            F.lit("upsert").alias(OP_TYPE),
+            "event_type",
+            "value",
+        )
+        tbl.commit_batch(sel(ev.filter(F.col("event_id") < cut)), 0)
+        good = sel(
+            ev.filter(
+                (F.col("event_id") >= cut)
+                & (F.col("event_type") == "purchase")
+            )
+        )
+        tbl.stage_batch(good, 1)
+        bad = sel(ev.filter(F.lit(False)))  # empty: fails min-rows audit
+        tbl.stage_batch(bad, 2)
+        assert tbl.audit_batch(1) == []
+        assert tbl.audit_batch(2) != []  # audit must flag the empty batch
+        tbl.publish_batch(1)
+        tbl.abort_batch(2)
+
+    path = session_fixture(("cdc_wap_publish", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    snap = tbl.snapshot()
+    if snap is None:
+        return spark.createDataFrame([], "event_type string, n_users long")
+    return (
+        snap.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )

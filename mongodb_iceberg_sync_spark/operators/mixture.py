@@ -436,3 +436,99 @@ def q_mix_epochs(spark, sf_dir):
             F.explode(F.sequence(F.lit(1).cast("long"), "epochs")).alias("epoch"),
         )
     )
+
+
+_LR_ITERS = 10
+_LR_RATE = 0.5
+_LR_QUANT = 1_000_000_000  # gradient quantization: 1e-9 resolution
+
+
+@register(
+    "q_ml_logreg",
+    family="sampling",
+    oracle=None,  # iterative trainer: pinned vs a numpy reference
+    doc="Distributed logistic regression by batch gradient descent — "
+    "the supervised sibling of q_embed_pca's unsupervised one-pass: "
+    "per-user features (log event count, view share, log avg value) "
+    "predict 'user has purchased'. Ten GD iterations, each ONE "
+    "codegen aggregation over the per-user FEATURE table (one row "
+    "per user — corpus size only affects the initial rollup): the "
+    "per-row gradient contribution (sigmoid(w.x) - y) * x_j is "
+    "QUANTIZED to exact 1e-9 integers before summing, so the "
+    "gradient sums are order-independent exact longs — the trained "
+    "weights are bit-identical across runs, partitionings and "
+    "engines (float partial-sum order never enters). Driver traffic "
+    "is d+1 = 4 longs per iteration. Output: one row per "
+    "coefficient plus training accuracy — deterministic, so the "
+    "driver's rows-only determinism check holds; "
+    "tests/test_ml_logreg.py pins weights AND accuracy against an "
+    "independent numpy implementation of the same quantized "
+    "algorithm. Scale: GD over N users is a map-side-combinable "
+    "agg; at 100 TB the feature rollup is the only corpus-sized "
+    "stage, exactly how production propensity models train on "
+    "aggregated features.",
+)
+def q_ml_logreg(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    feats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("n_views"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_buys"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.log(F.col("n_events").cast("double") + 1.0).alias("x1"),
+            (F.col("n_views").cast("double") / F.col("n_events")).alias("x2"),
+            F.log(
+                F.col("value_cents").cast("double")
+                / F.col("n_events")
+                / 100.0
+                + 1.0
+            ).alias("x3"),
+            (F.col("n_buys") > 0).cast("double").alias("y"),
+        )
+    ).localCheckpoint()
+    n = feats.count()
+    if n == 0:
+        return spark.createDataFrame([], "term string, value double")
+    w = [0.0, 0.0, 0.0, 0.0]  # bias, x1, x2, x3
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(_LR_ITERS):
+        z = sum(
+            (F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0)
+        )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        grads = feats.agg(
+            *[
+                F.sum(F.round(err * xj * _LR_QUANT).cast("long")).alias(
+                    f"g{j}"
+                )
+                for j, xj in enumerate(xs)
+            ]
+        ).head()
+        w = [
+            wj - _LR_RATE * (grads[f"g{j}"] / _LR_QUANT) / n
+            for j, wj in enumerate(w)
+        ]
+    z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+    acc = feats.agg(
+        F.sum(
+            ((z > 0).cast("double") == F.col("y")).cast("long")
+        ).alias("correct")
+    ).head()["correct"]
+    rows = [
+        ("bias", round(w[0], 9)),
+        ("w_log_events", round(w[1], 9)),
+        ("w_view_share", round(w[2], 9)),
+        ("w_log_avg_value", round(w[3], 9)),
+        ("train_accuracy", round(acc / n, 6)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
