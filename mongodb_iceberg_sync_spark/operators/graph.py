@@ -441,3 +441,58 @@ def q_graph_common_neighbors(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "s1", "s2")
         .limit(_CN_TOPK)
     )
+
+
+@register(
+    "q_graph_degree_dist",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp,
+             o.o_custkey + {_CUST_NS} AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY src
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN src < {_CUST_NS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    doc="Degree distribution of the supplier<->customer transaction "
+    "graph (same symmetric edge set as q_graph_pagerank/_bfs) — the "
+    "first diagnostic every graph pipeline runs: it sizes skew "
+    "before any iterative algorithm (the heavy-tail nodes are "
+    "exactly the ones that need the fan-out caps q_graph_common_"
+    "neighbors documents). Two map-side-combinable aggregations "
+    "(degree per node, then nodes per degree) — the second one's "
+    "key domain is the distinct-degree set, tiny under any "
+    "power law. Split out per node class (suppliers vs customers "
+    "via the id namespace) so bipartite skew is visible directly. "
+    "Scale: one join + two keyed rollups, nothing iterative.",
+)
+def q_graph_degree_dist(spark, sf_dir):
+    deg = (
+        _edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("src") < _CUST_NS, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .orderBy("degree")
+    )

@@ -110,3 +110,56 @@ def q_udtf_explode(spark, sf_dir):
         )
     except Exception:
         return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register(
+    "q_udf_map_arrow",
+    family="udfs",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="mapInArrow — the fourth and fastest rung of the Python "
+    "extension ladder (after pandas_udf / applyInPandas / UDTF): the "
+    "transform receives raw pyarrow RecordBatches with NO pandas "
+    "conversion on either side, so per-batch overhead is pure Arrow "
+    "compute (here: cents quantization via pyarrow.compute on the "
+    "zero-copy column). The aggregation after it is plain codegen, "
+    "and the oracle checks the Arrow kernel's arithmetic exactly — "
+    "values are cents-quantized so round() ties cannot occur and "
+    "Arrow's default rounding agrees with both engines. Scale: "
+    "map-only over batches, pipeline-parallel with the scan; the "
+    "pattern to reach for when a 100 TB pass needs Python but "
+    "pandas materialization would double the memory.",
+)
+def q_udf_map_arrow(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+
+    def cents_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(
+                        pc.round(pc.multiply(batch.column(1), 100.0)),
+                        pa.int64(),
+                    ),
+                ],
+                names=["event_type", "cents"],
+            )
+
+    mapped = e.mapInArrow(cents_kernel, "event_type string, cents long")
+    return (
+        mapped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

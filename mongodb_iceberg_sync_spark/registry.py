@@ -207,6 +207,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_cdc_merge_into",
     "q_cdc_wap_publish",
     "q_ml_logreg",
+    "q_graph_degree_dist",
+    "q_udf_map_arrow",
 )
 
 

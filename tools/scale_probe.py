@@ -163,6 +163,8 @@ PROBE_QUERIES = [
     "q_cdc_merge_into",
     "q_cdc_wap_publish",
     "q_ml_logreg",
+    "q_graph_degree_dist",
+    "q_udf_map_arrow",
 ]
 REPLICAS = 10
 
