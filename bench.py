@@ -108,6 +108,7 @@ HEADLINE = [
     "q_ml_logreg",
     "q_graph_degree_dist",
     "q_udf_map_arrow",
+    "q_set_bag_ops",
 ]
 
 

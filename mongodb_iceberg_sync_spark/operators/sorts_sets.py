@@ -277,3 +277,50 @@ def q_sample_systematic(spark, sf_dir):
     return ranked.filter((F.col("rank") - 1) % _SYS_EVERY == 0).select(
         "event_id", "value", "rank"
     )
+
+
+@register(
+    "q_set_bag_ops",
+    family="set_ops",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+    b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+    ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+    ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    SELECT 'intersect_all' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
+    FROM ia
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM ea
+    ORDER BY op
+    """,
+    doc="BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL "
+    "over per-year purchaser multisets (one row per ORDER, so a "
+    "customer with 3 orders in 1995 and 1 in 1996 contributes 1 to "
+    "the intersection and 2 to the difference — multiplicity "
+    "min/subtraction, which the DISTINCT forms q_set_intersect/"
+    "q_set_except cannot express). Spark's intersectAll/exceptAll "
+    "compile to the same count-min/count-subtract hash aggregation "
+    "DuckDB uses for ALL semantics: one shuffle keyed on the value, "
+    "multiplicities as partial counts — never a sort, never a "
+    "row-pairing join. Output is the (op, row count, key count) "
+    "summary so the multiset arithmetic itself is inside the hash "
+    "check.",
+)
+def q_set_bag_ops(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    ia = a.intersectAll(b)
+    ea = a.exceptAll(b)
+    out = None
+    for op, df in (("except_all", ea), ("intersect_all", ia)):
+        one = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_keys"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op")

@@ -209,6 +209,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_logreg",
     "q_graph_degree_dist",
     "q_udf_map_arrow",
+    "q_set_bag_ops",
 )
 
 

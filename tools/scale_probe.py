@@ -165,6 +165,7 @@ PROBE_QUERIES = [
     "q_ml_logreg",
     "q_graph_degree_dist",
     "q_udf_map_arrow",
+    "q_set_bag_ops",
 ]
 REPLICAS = 10
 
@@ -188,6 +189,9 @@ HEAVY_100X = [
     "q_agg_groupby",  # linear baseline for the tier
     "q_graph_common_neighbors",
     "q_graph_components",
+    "q_agg_countmin",
+    "q_text_substring_dup",
+    "q_graph_degree_dist",
 ]
 # tables the HEAVY_100X set touches — synthesizing all ten tables at
 # 100x would write ~10 GB it never reads
