@@ -109,6 +109,7 @@ HEADLINE = [
     "q_graph_degree_dist",
     "q_udf_map_arrow",
     "q_set_bag_ops",
+    "q_cdc_eq_delete",
 ]
 
 

@@ -1126,3 +1126,86 @@ def q_cdc_wap_publish(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cdc_eq_delete",
+    family="cdc",
+    oracle="""
+    WITH cut AS (SELECT (max(event_id) + 1) * 4 // 5 AS c FROM events),
+    visible AS (
+      -- the equality delete strikes 'error' rows at or below the
+      -- sequence cut (the first 80% of the log); errors committed
+      -- AFTER the delete survive — Iceberg's sequence-number contract
+      SELECT e.* FROM events e, cut
+      WHERE (e.event_id < cut.c AND e.event_type <> 'error')
+         OR e.event_id >= cut.c
+    ),
+    latest AS (
+      SELECT user_id, arg_max(event_type, event_id) AS event_type,
+             arg_max(value, event_id) AS value
+      FROM visible GROUP BY user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Iceberg v2 EQUALITY deletes through the driver gate — the "
+    "third delete shape beside key tombstones and positional "
+    "deletes: the first 80% of the log is committed, "
+    "delete_equality(event_type='error') writes a ONE-ROW delete "
+    "file (no data scan to commit it — why CDC engines emit "
+    "equality deletes when they know values but not positions), "
+    "then the last 20% is committed ON TOP. Error rows at or below "
+    "the delete's sequence cut die — in base AND delta files alike "
+    "— while errors arriving after it survive; the oracle encodes "
+    "exactly that visibility predicate, so the sequence-number "
+    "semantics sit inside the hash check. Read cost: one broadcast "
+    "anti-join per delete file against value rows (not positions, "
+    "not data). Fixture session-cached.",
+)
+def q_cdc_eq_delete(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    ev = t(spark, sf_dir, "events")
+
+    def build(path):
+        tbl = MorTable(spark, path, key="user_id")
+        n = ev.agg(F.max("event_id")).head()[0]
+        if n is None:
+            return
+        cut = (n + 1) * 4 // 5
+        sel = lambda df: df.select(  # noqa: E731
+            "user_id",
+            F.col("event_id").alias(OP_SEQ),
+            F.lit("upsert").alias(OP_TYPE),
+            "event_type",
+            "value",
+        )
+        tbl.commit_batch(sel(ev.filter(F.col("event_id") < cut)), 0)
+        tbl.delete_equality(
+            spark.createDataFrame([("error",)], "event_type string"),
+            batch_id=1,
+        )
+        tbl.commit_batch(sel(ev.filter(F.col("event_id") >= cut)), 2)
+
+    path = session_fixture(("cdc_eq_delete", sf_dir), build)
+    tbl = MorTable(spark, path, key="user_id")
+    snap = tbl.snapshot()
+    if snap is None:
+        return spark.createDataFrame(
+            [], "event_type string, n_users long, sum_value_cents long"
+        )
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -210,6 +210,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_graph_degree_dist",
     "q_udf_map_arrow",
     "q_set_bag_ops",
+    "q_cdc_eq_delete",
 )
 
 

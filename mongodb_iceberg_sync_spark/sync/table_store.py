@@ -166,6 +166,74 @@ class MorTable:
             if d.startswith("delete=")
         )
 
+    @property
+    def eq_delete_dir(self) -> str:
+        return f"{self.path}/eq_deletes"
+
+    def _eq_delete_ids(self) -> list[int]:
+        if not os.path.isdir(self.eq_delete_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.eq_delete_dir)
+            if d.startswith("delete=")
+        )
+
+    def delete_equality(
+        self, values_df: DataFrame, batch_id: int
+    ) -> int:
+        """Iceberg v2 EQUALITY delete file: ``values_df``'s columns are
+        the equality ids, its rows the values to delete. Strikes every
+        data row (base OR delta, any file) matching a value row whose
+        op_seq is <= the table's max op_seq at delete time (the
+        sequence-number cut) — later upserts of the same values
+        survive, exactly Iceberg's older-sequence-only contract. The
+        third delete shape beside key tombstones (commit_batch
+        op=delete) and positional deletes (delete_where): no scan of
+        the data is needed AT ALL to commit one — the delete file is
+        just the value rows — which is why CDC engines emit equality
+        deletes when they know values but not positions. Shares the
+        commit id-space (time travel to before ``batch_id`` does not
+        see it; rollback drops it). Returns the delete-row count."""
+        latest = self._latest()
+        seq_cut = (
+            None
+            if latest is None
+            else latest.agg(F.max(OP_SEQ)).head()[0]
+        )
+        if seq_cut is None:
+            return 0
+        target = f"{self.eq_delete_dir}/delete={batch_id}"
+        out = values_df.distinct().withColumn(
+            "_seq_cut", F.lit(seq_cut).cast("long")
+        )
+        out.write.mode("overwrite").parquet(target)
+        return self.spark.read.parquet(target).count()
+
+    def _apply_eq_deletes(self, df: DataFrame, as_of_batch) -> DataFrame:
+        """Anti-join the (base ∪ deltas) rows against every visible
+        equality-delete file: a row dies when its equality-id columns
+        match a delete row AND its op_seq <= that file's sequence cut.
+        Broadcast: delete files hold VALUES, not data."""
+        ids = [
+            i
+            for i in self._eq_delete_ids()
+            if (as_of_batch is None or i <= as_of_batch)
+            and self._has_parquet(f"{self.eq_delete_dir}/delete={i}")
+        ]
+        for i in ids:
+            dels = self.spark.read.parquet(
+                f"{self.eq_delete_dir}/delete={i}"
+            )
+            eq_cols = [c for c in dels.columns if c != "_seq_cut"]
+            cond = F.col(f"_d._seq_cut") >= df[OP_SEQ]
+            for c in eq_cols:
+                cond = cond & (df[c].eqNullSafe(F.col(f"_d.{c}")))
+            df = df.join(
+                F.broadcast(dels.alias("_d")), cond, "left_anti"
+            )
+        return df
+
     def delete_where(self, cond, batch_id: int) -> int:
         """DELETE FROM t WHERE cond, as an Iceberg v2 positional-delete
         commit: scan base, record (file_path, row_index) of matching
@@ -520,7 +588,10 @@ class MorTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
-        return df
+        # equality deletes strike rows in ANY file (base or delta) with
+        # op_seq at or below the delete's sequence cut — applied after
+        # the union, before the LWW fold (the Iceberg v2 read order)
+        return self._apply_eq_deletes(df, as_of_batch)
 
     def snapshot(
         self,
@@ -733,13 +804,16 @@ class MorTable:
         dropped = [b for b in self._delta_batch_ids() if b > batch_id]
         for b in dropped:
             shutil.rmtree(f"{self.delta_dir}/batch={b}", ignore_errors=True)
-        # positional-delete commits share the id-space: roll them back too
-        for i in self._pos_delete_ids():
-            if i > batch_id:
-                shutil.rmtree(
-                    f"{self.pos_delete_dir}/delete={i}", ignore_errors=True
-                )
-                dropped.append(i)
+        # positional/equality-delete commits share the id-space: roll
+        # them back too
+        for root, id_fn in (
+            (self.pos_delete_dir, self._pos_delete_ids),
+            (self.eq_delete_dir, self._eq_delete_ids),
+        ):
+            for i in id_fn():
+                if i > batch_id:
+                    shutil.rmtree(f"{root}/delete={i}", ignore_errors=True)
+                    dropped.append(i)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return dropped
 
@@ -1004,6 +1078,8 @@ class MorTable:
         # files)
         if os.path.isdir(self.pos_delete_dir):
             os.rename(self.pos_delete_dir, f"{gen_dir}/pos_deletes")
+        if os.path.isdir(self.eq_delete_dir):
+            os.rename(self.eq_delete_dir, f"{gen_dir}/eq_deletes")
         shutil.rmtree(self.delta_dir, ignore_errors=True)
         os.makedirs(self.delta_dir, exist_ok=True)
         self._mark_folded(batch_ids[-1] if batch_ids else None)
@@ -1351,6 +1427,11 @@ class MorTable:
             d = f"{self.pos_delete_dir}/delete={i}"
             rows += [
                 self._file_row(p, "pos_delete", i) for p in self._walk_parquet(d)
+            ]
+        for i in self._eq_delete_ids():
+            d = f"{self.eq_delete_dir}/delete={i}"
+            rows += [
+                self._file_row(p, "eq_delete", i) for p in self._walk_parquet(d)
             ]
         # staged (WAP) commits are part of the operational picture —
         # an operator debugging a stuck audit needs to SEE them in

@@ -166,6 +166,7 @@ PROBE_QUERIES = [
     "q_graph_degree_dist",
     "q_udf_map_arrow",
     "q_set_bag_ops",
+    "q_cdc_eq_delete",
 ]
 REPLICAS = 10
 
