@@ -1209,3 +1209,88 @@ def q_cdc_eq_delete(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cdc_stats_skipping",
+    family="cdc",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE value >= 200.0 AND value <= 300.0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Column-stats data skipping through the driver gate — "
+    "Iceberg's per-column lower/upper-bounds scan planning: the "
+    "event log is committed in VALUE-range buckets (each commit's "
+    "manifest records min/max for every orderable payload column), "
+    "and an append-log range scan on `value` opens only the commits "
+    "whose bounds intersect — at this fixture's 10 buckets, ~2 of "
+    "10 commit dirs are read, the rest are pruned from driver-side "
+    "manifest JSON without touching a footer "
+    "(tests/test_stats_skipping.py pins the pruning itself; this "
+    "query hash-checks exactness of the pruned read against the "
+    "raw log). Append-only by design: column pruning before an LWW "
+    "merge would be unsound — the LWW path prunes only on the key "
+    "(scan_append docstring, sync/table_store.py). At 100 TB this "
+    "is the difference between a range query costing O(matching "
+    "commits) and O(all commits).",
+)
+def q_cdc_stats_skipping(spark, sf_dir):
+    from ..sync.table_store import OP_SEQ, OP_TYPE, MorTable
+    from ._util import session_fixture
+
+    ev = t(spark, sf_dir, "events")
+
+    def build(path):
+        tbl = MorTable(spark, path, key="event_id")
+        hi = ev.agg(F.max("value")).head()[0]
+        if hi is None:
+            return
+        width = max(float(hi) / 10, 1e-9)
+        buckets = sorted(
+            r[0]
+            for r in ev.select(
+                F.least(
+                    (F.col("value") / width).cast("long"), F.lit(9)
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        for b in buckets:
+            lo_v, hi_v = b * width, (b + 1) * width
+            cond = (F.col("value") >= lo_v) & (
+                (F.col("value") < hi_v) if b < 9 else F.lit(True)
+            )
+            tbl.commit_batch(
+                ev.filter(cond).select(
+                    "event_id",
+                    F.col("event_id").alias(OP_SEQ),
+                    F.lit("upsert").alias(OP_TYPE),
+                    "event_type",
+                    "value",
+                ),
+                batch_id=b,
+            )
+
+    path = session_fixture(("cdc_stats_skipping", sf_dir), build)
+    tbl = MorTable(spark, path, key="event_id")
+    scan = tbl.scan_append({"value": (200.0, 300.0)})
+    if scan is None:
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_cents long"
+        )
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

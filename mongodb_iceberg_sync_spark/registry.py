@@ -211,6 +211,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_udf_map_arrow",
     "q_set_bag_ops",
     "q_cdc_eq_delete",
+    "q_cdc_stats_skipping",
 )
 
 

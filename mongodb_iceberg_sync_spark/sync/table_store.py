@@ -395,6 +395,34 @@ class MorTable:
         disagree with the files on disk, making skipping lossy.
         """
         df = self.spark.read.parquet(target)
+        # Column-level min/max for every orderable payload column
+        # (Iceberg manifests carry lower_bounds/upper_bounds per column;
+        # same idea at commit granularity). Only JSON-faithful types are
+        # recorded — int/float/str round-trip exactly; anything else is
+        # omitted and pruning for it degrades to "keep".
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in (OP_SEQ, OP_TYPE)
+            and f.dataType.typeName() in ("long", "integer", "double",
+                                          "float", "string", "short", "byte")
+        ]
+        col_stats_row = (
+            df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in stat_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in stat_cols],
+            ).head()
+            if stat_cols
+            else None
+        )
+        col_stats = {}
+        if col_stats_row is not None:
+            for c in stat_cols:
+                lo_v, hi_v = col_stats_row[f"lo_{c}"], col_stats_row[f"hi_{c}"]
+                if isinstance(lo_v, (int, float, str)) and isinstance(
+                    hi_v, (int, float, str)
+                ):
+                    col_stats[c] = {"min": lo_v, "max": hi_v}
         row = df.agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi")).head()
         h = F.md5(F.col(self.key).cast("string"))
         positions = [
@@ -422,6 +450,7 @@ class MorTable:
                     # spec this commit was written under (partition
                     # evolution: later commits may use a different one)
                     "spec": self.partition_col,
+                    "columns": col_stats,
                 },
                 f,
             )
@@ -461,6 +490,67 @@ class MorTable:
         except (OSError, ValueError, KeyError):
             return None
 
+    def _manifest_column_stats(self, target: str) -> dict:
+        try:
+            with open(f"{target}/{MANIFEST}") as f:
+                return json.load(f).get("columns") or {}
+        except (OSError, ValueError):
+            return {}
+
+    @staticmethod
+    def _bounds_disjoint(stat: dict, lo, hi) -> bool:
+        """True ⇒ the commit's [min,max] for a column CANNOT intersect
+        [lo, hi] — safe to skip. Any doubt (type mismatch, missing
+        stat) returns False (keep). Mirrors Iceberg's
+        InclusiveMetricsEvaluator contract: skipping must never be
+        lossy."""
+        try:
+            if lo is not None and stat["max"] < lo:
+                return True
+            if hi is not None and stat["min"] > hi:
+                return True
+        except (TypeError, KeyError):
+            return False
+        return False
+
+    def scan_append(self, where_bounds: dict | None = None) -> DataFrame | None:
+        """Append-log scan with COLUMN-stats data skipping:
+        ``where_bounds`` maps column -> (lo, hi) (either side None);
+        commits whose manifest column bounds cannot intersect are never
+        opened, and the exact range predicate is applied to the
+        survivors, so results are exact. This is Iceberg's per-column
+        lower/upper-bound scan planning at commit granularity.
+
+        APPEND-ONLY reads by design: no LWW fold. Pruning non-key
+        columns BEFORE a merge would be unsound (a skipped commit could
+        hold a NEWER version of a key whose older version matches), so
+        the LWW path prunes only on the key; this path serves the
+        event-log workloads where every row is an insert — there the
+        column-stats skip is exactly as sound as Iceberg's.
+
+        Scale: planning is O(commits) manifest reads (driver-side JSON,
+        no data I/O); the residual filter pushes to the surviving
+        scans."""
+        where_bounds = where_bounds or {}
+        parts = []
+        if self._has_parquet(self.base_dir):
+            parts.append(self.spark.read.parquet(self.base_dir))
+        for d in self.prune_batches(col_bounds=where_bounds):
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(d)
+            )
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        for c, (lo, hi) in where_bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(c) <= hi)
+        return df.drop(OP_SEQ, OP_TYPE)
+
     def _last_folded_batch(self) -> int | None:
         """Highest batch id folded into base by compact() — versions at
         or before it are expired (their deltas no longer exist)."""
@@ -484,14 +574,23 @@ class MorTable:
         )
 
     def prune_batches(
-        self, lo=None, hi=None, as_of_batch: int | None = None, root: str | None = None
+        self,
+        lo=None,
+        hi=None,
+        as_of_batch: int | None = None,
+        root: str | None = None,
+        col_bounds: dict | None = None,
     ) -> list[str]:
         """Scan planning: delta commit dirs that can contain keys in
         [lo, hi] (either bound may be None) at or before as_of_batch.
         Dirs without a manifest are conservatively kept; dirs left
         without data files (partition-targeted compaction folded all
         their partitions) are dropped. ``root`` defaults to main's
-        delta dir; branch reads pass the branch's commit root."""
+        delta dir; branch reads pass the branch's commit root.
+        ``col_bounds`` ({column: (lo, hi)}) additionally skips commits
+        whose manifest COLUMN stats cannot intersect — the Iceberg
+        lower/upper-bounds evaluator; callers must only use it for
+        append-only reads (see scan_append)."""
         root = root or self.delta_dir
         if not os.path.isdir(root):
             return []
@@ -512,6 +611,13 @@ class MorTable:
                 if lo is not None and b_hi < lo:
                     continue
                 if hi is not None and b_lo > hi:
+                    continue
+            if col_bounds:
+                stats = self._manifest_column_stats(path)
+                if any(
+                    c in stats and self._bounds_disjoint(stats[c], c_lo, c_hi)
+                    for c, (c_lo, c_hi) in col_bounds.items()
+                ):
                     continue
             # point lookup (lo == hi): the bloom can skip commits whose
             # [min,max] straddles the key without containing it

@@ -167,6 +167,7 @@ PROBE_QUERIES = [
     "q_udf_map_arrow",
     "q_set_bag_ops",
     "q_cdc_eq_delete",
+    "q_cdc_stats_skipping",
 ]
 REPLICAS = 10
 
