@@ -1838,3 +1838,57 @@ def q_agg_countmin(spark, sf_dir):
     return est.select(
         F.col("k").cast("long").alias("l_partkey"), "true_n", "cms_est"
     ).orderBy(F.desc("true_n"), "l_partkey")
+
+
+@register(
+    "q_agg_countmin_fast",
+    family="aggregates",
+    oracle=None,  # engine-specific xxhash64: pinned vs the md5 twin
+    doc="Production twin of q_agg_countmin: identical 4x256 count-min "
+    "sketch and probe shape, but hashed with Spark's native xxhash64 "
+    "— one 64-bit JVM hash per (seed, key) instead of four md5 hex "
+    "parses, the ~5x-cheaper swap SCALE.md documents for 100 TB "
+    "runs. xxhash64 is engine-specific, so this variant is "
+    "rows-only for the driver; tests/test_rows_only_pins.py pins "
+    "the CMS guarantee (est >= true for every probe key) and that "
+    "the probe-key set and true counts agree exactly with the "
+    "oracle-checked md5 twin — the two variants differ only in "
+    "which buckets collide. Scale: identical plan to the twin "
+    "(map-side x4 explode into a 1024-cell agg, broadcast probe "
+    "join), minus the md5+conv expression cost.",
+)
+def q_agg_countmin_fast(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(1, _CMS_D + 1)])
+
+    def bucket(seed_col, key_col):
+        return F.pmod(F.xxhash64(seed_col, key_col), F.lit(_CMS_W))
+
+    cells = (
+        li.select("k", F.explode(seeds).alias("seed"))
+        .groupBy("seed", bucket(F.col("seed"), F.col("k")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("true_n"), "k")
+    )
+    probe = (
+        truth.withColumn("rk", rk)
+        .filter(F.col("rk") <= _CMS_PROBE)
+        .select("k", "true_n")
+        .withColumn("seed", F.explode(seeds))
+        .withColumn("bucket", bucket(F.col("seed"), F.col("k")))
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("k", "true_n")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").cast("long").alias("l_partkey"), "true_n", "cms_est"
+    ).orderBy(F.desc("true_n"), "l_partkey")

@@ -212,6 +212,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_set_bag_ops",
     "q_cdc_eq_delete",
     "q_cdc_stats_skipping",
+    "q_agg_countmin_fast",
 )
 
 

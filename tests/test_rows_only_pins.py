@@ -110,3 +110,21 @@ def test_embed_pca_matches_direct_numpy(spark, sf_dir):
     assert np.max(np.abs(pc1 - want_pc1)) < 1e-5
     assert np.max(np.abs(pc2 - want_pc2)) < 1e-5
     assert pc1.var() >= pc2.var()
+
+
+def test_countmin_fast_guarantee_and_twin_agreement(spark, sf_dir):
+    # CMS guarantee: estimates never undercount; and the xxhash64 twin
+    # must agree with the oracle-checked md5 variant on the probe-key
+    # set and true counts (only bucket collisions may differ)
+    fast = {
+        r.l_partkey: (r.true_n, r.cms_est)
+        for r in SPECS["q_agg_countmin_fast"].func(spark, sf_dir).collect()
+    }
+    slow = {
+        r.l_partkey: (r.true_n, r.cms_est)
+        for r in SPECS["q_agg_countmin"].func(spark, sf_dir).collect()
+    }
+    assert set(fast) == set(slow)
+    for k, (true_n, est) in fast.items():
+        assert est >= true_n, (k, true_n, est)
+        assert slow[k][0] == true_n
