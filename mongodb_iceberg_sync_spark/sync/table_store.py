@@ -203,6 +203,16 @@ class MorTable:
         )
         if seq_cut is None:
             return 0
+        # Iceberg contract: equality ids must be schema columns — a
+        # delete on a column no data row carries could never match and
+        # would break the read-path join
+        known = set(latest.columns)
+        unknown = [c for c in values_df.columns if c not in known]
+        if unknown:
+            raise ValueError(
+                f"equality-delete columns {unknown} not in table schema "
+                f"{sorted(known)}"
+            )
         target = f"{self.eq_delete_dir}/delete={batch_id}"
         out = values_df.distinct().withColumn(
             "_seq_cut", F.lit(seq_cut).cast("long")
@@ -226,7 +236,11 @@ class MorTable:
                 f"{self.eq_delete_dir}/delete={i}"
             )
             eq_cols = [c for c in dels.columns if c != "_seq_cut"]
-            cond = F.col(f"_d._seq_cut") >= df[OP_SEQ]
+            if any(c not in df.columns for c in eq_cols):
+                # a schema rollback removed an equality-id column: no
+                # current row can carry the value — nothing to strike
+                continue
+            cond = F.col("_d._seq_cut") >= df[OP_SEQ]
             for c in eq_cols:
                 cond = cond & (df[c].eqNullSafe(F.col(f"_d.{c}")))
             df = df.join(

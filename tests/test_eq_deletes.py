@@ -109,3 +109,12 @@ def test_multi_column_equality(spark, table):
     assert n == 1
     # only (red, 10) dies — (red, 30) survives
     assert _keys(table) == ["b", "c"]
+
+
+def test_unknown_equality_column_rejected(spark, table):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        table.delete_equality(
+            spark.createDataFrame([("x",)], "no_such_col string"), batch_id=1
+        )
