@@ -2060,3 +2060,106 @@ def q_events_funnel_timed(spark, sf_dir):
         )
         counts = one if counts is None else counts.unionByName(one)
     return counts.orderBy("stage")
+
+
+_WILSON_Z = 1.96  # 95% two-sided
+
+
+@register(
+    "q_events_conversion_ci",
+    family="pipeline",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 4)) AS BIGINT) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(c.user_id) AS BIGINT) AS n_converted
+      FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm
+    )
+    SELECT arm, n_users, n_converted,
+           round(CAST(n_converted AS DOUBLE) / n_users, 6) AS conv_rate,
+           round((CAST(n_converted AS DOUBLE) / n_users
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
+                  - {_WILSON_Z} * sqrt(
+                      (CAST(n_converted AS DOUBLE) / n_users)
+                      * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                      + {_WILSON_Z} * {_WILSON_Z}
+                        / (4 * CAST(n_users AS DOUBLE) * n_users)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users), 6)
+             AS wilson_lo,
+           round((CAST(n_converted AS DOUBLE) / n_users
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
+                  + {_WILSON_Z} * sqrt(
+                      (CAST(n_converted AS DOUBLE) / n_users)
+                      * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                      + {_WILSON_Z} * {_WILSON_Z}
+                        / (4 * CAST(n_users AS DOUBLE) * n_users)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users), 6)
+             AS wilson_hi
+    FROM cells ORDER BY arm
+    """,
+    doc="Wilson score confidence interval for per-arm conversion — "
+    "the readout that closes the A/B toolkit (t-test, chi-square, "
+    "Mann-Whitney, KS, bootstrap, DiD): unlike the normal "
+    "approximation it never leaves [0,1] and stays calibrated at "
+    "small n or extreme rates, which is why it is the standard for "
+    "conversion metrics. Arms come from the same deterministic md5 "
+    "bucket as q_events_ab_assign (sticky, joinless); conversion = "
+    "user ever purchased. The interval is pure float arithmetic on "
+    "two exact integers (n_users, n_converted) with an identical "
+    "expression tree both engines, so even sqrt agrees bitwise. "
+    "Scale: two user-keyed rollups into a 2-row cell table — the "
+    "statistic costs nothing beyond the distincts.",
+)
+def q_events_conversion_ci(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    assigned = ev.select(
+        "user_id",
+        F.when(bucket < 50, "control").otherwise("treatment").alias("arm"),
+    ).distinct()
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    z2 = F.lit(_WILSON_Z * _WILSON_Z)
+    center = p + z2 / (2 * F.col("n_users"))
+    margin = F.lit(_WILSON_Z) * F.sqrt(
+        p * (1 - p) / F.col("n_users") + z2 / (4 * n * F.col("n_users"))
+    )
+    denom = 1 + z2 / F.col("n_users")
+    return cells.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    ).orderBy("arm")

@@ -213,6 +213,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_cdc_eq_delete",
     "q_cdc_stats_skipping",
     "q_agg_countmin_fast",
+    "q_events_conversion_ci",
 )
 
 

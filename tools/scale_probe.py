@@ -169,6 +169,7 @@ PROBE_QUERIES = [
     "q_cdc_eq_delete",
     "q_cdc_stats_skipping",
     "q_agg_countmin_fast",
+    "q_events_conversion_ci",
 ]
 REPLICAS = 10
 
