@@ -1008,6 +1008,90 @@ def q_agg_chisq(spark, sf_dir):
 
 
 @register(
+    "q_agg_cramers_v",
+    family="aggregates",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) // 6 AS BIGINT) AS day_quarter,
+             count(*) AS obs
+      FROM events
+      GROUP BY event_type, CAST(extract(hour FROM ts) // 6 AS BIGINT)
+    ),
+    rows_t AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+               FROM cells GROUP BY event_type),
+    cols_t AS (SELECT day_quarter, CAST(sum(obs) AS BIGINT) AS ct
+               FROM cells GROUP BY day_quarter),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                   CAST(count(DISTINCT day_quarter) AS BIGINT) AS c
+            FROM cells),
+    chi AS (
+      SELECT t.n, t.r, t.c,
+             CAST(sum(CAST(round(
+               (cl.obs - (rr.rt * 1.0 * co.ct) / t.n)
+               * (cl.obs - (rr.rt * 1.0 * co.ct) / t.n)
+               / ((rr.rt * 1.0 * co.ct) / t.n), 6) AS DECIMAL(18,6)))
+               AS DOUBLE) AS chi2
+      FROM cells cl
+      JOIN rows_t rr ON rr.event_type = cl.event_type
+      JOIN cols_t co ON co.day_quarter = cl.day_quarter
+      CROSS JOIN tot t
+      GROUP BY t.n, t.r, t.c
+    )
+    SELECT r AS n_rows_, c AS n_cols_, round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+    doc="Cramér's V — the [0,1]-normalized effect size of the "
+    "event-type × quarter-of-day association: V = sqrt(χ² / (n · "
+    "min(r−1, c−1))). χ² alone grows with n, so two tables of "
+    "different sizes can't be compared by it; V is what feature "
+    "selection and data-card tooling actually report for "
+    "categorical-categorical dependence. Reuses q_agg_chisq's "
+    "decimal-summed statistic (each (O−E)²/E term is an identical "
+    "float expression of exact integers, rounded then decimal-summed, "
+    "so the sum is order-insensitive); sqrt of the identical double "
+    "is IEEE-deterministic cross-engine. Scale: one map-side-combined "
+    "agg to the contingency cells, everything after is "
+    "broadcast-sized.",
+)
+def q_agg_cramers_v(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dq = (F.hour("ts") / 6).cast("long")
+    cells = ev.groupBy(F.col("event_type"), dq.alias("day_quarter")).agg(
+        F.count("*").alias("obs")
+    )
+    rows_t = cells.groupBy("event_type").agg(F.sum("obs").cast("long").alias("rt"))
+    cols_t = cells.groupBy("day_quarter").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("day_quarter").cast("long").alias("c"),
+    )
+    e = (F.col("rt") * 1.0 * F.col("ct")) / F.col("n")
+    term = F.round((F.col("obs") - e) * (F.col("obs") - e) / e, 6).cast(
+        "decimal(18,6)"
+    )
+    chi = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "day_quarter")
+        .join(F.broadcast(tot))
+        .groupBy("n", "r", "c")
+        .agg(F.sum(term).cast("double").alias("chi2"))
+    )
+    return chi.select(
+        F.col("r").alias("n_rows_"),
+        F.col("c").alias("n_cols_"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
     "q_agg_mannwhitney",
     family="aggregates",
     oracle="""

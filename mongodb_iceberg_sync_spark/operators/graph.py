@@ -496,3 +496,217 @@ def q_graph_degree_dist(spark, sf_dir):
         )
         .orderBy("degree")
     )
+
+
+_AA_TOPK = 50
+# Hub-customer cap: customers shared by more than this many suppliers are
+# EXCLUDED from wedge enumeration. Adamic-Adar already discounts them to
+# ~nothing (1/ln(128) ≈ 0.21 per pair, vs ln-of-median ≈ 0.28 at 10x that
+# weight), and they are precisely the degree-d customers that would emit
+# d² wedges. At the fixture scales the max degree is 102, so the cap is
+# semantically invisible there; on a densified graph it converts quadratic
+# wedge growth into a hard per-customer bound (the 10x probe's 15x wall
+# came entirely from replica densification — real corpora add customers
+# at ~constant degree, but the cap makes even the dense case safe).
+_AA_MAX_DEG = 128
+
+
+@register(
+    "q_graph_adamic_adar",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (
+      SELECT c, count(*) AS d FROM pairs GROUP BY c
+      HAVING count(*) BETWEEN 2 AND {_AA_MAX_DEG}
+    ),
+    kept AS (
+      SELECT p.s, p.c,
+             CAST(floor(1000000000.0 / ln(d.d) + 0.5) AS BIGINT) AS w
+      FROM pairs p JOIN cdeg d ON d.c = p.c
+    )
+    SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared,
+           round(CAST(sum(a.w) AS DOUBLE) / 1e9, 6) AS adamic_adar
+    FROM kept a
+    JOIN kept b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+    ORDER BY sum(a.w) DESC, s1, s2
+    LIMIT {_AA_TOPK}
+    """,
+    doc="Adamic-Adar link prediction: supplier pairs scored by "
+    "sum(1/ln(degree(c))) over shared customers c — the classic "
+    "refinement of q_graph_common_neighbors that discounts hub "
+    "neighbors (a customer shared with everyone says little; a "
+    "rare shared customer says a lot). Wedge enumeration keyed on "
+    "the shared customer, with the per-neighbor weight attached to "
+    "the pair rows BEFORE the self-join so degree rides the wedge "
+    f"rows. Hubs above degree {_AA_MAX_DEG} are dropped before any "
+    "wedge is emitted (see _AA_MAX_DEG — they are the d² wedge "
+    "emitters AND the neighbors the score discounts toward zero, so "
+    "the skew valve is principled, invisible at fixture scale, and "
+    "mirrored exactly in the oracle). Determinism across engines: "
+    "each contribution 1/ln(d) is quantized to an exact integer "
+    "(floor(1e9/ln(d)+0.5)) BEFORE the sum, making the aggregate "
+    "order-independent and the top-50 argsort stable (ties broken "
+    "on (s1,s2)); only the display value divides back to a rounded "
+    "double. Scale: per-customer fan-out hard-bounded by the cap, "
+    "map-side-combinable group, TakeOrdered top-k.",
+)
+def q_graph_adamic_adar(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("o_custkey").cast("long").alias("c"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # read for degrees + both join sides
+    )
+    # d >= 2: a customer with one supplier forms no wedge, and excluding
+    # it up front keeps the 1/ln(d) weight's divisor nonzero (ln(1)=0
+    # would be an ANSI divide-by-zero now that the weight is computed
+    # BEFORE the self-join instead of after it).
+    cdeg = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d").between(2, _AA_MAX_DEG))
+    )
+    kept = pairs.join(cdeg, "c").select(
+        "s",
+        "c",
+        F.floor(F.lit(1_000_000_000.0) / F.log(F.col("d")) + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.sum(F.col("a.w")).alias("w_sum"),
+        )
+        .orderBy(F.col("w_sum").desc(), "s1", "s2")
+        .limit(_AA_TOPK)
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            F.round(F.col("w_sum").cast("double") / 1e9, 6).alias("adamic_adar"),
+        )
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Generate the bounded-round peel as chained CTEs — the SAME
+    fixed iteration count as the Spark side, so the oracle is exact
+    whether or not the peel has converged by the last round."""
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey + 1000000 AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs
+    ),
+    n0 AS MATERIALIZED (SELECT DISTINCT src FROM edges)"""
+    ]
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT e.src, count(*) AS d FROM edges e
+      JOIN {prev} a ON e.src = a.src
+      JOIN {prev} b ON e.dst = b.src
+      GROUP BY e.src
+    ),
+    n{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE d >= {_KCORE_K})"""
+        )
+        prev = f"n{i}"
+    parts.append(
+        f""",
+    final AS (
+      SELECT e.src, count(*) AS d FROM edges e
+      JOIN {prev} a ON e.src = a.src
+      JOIN {prev} b ON e.dst = b.src
+      GROUP BY e.src
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN src < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers
+    FROM final GROUP BY d ORDER BY degree"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_graph_kcore",
+    family="graph",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition (k={_KCORE_K}) of the supplier<->"
+    "customer graph by iterative degree peel: drop every node with "
+    f"degree < {_KCORE_K}, recompute degrees among survivors, repeat "
+    f"for a FIXED {_KCORE_ROUNDS} supersteps (fixed, not "
+    "until-converged, so the DuckDB oracle — the same peel unrolled "
+    "as chained CTEs — is exact even mid-convergence; on this graph "
+    "the peel stabilizes in ~3 rounds and the rest are no-ops). "
+    "The k-core is the densest-region filter used to find the "
+    "engaged subgraph before community detection or embedding "
+    "training. Each superstep is one join of the edge list onto the "
+    "surviving-node set (hash-partitioned on node id, the same "
+    "co-partitioning every round) + a map-side-combinable degree "
+    "count; localCheckpoint truncates lineage per round, O(1) "
+    "driver traffic. Returns the degree histogram of the final "
+    "core split by node class. Scale: edges shrink monotonically "
+    "every round, so the first superstep bounds the cost; no "
+    "all-pairs anywhere.",
+)
+def q_graph_kcore(spark, sf_dir):
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select("src").distinct()
+    for _ in range(_KCORE_ROUNDS):
+        a = nodes.withColumnRenamed("src", "asrc")
+        b = nodes.withColumnRenamed("src", "bsrc")
+        deg = (
+            edges.join(a, edges.src == a.asrc)
+            .join(b, edges.dst == b.bsrc)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nodes = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("src")
+            .localCheckpoint(eager=False)
+        )
+    a = nodes.withColumnRenamed("src", "asrc")
+    b = nodes.withColumnRenamed("src", "bsrc")
+    final = (
+        edges.join(a, edges.src == a.asrc)
+        .join(b, edges.dst == b.bsrc)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        final.groupBy(F.col("d").cast("long").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("src") < _CUST_NS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .orderBy("degree")
+    )

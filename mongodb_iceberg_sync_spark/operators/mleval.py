@@ -1,0 +1,530 @@
+"""Model-evaluation / monitoring aggregates over the events stream.
+
+The training-data engine's closing loop: once a model is trained on the
+corpus this engine prepares, the SAME engine scores its predictions at
+scale — AUC, confusion/precision-recall, calibration, and
+population-stability drift are the four readouts every ML platform runs
+nightly over event logs. All four reduce to sufficient statistics first
+(per-user rollup → per-score-value counts), so the expensive part is one
+map-side-combinable aggregation; the statistic itself is arithmetic over
+a bounded table.
+
+Determinism across engines (see registry.py rules): labels and
+predictions are defined by INTEGER cross-multiplication against global
+totals (``p * n_users > total_p`` == "above average" without ever
+forming a float mean), counts stay BIGINT, and every float is either a
+single rounded division of exact integers or a quantized-then-summed
+contribution.
+
+Example set: each user is one example. label = user's purchase count is
+above the global per-user average; score = the user's non-purchase
+engagement (views/clicks/signups/errors). "Does engagement predict heavy
+buyers" — deliberately simple so the oracle is exact; the operator
+shapes are what matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+# Shared per-user example rollup (Spark side) and its SQL twin.
+_USERS_SQL = """
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(p) AS BIGINT) AS tp,
+                   CAST(sum(s) AS BIGINT) AS ts FROM u),
+    ex AS (
+      SELECT u.s AS score,
+             CASE WHEN u.p * t.nu > t.tp THEN 1 ELSE 0 END AS label
+      FROM u CROSS JOIN tot t
+    )
+"""
+
+
+def _examples(spark, sf_dir):
+    """(score BIGINT, label INT) — one row per user.
+
+    label = purchase count above the global per-user mean, decided by
+    integer cross-multiplication (p * n_users > total_purchases) so no
+    float mean ever exists; score = non-purchase event count. The
+    rollup is one hash aggregation with map-side partials; the totals
+    row is a broadcast of exactly one row.
+    """
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp"),
+        F.sum("s").cast("long").alias("ts"),
+    )
+    return u.join(F.broadcast(tot)).select(
+        F.col("s").alias("score"),
+        F.when(F.col("p") * F.col("nu") > F.col("tp"), 1).otherwise(0).alias("label"),
+    )
+
+
+@register(
+    "q_ml_auc",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    by_score AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY score
+    ),
+    ranked AS (
+      SELECT pos, neg,
+             CAST(coalesce(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+      FROM by_score
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+    FROM ranked
+    """,
+    doc="ROC AUC of 'engagement predicts heavy buyers', computed "
+    "EXACTLY from the grouped score distribution: AUC = P(score_pos > "
+    "score_neg) + ½P(tie), evaluated as sum over score values of "
+    "pos·(2·neg_below + neg_at) / (2·P·N) — the Mann-Whitney U "
+    "identity on integer counts, so the only float is one final "
+    "division. Equivalent to trapezoidal area under the empirical ROC "
+    "with proper tie handling. Scale: the per-user rollup is the only "
+    "pass over data; the cumulative window runs over the DISTINCT "
+    "SCORE VALUES table (bounded by the score's integer range — tens "
+    "of rows even at 100 TB where users are billions), so the "
+    "unpartitioned window is a deliberate non-issue, not a "
+    "single-reducer trap.",
+)
+def q_ml_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = _examples(spark, sf_dir)
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "pos", "neg", F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below")
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).cast(
+                "double"
+            )
+            / (2.0 * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_ml_confusion",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    pred AS (
+      SELECT label,
+             CASE WHEN ex.score * t.nu > t.ts THEN 1 ELSE 0 END AS yhat
+      FROM ex CROSS JOIN tot t
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN label = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+           round(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+    FROM c
+    """,
+    doc="Confusion matrix + precision/recall/F1 at the "
+    "above-average-engagement operating point (yhat decided by the "
+    "same integer cross-multiplication as the label, so the threshold "
+    "is scale-free and float-free). F1 uses the single-division form "
+    "2tp/(2tp+fp+fn) — one rounded division of exact integers, no "
+    "intermediate precision/recall floats to compound. Scale: per-user "
+    "rollup then a four-counter aggregation; everything after the "
+    "first groupBy is constant-size.",
+)
+def q_ml_confusion(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp_"),
+        F.sum("s").cast("long").alias("ts_"),
+    )
+    pred = u.join(F.broadcast(tot)).select(
+        F.when(F.col("p") * F.col("nu") > F.col("tp_"), 1).otherwise(0).alias("label"),
+        F.when(F.col("s") * F.col("nu") > F.col("ts_"), 1).otherwise(0).alias("yhat"),
+    )
+    c = pred.agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    )
+
+
+@register(
+    "q_ml_calibration",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    binned AS (
+      SELECT CAST((ex.score - r.mn) * 10 // (r.mx - r.mn + 1) AS BIGINT) AS bin,
+             ex.score, ex.label, r.mn, r.mx
+      FROM ex CROSS JOIN rng r
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg((score - mn) * 1.0 / (mx - mn)), 6) AS mean_pred,
+           round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="Calibration (reliability) table: scores min-max-normalized to "
+    "[0,1] as the 'predicted probability', cut into 10 fixed-width "
+    "bins, per-bin mean prediction vs observed positive rate — the "
+    "table behind every reliability diagram and ECE number. Binning is "
+    "ALL-INTEGER ((s-mn)*10 // (mx-mn+1), exact cross-engine); only "
+    "the two per-bin display means are rounded float divisions. "
+    "Fixed-width score bins, not rank deciles, deliberately: rank "
+    "deciles need a global sort of all examples, score bins need only "
+    "a broadcast min/max — the shape that survives billions of users. "
+    "One hash agg over users, then constant-size arithmetic.",
+)
+def q_ml_calibration(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"), F.max("score").cast("long").alias("mx")
+    )
+    binned = ex.join(F.broadcast(rng)).select(
+        F.floor((F.col("score") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn") + 1))
+        .cast("long")
+        .alias("bin"),
+        "score",
+        "label",
+        "mn",
+        "mx",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.avg((F.col("score") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn"))),
+                6,
+            ).alias("mean_pred"),
+            F.round(F.sum("label").cast("double") / F.count("*"), 6).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q_ml_psi",
+    family="mleval",
+    oracle="""
+    WITH sliced AS (
+      SELECT value,
+             CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END AS is_wkend
+      FROM events
+    ),
+    rng AS (SELECT min(value) AS mn, max(value) AS mx FROM sliced),
+    binned AS (
+      SELECT CAST(least(floor((s.value - r.mn) * 10.0 / (r.mx - r.mn)), 9)
+               AS BIGINT) AS bin,
+             s.is_wkend
+      FROM sliced s CROSS JOIN rng r
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(1 - is_wkend) + 1 AS BIGINT) AS a,
+             CAST(sum(is_wkend) + 1 AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    tots AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                    CAST(sum(b) AS BIGINT) AS tb FROM cells)
+    SELECT c.bin,
+           c.a - 1 AS n_ref,
+           c.b - 1 AS n_cur,
+           round(CAST(CAST(round(
+             (c.a * 1.0 / t.ta - c.b * 1.0 / t.tb)
+             * (ln(c.a * t.tb) - ln(c.b * t.ta)) * 1e9, 0) AS BIGINT)
+             AS DOUBLE) / 1e9, 6) AS psi_term
+    FROM cells c CROSS JOIN tots t
+    ORDER BY c.bin
+    """,
+    doc="Population Stability Index per bin: drift of the event-value "
+    "distribution between weekday (reference) and weekend (current) "
+    "traffic — the monitoring statistic that pages the ML on-call when "
+    "a feature's distribution shifts. 10 fixed-width bins over the "
+    "global [min,max] (identical IEEE double expression both engines); "
+    "add-one smoothing so empty bins stay finite; each bin's "
+    "(pa−pb)·ln(pa/pb) keeps the log's argument INTEGRAL "
+    "(ln(a·tb)−ln(b·ta)) and quantizes the term to 1e-9 before "
+    "display, the adamic-adar determinism pattern. Weekday/weekend "
+    "split uses day-of-week integers (Spark dayofweek−1 == DuckDB "
+    "dow), no timestamp arithmetic. Scale: one map-side-combined "
+    "aggregation to 10 cells; the statistic is constant-size math.",
+)
+def q_ml_psi(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    sliced = ev.select(
+        "value",
+        F.when((F.dayofweek("ts") - 1).isin(0, 6), 1).otherwise(0).alias("is_wkend"),
+    )
+    rng = sliced.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = sliced.join(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+        "is_wkend",
+    )
+    cells = binned.groupBy("bin").agg(
+        (F.sum(1 - F.col("is_wkend")) + 1).cast("long").alias("a"),
+        (F.sum("is_wkend") + 1).cast("long").alias("b"),
+    )
+    tots = cells.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    term = (
+        (F.col("a") * 1.0 / F.col("ta") - F.col("b") * 1.0 / F.col("tb"))
+        * (F.log(F.col("a") * F.col("tb")) - F.log(F.col("b") * F.col("ta")))
+        * 1e9
+    )
+    return (
+        cells.join(F.broadcast(tots))
+        .select(
+            "bin",
+            (F.col("a") - 1).alias("n_ref"),
+            (F.col("b") - 1).alias("n_cur"),
+            (F.round(term, 0).cast("long").cast("double") / 1e9).alias("psi_term"),
+        )
+        .withColumn("psi_term", F.round("psi_term", 6))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q_ml_ks_separation",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    by_score AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY score
+    ),
+    tt AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                 CAST(sum(neg) AS BIGINT) AS n FROM by_score),
+    cum AS (
+      SELECT CAST(sum(pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos,
+             CAST(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_neg
+      FROM by_score
+    )
+    SELECT t.p AS n_pos, t.n AS n_neg,
+           round(CAST(max(abs(c.cum_pos * t.n - c.cum_neg * t.p)) AS DOUBLE)
+                 / (t.p * 1.0 * t.n), 6) AS ks
+    FROM cum c CROSS JOIN tt t
+    GROUP BY t.p, t.n
+    """,
+    doc="Kolmogorov-Smirnov separation of the score distributions of "
+    "positives vs negatives — max |CDF_pos − CDF_neg|, the "
+    "credit-scoring twin of AUC (KS is the single best operating "
+    "point; AUC integrates all of them). EXACT: the max is taken over "
+    "|cum_pos·N − cum_neg·P| in BIGINT (cross-multiplied CDFs — no "
+    "per-row float), and only the final max divides by P·N. Same "
+    "sufficient-statistics shape as q_ml_auc: one per-user pass, then "
+    "a window over the bounded distinct-score table.",
+)
+def q_ml_ks_separation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = _examples(spark, sf_dir)
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    tot = by_score.agg(
+        F.sum("pos").cast("long").alias("p"), F.sum("neg").cast("long").alias("n")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_score.select(
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+        F.sum("neg").over(w).cast("long").alias("cum_neg"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("p", "n")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(F.col("cum_pos") * F.col("n") - F.col("cum_neg") * F.col("p"))
+                ).cast("double")
+                / (F.first("p") * 1.0 * F.first("n")),
+                6,
+            ).alias("ks")
+        )
+        .select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"), "ks")
+    )
+
+
+@register(
+    "q_ml_lift",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    binned AS (
+      SELECT CAST((ex.score - r.mn) * 10 // (r.mx - r.mn + 1) AS BIGINT) AS bin,
+             ex.label
+      FROM ex CROSS JOIN rng r
+    ),
+    cells AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    ),
+    tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                CAST(sum(pos) AS BIGINT) AS p FROM cells),
+    cum AS (
+      SELECT bin, n, pos,
+             CAST(sum(n) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+      FROM cells
+    )
+    SELECT c.bin, c.n, c.pos,
+           round(CAST(c.cum_pos AS DOUBLE) / t.p, 6) AS gain,
+           round(CAST(c.cum_pos AS DOUBLE) * t.nt / (t.p * 1.0 * c.cum_n), 6)
+             AS lift
+    FROM cum c CROSS JOIN tt t
+    ORDER BY c.bin DESC
+    """,
+    doc="Cumulative gains / lift table: score bins walked from the "
+    "highest down, reporting what fraction of all positives is "
+    "captured (gain) and the capture rate vs random targeting (lift) "
+    "— the campaign-targeting readout ('contact the top 2 bins, reach "
+    "58% of buyers at 1.4x random'). Bins are the same all-integer "
+    "fixed-width cut as q_ml_calibration (broadcast min/max, no "
+    "global rank); cumulative sums run top-down over ≤10 bin rows; "
+    "gain and lift are single rounded divisions of exact integers "
+    "(lift cross-multiplied as cum_pos·NT / (P·cum_n)). One data "
+    "pass, constant-size everything after.",
+)
+def q_ml_lift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = _examples(spark, sf_dir)
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"), F.max("score").cast("long").alias("mx")
+    )
+    binned = ex.join(F.broadcast(rng)).select(
+        F.floor((F.col("score") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn") + 1))
+        .cast("long")
+        .alias("bin"),
+        "label",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"), F.sum("label").cast("long").alias("pos")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("p")
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("cum_pos").cast("double") / F.col("p"), 6).alias("gain"),
+            F.round(
+                F.col("cum_pos").cast("double")
+                * F.col("nt")
+                / (F.col("p") * 1.0 * F.col("cum_n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("bin").desc())
+    )

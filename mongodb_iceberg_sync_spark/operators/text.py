@@ -1601,3 +1601,92 @@ def q_text_substring_dup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_JSD_VOCAB = 200
+_JSD_NEW_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "q_text_jsd_drift",
+    family="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w,
+             CASE WHEN source IN {_JSD_NEW_SOURCES!r} THEN 1 ELSE 0 END AS g
+      FROM documents
+    ),
+    cnt AS (
+      SELECT w,
+             CAST(sum(1 - g) AS BIGINT) AS ref_c,
+             CAST(sum(g) AS BIGINT) AS new_c,
+             count(*) AS tot
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    vocab AS (
+      SELECT w, ref_c + 1 AS a, new_c + 1 AS b
+      FROM cnt ORDER BY tot DESC, w LIMIT {_JSD_VOCAB}
+    ),
+    tt AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                  CAST(sum(b) AS BIGINT) AS tb FROM vocab),
+    terms AS (
+      SELECT CAST(round(0.5 * (
+               (v.a * 1.0 / t.ta)
+                 * (ln(2.0 * v.a * t.tb) - ln(v.a * 1.0 * t.tb + v.b * 1.0 * t.ta))
+               + (v.b * 1.0 / t.tb)
+                 * (ln(2.0 * v.b * t.ta) - ln(v.a * 1.0 * t.tb + v.b * 1.0 * t.ta))
+             ) * 1e9, 0) AS BIGINT) AS tq
+      FROM vocab v CROSS JOIN tt t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(CAST(sum(tq) AS DOUBLE) / 1e9, 6) AS jsd
+    FROM terms
+    """,
+    doc="Jensen-Shannon divergence between the unigram distribution of "
+    f"a 'new crawl' slice (sources {', '.join(_JSD_NEW_SOURCES)}) and "
+    "the reference corpus — THE symmetric, bounded [0, ln2] drift "
+    "score for 'did this ingest batch change the language mix', run "
+    "before new data is blended into a training corpus. Restricted to "
+    f"the global top-{_JSD_VOCAB} vocabulary (TakeOrdered — constant-"
+    "size), add-one smoothed so disjoint vocabularies stay finite. "
+    "Determinism: every ln argument is an exact-integer product (the "
+    "ratios p/m and q/m are cross-multiplied to ln(2·a·tb) − "
+    "ln(a·tb + b·ta), all < 2^53 so the doubles are exact), each "
+    "term is quantized to 1e-9 then BIGINT-summed — order-independent "
+    "cross-engine. Scale: one token-count aggregation (map-side "
+    "partials) is the only corpus-sized work; the JSD itself is "
+    "arithmetic over 200 rows.",
+)
+def q_text_jsd_drift(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g = F.when(F.col("source").isin(*_JSD_NEW_SOURCES), 1).otherwise(0)
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"), g.alias("g")).filter(
+        F.col("w") != ""
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(1 - F.col("g")).cast("long").alias("ref_c"),
+        F.sum("g").cast("long").alias("new_c"),
+        F.count("*").alias("tot"),
+    )
+    vocab = (
+        cnt.orderBy(F.col("tot").desc(), "w")
+        .limit(_JSD_VOCAB)
+        .select((F.col("ref_c") + 1).alias("a"), (F.col("new_c") + 1).alias("b"))
+    )
+    tt = vocab.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    a, b, ta, tb = F.col("a"), F.col("b"), F.col("ta"), F.col("tb")
+    ln_m = F.log(a * 1.0 * tb + b * 1.0 * ta)
+    term = 0.5 * (
+        (a * 1.0 / ta) * (F.log(2.0 * a * tb) - ln_m)
+        + (b * 1.0 / tb) * (F.log(2.0 * b * ta) - ln_m)
+    )
+    return (
+        vocab.join(F.broadcast(tt))
+        .select(F.round(term * 1e9, 0).cast("long").alias("tq"))
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum("tq").cast("double") / 1e9, 6).alias("jsd"),
+        )
+    )

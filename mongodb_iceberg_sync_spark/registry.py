@@ -76,6 +76,7 @@ def _load_all_operator_modules() -> None:
     from .operators import corpus  # noqa: F401
     from .operators import mixture  # noqa: F401
     from .operators import tpch  # noqa: F401
+    from .operators import mleval  # noqa: F401
 
 
 # ORDER MATTERS for the driver contract: the correctness sweep runs queries
@@ -214,6 +215,16 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_cdc_stats_skipping",
     "q_agg_countmin_fast",
     "q_events_conversion_ci",
+    "q_graph_adamic_adar",
+    "q_graph_kcore",
+    "q_ml_auc",
+    "q_ml_confusion",
+    "q_ml_calibration",
+    "q_ml_psi",
+    "q_agg_cramers_v",
+    "q_ml_ks_separation",
+    "q_ml_lift",
+    "q_text_jsd_drift",
 )
 
 

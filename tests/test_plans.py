@@ -878,3 +878,11 @@ def test_funnel_timed_joins_stay_user_keyed(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_adamic_adar_topk_not_global_sort(spark, sf_dir):
+    # top-50 must be TakeOrderedAndProject (per-partition heaps + one
+    # k-row merge), never a global rangepartition sort of all pairs.
+    df = SPECS["q_graph_adamic_adar"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

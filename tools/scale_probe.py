@@ -170,6 +170,12 @@ PROBE_QUERIES = [
     "q_cdc_stats_skipping",
     "q_agg_countmin_fast",
     "q_events_conversion_ci",
+    "q_graph_adamic_adar",
+    "q_graph_kcore",
+    "q_ml_auc",
+    "q_ml_psi",
+    "q_ml_lift",
+    "q_text_jsd_drift",
 ]
 REPLICAS = 10
 
