@@ -119,6 +119,11 @@ HEADLINE = [
     "q_ml_psi",
     "q_ml_lift",
     "q_text_jsd_drift",
+    "q_ml_ndcg",
+    "q_events_stickiness",
+    "q_text_keywords",
+    "q_events_concurrency",
+    "q_window_pareto",
 ]
 
 

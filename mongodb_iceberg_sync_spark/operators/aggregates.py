@@ -1976,3 +1976,44 @@ def q_agg_countmin_fast(spark, sf_dir):
     return est.select(
         F.col("k").cast("long").alias("l_partkey"), "true_n", "cms_est"
     ).orderBy(F.desc("true_n"), "l_partkey")
+
+
+@register(
+    "q_agg_tail_ratio",
+    family="aggregates",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           round(round(quantile_cont(value, 0.99), 4)
+                 / round(quantile_cont(value, 0.50), 4), 6) AS tail_ratio
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Tail ratio p99/p50 per event type — the SLO-dashboard number "
+    "that separates 'slow on average' from 'slow in the tail' (a "
+    "ratio near 1 is uniform load; 10+ means a long tail that "
+    "averages hide). Exact linear-interpolation percentiles (Spark "
+    "`percentile` == DuckDB `quantile_cont`), each rounded to 4 "
+    "BEFORE the ratio so the division's operands — not just its "
+    "result — are identical cross-engine. Scale: same contract as "
+    "q_agg_percentile — exact percentile buffers per group; the "
+    "documented 100 TB swap is approx_percentile's t-digest with the "
+    "identical query shape.",
+)
+def q_agg_tail_ratio(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p50 = F.round(F.expr("percentile(value, 0.50)"), 4)
+    p99 = F.round(F.expr("percentile(value, 0.99)"), 4)
+    return (
+        ev.groupBy("event_type")
+        .agg(p50.alias("p50"), p99.alias("p99"))
+        .select(
+            "event_type",
+            "p50",
+            "p99",
+            F.round(F.col("p99") / F.col("p50"), 6).alias("tail_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -532,3 +532,68 @@ def q_ml_logreg(spark, sf_dir):
         ("train_accuracy", round(acc / n, 6)),
     ]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+@register(
+    "q_mix_dedup_priority",
+    family="sampling",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             substr(text, 1, 40) AS fingerprint,
+             CAST(substr(source, 4) AS BIGINT) AS src_rank
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, fingerprint,
+             count(*) OVER (PARTITION BY fingerprint) AS n_copies,
+             row_number() OVER (
+               PARTITION BY fingerprint ORDER BY src_rank, doc_id
+             ) AS pick
+      FROM fp
+    )
+    SELECT fingerprint, doc_id AS kept_doc_id, source AS kept_source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked
+    WHERE pick = 1 AND n_copies >= 2
+    ORDER BY fingerprint
+    """,
+    doc="Cross-source duplicate resolution by source priority: when "
+    "the same content (40-char prefix fingerprint — the cheap "
+    "canonicalization key; swap in the minhash signature for fuzzy "
+    "groups) appears in multiple sources, keep the copy from the "
+    "most-trusted source (rank = the source's numeric tier, e.g. "
+    "curated < crawl) — the license/provenance-aware dedup every "
+    "multi-source training mix needs, as opposed to q_dedup_exact's "
+    "arbitrary-winner semantics. One hash shuffle on the fingerprint; "
+    "both windows share the same partitioning (one Exchange, Spark "
+    "collapses identical window specs). Reports only contested groups "
+    "(n_copies >= 2).",
+)
+def q_mix_dedup_priority(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, 40).alias("fingerprint"),
+        F.substring("source", 4, 10).cast("long").alias("src_rank"),
+    )
+    w_cnt = Window.partitionBy("fingerprint")
+    w_pick = Window.partitionBy("fingerprint").orderBy("src_rank", "doc_id")
+    return (
+        fp.select(
+            "doc_id",
+            "source",
+            "fingerprint",
+            F.count("*").over(w_cnt).alias("n_copies"),
+            F.row_number().over(w_pick).alias("pick"),
+        )
+        .filter((F.col("pick") == 1) & (F.col("n_copies") >= 2))
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("source").alias("kept_source"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("fingerprint")
+    )

@@ -528,3 +528,141 @@ def q_ml_lift(spark, sf_dir):
         )
         .orderBy(F.col("bin").desc())
     )
+
+
+_NDCG_PROBES = 20
+_NDCG_K = 10
+
+
+@register(
+    "q_ml_ndcg",
+    family="mleval",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS p, label AS plabel
+      FROM embeddings WHERE vec_id < {_NDCG_PROBES}
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id >= {_NDCG_PROBES}
+    ),
+    nrel AS (
+      SELECT pr.probe_id,
+             CAST(count(*) AS BIGINT) AS n_rel
+      FROM probes pr JOIN corpus c ON c.label = pr.plabel
+      GROUP BY pr.probe_id
+    ),
+    sims AS (
+      SELECT pr.probe_id, pr.plabel, c.vec_id, c.label,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * pr.p[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> pr.p[i]::DOUBLE * pr.p[i]::DOUBLE)))),
+               5) AS cos_sim
+      FROM corpus c, probes pr
+    ),
+    hits AS (
+      SELECT probe_id,
+             CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+             ) AS rk
+      FROM sims
+    ),
+    dcg AS (
+      SELECT probe_id,
+             CAST(sum(rel * CAST(round(1e9 / (ln(rk + 1) / ln(2)), 0)
+               AS BIGINT)) AS BIGINT) AS dcg_q
+      FROM hits WHERE rk <= {_NDCG_K}
+      GROUP BY probe_id
+    )
+    SELECT n.probe_id, n.n_rel,
+           round(CAST(d.dcg_q AS DOUBLE) / list_sum(list_transform(
+             range(1, least(n.n_rel, {_NDCG_K}) + 1),
+             i -> CAST(round(1e9 / (ln(i + 1) / ln(2)), 0) AS BIGINT))),
+             6) AS ndcg
+    FROM nrel n JOIN dcg d ON d.probe_id = n.probe_id
+    ORDER BY n.probe_id
+    """,
+    doc=f"NDCG@{_NDCG_K} of cosine retrieval per probe: "
+    f"{_NDCG_PROBES} query vectors ranked against the corpus, "
+    "relevance = same class label — the ranking-quality readout for "
+    "an embedding index (ANN recall says 'found the true neighbors'; "
+    "NDCG says 'the ranking puts RELEVANT items first'). EXACT "
+    "cross-engine: cosines round to 5 before ranking (ties break on "
+    "vec_id — the established knn pattern); each position discount "
+    "1/log2(rk+1) is rounded to an exact 1e9-scaled BIGINT, so "
+    "DCG and ideal-DCG are exact integer sums and NDCG is one "
+    "rounded division. The ideal DCG sums the same quantized "
+    "discounts over min(n_rel, k) positions via an identical "
+    "sequence-fold both engines. Scale: the probe block is a "
+    "broadcast (k·d floats); the corpus pass is one map-side GEMM "
+    "shape (JVM zip_with fold here; the mapInPandas partial-top-k of "
+    "q_sim_knn_join is the documented swap once k·|corpus| rows "
+    "can't feed one window), and the per-probe window input is "
+    "capped by the partial top-k under the same total order.",
+)
+def q_ml_ndcg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _NDCG_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        F.col("label").alias("plabel"),
+    )
+    corpus = e.filter(F.col("vec_id") >= _NDCG_PROBES)
+    nrel = (
+        probes.join(
+            F.broadcast(
+                corpus.groupBy("label").agg(F.count("*").cast("long").alias("n_rel"))
+            ),
+            F.col("label") == F.col("plabel"),
+        )
+        .select("probe_id", "n_rel")
+    )
+    sims = corpus.join(F.broadcast(probes)).select(
+        "probe_id",
+        "plabel",
+        "vec_id",
+        "label",
+        F.round(cosine("embedding", "p"), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    wq = F.round(F.lit(1e9) / (F.log(F.col("rk") + 1) / F.log(F.lit(2.0))), 0).cast(
+        "long"
+    )
+    dcg = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NDCG_K)
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("plabel"), wq).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dcg_q")
+        )
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_NDCG_K))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.round(
+            F.lit(1e9) / (F.log(i.cast("double") + 1) / F.log(F.lit(2.0))), 0
+        ).cast("long"),
+    )
+    return (
+        nrel.join(dcg, "probe_id")
+        .select(
+            "probe_id",
+            "n_rel",
+            F.round(F.col("dcg_q").cast("double") / idcg, 6).alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )

@@ -2163,3 +2163,221 @@ def q_events_conversion_ci(spark, sf_dir):
         F.round((center - margin) / denom, 6).alias("wilson_lo"),
         F.round((center + margin) / denom, 6).alias("wilson_hi"),
     ).orderBy("arm")
+
+
+@register(
+    "q_events_stickiness",
+    family="pipeline",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('week', ts) AS week,
+             date_trunc('day', ts) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT date_trunc('week', ts) AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d.week AS TIMESTAMP) AS week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.dau) AS BIGINT) AS dau_sum,
+           w.wau,
+           round(CAST(sum(d.dau) AS DOUBLE) / (count(*) * w.wau), 6)
+             AS stickiness
+    FROM daily d JOIN weekly w USING (week)
+    GROUP BY d.week, w.wau
+    ORDER BY week
+    """,
+    doc="DAU/WAU stickiness per week — avg daily-active over "
+    "weekly-active users, the engagement-frequency readout every "
+    "growth dashboard leads with (a 0.9 product is used daily; a 0.2 "
+    "product weekly). Two distinct-user aggregations share the "
+    "(week, user) grain: Spark's partial aggregation collapses "
+    "(week, day, user) duplicates map-side before either distinct "
+    "shuffles, so the exchange carries unique keys, not raw events. "
+    "The ratio is one rounded division of exact BIGINTs (dau summed "
+    "over exact per-day distincts, cross-multiplied by day count and "
+    "WAU). At 100 TB the exact per-day distinct is the right tool — "
+    "its key space is bounded by true actives/day; the documented "
+    "swap for unbounded keys is approx_count_distinct "
+    "(q_profile_columns_sketch pattern).",
+)
+def q_events_stickiness(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    daily = (
+        ev.groupBy(
+            wk.alias("week"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    )
+    weekly = ev.groupBy(wk.alias("week")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        daily.join(weekly, "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("dau").cast("long").alias("dau_sum"),
+        )
+        .select(
+            "week",
+            "n_days",
+            "dau_sum",
+            "wau",
+            F.round(
+                F.col("dau_sum").cast("double") / (F.col("n_days") * F.col("wau")), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "q_events_concurrency",
+    family="pipeline",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, min(ts) AS t_start, max(ts) AS t_end
+      FROM (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM ordered
+      )
+      GROUP BY user_id, session_no
+    ),
+    segs AS (
+      SELECT unnest(generate_series(
+               date_trunc('day', t_start), date_trunc('day', t_end),
+               INTERVAL 1 DAY)) AS day,
+             t_start, t_end
+      FROM sessions
+    ),
+    deltas AS (
+      SELECT day,
+             greatest(epoch_us(t_start), epoch_us(day)) AS us,
+             1 AS plus, 0 AS minus
+      FROM segs
+      UNION ALL
+      SELECT day,
+             least(epoch_us(t_end), epoch_us(day + INTERVAL 1 DAY) - 1) AS us,
+             0 AS plus, 1 AS minus
+      FROM segs
+    ),
+    ticks AS (
+      SELECT day, us,
+             CAST(sum(plus) AS BIGINT) AS plus,
+             CAST(sum(minus) AS BIGINT) AS minus
+      FROM deltas GROUP BY day, us
+    ),
+    running AS (
+      SELECT day, minus, plus,
+             sum(plus - minus) OVER (
+               PARTITION BY day ORDER BY us ROWS UNBOUNDED PRECEDING
+             ) AS cum_net
+      FROM ticks
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(sum(plus) AS BIGINT) AS n_segments,
+           CAST(max(cum_net + minus) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY day ORDER BY day
+    """,
+    doc="Peak concurrent sessions per day — the capacity-planning "
+    "sweep-line: sessionize (30-min gap, the q_events_sessionize cut "
+    "rule), clip each session to day boundaries, emit +1/-1 ticks at "
+    "segment start/end, and take the max of the running sum. "
+    "Determinism without a fragile tie order: ticks are AGGREGATED "
+    "per distinct microsecond first (plus/minus counts), the running "
+    "sum is over distinct timestamps (ROWS == RANGE), and occupancy "
+    "at an instant is defined starts-first as cum_net + minus — no "
+    "row-order dependence at equal timestamps in either engine. "
+    "Timestamps compared in exact integer microseconds (unix_micros "
+    "== epoch_us; never truncated seconds). Scale: sessions shuffle "
+    "once on user_id; the sweep-line windows partition BY DAY, so "
+    "each day's tick list (2 x sessions touching it) is the only "
+    "window buffer — no global ordering ever.",
+)
+def q_events_concurrency(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    _us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = _us(F.col("ts")) - _us(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_sess", new_sess)
+        .withColumn("session_no", F.sum("new_sess").over(w_run))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    segs = sessions.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "t_start"),
+                F.date_trunc("day", "t_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "t_start",
+        "t_end",
+    )
+    _usc = lambda name: F.unix_micros(F.col(name).cast("timestamp"))  # noqa: E731
+    starts = segs.select(
+        "day",
+        F.greatest(_usc("t_start"), _usc("day")).alias("us"),
+        F.lit(1).alias("plus"),
+        F.lit(0).alias("minus"),
+    )
+    ends = segs.select(
+        "day",
+        F.least(
+            _usc("t_end"),
+            F.unix_micros(
+                (F.col("day") + F.expr("INTERVAL 1 DAY")).cast("timestamp")
+            )
+            - 1,
+        ).alias("us"),
+        F.lit(0).alias("plus"),
+        F.lit(1).alias("minus"),
+    )
+    ticks = (
+        starts.unionByName(ends)
+        .groupBy("day", "us")
+        .agg(
+            F.sum("plus").cast("long").alias("plus"),
+            F.sum("minus").cast("long").alias("minus"),
+        )
+    )
+    w_day = Window.partitionBy("day").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ticks.withColumn("cum_net", F.sum(F.col("plus") - F.col("minus")).over(w_day))
+        .groupBy("day")
+        .agg(
+            F.sum("plus").cast("long").alias("n_segments"),
+            F.max(F.col("cum_net") + F.col("minus")).cast("long").alias(
+                "peak_concurrency"
+            ),
+        )
+        .orderBy("day")
+    )

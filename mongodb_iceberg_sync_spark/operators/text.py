@@ -1690,3 +1690,145 @@ def q_text_jsd_drift(spark, sf_dir):
             F.round(F.sum("tq").cast("double") / 1e9, 6).alias("jsd"),
         )
     )
+
+
+@register(
+    "q_text_source_hhi",
+    family="text",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           round(CAST(sum(CAST(round(
+             (c.c * 1.0 / t.n) * (c.c * 1.0 / t.n) * 1e12, 0) AS BIGINT))
+             AS DOUBLE) / 1e12, 6) AS hhi,
+           round(1.0 / count(*), 6) AS hhi_uniform
+    FROM cnt c CROSS JOIN tot t
+    """,
+    doc="Herfindahl-Hirschman concentration of the corpus token mass "
+    "across sources — the diversity gate run before blending a "
+    "training mix (HHI → 1 means one crawl dominates; the uniform "
+    "floor 1/n_sources is emitted alongside for calibration). Token "
+    "share per source is an exact-integer ratio; each squared share "
+    "is quantized to 1e-12 then BIGINT-summed (order-independent "
+    "cross-engine), one final division back. Scale: one "
+    "token-count aggregation with map-side partials to |sources| "
+    "rows; the statistic is constant-size.",
+)
+def q_text_source_hhi(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    share = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(F.round(share * share * 1e12, 0).cast("long").alias("sq"))
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.round(F.sum("sq").cast("double") / 1e12, 6).alias("hhi"),
+            F.round(1.0 / F.count("*"), 6).alias("hhi_uniform"),
+        )
+    )
+
+
+_KW_MIN_TF = 5
+_KW_TOPK = 3
+
+
+@register(
+    "q_text_keywords",
+    family="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf_s AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY source, w
+    ),
+    tf AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM tf_s GROUP BY w),
+    tot_s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+              FROM tf_s GROUP BY source),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM tf),
+    scored AS (
+      SELECT s.source, s.w, s.c,
+             round(s.c * 1.0 * t.n / (g.ns * 1.0 * f.cw), 6) AS lift
+      FROM tf_s s
+      JOIN tf f ON f.w = s.w
+      JOIN tot_s g ON g.source = s.source
+      CROSS JOIN tot t
+      WHERE s.c >= {_KW_MIN_TF}
+    )
+    SELECT source, w AS keyword, c AS tf_source, lift, kw_rank
+    FROM (
+      SELECT source, w, c, lift,
+             row_number() OVER (
+               PARTITION BY source ORDER BY lift DESC, w
+             ) AS kw_rank
+      FROM scored
+    )
+    WHERE kw_rank <= {_KW_TOPK}
+    ORDER BY source, kw_rank
+    """,
+    doc=f"Distinctive keywords per source: top-{_KW_TOPK} terms by "
+    "frequency lift (share of term in the source vs share in the "
+    "whole corpus) — the 'what is this crawl actually about' "
+    "fingerprint used in data cards and mixture debugging; the same "
+    "statistic as pointwise mutual information exp(PMI). Lift is a "
+    "rational of four exact integers, cross-multiplied before the "
+    "single rounded division (c·N / (ns·cw)); candidate terms are "
+    f"pre-filtered to per-source tf >= {_KW_MIN_TF} so the ranking "
+    "window's input is the distinctive-vocab slice, not the corpus. "
+    "Scale: two token aggregations (source×term, term) with map-side "
+    "partials; the per-source top-k window partitions by source over "
+    "the filtered candidate set.",
+)
+def q_text_keywords(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tf_s = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tf = tf_s.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    tot_s = tf_s.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    tot = tf.agg(F.sum("cw").cast("long").alias("n"))
+    scored = (
+        tf_s.filter(F.col("c") >= _KW_MIN_TF)
+        .join(tf, "w")
+        .join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "c",
+            F.round(
+                F.col("c") * 1.0 * F.col("n") / (F.col("ns") * 1.0 * F.col("cw")), 6
+            ).alias("lift"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.col("lift").desc(), "w")
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w_rank))
+        .filter(F.col("kw_rank") <= _KW_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("keyword"),
+            F.col("c").alias("tf_source"),
+            "lift",
+            "kw_rank",
+        )
+        .orderBy("source", "kw_rank")
+    )

@@ -518,3 +518,122 @@ def q_window_regr_slope(spark, sf_dir):
         .orderBy("user_id", "ts", "event_id")
         .limit(5000)
     )
+
+
+@register(
+    "q_window_alert_debounce",
+    family="windows",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    FROM seq
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Alert debounce / state-change suppression: per user, emit an "
+    "event only when its type DIFFERS from the previous one — the "
+    "monitoring-pipeline primitive that turns a firing-alert firehose "
+    "into state transitions (and the same lag-compare shape as CDC "
+    "change suppression on audit logs). One lag window per user "
+    "partition with a total order (ts, event_id) so ties are "
+    "deterministic; first event always emits (NULL prev). Scale: one "
+    "hash shuffle on user_id, window runs inside each user's "
+    "partition (bounded per-user history), output shrinks to the "
+    "transition count — map-side nothing, but nothing global either.",
+)
+def q_window_alert_debounce(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "ts", "event_type")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "q_window_pareto",
+    family="windows",
+    oracle="""
+    WITH srev AS (
+      SELECT n.n_name, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ),
+    ranked AS (
+      SELECT n_name, cents,
+             sum(cents) OVER (
+               PARTITION BY n_name ORDER BY cents DESC, l_suppkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             sum(cents) OVER (PARTITION BY n_name) AS tot
+      FROM srev
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CASE WHEN (cum - cents) * 5 < tot * 4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_top80,
+           round(CAST(sum(CASE WHEN (cum - cents) * 5 < tot * 4
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS top80_frac
+    FROM ranked GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Pareto concentration cut per nation: how many suppliers carry "
+    "80% of revenue — the 'is this market 80/20' readout behind "
+    "vendor-risk and inventory ABC analysis. The crossing test is "
+    "ALL-INTEGER: a supplier is inside the top-80 set iff the "
+    "cumulative cents BEFORE it are under 4/5 of the total "
+    "((cum−cents)·5 < tot·4 — no float shares anywhere); only the "
+    "final fraction divides. Scale: one supplier-rollup shuffle, then "
+    "windows partitioned by nation over supplier-count-bounded "
+    "groups; both window specs share one Exchange.",
+)
+def q_window_pareto(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_cum = Window.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), "l_suppkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy("n_name")
+    inside = (F.col("cum") - F.col("cents")) * 5 < F.col("tot") * 4
+    return (
+        srev.withColumn("cum", F.sum("cents").over(w_cum))
+        .withColumn("tot", F.sum("cents").over(w_tot))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_top80"),
+            F.round(
+                F.sum(F.when(inside, 1).otherwise(0)).cast("double") / F.count("*"), 6
+            ).alias("top80_frac"),
+        )
+        .orderBy("n_name")
+    )

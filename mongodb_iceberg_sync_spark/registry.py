@@ -225,6 +225,15 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_ks_separation",
     "q_ml_lift",
     "q_text_jsd_drift",
+    "q_ml_ndcg",
+    "q_events_stickiness",
+    "q_window_alert_debounce",
+    "q_text_source_hhi",
+    "q_text_keywords",
+    "q_agg_tail_ratio",
+    "q_mix_dedup_priority",
+    "q_events_concurrency",
+    "q_window_pareto",
 )
 
 

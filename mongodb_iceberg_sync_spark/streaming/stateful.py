@@ -130,3 +130,55 @@ try:  # pragma: no cover - import guard for older Spark / missing deps
 
 except ImportError:  # pragma: no cover
     longest_run_stream_tws = None  # type: ignore[assignment]
+
+
+# --- streaming alert debounce (q_window_alert_debounce's stream twin) --
+
+DEBOUNCE_OUTPUT = "user_id bigint, ts timestamp, event_type string"
+DEBOUNCE_STATE = "last_type string"
+
+
+def _debounce_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit only state CHANGES per user, carrying the last seen type
+    across micro-batches (append semantics: each transition is emitted
+    exactly once, when it happens)."""
+    last_type = state.get[0] if state.exists else None
+    out_ts, out_type = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_v, et in zip(pdf["ts"], pdf["event_type"]):
+            if et != last_type:
+                out_ts.append(ts_v)
+                out_type.append(et)
+                last_type = et
+    state.update((last_type,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_ts),
+            "ts": out_ts,
+            "event_type": out_type,
+        }
+    )
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """events (streaming) → per-user state transitions only.
+
+    The streaming twin of operators.windows.q_window_alert_debounce:
+    because the file source delivers micro-batches in event-time order
+    (and rows are sorted within each batch), the carried last_type makes
+    the union of all emissions EQUAL to the batch lag-filter — pinned in
+    tests/test_streaming.py::test_debounce_stream_matches_batch."""
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _debounce_update,
+            outputStructType=DEBOUNCE_OUTPUT,
+            stateStructType=DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -319,3 +319,19 @@ def test_decay_feature_stream_matches_batch(spark, sf_dir, events_stream_dir):
     ).collect()
     exp = decay_features(load_table(spark, sf_dir, "events")).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_debounce_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    """applyInPandasWithState debounce == batch lag-filter twin: each
+    per-user state transition is emitted exactly once across all
+    micro-batches (append mode), so the union of emissions equals the
+    batch operator's output."""
+    from mongodb_iceberg_sync_spark.operators.windows import q_window_alert_debounce
+    from mongodb_iceberg_sync_spark.streaming.stateful import debounce_stream
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    got = _run_to_memory(spark, debounce_stream(stream), "t_debounce", "append")
+    exp = q_window_alert_debounce(spark, sf_dir)
+    got_rows = sorted(map(tuple, got.select("user_id", "ts", "event_type").collect()))
+    exp_rows = sorted(map(tuple, exp.collect()))
+    assert got_rows == exp_rows

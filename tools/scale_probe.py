@@ -176,6 +176,15 @@ PROBE_QUERIES = [
     "q_ml_psi",
     "q_ml_lift",
     "q_text_jsd_drift",
+    "q_ml_ndcg",
+    "q_events_stickiness",
+    "q_window_alert_debounce",
+    "q_text_source_hhi",
+    "q_text_keywords",
+    "q_agg_tail_ratio",
+    "q_mix_dedup_priority",
+    "q_events_concurrency",
+    "q_window_pareto",
 ]
 REPLICAS = 10
 
@@ -202,6 +211,8 @@ HEAVY_100X = [
     "q_agg_countmin",
     "q_text_substring_dup",
     "q_graph_degree_dist",
+    "q_graph_adamic_adar",
+    "q_graph_kcore",
 ]
 # tables the HEAVY_100X set touches — synthesizing all ten tables at
 # 100x would write ~10 GB it never reads
