@@ -124,6 +124,8 @@ HEADLINE = [
     "q_text_keywords",
     "q_events_concurrency",
     "q_window_pareto",
+    "q_ml_centroid_classify",
+    "q_sink_pyds",
 ]
 
 

@@ -666,3 +666,118 @@ def q_ml_ndcg(spark, sf_dir):
         )
         .orderBy("probe_id")
     )
+
+
+_NCC_TEST = 100  # vec_id < 100 held out; the rest trains
+_NCC_Q = 10_000_000  # per-dim quantizer: float32 values fit 1e7 exactly
+
+
+@register(
+    "q_ml_centroid_classify",
+    family="mleval",
+    oracle=f"""
+    WITH train AS (
+      SELECT label, embedding FROM embeddings WHERE vec_id >= {_NCC_TEST}
+    ),
+    dims AS (
+      SELECT t.label, i.i,
+             CAST(sum(CAST(round(t.embedding[i.i]::DOUBLE * {_NCC_Q}, 0)
+               AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM train t, range(1, 65) i(i)
+      GROUP BY t.label, i.i
+    ),
+    test AS (
+      SELECT vec_id, label AS true_label, embedding
+      FROM embeddings WHERE vec_id < {_NCC_TEST}
+    ),
+    dist AS (
+      SELECT te.vec_id, te.true_label, d.label AS cand,
+             round(sum(
+               (te.embedding[d.i]::DOUBLE - d.s * 1.0 / (d.n * {_NCC_Q}.0))
+               * (te.embedding[d.i]::DOUBLE - d.s * 1.0 / (d.n * {_NCC_Q}.0))
+             ), 5) AS d2
+      FROM test te JOIN dims d ON TRUE
+      WHERE te.embedding[d.i] IS NOT NULL
+      GROUP BY te.vec_id, te.true_label, d.label
+    ),
+    pred AS (
+      SELECT vec_id, true_label, cand AS pred_label,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, cand
+             ) AS rk
+      FROM dist
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0
+             END) AS DOUBLE) / count(*), 6) AS accuracy
+    FROM pred WHERE rk = 1
+    GROUP BY true_label ORDER BY true_label
+    """,
+    doc="Nearest-centroid classification readout: class centroids from "
+    f"the training split (vec_id >= {_NCC_TEST}), each held-out vector "
+    "assigned to the closest centroid by squared L2, per-class "
+    "accuracy — the cheapest embedding-quality probe ('do classes "
+    "separate linearly?') run before any expensive fine-tune. "
+    "Determinism is CONSTRUCTIVE, not statistical: per-dim training "
+    "values are quantized to exact 1e7-scaled BIGINTs BEFORE the sum, "
+    "so each centroid dimension is the identical rational s/(n·1e7) "
+    "in both engines, every distance is the same float expression "
+    "tree (rounded to 5, ties by label), and the argmin is exact. "
+    "Scale: the centroid table is k·d rows (map-side-combinable "
+    "integer sums); scoring joins test rows against a BROADCAST "
+    "k·d-row table — one pass, no shuffle of the corpus; the "
+    "per-vec argmin window input is k rows.",
+)
+def q_ml_centroid_classify(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") >= _NCC_TEST)
+    dims = (
+        train.select(
+            "label", F.posexplode("embedding").alias("i0", "val")
+        )
+        .select(
+            "label",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("val").cast("double") * _NCC_Q, 0).cast("long").alias("q"),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("q").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+    )
+    test = e.filter(F.col("vec_id") < _NCC_TEST).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select("vec_id", "true_label", (F.col("i0") + 1).alias("i"), "x")
+    diff = F.col("x").cast("double") - F.col("s") * 1.0 / (F.col("n") * float(_NCC_Q))
+    dist = (
+        test.join(F.broadcast(dims), "i")
+        .groupBy("vec_id", "true_label", F.col("label").alias("cand"))
+        .agg(F.round(F.sum(diff * diff), 5).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("true_label").cast("long").alias("true_label"))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("cand") == F.col("true_label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_test",
+            "n_correct",
+            F.round(F.col("n_correct").cast("double") / F.col("n_test"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )

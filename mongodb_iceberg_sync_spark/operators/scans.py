@@ -601,3 +601,76 @@ def q_scan_pyds(spark, sf_dir):
         F.min("op_seq").alias("first_seq"),
         F.max("op_seq").alias("last_seq"),
     )
+
+
+@register(
+    "q_sink_pyds",
+    family="sinks",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Python Data Source WRITER round-trip (`manifest_sink`, Spark 4 "
+    "SPARK-44076 write path): a lineitem slice is written through a "
+    "REGISTERED native sink whose tasks emit JSON-lines part files and "
+    "whose driver commit publishes an atomic manifest (temp+rename "
+    "snapshot-pointer swap) — the Iceberg commit protocol expressed in "
+    "the engine's own sink API (reference A15/A21). The read-back is "
+    "MANIFEST-SCOPED: an orphan file planted in data/ (simulating a "
+    "failed attempt) is invisible, which is exactly the torn-write "
+    "guarantee; the oracle aggregates the SOURCE slice directly, so a "
+    "green row proves the commit-protocol round-trip lossless. "
+    "Layout built once per session (session_fixture); classes pickle "
+    "by value so executor workers need no repo on sys.path. Scale: "
+    "one writer task per partition, commit cost is O(#files) driver "
+    "JSON — the same contract a real catalog commit has.",
+)
+def q_sink_pyds(spark, sf_dir):
+    import os
+
+    from ..sources.pyds_sink import manifest_sink_datasource, read_manifest_scoped
+
+    spark.dataSource.register(manifest_sink_datasource())
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_returnflag").alias("l_returnflag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def build(out):
+        (
+            src.write.format("manifest_sink")
+            .option("path", out)
+            .option("columns", "l_orderkey,l_returnflag,cents")
+            .mode("append")
+            .save()
+        )
+        # plant an orphan: a part file no manifest lists (failed-attempt
+        # debris). The manifest-scoped read below must not see it.
+        with open(os.path.join(out, "data", "part-orphan-0.jsonl"), "w") as fh:
+            fh.write('{"l_orderkey": -1, "l_returnflag": "X", "cents": 999}\n')
+
+    out = session_fixture(("mis_pyds_sink", sf_dir), build)
+    back = read_manifest_scoped(
+        spark, out, "l_orderkey long, l_returnflag string, cents long"
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -234,6 +234,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_mix_dedup_priority",
     "q_events_concurrency",
     "q_window_pareto",
+    "q_ml_centroid_classify",
+    "q_sink_pyds",
 )
 
 

@@ -185,6 +185,8 @@ PROBE_QUERIES = [
     "q_mix_dedup_priority",
     "q_events_concurrency",
     "q_window_pareto",
+    "q_ml_centroid_classify",
+    "q_sink_pyds",
 ]
 REPLICAS = 10
 
