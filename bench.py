@@ -126,6 +126,7 @@ HEADLINE = [
     "q_window_pareto",
     "q_ml_centroid_classify",
     "q_sink_pyds",
+    "q_stream_pyds_sink",
 ]
 
 

@@ -674,3 +674,79 @@ def q_sink_pyds(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_stream_pyds_sink",
+    family="streaming",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming Python Data Source WRITER round-trip "
+    "(`manifest_stream_sink`): the events table streamed through a "
+    "registered native stream sink (DataSourceStreamWriter, Spark 4) "
+    "that commits ONE ATOMIC MANIFEST PER MICRO-BATCH and skips "
+    "replayed batchIds idempotently — exactly-once at the sink-API "
+    "level instead of a hand-rolled foreachBatch MERGE (reference "
+    "A15/A21). The batch oracle aggregates the source directly, so a "
+    "green row proves no micro-batch was lost, duplicated, or torn "
+    "across the stream; the id_sum checksum catches silent row "
+    "corruption. Stream runs once per session (availableNow + "
+    "session_fixture); replay idempotence is separately pinned in "
+    "tests/test_pyds_sink.py. Scale: one part file per task per "
+    "batch, O(#files) driver JSON per commit — the same cost model "
+    "as a catalog commit.",
+)
+def q_stream_pyds_sink(spark, sf_dir):
+    import os
+
+    from ..sources.pyds_sink import (
+        manifest_stream_sink_datasource,
+        read_stream_manifests,
+    )
+
+    def build(out):
+        spark.dataSource.register(manifest_stream_sink_datasource())
+        src_dir = os.path.join(out, "src")
+        sink_dir = os.path.join(out, "sink")
+        ckpt = os.path.join(out, "ckpt")
+        # file streams need a DIRECTORY source with >1 file for real
+        # micro-batching; the fixture tables ship as single files
+        ev = t(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+            .select(
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("event_type"),
+            )
+        )
+        q = (
+            stream.writeStream.format("manifest_stream_sink")
+            .option("path", sink_dir)
+            .option("columns", "event_id,event_type")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    out = session_fixture(("mis_pyds_stream", sf_dir), build)
+    back = read_stream_manifests(
+        spark, os.path.join(out, "sink"), "event_id long, event_type string"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -236,6 +236,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_window_pareto",
     "q_ml_centroid_classify",
     "q_sink_pyds",
+    "q_stream_pyds_sink",
 )
 
 

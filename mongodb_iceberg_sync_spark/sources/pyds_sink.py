@@ -130,3 +130,119 @@ def read_manifest_scoped(spark, path: str, schema: str):
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+def manifest_stream_sink_datasource():
+    """Streaming variant: one manifest per micro-batch, committed
+    atomically and IDEMPOTENTLY — a replayed batchId (restart after a
+    commit the checkpoint never recorded) is detected and skipped, the
+    exactly-once contract a foreachBatch MERGE provides, here at the
+    engine sink-API level (DataSourceStreamWriter.commit receives the
+    batchId; reference A21 idempotent commit ordering).
+
+    Layout:  <path>/data/batch-<id>-part-*.jsonl
+             <path>/manifest-<id>.json       (one per committed batch)
+    A manifest-scoped reader unions every committed manifest; parts of
+    an aborted or replayed attempt are orphans it never sees.
+    """
+    import json
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class PartCommit(WriterCommitMessage):
+        def __init__(self, rel_path: str, n_rows: int):
+            self.rel_path = rel_path
+            self.n_rows = n_rows
+
+    class ManifestStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.columns = [c for c in options["columns"].split(",") if c]
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            # batch id is not visible in write(); stage the part under a
+            # task-unique name and let commit() bind it to the batch
+            rel = (
+                f"data/stage-{ctx.stageId()}-{ctx.partitionId()}"
+                f"-{ctx.attemptNumber()}.jsonl"
+            )
+            full = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            n = 0
+            with open(full, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        json.dumps(dict(zip(self.columns, tuple(row)))) + "\n"
+                    )
+                    n += 1
+            return PartCommit(rel, n)
+
+        def commit(self, messages, batchId: int) -> None:
+            mf = os.path.join(self.path, f"manifest-{batchId}.json")
+            if os.path.exists(mf):
+                # replayed batch (checkpoint lost the commit record):
+                # the first commit won; this attempt's parts are orphans
+                for m in messages:
+                    if m is not None:
+                        try:
+                            os.remove(os.path.join(self.path, m.rel_path))
+                        except OSError:
+                            pass
+                return
+            files = sorted(
+                ({"path": m.rel_path, "n_rows": m.n_rows} for m in messages if m),
+                key=lambda f: f["path"],
+            )
+            manifest = {
+                "format_version": 1,
+                "batch_id": batchId,
+                "files": files,
+                "total_rows": sum(f["n_rows"] for f in files),
+            }
+            tmp = mf + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+            os.replace(tmp, mf)
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except OSError:
+                    pass
+
+    class ManifestStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "manifest_stream_sink"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return ManifestStreamWriter(self.options)
+
+    return ManifestStreamSinkDataSource
+
+
+def read_stream_manifests(spark, path: str, schema: str):
+    """Union of all committed batch manifests (exactly-once view)."""
+    import glob
+    import json
+    import os
+
+    files: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "manifest-*.json"))):
+        with open(mf) as fh:
+            manifest = json.load(fh)
+        files.extend(os.path.join(path, f["path"]) for f in manifest["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

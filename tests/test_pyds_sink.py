@@ -74,3 +74,57 @@ def test_missing_manifest_reads_empty(spark, tmp_path):
     back = read_manifest_scoped(spark, str(tmp_path / "nowhere"), SCHEMA)
     assert back.count() == 0
     assert [f.name for f in back.schema] == ["k", "v"]
+
+
+def test_stream_sink_commits_manifest_per_batch(spark, tmp_path):
+    """DataSourceStreamWriter: N micro-batches -> N batch manifests;
+    the unioned manifest-scoped view equals the full input; a replayed
+    commit (same batchId) is skipped idempotently."""
+    import json as _json
+
+    from mongodb_iceberg_sync_spark.sources.pyds_sink import (
+        manifest_stream_sink_datasource,
+        read_stream_manifests,
+    )
+
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(40).selectExpr("id as k", "concat('v', id) as v")
+    df.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    spark.dataSource.register(manifest_stream_sink_datasource())
+    stream = spark.readStream.schema("k long, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        stream.writeStream.format("manifest_stream_sink")
+        .option("path", sink_dir)
+        .option("columns", "k,v")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import glob
+    import os
+
+    manifests = sorted(glob.glob(os.path.join(sink_dir, "manifest-*.json")))
+    assert len(manifests) >= 2  # one per micro-batch (4 files, 1/trigger)
+    total = sum(_json.load(open(m))["total_rows"] for m in manifests)
+    assert total == 40
+    back = read_stream_manifests(spark, sink_dir, "k long, v string")
+    assert back.count() == 40
+    assert sorted(r.k for r in back.collect()) == list(range(40))
+
+    # replay: committing an already-committed batchId must be a no-op
+    before = _json.load(open(manifests[0]))
+    from mongodb_iceberg_sync_spark.sources.pyds_sink import (
+        manifest_stream_sink_datasource as _f,
+    )
+    ds = _f()
+    writer = ds({"path": sink_dir, "columns": "k,v"}).streamWriter(None, False)
+    writer.commit([], batchId=0)
+    after = _json.load(open(manifests[0]))
+    assert before == after

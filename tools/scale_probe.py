@@ -187,6 +187,7 @@ PROBE_QUERIES = [
     "q_window_pareto",
     "q_ml_centroid_classify",
     "q_sink_pyds",
+    "q_stream_pyds_sink",
 ]
 REPLICAS = 10
 
