@@ -127,6 +127,8 @@ HEADLINE = [
     "q_ml_centroid_classify",
     "q_sink_pyds",
     "q_stream_pyds_sink",
+    "q_json_variant",
+    "q_sql_scripting",
 ]
 
 

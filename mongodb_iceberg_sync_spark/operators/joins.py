@@ -1017,3 +1017,60 @@ def q_sql_lateral(spark, sf_dir):
     return spark.sql(
         _LATERAL_SQL.format(customer="mis_lat_customer", orders="mis_lat_orders")
     )
+
+
+@register(
+    "q_sql_scripting",
+    family="joins",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(round(value * 100) AS BIGINT))
+               // count(*) AS BIGINT) AS thr_cents
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_above,
+           t.thr_cents AS threshold_cents
+    FROM events e CROSS JOIN thr t
+    WHERE CAST(round(e.value * 100) AS BIGINT) > t.thr_cents
+    GROUP BY e.event_type, t.thr_cents
+    ORDER BY e.event_type
+    """,
+    doc="SQL scripting (Spark 4.1, BEGIN...END compound statements): a "
+    "procedural script DECLAREs a variable, SETs it from one query "
+    "(the global mean value in exact integer cents — BIGINT floor "
+    "division, no float threshold to diverge on), then uses it as a "
+    "dynamic predicate in a second query — the "
+    "'compute-threshold-then-filter' idiom every BI migration from "
+    "T-SQL/PLSQL stored procedures needs, expressed in the engine's "
+    "own scripting surface instead of driver-side glue. The script's "
+    "final SELECT is the result; the oracle folds both steps into one "
+    "CTE query, pinning that scripting is sugar over the same "
+    "dataflow. Scale: each statement is an ordinary Catalyst plan "
+    "(two scans here); the scalar variable is driver-held, like a "
+    "broadcast of one value.",
+)
+def q_sql_scripting(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr_cents BIGINT;
+          SET thr_cents = (
+            SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) DIV COUNT(*)
+            FROM events_script_v
+          );
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_above,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_above,
+                 thr_cents AS threshold_cents
+          FROM events_script_v
+          WHERE CAST(ROUND(value * 100) AS BIGINT) > thr_cents
+          GROUP BY event_type
+          ORDER BY event_type;
+        END
+        """
+    )

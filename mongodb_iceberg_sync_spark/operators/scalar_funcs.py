@@ -229,3 +229,50 @@ def q_json_shred(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_json_variant",
+    family="scalar_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_high,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="VARIANT semi-structured type (Spark 4): events.props parsed "
+    "ONCE with parse_json into the binary VARIANT encoding, then "
+    "typed paths extracted with variant_get('$.k', 'int') for a "
+    "filter and three aggregates — the open-table-format answer to "
+    "schemaless columns (Iceberg v3 adopts the same variant spec), "
+    "replacing per-expression get_json_object re-parsing "
+    "(q_json_funcs' shape) with one decode + cheap typed access. "
+    "Results are exact integers, so the DuckDB json_extract oracle "
+    "hash-matches. Scale: parse_json is map-side codegen; the "
+    "variant binary never shuffles here (extraction happens before "
+    "the aggregate), and the groupBy carries only typed ints.",
+)
+def q_json_variant(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_high"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

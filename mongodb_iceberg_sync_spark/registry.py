@@ -237,6 +237,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_centroid_classify",
     "q_sink_pyds",
     "q_stream_pyds_sink",
+    "q_json_variant",
+    "q_sql_scripting",
 )
 
 

@@ -188,6 +188,8 @@ PROBE_QUERIES = [
     "q_ml_centroid_classify",
     "q_sink_pyds",
     "q_stream_pyds_sink",
+    "q_json_variant",
+    "q_sql_scripting",
 ]
 REPLICAS = 10
 
