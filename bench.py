@@ -129,6 +129,7 @@ HEADLINE = [
     "q_stream_pyds_sink",
     "q_json_variant",
     "q_sql_scripting",
+    "q_agg_mad_outliers",
 ]
 
 

@@ -2017,3 +2017,130 @@ def q_agg_tail_ratio(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_agg_mad_outliers",
+    family="aggregates",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.50) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.50) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           round(m.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(e.value - m.med)
+                              > 3.5 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    ORDER BY e.event_type
+    """,
+    doc="Robust outlier count per event type via the MAD rule "
+    "(|x − median| > 3.5 · 1.4826 · MAD — the modified z-score every "
+    "data-quality monitor prefers over q_events_anomaly's mean/stddev "
+    "z, because median and MAD have a 50% breakdown point where one "
+    "giant outlier poisons a mean-based threshold). Two aggregation "
+    "passes (median, then median absolute deviation) joined back as "
+    "broadcast scalars per group; Spark percentile == DuckDB "
+    "quantile_cont so the thresholds are identical doubles and the "
+    "comparison is deterministic. Scale: per-group exact percentile "
+    "buffers — approx_percentile is the documented unbounded swap, "
+    "same as q_agg_percentile.",
+)
+def q_agg_mad_outliers(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.50)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.50)").alias("mad"))
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_agg_winsorized",
+    family="aggregates",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(
+             least(greatest(e.value, c.p05), c.p95) * 10000, 0) AS BIGINT))
+             AS DOUBLE) / (count(*) * 10000.0), 6) AS winsorized_mean,
+           CAST(sum(CASE WHEN e.value < c.p05 OR e.value > c.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Winsorized mean per event type: values clipped to [p5, p95] "
+    "before averaging — the standard tail-robust mean for metrics "
+    "with heavy outliers (revenue-per-user, latency). Cut points are "
+    "exact interpolated percentiles (identical doubles both engines); "
+    "each CLIPPED value is quantized to an exact 1e4-scaled BIGINT "
+    "before summing so the mean is order-independent cross-engine, "
+    "one final division. Scale: one percentile pass + one "
+    "broadcast-join pass; same exact-percentile caveat and "
+    "approx_percentile swap as q_agg_percentile.",
+)
+def q_agg_winsorized(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped_q = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")) * 10000, 0
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(clipped_q).cast("double") / (F.count("*") * 10000.0), 6
+            ).alias("winsorized_mean"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

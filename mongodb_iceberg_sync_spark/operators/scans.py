@@ -750,3 +750,78 @@ def q_stream_pyds_sink(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_CSV_BAD_LINES = 3
+
+
+@register(
+    "q_scan_csv_corrupt",
+    family="scans",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST({_CSV_BAD_LINES} AS BIGINT) AS n_corrupt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+    doc="PERMISSIVE corrupt-record quarantine: a CSV landing zone with "
+    f"{_CSV_BAD_LINES} malformed lines (wrong arity, unparseable "
+    "number, raw garbage) is read with "
+    "columnNameOfCorruptRecord — bad lines land WHOLE in the "
+    "quarantine column with every data column null instead of failing "
+    "the job (FAILFAST) or vanishing (DROPMALFORMED), the ingest "
+    "pattern for untrusted feeds: load everything, count and route "
+    "the rejects (reference A3's dead-letter semantics at the scan "
+    "layer; sync/quarantine.py routes the same way for CDC events). "
+    "The oracle recomputes the expected good-row count and key "
+    "checksum from the clean source slice plus the planted bad-line "
+    "constant, so both the parse and the quarantine split are "
+    "hash-pinned. Scale: CSV parsing is per-task streaming; the "
+    "corrupt column adds one string per BAD row only. Caveat pinned "
+    "by Spark semantics: the corrupt column must be materialized "
+    "together with the data columns (cached here), never filtered "
+    "alone.",
+)
+def q_scan_csv_corrupt(spark, sf_dir):
+    import os
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+    def build(out):
+        rows = src.collect()  # bounded slice (1/101 of orders) for a CSV fixture
+        path = os.path.join(out, "landing.csv")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(f"{r.o_orderkey},{r.o_orderpriority},{r.o_totalprice}\n")
+            fh.write("1,2\n")  # wrong arity
+            fh.write("not_a_number,X,1.0\n")  # unparseable key
+            fh.write("garbage line with no commas at all ???\n")
+
+    out = session_fixture(("mis_csv_corrupt", sf_dir), build)
+    schema = (
+        "o_orderkey long, o_orderpriority string, o_totalprice double, "
+        "_corrupt string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(f"{out}/landing.csv")
+        .cache()  # Spark requires referencing corrupt col with data cols
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_orderkey")))
+        .cast("long")
+        .alias("key_sum"),
+    )

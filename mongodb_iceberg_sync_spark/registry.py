@@ -239,6 +239,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_stream_pyds_sink",
     "q_json_variant",
     "q_sql_scripting",
+    "q_agg_mad_outliers",
+    "q_agg_winsorized",
+    "q_scan_csv_corrupt",
 )
 
 

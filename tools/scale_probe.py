@@ -190,6 +190,9 @@ PROBE_QUERIES = [
     "q_stream_pyds_sink",
     "q_json_variant",
     "q_sql_scripting",
+    "q_agg_mad_outliers",
+    "q_agg_winsorized",
+    "q_scan_csv_corrupt",
 ]
 REPLICAS = 10
 
