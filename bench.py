@@ -130,6 +130,7 @@ HEADLINE = [
     "q_json_variant",
     "q_sql_scripting",
     "q_agg_mad_outliers",
+    "q_graph_assortativity",
 ]
 
 

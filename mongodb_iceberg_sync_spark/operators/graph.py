@@ -710,3 +710,74 @@ def q_graph_kcore(spark, sf_dir):
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "q_graph_assortativity",
+    family="graph",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey + 1000000 AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT n AS n_arcs,
+           round((n * 1.0 * sxy - sx * 1.0 * sy)
+                 / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
+                    * sqrt(n * 1.0 * syy - sy * 1.0 * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the supplier<->customer graph: the "
+    "Pearson correlation of endpoint degrees across all arcs — "
+    "positive means hubs connect to hubs (social nets), negative "
+    "means hub-and-spoke (the usual commerce shape); THE one-number "
+    "topology fingerprint read before choosing partitioning or "
+    "sampling strategies for a graph workload. EXACT: every moment "
+    "(Σx, Σy, Σxy, Σx², Σy², n) is a BIGINT sum of integer degrees, "
+    "so the correlation is one identical float expression of exact "
+    "integers; sqrt is IEEE-deterministic. Scale: degree table joins "
+    "onto edges twice by node key (both hash-partitioned); the "
+    "moments aggregate map-side to a single row.",
+)
+def q_graph_assortativity(spark, sf_dir):
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ds = deg.withColumnRenamed("src", "s_node").withColumnRenamed("d", "x")
+    dd = deg.withColumnRenamed("src", "d_node").withColumnRenamed("d", "y")
+    ed = edges.join(ds, edges.src == ds.s_node).join(dd, edges.dst == dd.d_node)
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
+    ) * F.sqrt(F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+    return s.select(
+        F.col("n").alias("n_arcs"), F.round(num / den, 6).alias("assortativity")
+    )

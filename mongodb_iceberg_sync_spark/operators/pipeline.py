@@ -2381,3 +2381,55 @@ def q_events_concurrency(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_SLO = 0.80  # error budget: at most 20% of events may be errors
+
+
+@register(
+    "q_events_error_budget",
+    family="pipeline",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour, n, n_err,
+           round(n_err * 5.0 / n, 6) AS burn_rate
+    FROM hourly
+    WHERE n_err * 5 > n
+    ORDER BY hour
+    """,
+    doc=f"SLO error-budget burn rate per hour (SLO = {_SLO:.0%} "
+    "success): burn = error_rate / allowed_rate; hours burning faster "
+    "than 1x eat more budget than they are allotted — the "
+    "SRE-handbook alert rule, as a batch readout over the event log. "
+    "The over-budget filter is ALL-INTEGER (n_err·5 > n — the 20% "
+    "budget cross-multiplied; a float 1−SLO literal parses as binary "
+    "0.1999.. in Spark but exact DECIMAL 0.2 in DuckDB and diverges "
+    "on burn==1.0 boundary hours), and the displayed burn is one "
+    "rounded division of exact counts. Scale: "
+    "one map-side-combined hourly rollup; everything after is "
+    "per-hour arithmetic.",
+)
+def q_events_error_budget(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    return (
+        hourly.filter(F.col("n_err") * 5 > F.col("n"))
+        .select(
+            "hour",
+            "n",
+            "n_err",
+            F.round(F.col("n_err") * 5.0 / F.col("n"), 6).alias("burn_rate"),
+        )
+        .orderBy("hour")
+    )

@@ -242,6 +242,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_mad_outliers",
     "q_agg_winsorized",
     "q_scan_csv_corrupt",
+    "q_graph_assortativity",
+    "q_events_error_budget",
 )
 
 

@@ -193,6 +193,8 @@ PROBE_QUERIES = [
     "q_agg_mad_outliers",
     "q_agg_winsorized",
     "q_scan_csv_corrupt",
+    "q_graph_assortativity",
+    "q_events_error_budget",
 ]
 REPLICAS = 10
 
