@@ -56,3 +56,9 @@ def test_cli_stream_demo_wap_quarantine(tmp_path):
     assert out["quarantined_rows"] == 7
     assert out["quarantine_reasons"] == ["audit_failed"]
     assert out["staging_leftovers"] == []
+
+
+def test_model_eval_report_example():
+    r = _run(["examples/model_eval_report.py", "/root/testdata/sf0.001"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "== ranking ==" in r.stdout and "== retrieval ==" in r.stdout

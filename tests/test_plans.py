@@ -886,3 +886,42 @@ def test_graph_adamic_adar_topk_not_global_sort(spark, sf_dir):
     df = SPECS["q_graph_adamic_adar"].func(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ml_centroid_scoring_broadcasts_centroids(spark, sf_dir):
+    # the corpus must never shuffle: centroids (k·d rows) broadcast
+    # into the scoring join.
+    df = SPECS["q_ml_centroid_classify"].func(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_ml_ndcg_probe_block_broadcasts(spark, sf_dir):
+    df = SPECS["q_ml_ndcg"].func(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_events_concurrency_windows_partition_by_day(spark, sf_dir):
+    # the sweep-line must never be a global sort: the running-sum
+    # window partitions by day.
+    df = SPECS["q_events_concurrency"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # every window is keyed (day for the sweep, user_id for the
+    # sessionize lag/cumsum) — none is an unpartitioned global sort
+    assert all(("day#" in s) or ("user_id#" in s) for s in specs), specs
+
+
+def test_window_pareto_single_exchange_for_both_windows(spark, sf_dir):
+    # cum-sum and total windows share the nation partitioning — one
+    # hashpartitioning(n_name) Exchange feeds both (plus the rollup
+    # aggregate reuses it; orderBy adds a range exchange at the end).
+    df = SPECS["q_window_pareto"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    # exactly ONE exchange partitioned by n_name alone feeds both
+    # stacked Window nodes and the final rollup (the other n_name
+    # match is the (n_name, l_suppkey) pre-agg exchange)
+    solo = re.findall(r"hashpartitioning\(n_name#\d+, \d+\)", plan)
+    assert len(solo) == 1, plan
