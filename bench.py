@@ -131,6 +131,7 @@ HEADLINE = [
     "q_sql_scripting",
     "q_agg_mad_outliers",
     "q_graph_assortativity",
+    "q_sample_neyman",
 ]
 
 

@@ -2433,3 +2433,66 @@ def q_events_error_budget(spark, sf_dir):
         )
         .orderBy("hour")
     )
+
+
+# two-sided alpha=0.05, power=0.80; detect a 10% relative lift
+_PWR_Z = 1.9599639845400545 + 0.8416212335729143  # z_{0.975} + z_{0.80}
+_PWR_LIFT = 1.10
+
+
+@register(
+    "q_events_power",
+    family="pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT) AS conv,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM events
+    )
+    SELECT users, conv,
+           round(conv * 1.0 / users, 6) AS p1,
+           round(conv * 1.0 / users * {_PWR_LIFT}, 6) AS p2,
+           CAST(ceil(
+             {_PWR_Z} * {_PWR_Z}
+             * ((conv * 1.0 / users) * (1 - conv * 1.0 / users)
+                + (conv * 1.0 / users * {_PWR_LIFT})
+                  * (1 - conv * 1.0 / users * {_PWR_LIFT}))
+             / ((conv * 1.0 / users * {_PWR_LIFT}) - conv * 1.0 / users)
+             / ((conv * 1.0 / users * {_PWR_LIFT}) - conv * 1.0 / users)
+           ) AS BIGINT) AS n_per_arm
+    FROM base
+    """,
+    doc="A/B test power analysis: minimum users per arm to detect a "
+    "10% relative conversion lift at alpha=0.05 / power=0.80, from the "
+    "OBSERVED baseline rate — the pre-experiment sizing step that "
+    "completes the experimentation toolkit (q_events_ab_assign splits, "
+    "q_events_did and q_events_conversion_ci read out). The classic "
+    "two-proportion formula n = z²(p1q1+p2q2)/(p2−p1)²; p1 is an exact "
+    "rational of distinct counts, the z constant is a fixed literal, "
+    "so the whole expression tree is identical cross-engine (ceil ties "
+    "are measure-zero). Scale: one distinct-user rollup; the formula "
+    "is constant-size.",
+)
+def q_events_power(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("conv"),
+        F.countDistinct("user_id").cast("long").alias("users"),
+    )
+    p1 = F.col("conv") * 1.0 / F.col("users")
+    p2 = p1 * _PWR_LIFT
+    n = F.ceil(
+        (_PWR_Z * _PWR_Z) * (p1 * (1 - p1) + p2 * (1 - p2)) / (p2 - p1) / (p2 - p1)
+    ).cast("long")
+    return base.select(
+        "users",
+        "conv",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        n.alias("n_per_arm"),
+    )

@@ -255,3 +255,92 @@ def q_sample_entity(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_NEYMAN_TOTAL = 100  # total sample budget across strata
+
+
+@register(
+    "q_sample_neyman",
+    family="sampling",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ),
+    alloc AS (
+      SELECT source, nh,
+             nh * sqrt(greatest(
+               s2 * 1.0 / nh - (s1 * 1.0 / nh) * (s1 * 1.0 / nh), 0.0))
+               AS weight
+      FROM stats
+    ),
+    tot AS (SELECT sum(weight) AS wtot FROM alloc),
+    sizes AS (
+      SELECT a.source, a.nh,
+             CAST(least(floor({_NEYMAN_TOTAL} * a.weight / t.wtot + 0.5),
+                        a.nh) AS BIGINT) AS n_take
+      FROM alloc a CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, s.n_take
+    FROM ranked r JOIN sizes s USING (source)
+    WHERE r.rn <= s.n_take
+    ORDER BY r.source, r.doc_id
+    """,
+    doc="Neyman-allocation stratified sample: each stratum's share of "
+    f"the {_NEYMAN_TOTAL}-doc budget is proportional to N_h·S_h "
+    "(population size × within-stratum std-dev of n_chars) — the "
+    "survey-statistics optimum that spends budget where variance "
+    "lives, vs q_sample_stratified's equal-k. Variance comes from "
+    "exact BIGINT sums (Σx, Σx² of integer lengths), so every "
+    "stratum's weight is the identical float expression cross-engine; "
+    "selection within a stratum is the md5-rank determinism pattern. "
+    "Scale: one stats rollup (map-side), allocation is |strata| rows "
+    "broadcast back, one stratum-keyed rank window with the same "
+    "hash-prefix pre-filter valve as q_sample_stratified.",
+)
+def q_sample_neyman(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    var = F.greatest(
+        F.col("s2") * 1.0 / F.col("nh")
+        - (F.col("s1") * 1.0 / F.col("nh")) * (F.col("s1") * 1.0 / F.col("nh")),
+        F.lit(0.0),
+    )
+    alloc = stats.select("source", "nh", (F.col("nh") * F.sqrt(var)).alias("weight"))
+    tot = alloc.agg(F.sum("weight").alias("wtot"))
+    sizes = alloc.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.floor(_NEYMAN_TOTAL * F.col("weight") / F.col("wtot") + 0.5),
+            F.col("nh"),
+        )
+        .cast("long")
+        .alias("n_take"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "source")
+        .filter(F.col("rn") <= F.col("n_take"))
+        .select("doc_id", "source", "n_take")
+        .orderBy("source", "doc_id")
+    )

@@ -244,6 +244,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_scan_csv_corrupt",
     "q_graph_assortativity",
     "q_events_error_budget",
+    "q_sample_neyman",
+    "q_events_power",
 )
 
 

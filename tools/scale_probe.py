@@ -195,6 +195,8 @@ PROBE_QUERIES = [
     "q_scan_csv_corrupt",
     "q_graph_assortativity",
     "q_events_error_budget",
+    "q_sample_neyman",
+    "q_events_power",
 ]
 REPLICAS = 10
 
