@@ -132,6 +132,8 @@ HEADLINE = [
     "q_agg_mad_outliers",
     "q_graph_assortativity",
     "q_sample_neyman",
+    "q_agg_theil",
+    "q_udtf_polymorphic",
 ]
 
 

@@ -2144,3 +2144,68 @@ def q_agg_winsorized(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_agg_theil",
+    family="aggregates",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM cents GROUP BY event_type
+    )
+    SELECT c.event_type, t.n,
+           round(CAST(sum(CAST(round(
+             (c.x * 1.0 * t.n / t.s)
+             * (ln(c.x * 1.0 * t.n) - ln(t.s)) * 1e9, 0) AS BIGINT))
+             AS DOUBLE) / (t.n * 1e9), 6) AS theil
+    FROM cents c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.n
+    ORDER BY c.event_type
+    """,
+    doc="Theil index of value inequality per event type — the "
+    "entropy-based inequality measure that, unlike q_agg_gini, "
+    "DECOMPOSES additively into within-group + between-group terms "
+    "(why economists and data-balance audits prefer it for nested "
+    "populations). T = (1/n)Σ(x/μ)ln(x/μ) with x in exact integer "
+    "cents; the ratio is cross-multiplied (x·n/s) and the log split "
+    "as ln(x·n)−ln(s) so both transcendental arguments are exact "
+    "doubles, each row's term quantized to 1e-9 then BIGINT-summed — "
+    "order-independent cross-engine. Scale: one map-side rollup for "
+    "(n, s) per group, then a map-side term pass; no sort (the Gini "
+    "rank approach needs one — this is also the cheaper statistic).",
+)
+def q_agg_theil(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("x")
+    ).filter(F.col("x") > 0)
+    tot = cents.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    term = (
+        (F.col("x") * 1.0 * F.col("n") / F.col("s"))
+        * (F.log(F.col("x") * 1.0 * F.col("n")) - F.log(F.col("s")))
+        * 1e9
+    )
+    return (
+        cents.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.sum(F.round(term, 0).cast("long")).cast("double")
+                / (F.col("n") * 1e9),
+                6,
+            ).alias("theil")
+        )
+        .select("event_type", "n", "theil")
+        .orderBy("event_type")
+    )

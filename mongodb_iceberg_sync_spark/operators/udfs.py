@@ -163,3 +163,87 @@ def q_udf_map_arrow(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_udtf_polymorphic",
+    family="udfs",
+    oracle="""
+    WITH mx AS (SELECT max(length(text)) AS m FROM documents),
+    pos AS (SELECT unnest(range(1, (SELECT m FROM mx))) AS i),
+    grams AS (
+      SELECT d.doc_id, substr(d.text, pos.i::INTEGER, 3) AS gram_3
+      FROM documents d JOIN pos ON pos.i <= length(d.text) - 2
+      WHERE d.doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT gram_3) AS BIGINT) AS n_distinct
+    FROM grams GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="POLYMORPHIC Python UDTF (Spark 4 `analyze` static method): the "
+    "table function's output schema is computed at PLAN time from its "
+    "literal argument — mis_char_ngrams(text, 3) returns a column "
+    "named gram_3, mis_char_ngrams(text, 5) would return gram_5 — the "
+    "dynamic-schema contract that lets one UDTF serve a family of "
+    "shapes (Spark's own read_files/variant_explode helpers use the "
+    "same mechanism). eval() slides a character window; the relational "
+    "layer does all counting (the UDTF only EMITS — no per-partition "
+    "state, so results are partitioning-independent). Oracle replays "
+    "the window with substr over a position range. Falls back to a "
+    "substring explode when the UDTF API is unavailable. Scale: "
+    "row-local generation pipelined with the scan; the distinct/count "
+    "aggregation is the only shuffle.",
+)
+def q_udtf_polymorphic(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    n = 3
+    try:
+        from pyspark.sql.functions import udtf
+        from pyspark.sql.types import IntegerType, StringType, StructType
+
+        @udtf
+        class CharNgrams:
+            @staticmethod
+            def analyze(text, n_arg):
+                # plan-time schema from the literal width argument
+                width = int(n_arg.value)
+                from pyspark.sql.udtf import AnalyzeResult
+
+                return AnalyzeResult(
+                    StructType().add(f"gram_{width}", StringType())
+                )
+
+            def eval(self, text: str, n_arg: int):
+                s = text or ""
+                for i in range(max(len(s) - n_arg + 1, 0)):
+                    yield (s[i : i + n_arg],)
+
+        spark.udtf.register("mis_char_ngrams", CharNgrams)
+        d.createOrReplaceTempView("mis_udtf_poly_docs")
+        grams = spark.sql(
+            f"""
+            SELECT t.doc_id, s.gram_{n}
+            FROM mis_udtf_poly_docs t,
+                 LATERAL mis_char_ngrams(t.text, {n}) s
+            """
+        )
+    except Exception:
+        grams = (
+            d.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - n + 1)
+                ).alias("i"),
+                "text",
+            )
+            .select("doc_id", F.expr(f"substring(text, i, {n})").alias(f"gram_{n}"))
+        )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.countDistinct(f"gram_{n}").cast("long").alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )

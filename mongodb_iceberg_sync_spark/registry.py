@@ -246,6 +246,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_error_budget",
     "q_sample_neyman",
     "q_events_power",
+    "q_agg_theil",
+    "q_udtf_polymorphic",
 )
 
 

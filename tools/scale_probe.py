@@ -197,6 +197,8 @@ PROBE_QUERIES = [
     "q_events_error_budget",
     "q_sample_neyman",
     "q_events_power",
+    "q_agg_theil",
+    "q_udtf_polymorphic",
 ]
 REPLICAS = 10
 
