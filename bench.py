@@ -134,6 +134,7 @@ HEADLINE = [
     "q_sample_neyman",
     "q_agg_theil",
     "q_udtf_polymorphic",
+    "q_join_nn_1d",
 ]
 
 

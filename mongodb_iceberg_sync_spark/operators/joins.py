@@ -1074,3 +1074,75 @@ def q_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "q_join_nn_1d",
+    family="joins",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    nb AS (
+      SELECT o_orderkey, o_orderpriority, c,
+             lag(c)  OVER w AS prev_c,
+             lead(c) OVER w AS next_c
+      FROM cents
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY c, o_orderkey)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(least(coalesce(abs(c - prev_c), 9223372036854775807),
+                          coalesce(abs(next_c - c), 9223372036854775807)))
+             AS BIGINT) AS min_nn_gap_cents,
+           round(avg(least(coalesce(abs(c - prev_c), 9223372036854775807),
+                           coalesce(abs(next_c - c), 9223372036854775807))
+                     * 1.0), 4) AS avg_nn_gap_cents
+    FROM nb
+    WHERE prev_c IS NOT NULL OR next_c IS NOT NULL
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="1-D nearest-neighbor join via SORT, not cross join: each "
+    "order's closest other order by price within its priority class is "
+    "one of its two SORTED NEIGHBORS (lag/lead after ordering by the "
+    "value) — the O(n log n) trick that replaces the naive O(n²) "
+    "|a.price − b.price| self-join for any single-dimension nearest "
+    "query (dedupe candidates by amount, price-band outlier checks). "
+    "Values are exact integer cents with (c, o_orderkey) as the total "
+    "window order; gap summary per class. Scale: one hash shuffle on "
+    "the class key, window sorts within bounded groups; the naive "
+    "alternative this replaces is quadratic in class size.",
+)
+def q_join_nn_1d(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("c", "o_orderkey")
+    big = F.lit(9223372036854775807)
+    nn = F.least(
+        F.coalesce(F.abs(F.col("c") - F.lag("c").over(w)), big),
+        F.coalesce(F.abs(F.lead("c").over(w) - F.col("c")), big),
+    )
+    return (
+        cents.select(
+            "o_orderpriority",
+            "c",
+            F.lag("c").over(w).alias("prev_c"),
+            F.lead("c").over(w).alias("next_c"),
+            nn.alias("nn_gap"),
+        )
+        .filter(F.col("prev_c").isNotNull() | F.col("next_c").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("nn_gap").cast("long").alias("min_nn_gap_cents"),
+            F.round(F.avg(F.col("nn_gap") * 1.0), 4).alias("avg_nn_gap_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2496,3 +2496,63 @@ def q_events_power(spark, sf_dir):
         F.round(p2, 6).alias("p2"),
         n.alias("n_per_arm"),
     )
+
+
+@register(
+    "q_events_interpurchase",
+    family="pipeline",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS gap_min
+      FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_repeat_buyers,
+           CAST(min(gap_min) AS BIGINT) AS min_gap_min,
+           round(quantile_cont(gap_min, 0.50), 4) AS p50_gap_min,
+           round(quantile_cont(gap_min, 0.90), 4) AS p90_gap_min,
+           CAST(max(gap_min) AS BIGINT) AS max_gap_min
+    FROM gaps
+    """,
+    doc="Inter-purchase interval distribution: per-user gaps between "
+    "consecutive purchases (lag over the purchase stream), summarized "
+    "as count / repeat-buyer count / min / p50 / p90 / max minutes — "
+    "the replenishment-cycle readout behind churn prediction and "
+    "send-time optimization. Gaps are exact integer minutes "
+    "(microsecond subtraction floor-divided — never second-truncated "
+    "casts); the two percentiles are exact interpolation on those "
+    "integers. Scale: the purchase filter prunes before the one "
+    "user-keyed window shuffle; the summary is a single map-side "
+    "combinable aggregate (percentile buffer bounded by distinct gap "
+    "values).",
+)
+def q_events_interpurchase(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            ((us(F.col("ts")) - us(F.col("prev_ts"))) / 60_000_000)
+            .cast("long")
+            .alias("gap_min"),
+        )
+    )
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.countDistinct("user_id").cast("long").alias("n_repeat_buyers"),
+        F.min("gap_min").cast("long").alias("min_gap_min"),
+        F.round(F.expr("percentile(gap_min, 0.50)"), 4).alias("p50_gap_min"),
+        F.round(F.expr("percentile(gap_min, 0.90)"), 4).alias("p90_gap_min"),
+        F.max("gap_min").cast("long").alias("max_gap_min"),
+    )

@@ -248,6 +248,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_power",
     "q_agg_theil",
     "q_udtf_polymorphic",
+    "q_events_interpurchase",
+    "q_join_nn_1d",
 )
 
 

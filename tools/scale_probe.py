@@ -199,6 +199,8 @@ PROBE_QUERIES = [
     "q_events_power",
     "q_agg_theil",
     "q_udtf_polymorphic",
+    "q_events_interpurchase",
+    "q_join_nn_1d",
 ]
 REPLICAS = 10
 
