@@ -135,6 +135,7 @@ HEADLINE = [
     "q_agg_theil",
     "q_udtf_polymorphic",
     "q_join_nn_1d",
+    "q_text_burstiness",
 ]
 
 

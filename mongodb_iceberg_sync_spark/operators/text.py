@@ -1832,3 +1832,78 @@ def q_text_keywords(spark, sf_dir):
         )
         .orderBy("source", "kw_rank")
     )
+
+
+_BURST_TOP = 20
+
+
+@register(
+    "q_text_burstiness",
+    family="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w, doc_id
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    stats AS (
+      SELECT p.w,
+             CAST(sum(p.c) AS BIGINT) AS s1,
+             CAST(sum(p.c * p.c) AS BIGINT) AS s2,
+             t.n
+      FROM per_doc p CROSS JOIN nd t
+      GROUP BY p.w, t.n
+    )
+    SELECT w AS word, s1 AS total_count,
+           round((s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                 / (s1 * 1.0 / n), 6) AS burstiness
+    FROM stats
+    ORDER BY s1 DESC, w
+    LIMIT {_BURST_TOP}
+    """,
+    doc="Word burstiness (variance-to-mean ratio of per-document "
+    f"counts) for the top-{_BURST_TOP} words: VMR ≈ 1 is Poisson "
+    "(function words sprinkle evenly); VMR >> 1 marks bursty content "
+    "words that clump in few documents — the corpus-linguistics "
+    "diagnostic behind stopword lists, topical-term mining, and "
+    "spotting template spam (pathologically bursty boilerplate). "
+    "Zero-count docs are handled by dividing by the TOTAL document "
+    "count n (Σc and Σc² over occurring docs are unchanged by zero "
+    "terms), so no dense word×doc matrix is ever built. All moments "
+    "are exact BIGINT sums; the VMR is one identical float "
+    "expression. Scale: one (word, doc) rollup with map-side "
+    "partials, then a word-keyed rollup; top-k is "
+    "TakeOrderedAndProject.",
+)
+def q_text_burstiness(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nd = d.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    stats = (
+        per_doc.join(F.broadcast(nd))
+        .groupBy("w", "n")
+        .agg(
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    vmr = (F.col("s2") * 1.0 / F.col("n") - mean * mean) / mean
+    return (
+        stats.select(
+            F.col("w").alias("word"),
+            F.col("s1").alias("total_count"),
+            F.round(vmr, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("total_count").desc(), "word")
+        .limit(_BURST_TOP)
+    )

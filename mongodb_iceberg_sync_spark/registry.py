@@ -250,6 +250,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_udtf_polymorphic",
     "q_events_interpurchase",
     "q_join_nn_1d",
+    "q_text_burstiness",
 )
 
 

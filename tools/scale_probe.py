@@ -201,6 +201,7 @@ PROBE_QUERIES = [
     "q_udtf_polymorphic",
     "q_events_interpurchase",
     "q_join_nn_1d",
+    "q_text_burstiness",
 ]
 REPLICAS = 10
 
