@@ -136,6 +136,7 @@ HEADLINE = [
     "q_udtf_polymorphic",
     "q_join_nn_1d",
     "q_text_burstiness",
+    "q_timeseries_interval_union",
 ]
 
 

@@ -2556,3 +2556,114 @@ def q_events_interpurchase(spark, sf_dir):
         F.round(F.expr("percentile(gap_min, 0.90)"), 4).alias("p90_gap_min"),
         F.max("gap_min").cast("long").alias("max_gap_min"),
     )
+
+
+_INC_WINDOW_US = 1_800_000_000  # each error opens a 30-min incident window
+
+
+@register(
+    "q_timeseries_interval_union",
+    family="timeseries",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             epoch_us(ts) AS s_us,
+             least(epoch_us(ts) + {_INC_WINDOW_US},
+                   epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)) AS e_us,
+             event_id
+      FROM events WHERE event_type IN ('error', 'purchase')
+    ),
+    flagged AS (
+      SELECT event_type, day, s_us, e_us,
+             CASE WHEN s_us > coalesce(max(e_us) OVER (
+                    PARTITION BY event_type, day ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_inc
+      FROM pts
+    ),
+    numbered AS (
+      SELECT event_type, day, s_us, e_us,
+             sum(new_inc) OVER (
+               PARTITION BY event_type, day ORDER BY s_us, e_us
+               ROWS UNBOUNDED PRECEDING) AS inc_id
+      FROM flagged
+    ),
+    incidents AS (
+      SELECT event_type, day, inc_id,
+             min(s_us) AS inc_start, max(e_us) AS inc_end
+      FROM numbered GROUP BY event_type, day, inc_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_incidents,
+           CAST(sum(inc_end - inc_start) // 60000000 AS BIGINT)
+             AS covered_min
+    FROM incidents GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Interval union (incident merge): every error/purchase event "
+    "opens a 30-min window; transitively-overlapping windows merge "
+    "into incidents and the union length is reported per type — the "
+    "uptime/alert-coverage computation (N overlapping alerts ≠ N·30 "
+    "minutes of outage). The classic cummax sweep: a window starts a "
+    "NEW incident iff its start exceeds the running max end of all "
+    "earlier windows; within a merged chain the union is simply "
+    "max(end) − min(start). Incident composition is invariant to tie "
+    "order (equal starts merge symmetrically), so the result is "
+    "deterministic with the (s, event_id) total order. Scale: windows "
+    "partition by (type, DAY) — windows are clipped at midnight so no "
+    "partition outgrows a day's events (same valve as "
+    "q_events_concurrency); never a global sort. All arithmetic in "
+    "exact integer microseconds.",
+)
+def q_timeseries_interval_union(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    day = F.date_trunc("day", F.col("ts"))
+    pts = ev.select(
+        "event_type",
+        day.alias("day"),
+        us(F.col("ts")).alias("s_us"),
+        F.least(
+            us(F.col("ts")) + _INC_WINDOW_US,
+            us(day + F.expr("INTERVAL 1 DAY")),
+        ).alias("e_us"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.select(
+        "event_type",
+        "day",
+        "s_us",
+        "e_us",
+        F.when(
+            F.col("s_us") > F.coalesce(F.max("e_us").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_inc"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    incidents = (
+        flagged.withColumn("inc_id", F.sum("new_inc").over(w_cum))
+        .groupBy("event_type", "day", "inc_id")
+        .agg(F.min("s_us").alias("inc_start"), F.max("e_us").alias("inc_end"))
+    )
+    return (
+        incidents.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_incidents"),
+            (F.sum(F.col("inc_end") - F.col("inc_start")) / 60_000_000)
+            .cast("long")
+            .alias("covered_min"),
+        )
+        .orderBy("event_type")
+    )

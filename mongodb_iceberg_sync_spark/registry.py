@@ -251,6 +251,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_interpurchase",
     "q_join_nn_1d",
     "q_text_burstiness",
+    "q_timeseries_interval_union",
 )
 
 

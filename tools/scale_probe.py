@@ -202,6 +202,7 @@ PROBE_QUERIES = [
     "q_events_interpurchase",
     "q_join_nn_1d",
     "q_text_burstiness",
+    "q_timeseries_interval_union",
 ]
 REPLICAS = 10
 
