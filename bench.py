@@ -137,6 +137,7 @@ HEADLINE = [
     "q_join_nn_1d",
     "q_text_burstiness",
     "q_timeseries_interval_union",
+    "q_agg_hll_union",
 ]
 
 

@@ -2209,3 +2209,40 @@ def q_agg_theil(spark, sf_dir):
         .select("event_type", "n", "theil")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_agg_hll_union",
+    family="aggregates",
+    oracle=None,  # sketch internals are Datasketches-specific → rows-only;
+    # the estimate-vs-exact error bound is pinned in
+    # tests/test_sketches.py::test_hll_union_error_bound
+    doc="Datasketches HLL with SKETCH UNION (Spark 4 hll_sketch_agg / "
+    "hll_union_agg): per-source user sketches built independently, "
+    "then UNIONED into corpus-wide distinct estimates — the mechanic "
+    "q_agg_hll (approx_count_distinct) hides: sketches are MERGEABLE "
+    "STATE, so per-partition/per-day/per-source sketches can be "
+    "persisted once and re-aggregated along any rollup path without "
+    "rescanning data — THE pattern for distinct-count cubes at "
+    "100 TB (store 365 daily sketches, answer any date range by "
+    "union). Returns per-source estimates plus the unioned total; "
+    "pinned within the sketch's published error (lgK=12 → ~1.6% rse) "
+    "against exact distincts.",
+)
+def q_agg_hll_union(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_src = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("exact"),
+    )
+    per_rows = per_src.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        "exact",
+    )
+    total = per_src.agg(
+        F.lit("__ALL__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
+        F.lit(None).cast("long").alias("exact"),
+    )
+    return per_rows.unionByName(total).orderBy("event_type")

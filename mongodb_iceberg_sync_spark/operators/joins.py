@@ -1146,3 +1146,45 @@ def q_join_nn_1d(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_sql_pivot",
+    family="joins",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CASE WHEN extract(dow FROM ts) IN (0, 6)
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+             AS BIGINT) AS weekend_cents,
+           CAST(sum(CASE WHEN extract(dow FROM ts) NOT IN (0, 6)
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+             AS BIGINT) AS weekday_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="SQL PIVOT clause (the ANSI-ish surface BI tools emit, vs "
+    "q_agg_pivot's DataFrame .pivot()): rows pivot on a computed "
+    "weekend/weekday label into two exact-integer-cents columns. "
+    "Catalyst compiles PIVOT to the same single hash aggregate with "
+    "conditional sums the oracle spells out — pinning that the "
+    "syntax adds no extra pass. Scale: one map-side-combined "
+    "aggregation, pivot width fixed at plan time.",
+)
+def q_sql_pivot(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_pivot_v")
+    return spark.sql(
+        """
+        SELECT event_type, weekend AS weekend_cents, weekday AS weekday_cents
+        FROM (
+          SELECT event_type,
+                 CASE WHEN dayofweek(ts) IN (1, 7) THEN 'weekend'
+                      ELSE 'weekday' END AS slot,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events_pivot_v
+        )
+        PIVOT (SUM(cents) FOR slot IN ('weekend' AS weekend,
+                                       'weekday' AS weekday))
+        ORDER BY event_type
+        """
+    )

@@ -252,6 +252,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_join_nn_1d",
     "q_text_burstiness",
     "q_timeseries_interval_union",
+    "q_agg_hll_union",
+    "q_sql_pivot",
 )
 
 

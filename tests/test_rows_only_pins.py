@@ -128,3 +128,24 @@ def test_countmin_fast_guarantee_and_twin_agreement(spark, sf_dir):
     for k, (true_n, est) in fast.items():
         assert est >= true_n, (k, true_n, est)
         assert slow[k][0] == true_n
+
+
+def test_hll_union_error_bound(spark, sf_dir):
+    """Per-source estimates AND the unioned total stay within the
+    Datasketches HLL published error (lgK=12 → rse ≈ 1.04/sqrt(4096)
+    ≈ 1.6%; allow 3 sigma ≈ 5%) of exact distinct counts; the union
+    row must estimate the GLOBAL distinct, not the sum of parts."""
+    rows = SPECS["q_agg_hll_union"].func(spark, sf_dir).collect()
+    by_type = {r.event_type: r for r in rows}
+    assert "__ALL__" in by_type
+    for r in rows:
+        if r.event_type == "__ALL__":
+            continue
+        assert abs(r.est_users - r.exact) <= max(0.05 * r.exact, 1), r
+    ev = load_table(spark, sf_dir, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    est_all = by_type["__ALL__"].est_users
+    assert abs(est_all - exact_all) <= max(0.05 * exact_all, 1)
+    # mergeability: the union estimates global distinct (users appear in
+    # EVERY type here), not the 5x-inflated sum of per-type estimates
+    assert est_all < sum(r.est_users for r in rows if r.event_type != "__ALL__")

@@ -203,6 +203,8 @@ PROBE_QUERIES = [
     "q_join_nn_1d",
     "q_text_burstiness",
     "q_timeseries_interval_union",
+    "q_agg_hll_union",
+    "q_sql_pivot",
 ]
 REPLICAS = 10
 
