@@ -138,6 +138,7 @@ HEADLINE = [
     "q_text_burstiness",
     "q_timeseries_interval_union",
     "q_agg_hll_union",
+    "q_events_abandonment",
 ]
 
 

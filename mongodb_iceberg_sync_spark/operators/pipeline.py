@@ -2667,3 +2667,145 @@ def q_timeseries_interval_union(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_ABANDON_WINDOW_US = 3_600_000_000  # purchase within 1h converts the click
+
+
+@register(
+    "q_events_abandonment",
+    family="pipeline",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts,
+             date_trunc('day', ts) AS day
+      FROM events WHERE event_type = 'click'
+    ),
+    converted AS (
+      SELECT DISTINCT c.event_id
+      FROM clicks c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND epoch_us(p.ts) BETWEEN epoch_us(c.ts)
+                              AND epoch_us(c.ts) + {_ABANDON_WINDOW_US}
+    )
+    SELECT CAST(c.day AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_carts,
+           CAST(sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_abandoned,
+           round(CAST(sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS abandon_rate
+    FROM clicks c LEFT JOIN converted v ON v.event_id = c.event_id
+    GROUP BY c.day ORDER BY day
+    """,
+    doc="Cart abandonment per day: a click 'carts'; it converts iff the "
+    "same user purchases within 1 hour, else it is abandoned — the "
+    "complement readout to q_events_funnel_timed (which counts the "
+    "conversions; revenue teams alert on the abandons). The "
+    "within-window EXISTS is a user-keyed equi-join with a "
+    "microsecond-exact band predicate (the q_join_theta_range shape "
+    "— only same-user pairs are ever compared, never a time cross "
+    "join), then a LEFT anti-style join marks the unconverted. "
+    "Scale: both joins key on user_id/event_id hash partitions; "
+    "per-user event counts bound the band fan-out.",
+)
+def q_events_abandonment(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & us(F.col("p_ts")).between(
+                us(F.col("ts")), us(F.col("ts")) + _ABANDON_WINDOW_US
+            ),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    return (
+        clicks.join(converted, "event_id", "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_carts"),
+            F.sum(F.when(F.col("conv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_abandoned"),
+        )
+        .select(
+            "day",
+            "n_carts",
+            "n_abandoned",
+            F.round(F.col("n_abandoned").cast("double") / F.col("n_carts"), 6).alias(
+                "abandon_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_timeseries_dow_index",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT extract(dow FROM ts) AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(cents) AS BIGINT) AS tc,
+                   CAST(count(*) AS BIGINT) AS k FROM daily)
+    SELECT CAST(d.dow AS BIGINT) AS dow, d.n,
+           round(d.n * 1.0 * t.k / t.tn, 6) AS traffic_index,
+           round(d.cents * 1.0 * t.k / t.tc, 6) AS value_index
+    FROM daily d CROSS JOIN tot t
+    ORDER BY dow
+    """,
+    doc="Day-of-week seasonal index: each weekday's traffic and value "
+    "share relative to a uniform week (index 1.0 = average day; "
+    "retail Saturdays run ~1.3) — the normalization table every "
+    "forecast and staffing model starts from, and the seasonal-index "
+    "companion to q_timeseries_seasonal's decomposition. Indexes are "
+    "cross-multiplied rationals of exact BIGINTs (share·k, no "
+    "intermediate float means); dow via extract == Spark "
+    "dayofweek−1. One map-side rollup to ≤7 rows.",
+)
+def q_timeseries_dow_index(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy((F.dayofweek("ts") - 1).alias("dow")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("cents").cast("long").alias("tc"),
+        F.count("*").cast("long").alias("k"),
+    )
+    return (
+        daily.join(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n",
+            F.round(F.col("n") * 1.0 * F.col("k") / F.col("tn"), 6).alias(
+                "traffic_index"
+            ),
+            F.round(F.col("cents") * 1.0 * F.col("k") / F.col("tc"), 6).alias(
+                "value_index"
+            ),
+        )
+        .orderBy("dow")
+    )

@@ -254,6 +254,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_timeseries_interval_union",
     "q_agg_hll_union",
     "q_sql_pivot",
+    "q_events_abandonment",
+    "q_timeseries_dow_index",
 )
 
 

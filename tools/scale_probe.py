@@ -205,6 +205,8 @@ PROBE_QUERIES = [
     "q_timeseries_interval_union",
     "q_agg_hll_union",
     "q_sql_pivot",
+    "q_events_abandonment",
+    "q_timeseries_dow_index",
 ]
 REPLICAS = 10
 
