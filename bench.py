@@ -139,6 +139,7 @@ HEADLINE = [
     "q_timeseries_interval_union",
     "q_agg_hll_union",
     "q_events_abandonment",
+    "q_events_velocity",
 ]
 
 

@@ -2246,3 +2246,49 @@ def q_agg_hll_union(spark, sf_dir):
         F.lit(None).cast("long").alias("exact"),
     )
     return per_rows.unionByName(total).orderBy("event_type")
+
+
+@register(
+    "q_agg_grouping_id",
+    family="aggregates",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+             AS BIGINT) AS level_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY level_id, rf, ls
+    """,
+    doc="GROUPING SETS with grouping_id(): the bitmask that tells a "
+    "report row apart from a subtotal row when the rollup's NULLs "
+    "collide with real NULLs in the data — the piece BI generators "
+    "rely on that q_agg_grouping_sets (values only) leaves implicit. "
+    "level_id 0 = leaf cell, 1 = per-flag subtotal, 3 = grand total; "
+    "labels coalesce to '(all)' so the oracle hash covers the mask "
+    "semantics, not engine NULL renderings. Scale: one Expand + hash "
+    "aggregate exactly like the plain grouping-sets plan — the id is "
+    "a free virtual column.",
+)
+def q_agg_grouping_id(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gid_v")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS level_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM li_gid_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY level_id, rf, ls
+        """
+    )

@@ -2809,3 +2809,65 @@ def q_timeseries_dow_index(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+_VELOCITY_N = 4  # >= N purchases inside any trailing 30-min window flags
+_VELOCITY_WIN_S = 1800
+
+
+@register(
+    "q_events_velocity",
+    family="pipeline",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+      FROM events WHERE event_type = 'purchase'
+    ),
+    windowed AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {_VELOCITY_WIN_S} PRECEDING AND CURRENT ROW
+             ) AS n_in_window
+      FROM p
+    )
+    SELECT user_id,
+           CAST(max(n_in_window) AS BIGINT) AS max_burst,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM windowed
+    GROUP BY user_id
+    HAVING max(n_in_window) >= {_VELOCITY_N}
+    ORDER BY user_id
+    """,
+    doc=f"Transaction-velocity fraud screen: users with >= "
+    f"{_VELOCITY_N} purchases inside ANY trailing 30-minute window — "
+    "the card-testing / bot-burst rule every payments risk engine "
+    "runs. Implemented with a NUMERIC RANGE FRAME (RANGE BETWEEN "
+    f"{_VELOCITY_WIN_S} PRECEDING) over integer epoch-seconds, the "
+    "event-time sliding count without self-joining the stream "
+    "against itself; equal-timestamp rows are handled identically by "
+    "RANGE semantics in both engines (frame bounds are VALUES, not "
+    "row positions — no tie-order dependence). Scale: one user-keyed "
+    "window shuffle; per-user purchase history bounds the frame "
+    "buffer; the streaming twin is q_stream_sliding's windowed count.",
+)
+def q_events_velocity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    sec = (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_VELOCITY_WIN_S, 0)
+    )
+    return (
+        ev.select("user_id", sec.alias("sec"))
+        .withColumn("n_in_window", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_in_window").cast("long").alias("max_burst"),
+            F.count("*").cast("long").alias("n_purchases"),
+        )
+        .filter(F.col("max_burst") >= _VELOCITY_N)
+        .orderBy("user_id")
+    )

@@ -825,3 +825,65 @@ def q_scan_csv_corrupt(spark, sf_dir):
         .cast("long")
         .alias("key_sum"),
     )
+
+
+_META_FILES = 4
+
+
+@register(
+    "q_scan_metadata_cols",
+    family="scans",
+    oracle=f"""
+    SELECT CAST({_META_FILES} AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           TRUE AS files_disjoint
+    FROM orders
+    """,
+    doc="Hidden _metadata columns (_metadata.file_path / row_index): a "
+    f"{_META_FILES}-file range-partitioned layout audited FROM THE "
+    "SCAN ITSELF — per-file row counts and key ranges grouped on the "
+    "file-path virtual column, no manifest or catalog consulted; the "
+    "same mechanism q_cdc_pos_delete uses to address rows as (file, "
+    "row_index) for Iceberg positional deletes. The query then "
+    "verifies the layout contract relationally: file count, total "
+    "rows, global key range, and that per-file key ranges are "
+    "DISJOINT (bool_and over a self-window — TRUE rides to the "
+    "oracle, which recomputes totals from the logical table; a torn "
+    "or overlapping layout fails the hash). Scale: _metadata is "
+    "generated per split at scan time (no extra I/O); the per-file "
+    "rollup is one hash agg keyed on ~#files values.",
+)
+def q_scan_metadata_cols(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+
+    def build(out):
+        o.repartitionByRange(_META_FILES, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    out = session_fixture(("mis_meta_cols", sf_dir), build)
+    back = spark.read.schema("o_orderkey long").parquet(out)
+    per_file = (
+        back.select("o_orderkey", F.col("_metadata.file_path").alias("f"))
+        .groupBy("f")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+    )
+    w = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, -1)
+    audited = per_file.withColumn(
+        "disjoint", F.col("lo") > F.coalesce(F.max("hi").over(w), F.lit(-1))
+    )
+    return audited.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.min("lo").cast("long").alias("min_key"),
+        F.max("hi").cast("long").alias("max_key"),
+        F.min(F.col("disjoint").cast("boolean")).alias("files_disjoint"),
+    )

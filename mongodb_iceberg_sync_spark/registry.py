@@ -256,6 +256,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sql_pivot",
     "q_events_abandonment",
     "q_timeseries_dow_index",
+    "q_agg_grouping_id",
+    "q_events_velocity",
+    "q_scan_metadata_cols",
 )
 
 

@@ -207,6 +207,9 @@ PROBE_QUERIES = [
     "q_sql_pivot",
     "q_events_abandonment",
     "q_timeseries_dow_index",
+    "q_agg_grouping_id",
+    "q_events_velocity",
+    "q_scan_metadata_cols",
 ]
 REPLICAS = 10
 
