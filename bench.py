@@ -140,6 +140,7 @@ HEADLINE = [
     "q_agg_hll_union",
     "q_events_abandonment",
     "q_events_velocity",
+    "q_text_heaps_law",
 ]
 
 

@@ -344,3 +344,57 @@ def q_sample_neyman(spark, sf_dir):
         .select("doc_id", "source", "n_take")
         .orderBy("source", "doc_id")
     )
+
+
+_WES_K = 50
+
+
+@register(
+    "q_sample_weighted",
+    family="sampling",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -- u in (0,1]: md5-derived 48-bit uniform, deterministic
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+              + 1) / 281474976710656.0 AS u
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, n_chars,
+             ln(u) / n_chars AS es_key
+      FROM keyed WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM scored
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_WES_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirtes "
+    f"A-ES): top-{_WES_K} docs by key u^(1/w) — equivalently argmax "
+    "ln(u)/w — with weight w = n_chars, so long documents are "
+    "proportionally more likely but nothing is drawn twice; the "
+    "length-weighted corpus subset a token-budget ablation wants "
+    "(uniform doc sampling under-represents tokens). u is a "
+    "DETERMINISTIC md5-derived 48-bit uniform (the content-hash "
+    "sampling rule, not RNG), so the draw is reproducible, "
+    "engine-exact (identical float expression of an exact integer), "
+    "and consistent under retries. Scale: pure map-side scoring + "
+    "TakeOrderedAndProject — no shuffle but the k-row result; the "
+    "distributed-reservoir alternative is only needed when k itself "
+    "outgrows the driver.",
+)
+def q_sample_weighted(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(281474976710656.0)
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WES_K)
+        .select("doc_id", "source", "n_chars")
+    )

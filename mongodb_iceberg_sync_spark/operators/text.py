@@ -1907,3 +1907,109 @@ def q_text_burstiness(spark, sf_dir):
         .orderBy(F.col("total_count").desc(), "word")
         .limit(_BURST_TOP)
     )
+
+
+_HEAPS_DECILES = 10
+
+
+@register(
+    "q_text_heaps_law",
+    family="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    first_seen AS (
+      SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS nd
+      FROM documents
+    ),
+    edges AS (
+      SELECT CAST(ceil(rn * {_HEAPS_DECILES}.0 / nd) AS BIGINT) AS decile,
+             doc_id
+      FROM ids
+    ),
+    bounds AS (
+      SELECT decile, max(doc_id) AS hi FROM edges GROUP BY decile
+    ),
+    tokens_cum AS (
+      SELECT b.decile,
+             CAST((SELECT count(*) FROM tok t
+                   JOIN documents d2 ON d2.doc_id = t.doc_id
+                   WHERE t.w <> '' AND d2.doc_id <= b.hi) AS BIGINT)
+               AS n_tokens,
+             CAST((SELECT count(*) FROM first_seen f
+                   WHERE f.first_doc <= b.hi) AS BIGINT) AS vocab
+      FROM bounds b
+    )
+    SELECT decile, n_tokens, vocab,
+           round(ln(vocab) / ln(n_tokens), 6) AS heaps_beta_point
+    FROM tokens_cum
+    ORDER BY decile
+    """,
+    doc="Heaps'-law vocabulary growth curve: cumulative distinct vocab "
+    f"vs cumulative tokens at {_HEAPS_DECILES} corpus deciles, plus "
+    "the pointwise β = ln V / ln N (natural text sits β ≈ 0.5; "
+    "β → 1 means unbounded novel tokens = OCR noise or ids leaking "
+    "into text; β → 0 means template saturation) — the vocab-growth "
+    "gate run before committing a tokenizer budget. The single-pass "
+    "trick: cumulative distinct needs NO per-decile rescan — each "
+    "word contributes at its FIRST document (min doc_id per word), "
+    "so a first-occurrence histogram + running sum gives every "
+    "decile's vocab in one aggregation. β from ln of exact integers. "
+    "Scale: one (word → min doc) rollup and one token-count rollup, "
+    "both map-side-combinable; the decile table is 10 rows.",
+)
+def q_text_heaps_law(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    nd = d.count()  # O(1) driver scalar: decile boundaries need the doc count
+    if nd == 0:
+        return spark.createDataFrame(
+            [], "decile long, n_tokens long, vocab long, heaps_beta_point double"
+        )
+    ids = d.select(F.col("doc_id").cast("long").alias("doc_id")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    bounds = (
+        ids.select(
+            F.ceil(F.col("rn") * _HEAPS_DECILES / nd).cast("long").alias("decile"),
+            "doc_id",
+        )
+        .groupBy("decile")
+        .agg(F.max("doc_id").alias("hi"))
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    toks_per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("c"))
+    n_tokens = (
+        bounds.join(toks_per_doc, toks_per_doc.doc_id <= F.col("hi"))
+        .groupBy("decile", "hi")
+        .agg(F.sum("c").cast("long").alias("n_tokens"))
+    )
+    vocab = (
+        bounds.join(first_seen, first_seen.first_doc <= bounds.hi)
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    return (
+        n_tokens.join(vocab, "decile")
+        .select(
+            "decile",
+            "n_tokens",
+            "vocab",
+            F.round(F.log("vocab") / F.log("n_tokens"), 6).alias(
+                "heaps_beta_point"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -259,6 +259,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_grouping_id",
     "q_events_velocity",
     "q_scan_metadata_cols",
+    "q_sample_weighted",
+    "q_text_heaps_law",
 )
 
 

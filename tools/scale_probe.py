@@ -210,6 +210,8 @@ PROBE_QUERIES = [
     "q_agg_grouping_id",
     "q_events_velocity",
     "q_scan_metadata_cols",
+    "q_sample_weighted",
+    "q_text_heaps_law",
 ]
 REPLICAS = 10
 
