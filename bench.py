@@ -141,6 +141,7 @@ HEADLINE = [
     "q_events_abandonment",
     "q_events_velocity",
     "q_text_heaps_law",
+    "q_join_runtime_bloom",
 ]
 
 

@@ -1188,3 +1188,81 @@ def q_sql_pivot(spark, sf_dir):
         ORDER BY event_type
         """
     )
+
+
+# Runtime bloom filter injection (InjectRuntimeFilter). The two
+# thresholds exist only because the FIXTURE is tiny: at target scale the
+# defaults (10 GB application-side scan) trigger on their own; forcing
+# SMJ matters only to keep the demo from degenerating to broadcast.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _runtime_bloom_df(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum(cents) / 10000.0).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_join_runtime_bloom",
+    family="joins",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0 AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Runtime row-level BLOOM FILTER join (InjectRuntimeFilter — "
+    "DPP's sibling for non-partition keys): the selective dim side's "
+    "join keys are sketched into a bloom filter at runtime and pushed "
+    "as might_contain(xxhash64(l_orderkey)) into the FACT SCAN'S "
+    "FILTER, so ~80% of lineitem rows die before the shuffle instead "
+    "of after the join — the mechanism that rescues selective "
+    "fact-dim SMJs on unpartitioned keys at 100 TB (plan-pinned: "
+    "might_contain in the fact-side filter, "
+    "tests/test_plans.py::test_runtime_bloom_filter_injected). "
+    "Executed EAGERLY under scoped session confs (restored in "
+    "finally) so the threshold overrides — needed only because the "
+    "fixture is far below the 10 GB default trigger — never leak "
+    "into other queries; the 5-row result returns as a local "
+    "DataFrame, the bounded-collect pattern.",
+)
+def q_join_runtime_bloom(spark, sf_dir):
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        rows = _runtime_bloom_df(spark, sf_dir).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_lines long, revenue double"
+    )

@@ -261,6 +261,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_scan_metadata_cols",
     "q_sample_weighted",
     "q_text_heaps_law",
+    "q_join_runtime_bloom",
 )
 
 

@@ -925,3 +925,28 @@ def test_window_pareto_single_exchange_for_both_windows(spark, sf_dir):
     # match is the (n_name, l_suppkey) pre-agg exchange)
     solo = re.findall(r"hashpartitioning\(n_name#\d+, \d+\)", plan)
     assert len(solo) == 1, plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    # the fact scan must carry might_contain(xxhash64(l_orderkey)) —
+    # the dim side's runtime bloom pushed below the shuffle.
+    from mongodb_iceberg_sync_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _runtime_bloom_df,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        plan = (
+            _runtime_bloom_df(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "xxhash64(l_orderkey" in plan, plan

@@ -212,6 +212,7 @@ PROBE_QUERIES = [
     "q_scan_metadata_cols",
     "q_sample_weighted",
     "q_text_heaps_law",
+    "q_join_runtime_bloom",
 ]
 REPLICAS = 10
 
