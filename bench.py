@@ -142,6 +142,7 @@ HEADLINE = [
     "q_events_velocity",
     "q_text_heaps_law",
     "q_join_runtime_bloom",
+    "q_agg_cohens_d",
 ]
 
 

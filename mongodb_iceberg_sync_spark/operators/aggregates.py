@@ -2292,3 +2292,96 @@ def q_agg_grouping_id(spark, sf_dir):
         ORDER BY level_id, rf, ls
         """
     )
+
+
+@register(
+    "q_agg_cohens_d",
+    family="aggregates",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END AS g,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, g,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM cents GROUP BY event_type, g
+    ),
+    wide AS (
+      SELECT a.event_type,
+             a.n AS n1, a.s1 AS a1, a.s2 AS a2,
+             b.n AS n0, b.s1 AS b1, b.s2 AS b2
+      FROM (SELECT * FROM s WHERE g = 1) a
+      JOIN (SELECT * FROM s WHERE g = 0) b USING (event_type)
+    )
+    SELECT event_type, n1 AS n_weekend, n0 AS n_weekday,
+           round(
+             ((a1 * 1.0 / n1) - (b1 * 1.0 / n0))
+             / sqrt(
+                 ((a2 * 1.0 - a1 * 1.0 * a1 / n1)
+                  + (b2 * 1.0 - b1 * 1.0 * b1 / n0))
+                 / (n1 + n0 - 2)
+               ), 6) AS cohens_d
+    FROM wide
+    ORDER BY event_type
+    """,
+    doc="Cohen's d effect size of weekend vs weekday value per event "
+    "type — the magnitude companion to q_agg_ttest's significance "
+    "(p-values shrink with n; d answers 'is the difference BIG': 0.2 "
+    "small / 0.8 large), the number experiment reviews actually "
+    "gate on. d = (m1−m0)/pooled_sd with every moment an exact "
+    "BIGINT sum of integer cents, so the whole expression — means, "
+    "pooled variance via the Σx²−(Σx)²/n identity, sqrt — is an "
+    "identical float expression tree cross-engine (cents scaling "
+    "cancels in the ratio). Scale: one map-side rollup to "
+    "2×|types| rows; constant-size arithmetic after.",
+)
+def q_agg_cohens_d(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    g = F.when((F.dayofweek("ts") - 1).isin(0, 6), 1).otherwise(0)
+    cents = ev.select(
+        "event_type",
+        g.alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    s = cents.groupBy("event_type", "g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    a = s.filter(F.col("g") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = s.filter(F.col("g") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    pooled = F.sqrt(
+        (
+            (F.col("a2") * 1.0 - F.col("a1") * 1.0 * F.col("a1") / F.col("n1"))
+            + (F.col("b2") * 1.0 - F.col("b1") * 1.0 * F.col("b1") / F.col("n0"))
+        )
+        / (F.col("n1") + F.col("n0") - 2)
+    )
+    d = (
+        (F.col("a1") * 1.0 / F.col("n1")) - (F.col("b1") * 1.0 / F.col("n0"))
+    ) / pooled
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("n1").alias("n_weekend"),
+            F.col("n0").alias("n_weekday"),
+            F.round(d, 6).alias("cohens_d"),
+        )
+        .orderBy("event_type")
+    )

@@ -262,6 +262,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sample_weighted",
     "q_text_heaps_law",
     "q_join_runtime_bloom",
+    "q_agg_cohens_d",
 )
 
 

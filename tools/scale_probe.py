@@ -213,6 +213,7 @@ PROBE_QUERIES = [
     "q_sample_weighted",
     "q_text_heaps_law",
     "q_join_runtime_bloom",
+    "q_agg_cohens_d",
 ]
 REPLICAS = 10
 
