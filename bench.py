@@ -143,6 +143,7 @@ HEADLINE = [
     "q_text_heaps_law",
     "q_join_runtime_bloom",
     "q_agg_cohens_d",
+    "q_events_tte_labels",
 ]
 
 

@@ -2385,3 +2385,66 @@ def q_agg_cohens_d(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_agg_odds_ratio",
+    family="aggregates",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(sum(CASE WHEN extract(dow FROM ts) IN (0, 6)
+                            AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN extract(dow FROM ts) IN (0, 6)
+                            AND event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN extract(dow FROM ts) NOT IN (0, 6)
+                            AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN extract(dow FROM ts) NOT IN (0, 6)
+                            AND event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events
+    )
+    SELECT a, b, c, d,
+           round(a * 1.0 * d / (b * 1.0 * c), 6) AS odds_ratio,
+           round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                 - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_lo,
+           round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                 + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_hi
+    FROM c
+    """,
+    doc="Odds ratio with a Wald 95% CI: odds of an event being a "
+    "purchase on weekends vs weekdays, from one 2×2 contingency table "
+    "— the epidemiology/marketing lift statistic whose CI crossing "
+    "1.0 is the no-effect read. OR = a·d/(b·c) is a single division "
+    "of exact BIGINT cross-products; the CI is the standard "
+    "exp(ln OR ± z·sqrt(Σ1/cell)) — every transcendental's argument "
+    "derives from exact integers, so the expression trees match "
+    "bitwise. Scale: one map-side pass to four counters.",
+)
+def q_agg_odds_ratio(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wkend = (F.dayofweek("ts") - 1).isin(0, 6)
+    purch = F.col("event_type") == "purchase"
+    c = ev.agg(
+        F.sum(F.when(wkend & purch, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(wkend & ~purch, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~wkend & purch, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~wkend & ~purch, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    orr = F.col("a") * 1.0 * F.col("d") / (F.col("b") * 1.0 * F.col("c"))
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - 1.959964 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(orr) + 1.959964 * se), 6).alias("ci_hi"),
+    )

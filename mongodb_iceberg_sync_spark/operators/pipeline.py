@@ -2871,3 +2871,69 @@ def q_events_velocity(spark, sf_dir):
         .filter(F.col("max_burst") >= _VELOCITY_N)
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_events_tte_labels",
+    family="pipeline",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             ts
+      FROM events
+    ),
+    labeled AS (
+      SELECT user_id, event_id, event_type, us,
+             min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_us
+      FROM e
+    )
+    SELECT user_id, event_id,
+           CAST((next_purchase_us - us) // 60000000 AS BIGINT)
+             AS tte_minutes
+    FROM labeled
+    WHERE next_purchase_us IS NOT NULL
+    ORDER BY user_id, event_id
+    """,
+    doc="Time-to-event TRAINING LABELS: at every event, the minutes "
+    "until the same user's NEXT purchase — the label generator for "
+    "survival / next-purchase models, produced in one pass with a "
+    "FORWARD-looking window (min over the following frame of "
+    "purchase timestamps; rows after the last purchase are censored "
+    "and dropped here — q_events_survival handles the censored "
+    "analysis). The frame trick replaces the per-row as-of-forward "
+    "self-join: one user-keyed window instead of an events×purchases "
+    "band join. Exact integer microseconds → floor minutes. Scale: "
+    "one hash shuffle on user_id; frame buffers bounded by per-user "
+    "history.",
+)
+def q_events_tte_labels(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    labeled = ev.select(
+        "user_id", "event_id", "event_type", us.alias("us")
+    ).withColumn(
+        "next_purchase_us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(w),
+    )
+    return (
+        labeled.filter(F.col("next_purchase_us").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            ((F.col("next_purchase_us") - F.col("us")) / 60_000_000)
+            .cast("long")
+            .alias("tte_minutes"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -263,6 +263,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_heaps_law",
     "q_join_runtime_bloom",
     "q_agg_cohens_d",
+    "q_agg_odds_ratio",
+    "q_events_tte_labels",
 )
 
 
