@@ -144,6 +144,7 @@ HEADLINE = [
     "q_join_runtime_bloom",
     "q_agg_cohens_d",
     "q_events_tte_labels",
+    "q_ml_pr_curve",
 ]
 
 

@@ -781,3 +781,124 @@ def q_ml_centroid_classify(spark, sf_dir):
         )
         .orderBy("true_label")
     )
+
+
+@register(
+    "q_ml_pr_curve",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    by_score AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY score
+    ),
+    tt AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM by_score),
+    cum AS (
+      SELECT score,
+             CAST(sum(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(sum(n) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pred_pos
+      FROM by_score
+    )
+    SELECT c.score AS threshold,
+           c.tp, c.pred_pos,
+           round(c.tp * 1.0 / c.pred_pos, 6) AS precision_,
+           round(c.tp * 1.0 / t.p, 6) AS recall_
+    FROM cum c CROSS JOIN tt t
+    ORDER BY threshold DESC
+    """,
+    doc="Precision-recall curve: one operating point per DISTINCT "
+    "score threshold (predict positive iff score >= t), computed from "
+    "cumulative sums walked from the top score down — the curve "
+    "behind average-precision and threshold selection for imbalanced "
+    "problems where ROC flatters (q_ml_auc integrates ranking; this "
+    "shows the precision you actually get at each recall). Same "
+    "sufficient-statistics shape as AUC/KS: the window runs over the "
+    "bounded distinct-score table, never over examples; precision "
+    "and recall are single rounded divisions of exact BIGINTs.",
+)
+def q_ml_pr_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = _examples(spark, sf_dir)
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.count("*").cast("long").alias("n"),
+    )
+    tt = by_score.agg(F.sum("pos").cast("long").alias("p"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_score.select(
+        F.col("score").alias("threshold"),
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        F.sum("n").over(w).cast("long").alias("pred_pos"),
+    )
+    return (
+        cum.join(F.broadcast(tt))
+        .select(
+            "threshold",
+            "tp",
+            "pred_pos",
+            F.round(F.col("tp") * 1.0 / F.col("pred_pos"), 6).alias("precision_"),
+            F.round(F.col("tp") * 1.0 / F.col("p"), 6).alias("recall_"),
+        )
+        .orderBy(F.col("threshold").desc())
+    )
+
+
+@register(
+    "q_ml_brier",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    terms AS (
+      SELECT ex.label,
+             CAST(round(
+               ((ex.score - r.mn) * 1.0 / (r.mx - r.mn) - ex.label)
+               * ((ex.score - r.mn) * 1.0 / (r.mx - r.mn) - ex.label)
+               * 1e9, 0) AS BIGINT) AS tq
+      FROM ex CROSS JOIN rng r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(tq) AS DOUBLE) / (count(*) * 1e9), 6) AS brier
+    FROM terms
+    """,
+    doc="Brier score: mean squared error of the min-max-normalized "
+    "score against the binary label — the strictly proper scoring "
+    "rule that penalizes BOTH miscalibration and poor resolution in "
+    "one number (q_ml_calibration shows the reliability table; Brier "
+    "compresses it plus sharpness into the metric you track "
+    "release-over-release). Each squared residual is an identical "
+    "float expression of exact integers (broadcast min/max "
+    "normalization), quantized to 1e-9 and BIGINT-summed — "
+    "order-independent cross-engine. One data pass, constant-size "
+    "after.",
+)
+def q_ml_brier(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    p_hat = (F.col("score") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn"))
+    tq = F.round((p_hat - F.col("label")) * (p_hat - F.col("label")) * 1e9, 0).cast(
+        "long"
+    )
+    return (
+        ex.join(F.broadcast(rng))
+        .select(tq.alias("tq"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("tq").cast("double") / (F.count("*") * 1e9), 6).alias(
+                "brier"
+            ),
+        )
+    )

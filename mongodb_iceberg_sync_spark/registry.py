@@ -265,6 +265,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_cohens_d",
     "q_agg_odds_ratio",
     "q_events_tte_labels",
+    "q_ml_pr_curve",
+    "q_ml_brier",
 )
 
 

@@ -216,6 +216,8 @@ PROBE_QUERIES = [
     "q_agg_cohens_d",
     "q_agg_odds_ratio",
     "q_events_tte_labels",
+    "q_ml_pr_curve",
+    "q_ml_brier",
 ]
 REPLICAS = 10
 
