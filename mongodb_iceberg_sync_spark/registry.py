@@ -87,64 +87,15 @@ def _load_all_operator_modules() -> None:
 # — drop (to the back) every name with a green driver row, promote the
 # never-checked tail to the front, keep any FAIL rows first of all.
 #
-# Round-4 rotation: the 61 queries below are exactly the set never covered by
-# any driver window (r1 ∪ r2 ∪ r3 = 142 of 203 checked; zero FAIL rows
-# standing). Listed in original registration order; the r4 window takes the
-# first 50, the remaining 11 (all TPC-H composites) lead r5 together with any
-# round-4 additions, which go AFTER this block so they ride the next window.
+# Round-5 rotation: the 119 queries below are exactly the set never covered
+# by any driver window (r1 ∪ r2 ∪ r3 ∪ r4 = 192 of 311 checked; zero FAIL
+# rows standing). The r5 window takes the first 50; the remaining 69 lead r6.
+# CONSOLIDATION ROUND (VERDICT r4): registry growth is frozen at ~320 so the
+# r6+r7 windows can finish draining the backlog.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (round-3 additions), oldest first ---
-    "q_window_running_distinct",
-    "q_window_rolling_features",
-    "q_window_drawdown",
-    "q_sample_systematic",
-    "q_text_inverted_index",
-    "q_text_bm25",
-    "q_text_collocations",
-    "q_text_zipf",
-    "q_text_compress_ratio",
-    "q_sample_reservoir",
-    "q_timeseries_ewma",
-    "q_events_attribution",
-    "q_events_survival",
-    "q_events_rfm",
-    "q_events_cohort_ltv",
-    "q_sink_sorted_files",
-    "q_scan_dpp",
-    "q_agg_weighted_median",
-    "q_agg_entropy",
-    "q_agg_ttest",
-    "q_agg_gini",
-    "q_agg_benford",
-    "q_agg_ols",
-    "q_agg_chisq",
-    "q_agg_mannwhitney",
-    "q_agg_ks_test",
-    "q_profile_columns",
-    "q_agg_bootstrap",
-    "q_join_interval_overlap",
-    "q_sql_window_cte",
-    "q_sql_recursive",
-    "q_join_asof_forward",
-    "q_cdc_ivm_join",
-    "q_multimodal_phash",
-    "q_graph_triangles",
-    "q_graph_bfs",
-    "q_sample_temperature",
-    "q_agg_heavy_hitters",
-    "q_shuffle_train",
-    "q_agg_heavy_hitters_sketch",
-    "q_sample_priority",
-    "q_mix_domains",
-    "q_text_chunk_rag",
-    "q_embed_quantize",
-    "q_curriculum_order",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    # --- 50-query cap lands here in r4; the 11 below lead the r5 window ---
+    # --- never driver-checked, oldest registration first; the r5 window
+    # --- (50-query cap) covers the first 50: the 11 r3 TPC-H composites
+    # --- then round-4 additions in registration order (VERDICT r4 task #1).
     "q_tpch_q18",
     "q_tpch_q4",
     "q_tpch_q6",
@@ -156,7 +107,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q21",
-    # --- round-4 additions ride the r5 window ---
     "q_profile_columns_sketch",
     "q_join_bucketed",
     "q_sample_balanced",
@@ -167,7 +117,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sim_range_search",
     "q_multimodal_shard_pack",
     "q_join_asof_tolerance",
-    # --- round-4 session-2/3 additions (registration order) — also r5 ---
     "q_text_bpe_pairs",
     "q_text_feature_hash",
     "q_sample_entity",
@@ -192,12 +141,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_graph_common_neighbors",
     "q_text_scrub_chunks",
     "q_mix_epochs",
-    # --- round-4 session-4 additions — also r5 ---
     "q_agg_covar_matrix",
     "q_agg_basket_lift",
     "q_events_sequence_match",
     "q_text_readability",
     "q_window_regr_slope",
+    # --- 50-query cap lands here in r5; the rest lead the r6 window ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",
     "q_text_bpe_encode",
@@ -267,6 +216,57 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_tte_labels",
     "q_ml_pr_curve",
     "q_ml_brier",
+    # --- driver-checked in r4 (green) — rotated to the back ---
+    "q_window_running_distinct",
+    "q_window_rolling_features",
+    "q_window_drawdown",
+    "q_sample_systematic",
+    "q_text_inverted_index",
+    "q_text_bm25",
+    "q_text_collocations",
+    "q_text_zipf",
+    "q_text_compress_ratio",
+    "q_sample_reservoir",
+    "q_timeseries_ewma",
+    "q_events_attribution",
+    "q_events_survival",
+    "q_events_rfm",
+    "q_events_cohort_ltv",
+    "q_sink_sorted_files",
+    "q_scan_dpp",
+    "q_agg_weighted_median",
+    "q_agg_entropy",
+    "q_agg_ttest",
+    "q_agg_gini",
+    "q_agg_benford",
+    "q_agg_ols",
+    "q_agg_chisq",
+    "q_agg_mannwhitney",
+    "q_agg_ks_test",
+    "q_profile_columns",
+    "q_agg_bootstrap",
+    "q_join_interval_overlap",
+    "q_sql_window_cte",
+    "q_sql_recursive",
+    "q_join_asof_forward",
+    "q_cdc_ivm_join",
+    "q_multimodal_phash",
+    "q_graph_triangles",
+    "q_graph_bfs",
+    "q_sample_temperature",
+    "q_agg_heavy_hitters",
+    "q_shuffle_train",
+    "q_agg_heavy_hitters_sketch",
+    "q_sample_priority",
+    "q_mix_domains",
+    "q_text_chunk_rag",
+    "q_embed_quantize",
+    "q_curriculum_order",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q19",
 )
 
 
