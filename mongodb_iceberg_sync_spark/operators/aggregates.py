@@ -1877,8 +1877,6 @@ _CMS_PROBE = 10
     "the output columns.",
 )
 def q_agg_countmin(spark, sf_dir):
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
     )
@@ -1904,13 +1902,14 @@ def q_agg_countmin(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     truth = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
-    rk = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(F.desc("true_n"), "k")
-    )
+    # top-k probe pick as orderBy+limit -> TakeOrderedAndProject: every
+    # partition keeps its own k candidates, the driver merges k*P rows —
+    # never a single-task sort of the whole distinct-key table (the
+    # Window.partitionBy(lit(0)) row_number it replaces funneled every
+    # distinct l_partkey through ONE reducer).
     probe = (
-        truth.withColumn("rk", rk)
-        .filter(F.col("rk") <= _CMS_PROBE)
-        .select("k", "true_n")
+        truth.orderBy(F.desc("true_n"), "k")
+        .limit(_CMS_PROBE)
         .withColumn("seed", F.explode(seeds))
         .withColumn("bucket", bucket(F.col("seed"), F.col("k")))
     )
@@ -1942,8 +1941,6 @@ def q_agg_countmin(spark, sf_dir):
     "join), minus the md5+conv expression cost.",
 )
 def q_agg_countmin_fast(spark, sf_dir):
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
     )
@@ -1958,13 +1955,11 @@ def q_agg_countmin_fast(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     truth = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
-    rk = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(F.desc("true_n"), "k")
-    )
+    # distributed top-k (TakeOrderedAndProject), mirroring the md5 twin —
+    # no single-partition window over the distinct-key table.
     probe = (
-        truth.withColumn("rk", rk)
-        .filter(F.col("rk") <= _CMS_PROBE)
-        .select("k", "true_n")
+        truth.orderBy(F.desc("true_n"), "k")
+        .limit(_CMS_PROBE)
         .withColumn("seed", F.explode(seeds))
         .withColumn("bucket", bucket(F.col("seed"), F.col("k")))
     )

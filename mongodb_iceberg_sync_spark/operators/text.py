@@ -1963,10 +1963,13 @@ _HEAPS_DECILES = 10
     "so a first-occurrence histogram + running sum gives every "
     "decile's vocab in one aggregation. β from ln of exact integers. "
     "Scale: one (word → min doc) rollup and one token-count rollup, "
-    "both map-side-combinable; the decile table is 10 rows.",
+    "both map-side-combinable; decile boundaries come from the shared "
+    "two-pass global-rank core (sorts_sets.global_rank — "
+    "range-repartition + broadcast prefix offsets), never a "
+    "single-partition window; the decile table is 10 rows.",
 )
 def q_text_heaps_law(spark, sf_dir):
-    from pyspark.sql import Window
+    from .sorts_sets import global_rank
 
     d = t(spark, sf_dir, "documents")
     tok = (
@@ -1978,9 +1981,14 @@ def q_text_heaps_law(spark, sf_dir):
         return spark.createDataFrame(
             [], "decile long, n_tokens long, vocab long, heaps_beta_point double"
         )
-    ids = d.select(F.col("doc_id").cast("long").alias("doc_id")).withColumn(
-        "rn", F.row_number().over(Window.orderBy("doc_id"))
-    )
+    # decile boundaries need every document's exact global rank by doc_id —
+    # computed with the shared two-pass core (range-repartition, per-partition
+    # counts, broadcast prefix offsets, partition-local row_number), NOT a
+    # row_number over an unpartitioned window, which would funnel the whole
+    # corpus through one task.
+    ids = global_rank(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")), F.col("doc_id")
+    ).withColumnRenamed("rank", "rn")
     bounds = (
         ids.select(
             F.ceil(F.col("rn") * _HEAPS_DECILES / nd).cast("long").alias("decile"),

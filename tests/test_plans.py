@@ -950,3 +950,26 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "xxhash64(l_orderkey" in plan, plan
+
+
+def test_countmin_probe_pick_is_distributed_topk(spark, sf_dir):
+    # the 10 probe keys must come from TakeOrderedAndProject (partial
+    # per-partition top-k merged on the driver) — the r4 verdict flagged
+    # the previous Window.partitionBy(lit(0)) row_number, which shuffled
+    # every distinct l_partkey to ONE task
+    for q in ("q_agg_countmin", "q_agg_countmin_fast"):
+        df = SPECS[q].func(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (q, plan[:1200])
+        assert "windowspecdefinition" not in plan, (q, plan[:1200])
+
+
+def test_heaps_law_rank_window_is_partition_local(spark, sf_dir):
+    # decile boundaries ride the shared two-pass global-rank core: any
+    # window in the plan must be pid-partitioned — an empty partition
+    # clause would funnel the whole documents table through one task
+    df = SPECS["q_text_heaps_law"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(pid" in line, line
