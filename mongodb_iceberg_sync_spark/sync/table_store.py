@@ -544,7 +544,18 @@ class MorTable:
 
         Scale: planning is O(commits) manifest reads (driver-side JSON,
         no data I/O); the residual filter pushes to the surviving
-        scans."""
+        scans.
+
+        Raises if the table carries positional or equality delete files:
+        this path applies no delete folding, so reading past them would
+        silently resurrect deleted rows — use scan()/scan_latest()."""
+        if self._pos_delete_ids() or self._eq_delete_ids():
+            raise ValueError(
+                "scan_append() on a table with row-level delete files "
+                f"({self.path}): the append-log path applies no pos/eq "
+                "delete folding and would resurrect deleted rows — use "
+                "scan() (MoR fold) instead"
+            )
         where_bounds = where_bounds or {}
         parts = []
         if self._has_parquet(self.base_dir):

@@ -73,3 +73,14 @@ def test_type_mismatch_is_conservative(table):
     # predicate literal incomparable with stored stat -> keep everything
     kept = table.prune_batches(col_bounds={"cat": (0, 5)})
     assert len(kept) == 3
+
+
+def test_scan_append_refuses_tables_with_delete_files(spark, table):
+    # the append-log path applies no pos/eq delete folding; letting it
+    # read past delete files would silently resurrect deleted rows
+    n = table.delete_equality(
+        spark.createDataFrame([("k1_3",)], "doc_id string"), 3
+    )
+    assert n == 1
+    with pytest.raises(ValueError, match="delete files"):
+        table.scan_append({"v": (12, 21)})
