@@ -138,7 +138,6 @@ PROBE_QUERIES = [
     "q_text_feature_hash",
     "q_events_did",
     "q_graph_common_neighbors",
-    "q_graph_components",
     "q_text_scrub_chunks",
     "q_dedup_semantic",
     "q_sim_maxsim",
@@ -218,6 +217,8 @@ PROBE_QUERIES = [
     "q_events_tte_labels",
     "q_ml_pr_curve",
     "q_ml_brier",
+    "q_ml_regression_metrics",
+    "q_dedup_url",
 ]
 REPLICAS = 10
 
@@ -246,11 +247,22 @@ HEAVY_100X = [
     "q_graph_degree_dist",
     "q_graph_adamic_adar",
     "q_graph_kcore",
+    # r5: heaviest round-4 additions with only 1x/10x rows (VERDICT r4
+    # task #5) + the two single-reducer rewrites (tasks #3/#4)
+    "q_text_bpe_encode",
+    "q_agg_basket_lift",
+    "q_ml_ndcg",
+    "q_dedup_semantic",
+    "q_sim_maxsim",
+    "q_ml_logreg",
+    "q_join_runtime_bloom",
+    "q_text_heaps_law",
+    "q_agg_countmin_fast",
 ]
 # tables the HEAVY_100X set touches — synthesizing all ten tables at
 # 100x would write ~10 GB it never reads
 TABLES_100X = {"events", "orders", "lineitem", "supplier", "nation",
-               "customer", "documents"}
+               "customer", "documents", "embeddings", "part"}
 
 TABLES = {
     "documents": "doc_id",
@@ -316,7 +328,7 @@ def main() -> int:
             keep = True
             sys.argv.remove(a)
     base = HEAVY_100X if tier100 else PROBE_QUERIES
-    queries = [q for q in base if only is None or q in only]
+    queries = list(dict.fromkeys(q for q in base if only is None or q in only))
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
@@ -358,7 +370,10 @@ def main() -> int:
     print(json.dumps(results))
     spark.stop()
     if not keep:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # only delete what we synthesized — never the (possibly
+        # user-supplied, possibly shared) out_dir itself
+        for sub in ("sf1x10", "sf1x100"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     return 0
 
 
