@@ -148,6 +148,9 @@ HEADLINE = [
     "q_agg_cohens_d",
     "q_events_tte_labels",
     "q_ml_pr_curve",
+    # round-5 additions
+    "q_ml_regression_metrics",
+    "q_dedup_url",
 ]
 
 

@@ -979,3 +979,98 @@ def q_dedup_semantic(spark, sf_dir):
         F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
         (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
     )
+
+
+@register(
+    "q_dedup_url",
+    family="dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM:443/item/'
+               || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&ref='
+               || lang || '&id=' || CAST(doc_id % 7 AS VARCHAR)
+               || '&utm_campaign=sync#sec-2' AS url
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '^([^/]*//[^/]+)', 1) AS sh,
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '^[^/]*//[^/]+', '') AS rest
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(sh), ':443$', ''),
+                            '^https://www\\.', 'https://')
+             ||
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(rest, '(utm_[a-z]+|ref)=[^&]*&', '', 'g'),
+                 '[?&](utm_[a-z]+|ref)=[^&]*$', ''),
+               '\\?$', '') AS canonical_url
+      FROM split
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    doc="URL-canonicalization dedup — the web-crawl pipeline's FIRST "
+    "dedup pass (cheaper than any content hash: two crawls of one "
+    "page differ only in tracking params / host case / default "
+    "port / fragment): lowercase scheme+host, strip the :443 "
+    "default port, the www. prefix, the #fragment, and utm_*/ref "
+    "tracking params, then exact-group on the canonical form "
+    "keeping the first-crawled doc_id. URLs are synthesized "
+    "deterministically from (source, lang, doc_id) since the "
+    "fixture ships no URL column — the canonicalization chain is "
+    "the operator. All regexes are RE2-safe (no backrefs or "
+    "lookaround) so Java and DuckDB agree byte-for-byte; the whole "
+    "chain is JVM codegen string ops fused into the scan (no UDF). "
+    "Scale: map-only until ONE exact groupBy whose shuffle carries "
+    "canonical urls + two longs with map-side partial count/min; "
+    "the same shape as q_dedup_exact, upstream of it in a real "
+    "crawl stack.",
+)
+def q_dedup_url(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/item/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("lang"),
+        F.lit("&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=sync#sec-2"),
+    )
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    sh = F.regexp_extract(no_frag, "^([^/]*//[^/]+)", 1)
+    rest = F.regexp_replace(no_frag, "^[^/]*//[^/]+", "")
+    canon_host = F.regexp_replace(
+        F.regexp_replace(F.lower(sh), ":443$", ""), r"^https://www\.", "https://"
+    )
+    canon_rest = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(rest, r"(utm_[a-z]+|ref)=[^&]*&", ""),
+            r"[?&](utm_[a-z]+|ref)=[^&]*$",
+            "",
+        ),
+        r"\?$",
+        "",
+    )
+    return (
+        d.select(
+            "doc_id", F.concat(canon_host, canon_rest).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

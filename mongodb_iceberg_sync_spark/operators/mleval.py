@@ -902,3 +902,85 @@ def q_ml_brier(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_ml_regression_metrics",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    pred AS (
+      SELECT u.p, u.s, t.nu, t.tp, t.ts FROM u CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT abs(p * ts - s * tp) AS ae_num,
+             CAST(round((CAST(p * ts - s * tp AS DOUBLE) / ts)
+                        * (CAST(p * ts - s * tp AS DOUBLE) / ts)
+                        * 1e9, 0) AS BIGINT) AS sq,
+             CAST(round((CAST(p * nu - tp AS DOUBLE) / nu)
+                        * (CAST(p * nu - tp AS DOUBLE) / nu)
+                        * 1e9, 0) AS BIGINT) AS sq_tot,
+             ts
+      FROM pred
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(ae_num) AS DOUBLE) / (count(*) * max(ts)), 6) AS mae,
+           round(sqrt(CAST(sum(sq) AS DOUBLE) / (count(*) * 1e9)), 6) AS rmse,
+           round(1 - CAST(sum(sq) AS DOUBLE) / sum(sq_tot), 6) AS r2
+    FROM terms
+    """,
+    doc="Regression-eval readouts (MAE / RMSE / R^2) — the numeric "
+    "sibling of the classification family (q_ml_auc..q_ml_brier "
+    "score rankers; this scores a REGRESSOR): y = the user's "
+    "purchase count, y_hat = the engagement-rate linear baseline "
+    "s * total_purchases / total_engagement. Cross-engine exactness "
+    "by the family's sufficient-statistics discipline: every "
+    "residual is the INTEGER cross-multiplication (p*ts - s*tp) so "
+    "no float mean or rate ever exists — MAE's numerator is an "
+    "exact BIGINT |.|-sum, the squared terms are identical float "
+    "expressions of exact integers quantized to 1e-9 and "
+    "BIGINT-summed (the q_ml_brier trick, which also keeps the "
+    "squares inside BIGINT range where (p*ts)^2 would overflow), "
+    "and each metric is one rounded division (sqrt on a bitwise- "
+    "identical double for RMSE). Scale: one user-keyed rollup "
+    "(map-side partials), a broadcast 1-row totals join, then a "
+    "constant-size fold — examples never shuffle twice.",
+)
+def q_ml_regression_metrics(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp"),
+        F.sum("s").cast("long").alias("ts"),
+    )
+    pred = u.join(F.broadcast(tot))
+    r = (F.col("p") * F.col("ts") - F.col("s") * F.col("tp")).cast("double") / F.col(
+        "ts"
+    )
+    rt = (F.col("p") * F.col("nu") - F.col("tp")).cast("double") / F.col("nu")
+    terms = pred.select(
+        F.abs(F.col("p") * F.col("ts") - F.col("s") * F.col("tp")).alias("ae_num"),
+        F.round(r * r * 1e9, 0).cast("long").alias("sq"),
+        F.round(rt * rt * 1e9, 0).cast("long").alias("sq_tot"),
+        "ts",
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum("ae_num").cast("double") / (F.count("*") * F.max("ts")), 6
+        ).alias("mae"),
+        F.round(F.sqrt(F.sum("sq").cast("double") / (F.count("*") * 1e9)), 6).alias(
+            "rmse"
+        ),
+        F.round(F.lit(1) - F.sum("sq").cast("double") / F.sum("sq_tot"), 6).alias(
+            "r2"
+        ),
+    )

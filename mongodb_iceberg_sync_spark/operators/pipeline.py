@@ -2937,3 +2937,4 @@ def q_events_tte_labels(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+

@@ -216,6 +216,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_tte_labels",
     "q_ml_pr_curve",
     "q_ml_brier",
+    # --- round-5 additions (the consolidation round's only growth: 2) ---
+    "q_ml_regression_metrics",
+    "q_dedup_url",
     # --- driver-checked in r4 (green) — rotated to the back ---
     "q_window_running_distinct",
     "q_window_rolling_features",

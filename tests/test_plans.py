@@ -973,3 +973,25 @@ def test_heaps_law_rank_window_is_partition_local(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(pid" in line, line
+
+
+def test_dedup_url_single_exchange_map_side_partials(spark, sf_dir):
+    # the canonicalization chain must fuse into the scan as codegen
+    # string ops (no UDF) and the ONE groupBy must partial-aggregate
+    # map-side — the shuffle carries canonical urls, never documents
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_dedup_url"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(df) == 1, plan[:1200]
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_regression_metrics_single_rollup_broadcast_totals(spark, sf_dir):
+    # examples shuffle ONCE (the user rollup); the totals row joins back
+    # as a broadcast; the metric fold is constant-size
+    df = SPECS["q_ml_regression_metrics"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:1200]
+    assert "partial_sum" in plan
