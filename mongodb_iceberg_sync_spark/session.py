@@ -70,4 +70,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # Integration lane: point SPARK_GRAFT_ICEBERG_JAR at an Iceberg Spark
+    # runtime jar to light up the real-catalog tests
+    # (tests/test_catalog.py::test_iceberg_live_catalog_roundtrip) — the
+    # sandbox ships no jar, so this is a no-op here and the tests skip.
+    iceberg_jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if iceberg_jar:
+        builder = builder.config("spark.jars", iceberg_jar).config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
     return apply_runtime_confs(builder.getOrCreate())

@@ -156,11 +156,39 @@ def test_tailer_output_is_engine_readable(spark, tmp_path):
         assert set(doc) == {"_id", "v"}
 
 
-@pytest.mark.skipif(not PYMONGO_AVAILABLE, reason="pymongo not installed (sandbox)")
-def test_live_wire_integration():  # pragma: no cover
-    """Placeholder for a real-cluster run: open_change_stream against a
-    replica set and assert the tailer drains it. Requires pymongo + a
-    reachable MongoDB; intentionally skipped in the sandbox."""
-    from mongodb_iceberg_sync_spark.sources.mongo_live import open_change_stream
+_MONGO_URL = os.environ.get("SPARK_GRAFT_MONGO_URL")
 
-    assert callable(open_change_stream)
+
+@pytest.mark.skipif(
+    not (PYMONGO_AVAILABLE and _MONGO_URL),
+    reason="wire lane: needs pymongo + SPARK_GRAFT_MONGO_URL pointing at a "
+    "replica set (sandbox has neither)",
+)
+def test_live_wire_integration():  # pragma: no cover - integration lane
+    """Real-wire lane: insert/update/delete against a live replica set
+    and assert open_change_stream + normalize_event reproduce the exact
+    CDC tuples the fake-tailer tests pin. Activates the day the
+    environment provides a MongoDB (SPARK_GRAFT_MONGO_URL); skips
+    cleanly here."""
+    import pymongo
+
+    from mongodb_iceberg_sync_spark.sources.mongo_live import (
+        normalize_event,
+        open_change_stream,
+    )
+
+    client = pymongo.MongoClient(_MONGO_URL, serverSelectionTimeoutMS=5000)
+    coll = client["mis_it"]["wire"]
+    coll.drop()
+    with open_change_stream(coll) as stream:
+        coll.insert_one({"_id": "w1", "v": 1})
+        coll.update_one({"_id": "w1"}, {"$set": {"v": 2}})
+        coll.delete_one({"_id": "w1"})
+        got = []
+        for change in stream:
+            got.append(normalize_event(change, op_seq=len(got)))
+            if len(got) == 3:
+                break
+    ops = [g[1] for g in got]
+    assert ops == ["insert", "update", "delete"]
+    assert all(g[2] == "w1" for g in got)
