@@ -280,8 +280,21 @@ TABLES = {
 
 def synthesize(
     spark, src_dir: str, out_dir: str, replicas: int = REPLICAS,
-    tables: set[str] | None = None,
+    tables: set[str] | None = None, distinct_text: bool = False,
 ) -> None:
+    """Replicate the sf0.1 tables with shifted ids.
+
+    ``distinct_text=True`` additionally tags every 3rd word of each
+    document-text replica with the replica index: by default every text
+    gains (replicas-1) exact copies, which makes PAIR-output dedup
+    operators C(replicas,2)-degenerate (a synthesis artifact, not a
+    measurement — why ngram_jaccard is excluded from the plain 100x
+    tier); tagging 1/3 of words kills ~every word-shingle, so replicas
+    are genuinely distinct in signature space and the corpus is
+    realistically mostly-unique at 100x. Within-replica duplicate
+    structure is preserved exactly (identical texts in one replica stay
+    identical after the same tagging).
+    """
     os.makedirs(out_dir, exist_ok=True)
     for name, key in TABLES.items():
         if tables is not None and name not in tables:
@@ -309,8 +322,22 @@ def synthesize(
                     out = out.withColumn(
                         fk, F.col(fk) + F.col("_r").cast("long") * shift
                     )
+            if distinct_text and name == "documents":
+                out = out.withColumn(
+                    "text",
+                    F.expr(
+                        "concat_ws(' ', transform(split(text, ' '), "
+                        "(w, i) -> CASE WHEN i % 3 = 0 "
+                        "THEN concat(w, '_', CAST(_r AS STRING)) "
+                        "ELSE w END))"
+                    ),
+                )
             out = out.drop("_r")
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    # completion marker: an interrupted synthesis leaves a partial dir
+    # that must not be mistaken for a finished copy on the next run
+    with open(f"{out_dir}/_SYNTH_OK", "w") as fh:
+        fh.write("ok\n")
 
 
 def main() -> int:
@@ -327,24 +354,31 @@ def main() -> int:
         if a == "--keep":
             keep = True
             sys.argv.remove(a)
-    base = HEAVY_100X if tier100 else PROBE_QUERIES
-    queries = list(dict.fromkeys(q for q in base if only is None or q in only))
+    distinct_text = "--distinct-text" in sys.argv
+    if distinct_text:
+        sys.argv.remove("--distinct-text")
+    # --only names run verbatim (they need not appear in the tier's
+    # default list); without it the tier's default list runs in full
+    base = only if only is not None else (HEAVY_100X if tier100 else PROBE_QUERIES)
+    queries = list(dict.fromkeys(base))
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
 
     if tier100:
-        big = f"{out_dir}/sf1x100"
-        if not os.path.isdir(big):
+        sub = "sf1x100dt" if distinct_text else "sf1x100"
+        big = f"{out_dir}/{sub}"
+        if not os.path.exists(f"{big}/_SYNTH_OK"):
             t0 = time.time()
             synthesize(spark, "/root/testdata/sf0.1", big, replicas=100,
-                       tables=TABLES_100X)
+                       tables=TABLES_100X, distinct_text=distinct_text)
             print(f"synthesized 100x copy in {time.time()-t0:.1f}s", flush=True)
-        tiers = [("sf0.1", "/root/testdata/sf0.1"), ("sf10 (100x)", big)]
+        label = "sf10 (100x distinct-text)" if distinct_text else "sf10 (100x)"
+        tiers = [("sf0.1", "/root/testdata/sf0.1"), (label, big)]
         repeats = 1  # one pass: the 100x signal is orders, not noise
     else:
         big = f"{out_dir}/sf1x10"
-        if not os.path.isdir(big):
+        if not os.path.exists(f"{big}/_SYNTH_OK"):
             t0 = time.time()
             synthesize(spark, "/root/testdata/sf0.1", big)
             print(f"synthesized 10x copy in {time.time()-t0:.1f}s", flush=True)
@@ -372,7 +406,7 @@ def main() -> int:
     if not keep:
         # only delete what we synthesized — never the (possibly
         # user-supplied, possibly shared) out_dir itself
-        for sub in ("sf1x10", "sf1x100"):
+        for sub in ("sf1x10", "sf1x100", "sf1x100dt"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     return 0
 
