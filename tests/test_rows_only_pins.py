@@ -149,3 +149,97 @@ def test_hll_union_error_bound(spark, sf_dir):
     # mergeability: the union estimates global distinct (users appear in
     # EVERY type here), not the 5x-inflated sum of per-type estimates
     assert est_all < sum(r.est_users for r in rows if r.event_type != "__ALL__")
+
+
+def test_dedup_near_zero_fn_on_exact_duplicates(spark, tmp_path):
+    # structural guarantee regardless of hash values: identical text ->
+    # identical shingle set -> identical 16-minhash signature -> same
+    # band hashes -> the pair MUST surface with est_jaccard 1.0 (unless
+    # its band bucket tripped the degenerate-bucket cap, which these
+    # 3-copy groups never do). The parquet fixtures ship no exact-dup
+    # texts, so synthesize a corpus: 10 texts x 3 copies + 10 singles.
+    rows = []
+    doc_id = 0
+    for g in range(10):
+        text = f"alpha{g} beta{g} gamma{g} delta{g} epsilon{g} zeta{g}"
+        for _ in range(3):
+            rows.append((doc_id, text, "en", "syn", len(text)))
+            doc_id += 1
+    for g in range(10):
+        text = f"solo{g} only{g} once{g} here{g} now{g}"
+        rows.append((doc_id, text, "en", "syn", len(text)))
+        doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "neardup_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    expected = set()
+    for g in range(10):
+        ids = [g * 3, g * 3 + 1, g * 3 + 2]
+        expected |= {(ids[0], ids[1]), (ids[0], ids[2]), (ids[1], ids[2])}
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in SPECS["q_dedup_near"].func(spark, sf).collect()
+    }
+    missing = [p for p in expected if p not in got]
+    assert missing == [], f"exact-dup pairs absent from LSH candidates: {missing[:5]}"
+    for p in expected:
+        assert got[p] == 1.0, (p, got[p])
+    # singles share no shingles with anything: they must pair with nothing
+    singles = set(range(30, 40))
+    assert all(a not in singles and b not in singles for a, b in got), got
+
+
+def test_dedup_simhash_matches_pure_python_reference(spark, sf_dir):
+    # full differential for the numpy bit-fold kernel + banding + cap:
+    # token hashes come from the same JVM xxhash64, the fold/band/cap/
+    # verify pipeline is re-derived in plain Python, and the PAIR SETS
+    # must match exactly
+    from mongodb_iceberg_sync_spark.operators.dedup import MAX_LSH_BUCKET
+
+    hashed = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.transform(F.split("text", " "), lambda tk: F.xxhash64(tk)).alias("th"),
+        )
+        .collect()
+    )
+    sims = {}
+    for r in hashed:
+        sums = [0] * 64
+        for h in r.th:
+            u = h & 0xFFFFFFFFFFFFFFFF
+            for b in range(64):
+                sums[b] += 1 if (u >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if sums[b] > 0:
+                v |= 1 << b
+        sims[r.doc_id] = v
+    buckets = {}
+    for doc_id, v in sims.items():
+        for band in range(4):
+            buckets.setdefault((band, (v >> (band * 16)) & 0xFFFF), []).append(doc_id)
+    expected = set()
+    for members in buckets.values():
+        if len(members) > 2 * MAX_LSH_BUCKET:
+            continue  # degenerate-bucket cap, mirrored from the operator
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                ham = bin(sims[a] ^ sims[b]).count("1")
+                if ham <= 3:
+                    expected.add((a, b, ham))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in SPECS["q_dedup_simhash"].func(spark, sf_dir).collect()
+    }
+    assert got == expected, (
+        f"only-spark: {sorted(got - expected)[:5]} "
+        f"only-ref: {sorted(expected - got)[:5]}"
+    )
