@@ -853,7 +853,12 @@ _META_FILES = 4
     "oracle, which recomputes totals from the logical table; a torn "
     "or overlapping layout fails the hash). Scale: _metadata is "
     "generated per split at scan time (no extra I/O); the per-file "
-    "rollup is one hash agg keyed on ~#files values.",
+    "rollup is one hash agg keyed on ~#files values. The disjointness "
+    "window is unpartitioned BY DESIGN: it runs over the PER-FILE "
+    "rollup (one row per data file, ~10^6 rows at 100 TB through one "
+    "task for an offline audit), never over data rows; bucketing the "
+    "running max by coarse key ranges would distribute it if audits "
+    "ever need to be interactive.",
 )
 def q_scan_metadata_cols(spark, sf_dir):
     from pyspark.sql import Window
