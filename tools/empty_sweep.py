@@ -23,3 +23,4 @@ for name, spec in all_specs().items():
 print(f"ok: {len(ok)}  failed: {len(failed)}")
 for f in failed:
     print("FAIL", *f)
+sys.exit(1 if failed else 0)

@@ -40,25 +40,25 @@ def main() -> int:
     fast = "--fast" in sys.argv
     bench = "--bench" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
-    outside = tempfile.mkdtemp(prefix="mis_verify_")
     py = sys.executable
     failures: list[str] = []
 
-    steps: list[tuple[str, list[str], str]] = [
-        ("oracle sweep (sf0.01, external cwd)",
-         [py, os.path.join(REPO, "tools", "sweep.py"), sf_dir], outside),
-        ("empty-input sweep",
-         [py, os.path.join(REPO, "tools", "empty_sweep.py")], outside),
-        ("plan pins",
-         [py, "-m", "pytest", "tests/test_plans.py", "-q"], REPO),
-    ]
-    if not fast:
-        steps.append(("full pytest", [py, "-m", "pytest", "tests/", "-q"], REPO))
-    for label, argv, cwd in steps:
-        if not _run(label, argv, cwd):
-            failures.append(label)
-    if bench and not failures:
-        _run("bench smoke", [py, os.path.join(REPO, "bench.py")], REPO) or failures.append("bench")
+    with tempfile.TemporaryDirectory(prefix="mis_verify_") as outside:
+        steps: list[tuple[str, list[str], str]] = [
+            ("oracle sweep (sf0.01, external cwd)",
+             [py, os.path.join(REPO, "tools", "sweep.py"), sf_dir], outside),
+            ("empty-input sweep",
+             [py, os.path.join(REPO, "tools", "empty_sweep.py")], outside),
+            ("plan pins",
+             [py, "-m", "pytest", "tests/test_plans.py", "-q"], REPO),
+        ]
+        if not fast:
+            steps.append(("full pytest", [py, "-m", "pytest", "tests/", "-q"], REPO))
+        for label, argv, cwd in steps:
+            if not _run(label, argv, cwd):
+                failures.append(label)
+        if bench and not failures:
+            _run("bench smoke", [py, os.path.join(REPO, "bench.py")], REPO) or failures.append("bench")
 
     if failures:
         print(f"\nverify: FAILED layers: {failures}", flush=True)
