@@ -259,10 +259,11 @@ HEAVY_100X = [
     "q_text_heaps_law",
     "q_agg_countmin_fast",
 ]
-# tables the HEAVY_100X set touches — synthesizing all ten tables at
-# 100x would write ~10 GB it never reads
+# all ten tables are synthesized at the 100x tier — the dims (region/
+# nation/supplier) copy as-is and the rest replicate, so ANY --only
+# query can run at the big tier without a missing-parquet crash
 TABLES_100X = {"events", "orders", "lineitem", "supplier", "nation",
-               "customer", "documents", "embeddings", "part"}
+               "customer", "documents", "embeddings", "part", "region"}
 
 TABLES = {
     "documents": "doc_id",
@@ -361,6 +362,10 @@ def main() -> int:
     # default list); without it the tier's default list runs in full
     base = only if only is not None else (HEAVY_100X if tier100 else PROBE_QUERIES)
     queries = list(dict.fromkeys(base))
+    unknown = [q for q in queries if q not in all_specs()]
+    if unknown:
+        print(f"unknown query names: {unknown}", file=sys.stderr)
+        return 2
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
@@ -404,10 +409,10 @@ def main() -> int:
     print(json.dumps(results))
     spark.stop()
     if not keep:
-        # only delete what we synthesized — never the (possibly
-        # user-supplied, possibly shared) out_dir itself
-        for sub in ("sf1x10", "sf1x100", "sf1x100dt"):
-            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        # only delete THIS run's replica subdir — never the (possibly
+        # user-supplied, possibly shared) out_dir, and never another
+        # tier's copy that an earlier --keep run paid to synthesize
+        shutil.rmtree(big, ignore_errors=True)
     return 0
 
 
