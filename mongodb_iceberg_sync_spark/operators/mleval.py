@@ -924,9 +924,11 @@ def q_ml_brier(spark, sf_dir):
       FROM pred
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(ae_num) AS DOUBLE) / (count(*) * max(ts)), 6) AS mae,
-           round(sqrt(CAST(sum(sq) AS DOUBLE) / (count(*) * 1e9)), 6) AS rmse,
-           round(1 - CAST(sum(sq) AS DOUBLE) / sum(sq_tot), 6) AS r2
+           round(CAST(sum(ae_num) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * max(ts)), 6) AS mae,
+           round(sqrt(CAST(sum(sq) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1e9)), 6) AS rmse,
+           round(1 - CAST(sum(sq) AS DOUBLE) / CAST(sum(sq_tot) AS DOUBLE), 6) AS r2
     FROM terms
     """,
     doc="Regression-eval readouts (MAE / RMSE / R^2) — the numeric "
@@ -937,12 +939,14 @@ def q_ml_brier(spark, sf_dir):
     "by the family's sufficient-statistics discipline: every "
     "residual is the INTEGER cross-multiplication (p*ts - s*tp) so "
     "no float mean or rate ever exists — MAE's numerator is an "
-    "exact BIGINT |.|-sum, the squared terms are identical float "
-    "expressions of exact integers quantized to 1e-9 and "
-    "BIGINT-summed (the q_ml_brier trick, which also keeps the "
-    "squares inside BIGINT range where (p*ts)^2 would overflow), "
-    "and each metric is one rounded division (sqrt on a bitwise- "
-    "identical double for RMSE). Scale: one user-keyed rollup "
+    "exact |.|-sum, the squared terms are identical float "
+    "expressions of exact integers quantized to 1e-9 per row (the "
+    "q_ml_brier trick, which also keeps each TERM inside int64 where "
+    "(p*ts)^2 would overflow), their corpus sums ride DECIMAL(38,0) "
+    "— the analog of DuckDB's HUGEINT sum, so billions of examples "
+    "with large residuals cannot wrap — and each metric is one "
+    "rounded division of doubles (sqrt on a bitwise-identical "
+    "double for RMSE). Scale: one user-keyed rollup "
     "(map-side partials), a broadcast 1-row totals join, then a "
     "constant-size fold — examples never shuffle twice.",
 )
@@ -972,15 +976,15 @@ def q_ml_regression_metrics(spark, sf_dir):
         F.round(rt * rt * 1e9, 0).cast("long").alias("sq_tot"),
         "ts",
     )
+    # exact sums ride DECIMAL(38,0) — the int64 analog of DuckDB's
+    # HUGEINT sum — so 1e9-quantized squared residuals cannot wrap at
+    # example counts where sum(sq) exceeds BIGINT; denominators go
+    # through double before multiplying for the same reason
+    sum38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).cast("double")  # noqa: E731
+    n_dbl = F.count("*").cast("double")
     return terms.agg(
         F.count("*").cast("long").alias("n"),
-        F.round(
-            F.sum("ae_num").cast("double") / (F.count("*") * F.max("ts")), 6
-        ).alias("mae"),
-        F.round(F.sqrt(F.sum("sq").cast("double") / (F.count("*") * 1e9)), 6).alias(
-            "rmse"
-        ),
-        F.round(F.lit(1) - F.sum("sq").cast("double") / F.sum("sq_tot"), 6).alias(
-            "r2"
-        ),
+        F.round(sum38("ae_num") / (n_dbl * F.max("ts")), 6).alias("mae"),
+        F.round(F.sqrt(sum38("sq") / (n_dbl * 1e9)), 6).alias("rmse"),
+        F.round(F.lit(1) - sum38("sq") / sum38("sq_tot"), 6).alias("r2"),
     )
