@@ -177,6 +177,8 @@ def test_live_wire_integration():  # pragma: no cover - integration lane
         open_change_stream,
     )
 
+    import time as _time
+
     client = pymongo.MongoClient(_MONGO_URL, serverSelectionTimeoutMS=5000)
     coll = client["mis_it"]["wire"]
     coll.drop()
@@ -185,10 +187,16 @@ def test_live_wire_integration():  # pragma: no cover - integration lane
         coll.update_one({"_id": "w1"}, {"$set": {"v": 2}})
         coll.delete_one({"_id": "w1"})
         got = []
-        for change in stream:
+        deadline = _time.monotonic() + 60
+        # try_next + deadline: a blocking `for change in stream` would
+        # wedge the whole pytest run if an expected event never arrives
+        while len(got) < 3 and _time.monotonic() < deadline:
+            change = stream.try_next()
+            if change is None:
+                _time.sleep(0.2)
+                continue
             got.append(normalize_event(change, op_seq=len(got)))
-            if len(got) == 3:
-                break
+    assert len(got) == 3, f"expected 3 events within 60s, got {len(got)}: {got}"
     ops = [g[1] for g in got]
     assert ops == ["insert", "update", "delete"]
     assert all(g[2] == "w1" for g in got)
