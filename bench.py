@@ -154,6 +154,33 @@ HEADLINE = [
 ]
 
 
+def compact_payloads(timings: dict[str, float], sf) -> tuple[dict, dict]:
+    """(single-line payload, sidecar payload). The single line must stay
+    SMALL whatever the query count — r4's full per-query map overflowed
+    the round driver's output capture (BENCH parsed null); pinned by
+    tests/test_bench_output.py."""
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    line = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_full": "BENCH_local.json",
+        "sf": sf,
+    }
+    return line, full
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -176,37 +203,14 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
-    # The machine-readable line must stay SMALL: with 120+ headline queries a
-    # full per-query map overflowed the round driver's output capture (r4:
-    # BENCH parsed null). Emit totals + the slowest-10 on the single line and
-    # write the complete per-query map to a sidecar file next to bench.py.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
-    payload_full = {
-        "metric": "headline_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "n_queries": len(timings),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    with open(sidecar, "w") as fh:
-        json.dump(payload_full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "n_queries": len(timings),
-                "queries_full": "BENCH_local.json",
-                "sf": payload_full["sf"],
-            }
-        )
+    line, full = compact_payloads(
+        timings, float(sf) if sf.replace(".", "").isdigit() else sf
     )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(line))
     spark.stop()
 
 
