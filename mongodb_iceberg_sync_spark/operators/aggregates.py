@@ -1805,16 +1805,15 @@ def q_agg_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
-    rk = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(
-            F.desc("n_ab"), "brand_a", "brand_b"
-        )
-    )
+    # top-k via orderBy().limit() → TakeOrderedAndProject: distributed
+    # partial top-k per partition, never a single-partition WindowExec
+    # (the repo-wide probe-pick convention set by q_agg_countmin in r5;
+    # the pair table is domain-bounded at C(|brands|,2) so this is
+    # consistency, not a scale fix — VERDICT r5 task #4)
     return (
-        scored.withColumn("r", rk)
-        .filter(F.col("r") <= _BASKET_TOPK)
-        .select("brand_a", "brand_b", "n_ab", "support", "lift")
+        scored.select("brand_a", "brand_b", "n_ab", "support", "lift")
         .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
+        .limit(_BASKET_TOPK)
     )
 
 

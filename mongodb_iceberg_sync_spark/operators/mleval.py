@@ -599,11 +599,15 @@ _NDCG_K = 10
     "rounded division. The ideal DCG sums the same quantized "
     "discounts over min(n_rel, k) positions via an identical "
     "sequence-fold both engines. Scale: the probe block is a "
-    "broadcast (k·d floats); the corpus pass is one map-side GEMM "
-    "shape (JVM zip_with fold here; the mapInPandas partial-top-k of "
-    "q_sim_knn_join is the documented swap once k·|corpus| rows "
-    "can't feed one window), and the per-probe window input is "
-    "capped by the partial top-k under the same total order.",
+    "broadcast (k·d floats); cosines stay a JVM zip_with fold (so "
+    "ranking keys are bitwise the oracle's), then a mapInPandas "
+    "per-batch top-k CAPS the candidates map-side — pure SELECTION "
+    "on already-computed (cos_sim, vec_id) keys, no float arithmetic "
+    "re-done in Python, and the global top-k under a total order is "
+    "always a subset of the per-batch top-k union (the q_sim_knn_join "
+    "partial-top-k argument) — so the per-probe rank window reads "
+    "~batches·probes·k rows instead of probes·|corpus| (the r5 "
+    "verdict's documented swap, closed in r6).",
 )
 def q_ml_ndcg(spark, sf_dir):
     from pyspark.sql import Window
@@ -628,23 +632,45 @@ def q_ml_ndcg(spark, sf_dir):
     )
     sims = corpus.join(F.broadcast(probes)).select(
         "probe_id",
-        "plabel",
         "vec_id",
-        "label",
+        F.when(F.col("label") == F.col("plabel"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
         F.round(cosine("embedding", "p"), 5).alias("cos_sim"),
+    )
+
+    # map-side candidate cap: per Arrow batch, keep each probe's local
+    # top-k under the SAME total order the rank window uses — selection
+    # only (the cosines above are final), so values are untouched and
+    # the global top-k is provably inside the union of batch top-ks.
+    # Without this the window reads probes x |corpus| rows through
+    # _NDCG_PROBES tasks (the r5 verdict watch item #3).
+    def _cap_candidates(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            top = (
+                pdf.sort_values(
+                    ["cos_sim", "vec_id"], ascending=[False, True]
+                )
+                .groupby("probe_id", sort=False)
+                .head(_NDCG_K)
+            )
+            yield top[["probe_id", "vec_id", "rel", "cos_sim"]]
+
+    capped = sims.mapInPandas(
+        _cap_candidates, "probe_id long, vec_id long, rel int, cos_sim double"
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     wq = F.round(F.lit(1e9) / (F.log(F.col("rk") + 1) / F.log(F.lit(2.0))), 0).cast(
         "long"
     )
     dcg = (
-        sims.withColumn("rk", F.row_number().over(w))
+        capped.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _NDCG_K)
         .groupBy("probe_id")
         .agg(
-            F.sum(
-                F.when(F.col("label") == F.col("plabel"), wq).otherwise(F.lit(0))
-            )
+            F.sum(F.when(F.col("rel") == 1, wq).otherwise(F.lit(0)))
             .cast("long")
             .alias("dcg_q")
         )
@@ -914,21 +940,22 @@ def q_ml_brier(spark, sf_dir):
     ),
     terms AS (
       SELECT abs(p * ts - s * tp) AS ae_num,
-             CAST(round((CAST(p * ts - s * tp AS DOUBLE) / ts)
-                        * (CAST(p * ts - s * tp AS DOUBLE) / ts)
+             CAST(round((CAST(p * ts - s * tp AS DOUBLE) / NULLIF(ts, 0))
+                        * (CAST(p * ts - s * tp AS DOUBLE) / NULLIF(ts, 0))
                         * 1e9, 0) AS BIGINT) AS sq,
-             CAST(round((CAST(p * nu - tp AS DOUBLE) / nu)
-                        * (CAST(p * nu - tp AS DOUBLE) / nu)
+             CAST(round((CAST(p * nu - tp AS DOUBLE) / NULLIF(nu, 0))
+                        * (CAST(p * nu - tp AS DOUBLE) / NULLIF(nu, 0))
                         * 1e9, 0) AS BIGINT) AS sq_tot,
              ts
       FROM pred
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
            round(CAST(sum(ae_num) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * max(ts)), 6) AS mae,
+                 / NULLIF(CAST(count(*) AS DOUBLE) * max(ts), 0), 6) AS mae,
            round(sqrt(CAST(sum(sq) AS DOUBLE)
                  / (CAST(count(*) AS DOUBLE) * 1e9)), 6) AS rmse,
-           round(1 - CAST(sum(sq) AS DOUBLE) / CAST(sum(sq_tot) AS DOUBLE), 6) AS r2
+           round(1 - CAST(sum(sq) AS DOUBLE)
+                 / NULLIF(CAST(sum(sq_tot) AS DOUBLE), 0), 6) AS r2
     FROM terms
     """,
     doc="Regression-eval readouts (MAE / RMSE / R^2) — the numeric "
@@ -966,10 +993,14 @@ def q_ml_regression_metrics(spark, sf_dir):
         F.sum("s").cast("long").alias("ts"),
     )
     pred = u.join(F.broadcast(tot))
-    r = (F.col("p") * F.col("ts") - F.col("s") * F.col("tp")).cast("double") / F.col(
-        "ts"
-    )
-    rt = (F.col("p") * F.col("nu") - F.col("tp")).cast("double") / F.col("nu")
+    # NULLIF guards mirror the oracle exactly: the degenerate all-purchase
+    # corpus (ts=0) must yield NULL metrics on BOTH engines — without them
+    # DuckDB's double division yields inf and CAST(round(inf) AS BIGINT)
+    # raises while Spark returns NULL (ADVICE r5 #2)
+    ts_nz = F.nullif(F.col("ts"), F.lit(0))
+    nu_nz = F.nullif(F.col("nu"), F.lit(0))
+    r = (F.col("p") * F.col("ts") - F.col("s") * F.col("tp")).cast("double") / ts_nz
+    rt = (F.col("p") * F.col("nu") - F.col("tp")).cast("double") / nu_nz
     terms = pred.select(
         F.abs(F.col("p") * F.col("ts") - F.col("s") * F.col("tp")).alias("ae_num"),
         F.round(r * r * 1e9, 0).cast("long").alias("sq"),
@@ -984,7 +1015,11 @@ def q_ml_regression_metrics(spark, sf_dir):
     n_dbl = F.count("*").cast("double")
     return terms.agg(
         F.count("*").cast("long").alias("n"),
-        F.round(sum38("ae_num") / (n_dbl * F.max("ts")), 6).alias("mae"),
+        F.round(
+            sum38("ae_num") / F.nullif(n_dbl * F.max("ts"), F.lit(0.0)), 6
+        ).alias("mae"),
         F.round(F.sqrt(sum38("sq") / (n_dbl * 1e9)), 6).alias("rmse"),
-        F.round(F.lit(1) - sum38("sq") / sum38("sq_tot"), 6).alias("r2"),
+        F.round(
+            F.lit(1) - sum38("sq") / F.nullif(sum38("sq_tot"), F.lit(0.0)), 6
+        ).alias("r2"),
     )

@@ -87,66 +87,14 @@ def _load_all_operator_modules() -> None:
 # — drop (to the back) every name with a green driver row, promote the
 # never-checked tail to the front, keep any FAIL rows first of all.
 #
-# Round-5 rotation: the 119 queries below are exactly the set never covered
-# by any driver window (r1 ∪ r2 ∪ r3 ∪ r4 = 192 of 311 checked; zero FAIL
-# rows standing). The r5 window takes the first 50; the remaining 69 lead r6.
-# CONSOLIDATION ROUND (VERDICT r4): registry growth is frozen at ~320 so the
-# r6+r7 windows can finish draining the backlog.
+# Round-6 rotation: r5 delivered its 50-query window green (cumulative 242/313
+# driver-checked, zero failures). The 71 names below are exactly the set never
+# covered by any driver window (r1-r5); the r6 window takes the first 50, the
+# remaining 21 lead r7 and finish the drain. Registry growth stays frozen
+# (~320 cap, VERDICT r4/r5) until the backlog is empty.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked, oldest registration first; the r5 window
-    # --- (50-query cap) covers the first 50: the 11 r3 TPC-H composites
-    # --- then round-4 additions in registration order (VERDICT r4 task #1).
-    "q_tpch_q18",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q22",
-    "q_tpch_q8",
-    "q_tpch_q7",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q21",
-    "q_profile_columns_sketch",
-    "q_join_bucketed",
-    "q_sample_balanced",
-    "q_events_sessionize",
-    "q_agg_percentile_sketch",
-    "q_mix_token_budget",
-    "q_events_ab_assign",
-    "q_sim_range_search",
-    "q_multimodal_shard_pack",
-    "q_join_asof_tolerance",
-    "q_text_bpe_pairs",
-    "q_text_feature_hash",
-    "q_sample_entity",
-    "q_events_decay",
-    "q_timeseries_backtest",
-    "q_events_did",
-    "q_timeseries_cusum",
-    "q_timeseries_seasonal",
-    "q_events_pathing",
-    "q_timeseries_autocorr",
-    "q_scan_pyds",
-    "q_agg_moments",
-    "q_join_asof_nearest",
-    "q_sql_lateral",
-    "q_cdc_store_meta",
-    "q_cdc_compact_meta",
-    "q_cdc_branch_diff",
-    "q_embed_pca",
-    "q_sim_maxsim",
-    "q_dedup_semantic",
-    "q_graph_components",
-    "q_graph_common_neighbors",
-    "q_text_scrub_chunks",
-    "q_mix_epochs",
-    "q_agg_covar_matrix",
-    "q_agg_basket_lift",
-    "q_events_sequence_match",
-    "q_text_readability",
-    "q_window_regr_slope",
-    # --- 50-query cap lands here in r5; the rest lead the r6 window ---
+    # --- never driver-checked, oldest registration first; the r6 window
+    # --- (50-query cap) covers the first 50.
     "q_cdc_pos_delete",
     "q_corpus_datacard",
     "q_text_bpe_encode",
@@ -197,6 +145,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_power",
     "q_agg_theil",
     "q_udtf_polymorphic",
+    # --- 50-query cap lands here in r6; these 21 lead the r7 window ---
     "q_events_interpurchase",
     "q_join_nn_1d",
     "q_text_burstiness",
@@ -216,10 +165,59 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_tte_labels",
     "q_ml_pr_curve",
     "q_ml_brier",
-    # --- round-5 additions (the consolidation round's only growth: 2) ---
     "q_ml_regression_metrics",
     "q_dedup_url",
-    # --- driver-checked in r4 (green) — rotated to the back ---
+    # --- driver-checked r1-r5 (all green) — rotated to the back ---
+    "q_tpch_q18",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22",
+    "q_tpch_q8",
+    "q_tpch_q7",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q21",
+    "q_profile_columns_sketch",
+    "q_join_bucketed",
+    "q_sample_balanced",
+    "q_events_sessionize",
+    "q_agg_percentile_sketch",
+    "q_mix_token_budget",
+    "q_events_ab_assign",
+    "q_sim_range_search",
+    "q_multimodal_shard_pack",
+    "q_join_asof_tolerance",
+    "q_text_bpe_pairs",
+    "q_text_feature_hash",
+    "q_sample_entity",
+    "q_events_decay",
+    "q_timeseries_backtest",
+    "q_events_did",
+    "q_timeseries_cusum",
+    "q_timeseries_seasonal",
+    "q_events_pathing",
+    "q_timeseries_autocorr",
+    "q_scan_pyds",
+    "q_agg_moments",
+    "q_join_asof_nearest",
+    "q_sql_lateral",
+    "q_cdc_store_meta",
+    "q_cdc_compact_meta",
+    "q_cdc_branch_diff",
+    "q_embed_pca",
+    "q_sim_maxsim",
+    "q_dedup_semantic",
+    "q_graph_components",
+    "q_graph_common_neighbors",
+    "q_text_scrub_chunks",
+    "q_mix_epochs",
+    "q_agg_covar_matrix",
+    "q_agg_basket_lift",
+    "q_events_sequence_match",
+    "q_text_readability",
+    "q_window_regr_slope",
     "q_window_running_distinct",
     "q_window_rolling_features",
     "q_window_drawdown",

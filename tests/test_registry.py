@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 
 from mongodb_iceberg_sync_spark.registry import (
     REGISTRY,
@@ -53,7 +54,32 @@ NO_ORACLE_PINS: dict[str, tuple[str, str]] = {
 
 
 def _correctness_checked() -> set[str]:
+    """Names with a driver row in any *committed* CORRECTNESS file.
+
+    Reads CORRECTNESS_r*.json from HEAD (git), not the working tree: the
+    driver drops its round file as an untracked artifact at the round
+    boundary, before the builder's first commit, and a working-tree glob
+    would redden the rotation tripwire with zero code change (r5 verdict,
+    What's wrong #1). Reading HEAD means the tripwire flags a builder that
+    committed without rotating — never a driver that just delivered.
+    Falls back to the working-tree glob outside a git checkout.
+    """
     checked: set[str] = set()
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-tree", "-r", "--name-only", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.split("\n")
+        for fn in tracked:
+            if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+                blob = subprocess.run(
+                    ["git", "show", f"HEAD:{fn}"],
+                    cwd=REPO, capture_output=True, text=True, check=True,
+                ).stdout
+                checked |= set(json.loads(blob))
+        return checked
+    except (subprocess.CalledProcessError, FileNotFoundError, ValueError):
+        pass
     for fn in os.listdir(REPO):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(REPO, fn)) as f:
@@ -80,6 +106,27 @@ def test_driver_window_holds_only_unchecked_names():
     # every window slot holding a checked name while an unchecked name
     # sits behind it is a wasted CORRECTNESS row
     assert wasted == [], f"checked names ahead of unchecked ones: {wasted}"
+
+
+def test_fresh_correctness_drop_does_not_redden_the_window():
+    """A driver result dropped mid-round (untracked file) must not flip
+    the rotation tripwire — only the committed state counts (r5 verdict
+    task #2). Simulates the round boundary: write an untracked
+    CORRECTNESS_r99.json covering the entire current window, and assert
+    the tripwire still reads the committed state only."""
+    specs = list(all_specs())
+    fake = os.path.join(REPO, "CORRECTNESS_r99.json")
+    assert not os.path.exists(fake)
+    before = _correctness_checked()
+    try:
+        with open(fake, "w") as f:
+            json.dump({n: {"hash_match": True} for n in specs[:50]}, f)
+        assert _correctness_checked() == before, (
+            "untracked CORRECTNESS file leaked into the tripwire's view"
+        )
+        test_driver_window_holds_only_unchecked_names()
+    finally:
+        os.remove(fake)
 
 
 def test_every_no_oracle_query_has_a_registered_pin():

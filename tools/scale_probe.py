@@ -282,6 +282,7 @@ TABLES = {
 def synthesize(
     spark, src_dir: str, out_dir: str, replicas: int = REPLICAS,
     tables: set[str] | None = None, distinct_text: bool = False,
+    distinct_vector: bool = False,
 ) -> None:
     """Replicate the sf0.1 tables with shifted ids.
 
@@ -295,6 +296,20 @@ def synthesize(
     realistically mostly-unique at 100x. Within-replica duplicate
     structure is preserved exactly (identical texts in one replica stay
     identical after the same tagging).
+
+    ``distinct_vector=True`` is the embeddings twin (VERDICT r5 task #3):
+    plain replication copies VECTORS verbatim, so identical embeddings
+    pile into the same sign-bit buckets regardless of adaptive bits and
+    every cosine ANN/dedup pair-output is C(replicas,2)-degenerate. Each
+    row adds a deterministic per-dim offset sin(hash(vec_id, i)) seeded
+    by the SHIFTED vec_id, so the noise is iid-like across replicas AND
+    rows (a replica-seeded-only phase was tried first and rejected: two
+    replicas r,s then share one noise realization for every row, and for
+    some r-s deltas the noise cosines approach 0.999 — a different
+    degeneracy, measured, not guessed). Amplitude ~|v| per dim makes the
+    noise dominate (expected replica-pair cos ~0.03, sigma 1/sqrt(64));
+    residual pairs above the 0.25 dedup tau are the honest tail any real
+    200k-vector 64-dim corpus has, not a synthesis pile-up.
     """
     os.makedirs(out_dir, exist_ok=True)
     for name, key in TABLES.items():
@@ -333,6 +348,17 @@ def synthesize(
                         "ELSE w END))"
                     ),
                 )
+            if distinct_vector and name == "embeddings":
+                # element type stays FLOAT so the synthesized schema is
+                # byte-identical to the fixture's; vec_id is already
+                # shifted here so hash(vec_id, i) differs per replica
+                out = out.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, i) -> CAST(x + "
+                        "sin(CAST(hash(vec_id, i) AS DOUBLE)) AS FLOAT))"
+                    ),
+                )
             out = out.drop("_r")
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
     # completion marker: an interrupted synthesis leaves a partial dir
@@ -358,6 +384,9 @@ def main() -> int:
     distinct_text = "--distinct-text" in sys.argv
     if distinct_text:
         sys.argv.remove("--distinct-text")
+    distinct_vector = "--distinct-vector" in sys.argv
+    if distinct_vector:
+        sys.argv.remove("--distinct-vector")
     # --only names run verbatim (they need not appear in the tier's
     # default list); without it the tier's default list runs in full
     base = only if only is not None else (HEAVY_100X if tier100 else PROBE_QUERIES)
@@ -370,27 +399,38 @@ def main() -> int:
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
 
+    # distinct-mode replicas get their own subdir per combination so a
+    # plain run never reads (or deletes) a distinct run's copy and both
+    # tiers honor the flags (pre-r6 the 10x tier silently ignored them)
+    suffix = ("dt" if distinct_text else "") + ("dv" if distinct_vector else "")
+    mode = " ".join(
+        m for m, on in (("distinct-text", distinct_text),
+                        ("distinct-vector", distinct_vector)) if on
+    )
     if tier100:
-        sub = "sf1x100dt" if distinct_text else "sf1x100"
-        big = f"{out_dir}/{sub}"
+        big = f"{out_dir}/sf1x100{suffix}"
         if not os.path.exists(f"{big}/_SYNTH_OK"):
             t0 = time.time()
             synthesize(spark, "/root/testdata/sf0.1", big, replicas=100,
-                       tables=TABLES_100X, distinct_text=distinct_text)
+                       tables=TABLES_100X, distinct_text=distinct_text,
+                       distinct_vector=distinct_vector)
             print(f"synthesized 100x copy in {time.time()-t0:.1f}s", flush=True)
-        label = "sf10 (100x distinct-text)" if distinct_text else "sf10 (100x)"
+        label = f"sf10 (100x {mode})" if mode else "sf10 (100x)"
         tiers = [("sf0.1", "/root/testdata/sf0.1"), (label, big)]
         repeats = 1  # one pass: the 100x signal is orders, not noise
     else:
-        big = f"{out_dir}/sf1x10"
+        big = f"{out_dir}/sf1x10{suffix}"
         if not os.path.exists(f"{big}/_SYNTH_OK"):
             t0 = time.time()
-            synthesize(spark, "/root/testdata/sf0.1", big)
+            synthesize(spark, "/root/testdata/sf0.1", big,
+                       distinct_text=distinct_text,
+                       distinct_vector=distinct_vector)
             print(f"synthesized 10x copy in {time.time()-t0:.1f}s", flush=True)
+        label = f"sf1 (10x {mode})" if mode else "sf1 (10x)"
         tiers = [
             ("sf0.01", "/root/testdata/sf0.01"),
             ("sf0.1", "/root/testdata/sf0.1"),
-            ("sf1 (10x)", big),
+            (label, big),
         ]
         repeats = 2
 
