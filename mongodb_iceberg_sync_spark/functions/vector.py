@@ -29,13 +29,16 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_GEMM_SLAB_ROWS = 50_000  # ~25 MB per 64-dim float64 slab
+
+
 def pairwise_cosine_gemm(
     df,
     id_col: str,
     vec_col: str,
     threshold: float,
     label_col: str | None = None,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ):
     """All-pairs cosine >= threshold via distributed block GEMM.
 
@@ -60,11 +63,20 @@ def pairwise_cosine_gemm(
       replicated n_blocks times (one row per block-pair it belongs to)
       and each of the n_blocks*(n_blocks+1)/2 groups GEMMs its two
       slabs. Shuffle volume is O(n * n_blocks); per-group memory is
-      O((n/n_blocks) * dim) — pick n_blocks so a slab fits an executor.
+      O((n/n_blocks) * dim). n_blocks=None (the default) sizes the
+      block count from the corpus so a slab never exceeds
+      ~_GEMM_SLAB_ROWS rows — a FIXED count is a memory time bomb at
+      scale (slabs grow linearly with n until a group OOMs an
+      executor; caught by the r6 --distinct-vector 100x probe review).
       (Exact all-pairs is inherently O(n^2) compute; at 100 TB use the
       label/LSH/IVF blocked form instead.)
     """
     has_label = label_col is not None
+    if not has_label and n_blocks is None:
+        import math
+
+        n_rows = df.count()
+        n_blocks = max(8, math.ceil(n_rows / _GEMM_SLAB_ROWS))
     id_l = F.col(id_col).cast("long").alias("_pid")
     if has_label:
         tagged = df.select(
