@@ -331,24 +331,19 @@ def q_agg_percentile(spark, sf_dir):
     "COUNT(DISTINCT) — the sketch is a few KB, map-side mergeable, "
     "and reusable (union sketches across partitions/days instead of "
     "re-scanning). tests/test_scale_patterns.py pins the estimate "
-    "within 5% of exact. Rows-only: the estimate is "
+    "within 5% of exact (computing the exact count test-side: until "
+    "r6 the operator shipped count_distinct alongside the sketch, and "
+    "that exact-distinct key shuffle buried the sketch's entire win — "
+    "228s of its 100x wall was the comparison column, not the sketch; "
+    "caught by the r6 probe sweep). Rows-only: the estimate is "
     "implementation-defined, DuckDB's HLL differs.",
 )
 def q_agg_hll(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg(F.col("l_orderkey"), F.lit(14))
-            ).alias("approx_distinct_orders"),
-            F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
-        )
-        .select(
-            "l_returnflag",
-            "approx_distinct_orders",
-            "exact_distinct_orders",
-        )
+    return li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_orderkey"), F.lit(14))
+        ).alias("approx_distinct_orders")
     )
 
 
@@ -779,7 +774,11 @@ def q_agg_gini(spark, sf_dir):
     )
     n = F.count("*")
     s0 = F.sum("cents")
-    s1 = F.sum(F.col("rk") * F.col("cents"))
+    # rank x cents summed over a group exceeds int64 once group rows pass
+    # ~3M (caught by the r6 100x probe: try_add overflow) — ride the
+    # DECIMAL(38,0) accumulator, the analog of DuckDB's automatic HUGEINT
+    # sum, and convert to double at the same point DuckDB does
+    s1 = F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)")).cast("double")
     return ranked.groupBy("o_orderpriority").agg(
         n.cast("long").alias("n_orders"),
         s0.cast("long").alias("total_cents"),
@@ -1393,8 +1392,12 @@ def _boot_oracle() -> str:
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ), expanded AS (
+      -- event_id is reduced mod M BEFORE the multiply: (e%M)*A == e*A (mod M)
+      -- exactly, and e*A overflows int64 once ids pass ~3.5e9 (caught by the
+      -- r6 100x probe, where replica ids reach 1e10)
       SELECT r, cents,
-             ((event_id * {_BOOT_A} + r * {_BOOT_B}) % {_BOOT_M}) AS u
+             (((event_id % {_BOOT_M}) * {_BOOT_A} + r * {_BOOT_B})
+              % {_BOOT_M}) AS u
       FROM x CROSS JOIN (SELECT unnest(range({_BOOT_R})) AS r)
     ), weighted AS (SELECT r, cents, {w} AS w FROM expanded)
     SELECT CAST(r AS BIGINT)                    AS replicate,
@@ -1436,7 +1439,11 @@ def q_agg_bootstrap(spark, sf_dir):
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
     )
-    u = (F.col("event_id") * _BOOT_A + F.col("r") * _BOOT_B) % _BOOT_M
+    # (e % M) * A == e * A (mod M) exactly — the pre-reduction keeps the
+    # multiply inside int64 for arbitrarily large ids (raw e*A overflows
+    # once ids pass ~3.5e9; caught by the r6 100x probe at replica-shifted
+    # ids ~1e10). Mirrored in the oracle.
+    u = ((F.col("event_id") % _BOOT_M) * _BOOT_A + F.col("r") * _BOOT_B) % _BOOT_M
     w = F.when(u < _BOOT_W[0][0], _BOOT_W[0][1])
     for thr, val in _BOOT_W[1:]:
         w = w.when(u < thr, val)

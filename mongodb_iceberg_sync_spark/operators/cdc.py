@@ -662,9 +662,20 @@ def q_cdc_store_meta(spark, sf_dir):
     def build(path):
         tbl = MorTable(spark, path, key="user_id")
         ev = t(spark, sf_dir, "events")
-        n = ev.agg(F.max("event_id")).head()[0]
-        b = 0
-        while n is not None and b * _META_BATCH <= n:
+        # iterate the OCCUPIED 2000-id windows only (the pos_delete
+        # occupied-space rule): the oracle's GROUP BY event_id // 2000
+        # also yields only occupied versions, so this is exact — while
+        # a dense 0..max loop explodes when replica synthesis shifts
+        # ids by 100M (r6 probe: ~5M empty windows at the 100x tier)
+        batches = sorted(
+            r[0]
+            for r in ev.select(
+                (F.col("event_id") / _META_BATCH).cast("long").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        for b in batches:
             lo, hi = b * _META_BATCH, (b + 1) * _META_BATCH - 1
             batch = ev.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
@@ -677,7 +688,6 @@ def q_cdc_store_meta(spark, sf_dir):
                 "ts",
             )
             tbl.commit_batch(batch, batch_id=b)
-            b += 1
 
     path = session_fixture(("cdc_store_meta", sf_dir), build)
     tbl = MorTable(spark, path, key="user_id")
@@ -726,9 +736,16 @@ def q_cdc_compact_meta(spark, sf_dir):
     def build(path):
         tbl = MorTable(spark, path, key="user_id")
         ev = t(spark, sf_dir, "events")
-        n = ev.agg(F.max("event_id")).head()[0]
-        b = 0
-        while n is not None and b * _META_BATCH <= n:
+        # occupied 2000-id windows only — see q_cdc_store_meta's note
+        batches = sorted(
+            r[0]
+            for r in ev.select(
+                (F.col("event_id") / _META_BATCH).cast("long").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        for b in batches:
             lo, hi = b * _META_BATCH, (b + 1) * _META_BATCH - 1
             batch = ev.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
@@ -741,7 +758,6 @@ def q_cdc_compact_meta(spark, sf_dir):
                 "ts",
             )
             tbl.commit_batch(batch, batch_id=b)
-            b += 1
         tbl.compact()
 
     path = session_fixture(("cdc_compact_meta", sf_dir), build)

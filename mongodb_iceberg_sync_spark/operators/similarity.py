@@ -657,8 +657,13 @@ def q_sim_range_search(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
     sim = cosine("pe", "embedding")
+    # the per-(row, probe) cosine fold is compute-heavy map work: a
+    # small parquet arrives as ONE input split, which would serialize
+    # probes x corpus folds on a single core — the documented
+    # single-split barrier (r6; same pattern as dedup.py:106)
+    e_spread = e.repartition(max(spark.sparkContext.defaultParallelism, 1))
     return (
-        e.crossJoin(F.broadcast(probes))
+        e_spread.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .filter(sim >= 0.3)
         .select("probe_id", "vec_id", F.round(sim, 6).alias("cos_sim"))

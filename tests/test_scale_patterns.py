@@ -239,16 +239,28 @@ def test_ann_lsh_recall_vs_exact_knn(spark):
 
 def test_hll_estimate_within_5pct_of_exact(spark):
     """q_agg_hll's sketch estimate must land within 5% of the exact
-    distinct count it reports alongside (lgK=14 gives ~0.8% standard
-    error — 5% is a loose, version-stable bound)."""
+    distinct count (lgK=14 gives ~0.8% standard error — 5% is a loose,
+    version-stable bound). The exact count is computed HERE, test-side:
+    shipping it inside the operator forced an exact-distinct key shuffle
+    that dominated the sketch's own cost 50:1 at the 100x tier (r6)."""
     from mongodb_iceberg_sync_spark.registry import all_specs
 
-    out = all_specs()["q_agg_hll"].func(spark, "/root/testdata/sf0.01").collect()
+    sf = "/root/testdata/sf0.01"
+    out = all_specs()["q_agg_hll"].func(spark, sf).collect()
     assert len(out) == 3
+    import pyspark.sql.functions as F
+
+    exact_rows = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("exact"))
+        .collect()
+    )
+    exact = {r.l_returnflag: r.exact for r in exact_rows}
     for row in out:
-        exact = row.exact_distinct_orders
         est = row.approx_distinct_orders
-        assert abs(est - exact) <= 0.05 * exact, row
+        ex = exact[row.l_returnflag]
+        assert abs(est - ex) <= 0.05 * ex, (row, ex)
 
 
 def test_pq_recall_vs_exact_topk(spark):

@@ -438,12 +438,19 @@ def main() -> int:
     for label, sf_dir in tiers:
         for q in queries:
             best = float("inf")
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                specs[q].func(spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
+            try:
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    specs[q].func(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # record and move on — a big-tier
+                # failure (OOM, disk) is itself the probe's finding and
+                # must not discard the rest of a multi-query batch
+                results.setdefault(q, {})[label] = f"ERROR: {exc}"[:200]
+                print(f"{label:12s} {q:28s} ERROR {str(exc)[:120]}", flush=True)
+                continue
             results.setdefault(q, {})[label] = round(best, 2)
             print(f"{label:12s} {q:28s} {best:6.2f}s", flush=True)
     print(json.dumps(results))
