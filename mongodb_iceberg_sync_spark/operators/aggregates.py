@@ -751,9 +751,10 @@ def q_agg_ttest(spark, sf_dir):
     "class — the inequality statistic behind 'top-x% of orders carry "
     "y% of revenue' dashboards. Uses the rank formulation "
     "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked exact "
-    "cents: every sum is an exact BIGINT (rank×cents included), so "
-    "the final expression is identical float arithmetic on identical "
-    "integers — bitwise cross-engine, no rounding. Scale: one "
+    "cents: both sums accumulate in DECIMAL(38,0) — the analog of "
+    "DuckDB's automatic HUGEINT sum — so every intermediate is an "
+    "exact integer and the final expression is identical float "
+    "arithmetic on identical integers, bitwise cross-engine. Scale: one "
     "keyed window (rank within priority class) + one hash agg — the "
     "same per-group-sort shape as q_window_rank; for a single "
     "astronomically-hot group the two-pass global-rank machinery "
@@ -773,16 +774,18 @@ def q_agg_gini(spark, sf_dir):
         F.row_number().over(w).alias("rk"),
     )
     n = F.count("*")
-    s0 = F.sum("cents")
     # rank x cents summed over a group exceeds int64 once group rows pass
     # ~3M (caught by the r6 100x probe: try_add overflow) — ride the
     # DECIMAL(38,0) accumulator, the analog of DuckDB's automatic HUGEINT
-    # sum, and convert to double at the same point DuckDB does
+    # sum, and convert to double at the same point DuckDB does. s0 gets
+    # the same treatment for symmetry: sum(cents) clears int64 too once a
+    # group passes ~10^10 rows, and DuckDB is HUGEINT there as well.
+    s0 = F.sum(F.col("cents").cast("decimal(38,0)"))
     s1 = F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)")).cast("double")
     return ranked.groupBy("o_orderpriority").agg(
         n.cast("long").alias("n_orders"),
         s0.cast("long").alias("total_cents"),
-        ((2.0 * s1) / (n * 1.0 * s0) - (n + 1.0) / n).alias("gini"),
+        ((2.0 * s1) / (n * 1.0 * s0.cast("double")) - (n + 1.0) / n).alias("gini"),
     )
 
 

@@ -640,7 +640,7 @@ def q_ml_ndcg(spark, sf_dir):
     probe_ids = np.array([int(r.probe_id) for r in probe_rows])
     plabels = np.array([r.plabel for r in probe_rows], dtype=object)
     P = np.array([[float(x) for x in r.p] for r in probe_rows])
-    Pn = P / np.sqrt((P * P).sum(axis=1))[:, None]
+    p_norms = np.sqrt((P * P).sum(axis=1))
 
     # one corpus pass: per Arrow batch an (n x p) GEMM, emitting only
     # the batch-local top-k per probe under the SAME (cos desc, vec_id)
@@ -654,8 +654,12 @@ def q_ml_ndcg(spark, sf_dir):
             A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
-            An = A / np.sqrt((A * A).sum(axis=1))[:, None]
-            sims = np.round(An @ Pn.T, 5)  # (n, p)
+            a_norms = np.sqrt((A * A).sum(axis=1))
+            # oracle form: dot / (|a| * |b|), then round — matches the
+            # DuckDB fold's op order the same way vector.py's
+            # pairwise_cosine_gemm does; normalize-then-GEMM differs by
+            # ~1 ulp, enough to flip a rank at a 0.5e-5 rounding boundary
+            sims = np.round((A @ P.T) / (a_norms[:, None] * p_norms[None, :]), 5)
             out_p, out_v, out_r, out_s = [], [], [], []
             for j, pid in enumerate(probe_ids):
                 order = np.lexsort((ids, -sims[:, j]))[:_NDCG_K]

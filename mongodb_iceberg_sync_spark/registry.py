@@ -87,14 +87,38 @@ def _load_all_operator_modules() -> None:
 # — drop (to the back) every name with a green driver row, promote the
 # never-checked tail to the front, keep any FAIL rows first of all.
 #
-# Round-6 rotation: r5 delivered its 50-query window green (cumulative 242/313
-# driver-checked, zero failures). The 71 names below are exactly the set never
-# covered by any driver window (r1-r5); the r6 window takes the first 50, the
-# remaining 21 lead r7 and finish the drain. Registry growth stays frozen
-# (~320 cap, VERDICT r4/r5) until the backlog is empty.
+# Round-7 rotation: r6 delivered its 50-query window green (cumulative 292/313
+# driver-checked, zero failures in six rounds). The 21 names below are the
+# ONLY registered queries never covered by any driver window (r1-r6); they
+# lead the r7 window and finish the drain at 313/313. Any r7-debut additions
+# slot in AFTER them (window positions 22..50), so the 21-name close is
+# arithmetically guaranteed no matter how many debuts land — the 21 always
+# occupy the first 21 window slots (tests/test_registry.py window invariant).
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked, oldest registration first; the r6 window
-    # --- (50-query cap) covers the first 50.
+    # --- never driver-checked (r1-r6) — the final 21-name backlog ---
+    "q_events_interpurchase",
+    "q_join_nn_1d",
+    "q_text_burstiness",
+    "q_timeseries_interval_union",
+    "q_agg_hll_union",
+    "q_sql_pivot",
+    "q_events_abandonment",
+    "q_timeseries_dow_index",
+    "q_agg_grouping_id",
+    "q_events_velocity",
+    "q_scan_metadata_cols",
+    "q_sample_weighted",
+    "q_text_heaps_law",
+    "q_join_runtime_bloom",
+    "q_agg_cohens_d",
+    "q_agg_odds_ratio",
+    "q_events_tte_labels",
+    "q_ml_pr_curve",
+    "q_ml_brier",
+    "q_ml_regression_metrics",
+    "q_dedup_url",
+    # --- r7 debuts land here (window slots 22..50), checklist-complete ---
+    # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",
     "q_text_bpe_encode",
@@ -145,28 +169,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_power",
     "q_agg_theil",
     "q_udtf_polymorphic",
-    # --- 50-query cap lands here in r6; these 21 lead the r7 window ---
-    "q_events_interpurchase",
-    "q_join_nn_1d",
-    "q_text_burstiness",
-    "q_timeseries_interval_union",
-    "q_agg_hll_union",
-    "q_sql_pivot",
-    "q_events_abandonment",
-    "q_timeseries_dow_index",
-    "q_agg_grouping_id",
-    "q_events_velocity",
-    "q_scan_metadata_cols",
-    "q_sample_weighted",
-    "q_text_heaps_law",
-    "q_join_runtime_bloom",
-    "q_agg_cohens_d",
-    "q_agg_odds_ratio",
-    "q_events_tte_labels",
-    "q_ml_pr_curve",
-    "q_ml_brier",
-    "q_ml_regression_metrics",
-    "q_dedup_url",
     # --- driver-checked r1-r5 (all green) — rotated to the back ---
     "q_tpch_q18",
     "q_tpch_q4",

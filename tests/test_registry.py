@@ -64,8 +64,12 @@ def _correctness_checked() -> set[str]:
     committed without rotating — never a driver that just delivered.
     Falls back to the working-tree glob outside a git checkout.
     """
-    checked: set[str] = set()
     try:
+        # Accumulate locally and publish only if the WHOLE git walk
+        # succeeds: a mid-loop failure (e.g. one malformed committed JSON)
+        # must fall back cleanly to the working-tree view, never union a
+        # partial HEAD read with it (the two sources are exclusive).
+        head_checked: set[str] = set()
         tracked = subprocess.run(
             ["git", "ls-tree", "-r", "--name-only", "HEAD"],
             cwd=REPO, capture_output=True, text=True, check=True,
@@ -76,10 +80,11 @@ def _correctness_checked() -> set[str]:
                     ["git", "show", f"HEAD:{fn}"],
                     cwd=REPO, capture_output=True, text=True, check=True,
                 ).stdout
-                checked |= set(json.loads(blob))
-        return checked
+                head_checked |= set(json.loads(blob))
+        return head_checked
     except (subprocess.CalledProcessError, FileNotFoundError, ValueError):
         pass
+    checked: set[str] = set()
     for fn in os.listdir(REPO):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(REPO, fn)) as f:

@@ -438,21 +438,28 @@ def main() -> int:
     for label, sf_dir in tiers:
         for q in queries:
             best = float("inf")
-            try:
-                for _ in range(repeats):
+            err: str | None = None
+            # try/except INSIDE the repeat loop: a failure on a later
+            # repeat must not discard a valid earlier best-of timing —
+            # and a big-tier failure (OOM, disk) is itself the probe's
+            # finding and must not discard the rest of the batch
+            for _ in range(repeats):
+                try:
                     t0 = time.perf_counter()
                     specs[q].func(spark, sf_dir).write.mode("overwrite").format(
                         "noop"
                     ).save()
                     best = min(best, time.perf_counter() - t0)
-            except Exception as exc:  # record and move on — a big-tier
-                # failure (OOM, disk) is itself the probe's finding and
-                # must not discard the rest of a multi-query batch
-                results.setdefault(q, {})[label] = f"ERROR: {exc}"[:200]
-                print(f"{label:12s} {q:28s} ERROR {str(exc)[:120]}", flush=True)
-                continue
-            results.setdefault(q, {})[label] = round(best, 2)
-            print(f"{label:12s} {q:28s} {best:6.2f}s", flush=True)
+                except Exception as exc:
+                    err = f"ERROR: {exc}"[:200]
+                    break
+            if best != float("inf"):
+                results.setdefault(q, {})[label] = round(best, 2)
+                note = f" ({err[:80]} on a later repeat)" if err else ""
+                print(f"{label:12s} {q:28s} {best:6.2f}s{note}", flush=True)
+            else:
+                results.setdefault(q, {})[label] = err or "ERROR: no repeats ran"
+                print(f"{label:12s} {q:28s} {(err or 'ERROR')[:126]}", flush=True)
     print(json.dumps(results))
     spark.stop()
     if not keep:
