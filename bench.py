@@ -151,6 +151,13 @@ HEADLINE = [
     # round-5 additions
     "q_ml_regression_metrics",
     "q_dedup_url",
+    # round-7 debuts
+    "q_text_suffix_dup",
+    "q_sim_rerank",
+    "q_graph_labelprop",
+    "q_text_winnowing",
+    "q_sample_coreset",
+    "q_text_entropy",
 ]
 
 

@@ -781,3 +781,99 @@ def q_graph_assortativity(spark, sf_dir):
     return s.select(
         F.col("n").alias("n_arcs"), F.round(num / den, 6).alias("assortativity")
     )
+
+
+_LPA_ROUNDS = 4
+
+_LPA_ROUND_SQL = """
+    l{n} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT e.src AS node, l.lab,
+               row_number() OVER (
+                 PARTITION BY e.src
+                 ORDER BY count(*) DESC, l.lab
+               ) AS rn
+        FROM edges e JOIN l{p} l ON l.node = e.dst
+        GROUP BY e.src, l.lab
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "q_graph_labelprop",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey + {_CUST_NS} AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION ALL
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS lab FROM edges
+    ),{",".join(_LPA_ROUND_SQL.format(n=i, p=i - 1) for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(lab AS BIGINT) AS label
+    FROM l{_LPA_ROUNDS} ORDER BY node
+    """,
+    doc="Synchronous label propagation (community detection), fixed "
+    f"{_LPA_ROUNDS} supersteps over the supplier-customer bipartite "
+    "graph: labels start as node ids; each round EVERY node "
+    "simultaneously adopts the most frequent label among its "
+    "neighbors' round-(r-1) labels, smallest label breaking ties — "
+    "the deterministic variant of LPA (async/random LPA is "
+    "irreproducible; sync + min-tie-break makes every round a pure "
+    "function of the last, so the round-4 snapshot is bitwise "
+    "cross-engine, oscillation and all). Each superstep is ONE "
+    "edge-to-labels equi-join + ONE (node, label) count + ONE "
+    "max(struct(cnt, -label)) argmax agg — all map-side-combinable "
+    "hash aggs keyed on the node, no windows over the corpus; "
+    "localCheckpoint per round keeps lineage flat exactly like "
+    "q_graph_components / q_graph_pagerank. Linear in edges x fixed "
+    "rounds at any scale. The oracle unrolls the same rounds as "
+    "chained AS MATERIALIZED CTEs (non-materialized CTEs re-inline "
+    "per reference and re-evaluate 2^rounds times — the k-core "
+    "lesson). Ref: no reference counterpart — graph tier.",
+)
+def q_graph_labelprop(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("o_custkey").cast("long") + _CUST_NS).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # reused every superstep
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for rnd in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("src").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("nl"))).alias("m")
+        ).select(F.col("src").alias("node"), (-F.col("m.nl")).alias("lab"))
+        if rnd < _LPA_ROUNDS - 1:
+            # flatten lineage between rounds; the LAST round stays
+            # un-checkpointed so the returned plan exposes one full
+            # superstep (join + partial-agg shapes are plan-pinned)
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lab").cast("long").alias("label"),
+    ).orderBy("node")

@@ -398,3 +398,70 @@ def q_sample_weighted(spark, sf_dir):
         .limit(_WES_K)
         .select("doc_id", "source", "n_chars")
     )
+
+
+_CORESET_SLICES = 8  # 8 sign bits over 8-dim slices -> up to 256 grid cells
+
+_CORESET_CELL_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(embedding[{i * 8 + 1}:{i * 8 + 8}], "
+    f"x -> x::DOUBLE)) >= 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(_CORESET_SLICES)
+)
+
+
+@register(
+    "q_sample_coreset",
+    family="sampling",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, label,
+             {_CORESET_CELL_SQL} AS cell
+      FROM embeddings
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(min(vec_id) AS BIGINT) AS rep_vec_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM cells GROUP BY cell ORDER BY cell
+    """,
+    doc="Grid-cell coreset selection — diversity-preserving data "
+    "selection for training: quantize each embedding to an 8-bit "
+    "sign-grid cell (sign of each 8-dim slice sum — the same "
+    "deterministic data-independent quantizer family as "
+    "q_sim_rerank's coarse stage) and keep ONE representative per "
+    "occupied cell (min vec_id) plus the cell's population and label "
+    "diversity. Selecting per-cell representatives instead of "
+    "uniform-random rows preserves coverage of sparse regions — the "
+    "coreset/stratified-diversity primitive behind 'train on 1% "
+    "without collapsing the tails'. Exactness: the slice sums are "
+    "identical left-to-right double folds in both engines, so cell "
+    "ids, representatives and counts are all bitwise. Scale: one "
+    "map-side pass computes cells; the rollup groups on at most 256 "
+    "keys (map-side combinable, no skew risk — a cell is a fixed "
+    "aggregate, never a data copy); representatives join back by id "
+    "when the full rows are needed. Ref: no reference counterpart — "
+    "LLM data-selection tier.",
+)
+def q_sample_coreset(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    bits = []
+    for i in range(_CORESET_SLICES):
+        s = F.aggregate(
+            F.slice(F.col("embedding"), i * 8 + 1, 8),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        bits.append(F.when(s >= 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    cell = bits[0]
+    for b in bits[1:]:
+        cell = cell + b
+    return (
+        e.select(cell.cast("int").alias("cell"), "vec_id", "label")
+        .groupBy("cell")
+        .agg(
+            F.min("vec_id").cast("long").alias("rep_vec_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+        )
+        .orderBy("cell")
+    )

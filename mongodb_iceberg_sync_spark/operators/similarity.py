@@ -893,3 +893,118 @@ def q_sim_maxsim(spark, sf_dir):
         .filter(F.col("rk") <= _MAXSIM_TOPK)
         .select("query_id", "doc_id", "score", "rk")
     )
+
+
+_RERANK_NPROBES = 8
+_RERANK_TOPK = 3
+_RERANK_SLICES = 4  # sign bits -> 2^4 coarse buckets
+
+
+def _sign_bucket(col_name: str):
+    """4-bit coarse signature: sign of each 16-dim slice sum.
+
+    A deterministic, data-independent coarse quantizer (the spirit of
+    IVF cell assignment without a trained codebook): both engines
+    compute the identical left-to-right double fold per slice, so
+    bucket ids match bitwise and the candidate sets are provably equal
+    — which is what makes the two-stage pipeline hash-checkable end to
+    end, unlike recall-based ANN."""
+    bits = []
+    for i in range(_RERANK_SLICES):
+        s = F.aggregate(
+            F.slice(F.col(col_name), i * 16 + 1, 16),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        bits.append(F.when(s >= 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+@register(
+    "q_sim_rerank",
+    family="similarity",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN list_sum(list_transform(embedding[1:16],
+                    x -> x::DOUBLE)) >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(embedding[17:32],
+                    x -> x::DOUBLE)) >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(embedding[33:48],
+                    x -> x::DOUBLE)) >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(embedding[49:64],
+                    x -> x::DOUBLE)) >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT p.vec_id AS probe_id, c.vec_id, p.bucket,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)))),
+               5) AS cos_sim
+      FROM sig p JOIN sig c
+        ON p.bucket = c.bucket AND c.vec_id >= {_RERANK_NPROBES}
+      WHERE p.vec_id < {_RERANK_NPROBES}
+    )
+    SELECT probe_id, vec_id, bucket, cos_sim, rnk
+    FROM (
+      SELECT probe_id, vec_id, bucket, cos_sim,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+             ) AS rnk
+      FROM cand
+    )
+    WHERE rnk <= {_RERANK_TOPK}
+    ORDER BY probe_id, rnk
+    """,
+    doc="Two-stage retrieval (the r6-verdict rerank debut): a coarse "
+    "deterministic quantizer prunes the corpus, then an EXACT cosine "
+    "reranks only the survivors — the retrieve-then-rerank shape of "
+    "every production vector pipeline (IVF probe / cross-encoder "
+    "rescore). Stage 1 assigns each vector a 4-bit signature (sign of "
+    "each 16-dim slice sum, a data-independent IVF-cell stand-in: "
+    "identical double fold both engines, so candidate sets match "
+    "bitwise and the WHOLE pipeline is hash-checkable, unlike "
+    "recall<1 ANN which can only be rows-only-checked). Stage 2 "
+    "computes oracle-form cosine dot/(|a||b|) rounded to 5 only for "
+    "same-bucket pairs — ~1/16 of the probes x corpus rectangle — and "
+    "takes top-3 per probe under a (cos desc, vec_id) total order. "
+    "Scale: the signature is one map-side pass; candidates ride one "
+    "equi-join on the bucket key (probes broadcast); the rerank is "
+    "per-pair JVM fold here because the bucket bounds candidates — a "
+    "hot bucket swaps in the knn_join GEMM kernel unchanged. "
+    "Ref: docs/design.md query surface; no reference counterpart — "
+    "LLM-pipeline tier.",
+)
+def q_sim_rerank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sign_bucket("embedding").alias("bucket")
+    )
+    probes = e.filter(F.col("vec_id") < _RERANK_NPROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        "bucket",
+    )
+    corpus = e.filter(F.col("vec_id") >= _RERANK_NPROBES)
+    cand = corpus.join(F.broadcast(probes), "bucket").select(
+        "probe_id",
+        "vec_id",
+        "bucket",
+        F.round(cosine("p", "embedding"), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RERANK_TOPK)
+        .select("probe_id", "vec_id", "bucket", "cos_sim", "rnk")
+        .orderBy("probe_id", "rnk")
+    )

@@ -117,7 +117,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_brier",
     "q_ml_regression_metrics",
     "q_dedup_url",
-    # --- r7 debuts land here (window slots 22..50), checklist-complete ---
+    # --- r7 debuts (window slots 22..27), checklist-complete on arrival ---
+    "q_text_suffix_dup",
+    "q_sim_rerank",
+    "q_graph_labelprop",
+    "q_text_winnowing",
+    "q_sample_coreset",
+    "q_text_entropy",
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

@@ -1012,3 +1012,70 @@ def test_regression_metrics_single_rollup_broadcast_totals(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:1200]
     assert "partial_sum" in plan
+
+
+def test_suffix_dup_shuffles_hashes_not_text(spark, sf_dir):
+    # the stride-1 shingle explode must shuffle only (hash, doc, pos)
+    # tuples — document text stays inside the scan stage — and the
+    # df-cap filter must run BEFORE the pair self-join (an unfiltered
+    # self-join is the quadratic boilerplate trap)
+    df = SPECS["q_text_suffix_dup"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # df-cap + span aggs partial map-side
+
+
+def test_sim_rerank_broadcasts_probes_on_bucket(spark, sf_dir):
+    # stage-1 candidates must come from ONE bucket equi-join with the
+    # 8-probe side broadcast — never a cartesian probes x corpus
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_sim_rerank"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_labelprop_supersteps_are_hash_aggs_not_windows(spark, sf_dir):
+    # every vote round must be equi-join + hash agg (map-side
+    # combinable); a window over the corpus would serialize per node
+    df = SPECS["q_graph_labelprop"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1200]
+    assert "partial_count" in plan or "partial_max" in plan
+
+
+def test_winnowing_is_map_only(spark, sf_dir):
+    # gram hashing, window minima and the distinct count are row-local
+    # array expressions: no hash exchange and no aggregate anywhere —
+    # the only shuffle allowed is the final presentation range sort
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_text_winnowing"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(df) <= 1, plan[:1200]
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert "HashAggregate" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_coreset_single_bounded_rollup(spark, sf_dir):
+    # one map pass + one grouped agg on <= 256 cell keys; the
+    # countDistinct(label) expand is the only extra exchange allowed
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_sample_coreset"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(df) <= 3, plan[:1200]
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_text_entropy_two_level_hash_agg(spark, sf_dir):
+    # char explode -> (doc, char) counts -> per-doc rollup: both aggs
+    # must partial-aggregate map-side; no window, no Python
+    df = SPECS["q_text_entropy"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1200]
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -219,6 +219,13 @@ PROBE_QUERIES = [
     "q_ml_brier",
     "q_ml_regression_metrics",
     "q_dedup_url",
+    # r7 debuts
+    "q_text_suffix_dup",
+    "q_sim_rerank",
+    "q_graph_labelprop",
+    "q_text_winnowing",
+    "q_sample_coreset",
+    "q_text_entropy",
 ]
 REPLICAS = 10
 
