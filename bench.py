@@ -158,6 +158,9 @@ HEADLINE = [
     "q_text_winnowing",
     "q_sample_coreset",
     "q_text_entropy",
+    "q_agg_hdr_histogram",
+    "q_sql_unpivot",
+    "q_timeseries_holt",
 ]
 
 

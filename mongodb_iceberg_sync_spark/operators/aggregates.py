@@ -2452,3 +2452,85 @@ def q_agg_odds_ratio(spark, sf_dir):
         F.round(F.exp(F.log(orr) - 1.959964 * se), 6).alias("ci_lo"),
         F.round(F.exp(F.log(orr) + 1.959964 * se), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "q_agg_hdr_histogram",
+    family="aggregates",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(length(printf('%b', c)) AS BIGINT) AS bucket,
+             c
+      FROM cents
+    ),
+    h AS (
+      SELECT event_type, bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(c) AS BIGINT) AS min_cents,
+             CAST(max(c) AS BIGINT) AS max_cents
+      FROM b GROUP BY event_type, bucket
+    )
+    SELECT event_type, bucket,
+           CAST(2 ** (bucket - 1) AS BIGINT) AS bucket_lo,
+           n_events, min_cents, max_cents,
+           CAST(sum(n_events) OVER (
+             PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum_events,
+           round(CAST(sum(n_events) OVER (
+                   PARTITION BY event_type ORDER BY bucket) AS DOUBLE)
+                 / sum(n_events) OVER (PARTITION BY event_type), 6) AS pct_le
+    FROM h ORDER BY event_type, bucket
+    """,
+    doc="HDR-style log2-bucketed value histogram per event type — the "
+    "fixed-memory latency/value-distribution primitive (HdrHistogram, "
+    "Prometheus exponential buckets): bucket = bit_length of the exact "
+    "cent value, so ~25 buckets cover any int64 domain at <2x relative "
+    "error, and UNLIKE approximate quantile sketches the layout is "
+    "fully deterministic — every bucket count, bound and cumulative "
+    "share is exact integer math (Spark length(bin(c)) == DuckDB "
+    "length(printf('%b', c)) bit-for-bit), so the whole histogram is "
+    "hash-checked, not rows-only. Percentiles read off pct_le per "
+    "bucket. Scale: one map-side bucket expression + a (type, bucket) "
+    "hash agg whose output is <=types*64 rows — the cumulative window "
+    "runs on that bounded table, never the corpus; mergeable across "
+    "shards by construction (counts add). Ref: no reference "
+    "counterpart — observability/metrics tier.",
+)
+def q_agg_hdr_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    b = ev.filter(F.col("value") > 0).select(
+        "event_type",
+        c.alias("c"),
+        F.length(F.bin(c)).cast("long").alias("bucket"),
+    )
+    h = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("c").cast("long").alias("min_cents"),
+        F.max("c").cast("long").alias("max_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "bucket",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT)) AS BIGINT)"
+        ).alias("bucket_lo"),
+        "n_events",
+        "min_cents",
+        "max_cents",
+        F.sum("n_events").over(w).cast("long").alias("cum_events"),
+        F.round(
+            F.sum("n_events").over(w).cast("double")
+            / F.sum("n_events").over(wall),
+            6,
+        ).alias("pct_le"),
+    ).orderBy("event_type", "bucket")

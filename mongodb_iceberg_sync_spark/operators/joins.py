@@ -1266,3 +1266,54 @@ def q_join_runtime_bloom(spark, sf_dir):
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_lines long, revenue double"
     )
+
+
+@register(
+    "q_sql_unpivot",
+    family="joins",
+    oracle="""
+    WITH wide AS (
+      SELECT l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_price_cents,
+             CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                  AS BIGINT) AS sum_disc_bp
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, measure, val
+    FROM wide UNPIVOT (val FOR measure IN
+      (sum_qty, sum_price_cents, sum_disc_bp))
+    ORDER BY l_linestatus, measure
+    """,
+    doc="ANSI UNPIVOT (wide metrics -> long key/value rows), the "
+    "inverse surface of q_sql_pivot and the melt() every metrics "
+    "export pipeline runs: one per-status rollup produces three exact "
+    "BIGINT measure columns (units / cents / basis points — no floats "
+    "cross the unpivot so the long rows are bitwise), then Spark's "
+    "native DataFrame.unpivot (Expand operator) matches DuckDB's "
+    "UNPIVOT clause row-for-row including the measure-name column. "
+    "Scale: the rollup is one map-side-combinable hash agg; Expand "
+    "multiplies only the AGGREGATED table (rows = statuses x 3), so "
+    "the unpivot itself is free at any corpus size — the pattern to "
+    "teach is unpivot-after-aggregate, never unpivot-then-aggregate "
+    "(which triples the shuffle). Ref: no reference counterpart — "
+    "SQL-surface tier.",
+)
+def q_sql_unpivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
+        F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+        .cast("long")
+        .alias("sum_disc_bp"),
+    )
+    return wide.unpivot(
+        ids=["l_linestatus"],
+        values=["sum_qty", "sum_price_cents", "sum_disc_bp"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("l_linestatus", "measure")

@@ -2938,3 +2938,105 @@ def q_events_tte_labels(spark, sf_dir):
         .orderBy("user_id", "event_id")
     )
 
+
+
+@register(
+    "q_timeseries_holt",
+    family="timeseries",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, hr
+    ),
+    series AS (
+      SELECT user_id, list(CAST(cents AS DOUBLE) ORDER BY hr) AS xs
+      FROM hourly GROUP BY user_id
+    ),
+    -- per-user scalar recursion, NOT a struct-lambda list_reduce: DuckDB
+    -- 1.0 struct-pack lambdas update acc fields SEQUENTIALLY (a later
+    -- field reading acc.l sees the new l — verified with a minimal
+    -- repro), which silently corrupts any coupled two-variable fold
+    fit AS (
+      SELECT user_id, xs, 1 AS t, xs[1] AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM series
+      UNION ALL
+      SELECT user_id, xs, t + 1,
+             CAST(0.5 AS DOUBLE) * xs[t + 1] + CAST(0.5 AS DOUBLE) * (l + b),
+             CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * xs[t + 1]
+               + CAST(0.5 AS DOUBLE) * (l + b)) - l) + CAST(0.75 AS DOUBLE) * b
+      FROM fit WHERE t < len(xs)
+    )
+    SELECT user_id, CAST(len(xs) AS BIGINT) AS n_hours,
+           round(l, 6) AS level_cents, round(b, 6) AS trend_cents,
+           round(l + b, 6) AS forecast_cents
+    FROM fit WHERE t = len(xs) ORDER BY user_id
+    """,
+    doc="Holt double exponential smoothing (level + trend) per user "
+    "over the hourly spend series, alpha=1/2 beta=1/4 — the "
+    "one-step-ahead forecasting baseline every anomaly detector and "
+    "capacity planner starts from, and the stateful-fold shape EWMA "
+    "(q_timeseries_ewma) cannot express (trend couples to level). "
+    "Exactness WITHOUT quantization: the recurrence is a left fold "
+    "whose op order is fixed, inputs are exact integer cents, and the "
+    "smoothing constants are dyadic rationals — so every IEEE-754 "
+    "double op is bit-identical across engines by determinism of "
+    "+,-,*,/ under a fixed evaluation order (Spark F.aggregate fold "
+    "== DuckDB list_reduce fold element-for-element, init = first "
+    "observation, trend 0). Scale: the fold is a JVM array expression "
+    "over ONE user's hourly rollup (bounded by hours, not events); "
+    "the hourly agg is map-side combinable; no window, no Python, no "
+    "driver loop — 100 TB of events fold after a 1e4x rollup. Ref: "
+    "no reference counterpart — time-series tier.",
+)
+def q_timeseries_holt(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = hourly.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("hr"), F.col("cents").cast("double").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    half = F.lit(0.5).cast("double")
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("xs"), 1).alias("l"),
+            F.lit(0.0).cast("double").alias("b"),
+        ),
+        lambda acc, e: F.struct(
+            (half * e + half * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(0.25).cast("double")
+                * ((half * e + half * (acc["l"] + acc["b"])) - acc["l"])
+                + F.lit(0.75).cast("double") * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return (
+        series.filter(F.size("xs") >= 1)
+        .select(
+            "user_id",
+            F.size("xs").cast("long").alias("n_hours"),
+            st.alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_hours",
+            F.round(F.col("st.l"), 6).alias("level_cents"),
+            F.round(F.col("st.b"), 6).alias("trend_cents"),
+            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_cents"),
+        )
+        .orderBy("user_id")
+    )

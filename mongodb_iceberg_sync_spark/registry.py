@@ -124,6 +124,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_winnowing",
     "q_sample_coreset",
     "q_text_entropy",
+    "q_agg_hdr_histogram",
+    "q_sql_unpivot",
+    "q_timeseries_holt",
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

@@ -1079,3 +1079,34 @@ def test_text_entropy_two_level_hash_agg(spark, sf_dir):
     assert "Window" not in plan, plan[:1200]
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hdr_histogram_bounded_window_after_agg(spark, sf_dir):
+    # the bucket expression is map-side; the only window runs on the
+    # aggregated (type, bucket) table (<= types*64 rows), never events
+    df = SPECS["q_agg_hdr_histogram"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial_min" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unpivot_expands_after_aggregate(spark, sf_dir):
+    # Expand must sit ABOVE the rollup: unpivot-then-aggregate would
+    # triple the shuffle; here the exchange count stays at the single
+    # rollup + presentation sort
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_sql_unpivot"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan[:1200]
+    assert count_shuffles(df) <= 2, plan[:1200]
+
+
+def test_holt_fold_is_jvm_array_expression(spark, sf_dir):
+    # the recurrence must fold inside a JVM aggregate expression over
+    # the per-user hourly rollup — no Python, no per-step window
+    df = SPECS["q_timeseries_holt"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "partial_collect" in plan or "objHashAggregate" in plan.lower() or "ObjectHashAggregate" in plan
