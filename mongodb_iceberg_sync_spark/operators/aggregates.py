@@ -2534,3 +2534,414 @@ def q_agg_hdr_histogram(spark, sf_dir):
             6,
         ).alias("pct_le"),
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "q_agg_spearman",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    vx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY g, x),
+    rx AS (
+      SELECT g, x,
+             CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1
+               AS BIGINT) AS r2
+      FROM vx
+    ),
+    vy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY g, y),
+    ry AS (
+      SELECT g, y,
+             CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1
+               AS BIGINT) AS r2
+      FROM vy
+    ),
+    j AS (
+      SELECT r.g, rx.r2 AS a, ry.r2 AS b
+      FROM r JOIN rx ON rx.g = r.g AND rx.x = r.x
+             JOIN ry ON ry.g = r.g AND ry.y = r.y
+    ),
+    st AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS DOUBLE) AS sx, CAST(sum(b) AS DOUBLE) AS sy,
+             CAST(sum(a * b) AS DOUBLE) AS sxy,
+             CAST(sum(a * a) AS DOUBLE) AS sxx,
+             CAST(sum(b * b) AS DOUBLE) AS syy
+      FROM j GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0
+             AS spearman_rho
+    FROM st ORDER BY l_returnflag
+    """,
+    doc="Spearman rank correlation (tie-corrected, average ranks) "
+    "between quantity and price per return flag — the robust "
+    "monotonic-association twin of q_agg_corr's Pearson, the stat a "
+    "feature-selection pass runs when the relationship need not be "
+    "linear. Exactness: ties get AVERAGE ranks, carried as the exact "
+    "integer 2*rank_avg = 2*cum_before + n_ties + 1 (never a .5 "
+    "float), so every sufficient statistic (sums of rank products) is "
+    "an exact integer; both engines cast the exact sums to double and "
+    "run the identical Pearson formula on them — one rounded float "
+    "expression per group. Scale: two per-distinct-value rank maps "
+    "(windows over the DISTINCT-value tables, orders of magnitude "
+    "smaller than the fact) joined back to rows, then one "
+    "map-side-combinable sufficient-stats agg; no row-level window, "
+    "no sort of the fact table. Int64 holds to ~2^53/4 rows per "
+    "group; the DECIMAL sums guard Spark beyond that. Ref: no "
+    "reference counterpart — statistics tier.",
+)
+def q_agg_spearman(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def rank_map(col):
+        v = r.groupBy("g", col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.partitionBy("g").orderBy(col)
+        return v.select(
+            "g",
+            col,
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1)
+            .cast("long")
+            .alias("r2"),
+        )
+
+    rx = rank_map("x").withColumnRenamed("r2", "a")
+    ry = rank_map("y").withColumnRenamed("r2", "b")
+    j = r.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    dec = "decimal(38,0)"
+    st = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("b").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("a") * F.col("b")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("a") * F.col("a")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("b") * F.col("b")).cast(dec)).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return st.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        (F.round(rho, 6) + 0.0).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_kendall",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT g, x, y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY g, x, y
+    ),
+    cd AS (
+      SELECT a.g,
+             CAST(sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+               AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+               AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.g
+    ),
+    ties AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS txy
+      FROM cells GROUP BY g
+    ),
+    tx AS (
+      SELECT g, CAST(sum(nx * (nx - 1) // 2) AS BIGINT) AS tx
+      FROM (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY g, x)
+      GROUP BY g
+    ),
+    ty AS (
+      SELECT g, CAST(sum(ny * (ny - 1) // 2) AS BIGINT) AS ty
+      FROM (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM cells GROUP BY g, y)
+      GROUP BY g
+    )
+    SELECT t.g AS l_returnflag, t.n, cd.conc AS concordant, cd.disc AS discordant,
+           round((CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+                 / (sqrt(CAST(t.n * (t.n - 1) // 2 - tx.tx AS DOUBLE))
+                  * sqrt(CAST(t.n * (t.n - 1) // 2 - ty.ty AS DOUBLE))), 6) + 0.0
+             AS tau_b
+    FROM ties t JOIN cd ON cd.g = t.g JOIN tx ON tx.g = t.g JOIN ty ON ty.g = t.g
+    ORDER BY l_returnflag
+    """,
+    doc="Kendall tau-b (tie-corrected) between quantity and discount "
+    "per return flag. The naive statistic is O(n^2) pairwise — here "
+    "the value domain is BOUNDED (50 quantities x 11 discount cents), "
+    "so concordant/discordant pairs come from the CONTINGENCY TABLE: "
+    "one hash agg to <=550 cells per group, then a cell self-join "
+    "(<=550^2 tiny rows, broadcast) sums c_a*c_b per orientation — "
+    "compute is O(cells^2), not O(rows^2), the identical trick at any "
+    "corpus size. All pair counts are exact integers (ties via "
+    "c*(c-1)/2, always even products); tau_b is one float expression "
+    "over exact ints, identical on both engines. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_kendall(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = r.groupBy("g", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cells = cells.localCheckpoint(eager=False)  # 5 consumers below
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), F.col("a.c") * F.col("b.c"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("conc"),
+            F.sum(
+                F.when(F.col("b.y") < F.col("a.y"), F.col("a.c") * F.col("b.c"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("disc"),
+        )
+    )
+    ties = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("txy"),
+    )
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("c").cast("long").alias("nx"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("nx * (nx - 1) div 2")).cast("long").alias("tx"))
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("c").cast("long").alias("ny"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("ny * (ny - 1) div 2")).cast("long").alias("ty"))
+    )
+    st = ties.join(cd, "g").join(tx, "g").join(ty, "g")
+    n0 = F.expr("n * (n - 1) div 2")
+    tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / (
+        F.sqrt((n0 - F.col("tx")).cast("double"))
+        * F.sqrt((n0 - F.col("ty")).cast("double"))
+    )
+    return st.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        (F.round(tau, 6) + 0.0).alias("tau_b"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_mutual_info",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS et,
+             CAST(length(printf('%b', CAST(round(value * 100) AS BIGINT)))
+               AS BIGINT) AS b
+      FROM events WHERE value > 0
+    ),
+    cells AS (
+      SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY et, b
+    ),
+    mi_ AS (SELECT et, CAST(sum(c) AS BIGINT) AS ni FROM cells GROUP BY et),
+    mj_ AS (SELECT b, CAST(sum(c) AS BIGINT) AS nj FROM cells GROUP BY b),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+    q AS (
+      SELECT CAST(sum(CAST(round(
+               c * (ln(CAST(t.n * c AS DOUBLE)) - ln(CAST(ni * nj AS DOUBLE)))
+               * 1e9) AS BIGINT)) AS BIGINT) AS mi_q
+      FROM cells JOIN mi_ USING (et) JOIN mj_ USING (b) CROSS JOIN tot t
+    ),
+    hx AS (SELECT CAST(sum(CAST(round(ni * ln(CAST(ni AS DOUBLE)) * 1e9)
+                 AS BIGINT)) AS BIGINT) AS x_q FROM mi_),
+    hy AS (SELECT CAST(sum(CAST(round(nj * ln(CAST(nj AS DOUBLE)) * 1e9)
+                 AS BIGINT)) AS BIGINT) AS y_q FROM mj_)
+    SELECT t.n AS n_events,
+           (SELECT count(*) FROM mi_) AS n_types,
+           (SELECT count(*) FROM mj_) AS n_buckets,
+           round(CAST(q.mi_q AS DOUBLE) / 1e9 / t.n, 6) + 0.0 AS mi_nats,
+           round((CAST(q.mi_q AS DOUBLE) / 1e9 / t.n)
+                 / sqrt((ln(CAST(t.n AS DOUBLE)) - CAST(hx.x_q AS DOUBLE) / 1e9 / t.n)
+                      * (ln(CAST(t.n AS DOUBLE)) - CAST(hy.y_q AS DOUBLE) / 1e9 / t.n)),
+                 6) + 0.0 AS nmi
+    FROM tot t CROSS JOIN q CROSS JOIN hx CROSS JOIN hy
+    """,
+    doc="Mutual information between event type and value magnitude "
+    "(log2 bucket = bit_length of exact cents, the q_agg_hdr_histogram "
+    "bucketing) plus normalized MI — the model-free dependence measure "
+    "feature-selection and drift pipelines use where correlation "
+    "assumes linearity. Identity-quantized like q_text_entropy: every "
+    "ln argument is an exact integer (N*c and ni*nj as int64 — ln "
+    "agrees bitwise on exact ints), each cell's contribution is "
+    "quantized to a 1e-9 long before summing (order-independent), and "
+    "MI/NMI are single float expressions over the exact sums. Scale: "
+    "one map-side bucket expression, one (type,bucket) hash agg to a "
+    "<=types*64-cell table; margins, entropies and MI all run on that "
+    "bounded table — corpus cost is one combinable aggregation. Ref: "
+    "no reference counterpart — statistics tier.",
+)
+def q_agg_mutual_info(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    r = ev.filter(F.col("value") > 0).select(
+        F.col("event_type").alias("et"),
+        F.length(F.bin(cents)).cast("long").alias("b"),
+    )
+    cells = r.groupBy("et", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = cells.localCheckpoint(eager=False)  # margins + MI read this
+    mi_ = cells.groupBy("et").agg(F.sum("c").cast("long").alias("ni"))
+    mj_ = cells.groupBy("b").agg(F.sum("c").cast("long").alias("nj"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    q = (
+        cells.join(F.broadcast(mi_), "et")
+        .join(F.broadcast(mj_), "b")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c")
+                    * (
+                        F.log((F.col("n") * F.col("c")).cast("double"))
+                        - F.log((F.col("ni") * F.col("nj")).cast("double"))
+                    )
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("mi_q")
+        )
+    )
+    hx = mi_.agg(
+        F.sum(F.round(F.col("ni") * F.log(F.col("ni").cast("double")) * 1e9)
+              .cast("long")).cast("long").alias("x_q")
+    )
+    hy = mj_.agg(
+        F.sum(F.round(F.col("nj") * F.log(F.col("nj").cast("double")) * 1e9)
+              .cast("long")).cast("long").alias("y_q")
+    )
+    n_types = mi_.agg(F.count(F.lit(1)).alias("n_types"))
+    n_buckets = mj_.agg(F.count(F.lit(1)).alias("n_buckets"))
+    st = (
+        tot.join(F.broadcast(q))
+        .join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .join(F.broadcast(n_types))
+        .join(F.broadcast(n_buckets))
+    )
+    nd = F.col("n").cast("double")
+    mi = F.col("mi_q").cast("double") / 1e9 / F.col("n")
+    hx_v = F.log(nd) - F.col("x_q").cast("double") / 1e9 / F.col("n")
+    hy_v = F.log(nd) - F.col("y_q").cast("double") / 1e9 / F.col("n")
+    return st.select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        "n_buckets",
+        (F.round(mi, 6) + 0.0).alias("mi_nats"),
+        (F.round(mi / F.sqrt(hx_v * hy_v), 6) + 0.0).alias("nmi"),
+    )
+
+
+@register(
+    "q_agg_gmean",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    st AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s_cents,
+             CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE)) * 1e9) AS BIGINT))
+               AS BIGINT) AS s_ln,
+             CAST(sum(CAST(round(1e15 / cents) AS BIGINT)) AS BIGINT) AS s_inv
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           round(CAST(s_cents AS DOUBLE) / n / 100, 6) AS mean_arith,
+           round(exp(CAST(s_ln AS DOUBLE) / 1e9 / n) / 100, 6) AS mean_geo,
+           round(CAST(n AS DOUBLE) * 1e15 / CAST(s_inv AS DOUBLE) / 100, 6)
+             AS mean_harm
+    FROM st ORDER BY l_returnflag
+    """,
+    doc="Pythagorean means per group: arithmetic, geometric (the right "
+    "mean for ratios/growth rates) and harmonic (the right mean for "
+    "rates) of extended price — AM >= GM >= HM is a free sanity "
+    "invariant. Exactness discipline: prices become exact integer "
+    "cents; the geometric mean rides quantized ln terms (ln of an "
+    "exact int is bitwise; each term rounds to a 1e-9 long before the "
+    "order-independent integer sum); the harmonic mean rides quantized "
+    "reciprocals (1e15/cents is ONE double division of exact ints — "
+    "bitwise — then rounds to a long). Spark accumulates in "
+    "DECIMAL(38,0) (s_inv alone can pass 2^63 near ~1e6 rows of small "
+    "values), DuckDB in HUGEINT — exact on both, then identical float "
+    "expressions. Scale: one map-side-combinable hash agg, constant "
+    "state per group, no second pass. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_gmean(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    r = li.filter(F.col("l_extendedprice") > 0).select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    st = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s_cents"),
+        F.sum(
+            F.round(F.log(F.col("cents").cast("double")) * 1e9)
+            .cast("long").cast(dec)
+        ).alias("s_ln"),
+        F.sum(F.round(F.lit(1e15) / F.col("cents")).cast("long").cast(dec)).alias(
+            "s_inv"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    return st.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.round(F.col("s_cents").cast("double") / F.col("n") / 100, 6).alias(
+            "mean_arith"
+        ),
+        F.round(
+            F.exp(F.col("s_ln").cast("double") / 1e9 / F.col("n")) / 100, 6
+        ).alias("mean_geo"),
+        F.round(nd * 1e15 / F.col("s_inv").cast("double") / 100, 6).alias(
+            "mean_harm"
+        ),
+    ).orderBy("l_returnflag")

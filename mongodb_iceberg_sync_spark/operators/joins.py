@@ -1317,3 +1317,52 @@ def q_sql_unpivot(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="val",
     ).orderBy("l_linestatus", "measure")
+
+
+@register(
+    "q_sql_qualify",
+    family="joins",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                                   ORDER BY o.o_totalprice DESC, o.o_orderkey)
+             AS BIGINT) AS rn
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    QUALIFY rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="QUALIFY-clause parity: top-3 orders per market segment by "
+    "total price. DuckDB (like Snowflake/BigQuery) filters on a window "
+    "result in ONE clause; Spark SQL has no QUALIFY, and this operator "
+    "IS the translation recipe — window then filter on its alias, "
+    "which Catalyst plans BETTER than a naive window: the rank filter "
+    "becomes WindowGroupLimit (Partial before the shuffle, Final "
+    "after), so each map task forwards at most k rows per group and "
+    "the exchange carries k*groups rows, not the fact table. The "
+    "window carries a unique (price DESC, orderkey) total order so "
+    "the kept rows are deterministic. Scale: one shuffle on the "
+    "partition key; the customer dim joins as an explicit broadcast. "
+    "Ref: no reference counterpart — SQL-surface parity tier.",
+)
+def q_sql_qualify(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        j.select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )

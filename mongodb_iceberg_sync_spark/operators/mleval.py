@@ -1041,3 +1041,183 @@ def q_ml_regression_metrics(spark, sf_dir):
             F.lit(1) - sum38("sq") / F.nullif(sum38("sq_tot"), F.lit(0.0)), 6
         ).alias("r2"),
     )
+
+
+@register(
+    "q_ml_mcc",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    pred AS (
+      SELECT label,
+             CASE WHEN ex.score * t.nu > t.ts THEN 1 ELSE 0 END AS yhat
+      FROM ex CROSS JOIN tot t
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN label = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+                  * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))),
+                 6) + 0.0 AS mcc,
+           round((CAST(tp AS DOUBLE) / nullif(tp + fn, 0)
+                + CAST(tn AS DOUBLE) / nullif(tn + fp, 0)) / 2, 6) + 0.0
+             AS balanced_acc,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0)
+               - CAST(fp AS DOUBLE) / nullif(fp + tn, 0), 6) + 0.0 AS youden_j
+    FROM c
+    """,
+    doc="Matthews correlation coefficient + balanced accuracy + "
+    "Youden's J at q_ml_confusion's operating point — the "
+    "chance-corrected single-number summaries that stay honest under "
+    "class imbalance where accuracy and F1 inflate (MCC is the "
+    "binary-case Pearson phi, the metric imbalanced-data evals "
+    "report). Same float-free threshold (integer cross-"
+    "multiplication), same four exact counters; each sqrt runs on its "
+    "own marginal (never the product of four — that overflows where "
+    "the factored form doesn't), and zero marginals degrade to NULL "
+    "via nullif on BOTH engines. Scale: per-user rollup then a "
+    "4-counter agg; constant beyond the first groupBy. Ref: no "
+    "reference counterpart — ML-eval tier.",
+)
+def q_ml_mcc(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    # yhat needs the score total again: recompute the 1-row totals from
+    # the examples themselves (score sum == ts, count == nu)
+    tot = ex.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("score").cast("long").alias("ts_"),
+    )
+    pred = ex.join(F.broadcast(tot)).select(
+        "label",
+        F.when(F.col("score") * F.col("nu") > F.col("ts_"), 1).otherwise(0).alias(
+            "yhat"
+        ),
+    )
+    c = pred.agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    mcc = (tp.cast("double") * tn - fp.cast("double") * fn) / (
+        F.sqrt((tp + fp).cast("double"))
+        * F.sqrt((tp + fn).cast("double"))
+        * F.sqrt((tn + fp).cast("double"))
+        * F.sqrt((tn + fn).cast("double"))
+    )
+    tpr = tp.cast("double") / F.nullif(tp + fn, F.lit(0))
+    tnr = tn.cast("double") / F.nullif(tn + fp, F.lit(0))
+    fpr = fp.cast("double") / F.nullif(fp + tn, F.lit(0))
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        (F.round(mcc, 6) + 0.0).alias("mcc"),
+        (F.round((tpr + tnr) / 2, 6) + 0.0).alias("balanced_acc"),
+        (F.round(tpr - fpr, 6) + 0.0).alias("youden_j"),
+    )
+
+
+_FAIR_GROUPS = 4
+
+
+@register(
+    "q_ml_group_fairness",
+    family="mleval",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % {_FAIR_GROUPS} AS BIGINT) AS grp,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(p) AS BIGINT) AS tp,
+                   CAST(sum(s) AS BIGINT) AS ts FROM u),
+    ex AS (
+      SELECT grp,
+             CASE WHEN u.p * t.nu > t.tp THEN 1 ELSE 0 END AS label,
+             CASE WHEN u.s * t.nu > t.ts THEN 1 ELSE 0 END AS yhat
+      FROM u CROSS JOIN tot t
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(yhat) AS BIGINT) AS pred_pos,
+             CAST(sum(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp
+      FROM ex GROUP BY grp
+    )
+    SELECT grp, n, pos, pred_pos,
+           round(CAST(pred_pos AS DOUBLE) / n, 6) AS selection_rate,
+           round(CAST(tp AS DOUBLE) / nullif(pos, 0), 6) + 0.0 AS tpr,
+           round(CAST(fp AS DOUBLE) / nullif(n - pos, 0), 6) + 0.0 AS fpr
+    FROM g ORDER BY grp
+    """,
+    doc="Group-fairness audit of q_ml_confusion's classifier: per "
+    "cohort (deterministic user_id mod {n} proxy attribute) the "
+    "selection rate (demographic-parity readout), TPR and FPR "
+    "(equalized-odds readouts) — the slice table every responsible-AI "
+    "review and model card reports; gaps across rows are the fairness "
+    "violations. Same float-free label/threshold construction as the "
+    "rest of mleval; rates are single rounded divisions of exact "
+    "integers with nullif degeneracy guards mirrored on both engines. "
+    "Scale: per-user rollup (combinable), then a {n}-row group agg — "
+    "constant-size after the first shuffle; a real protected attribute "
+    "would join in from a dim table as a broadcast. Ref: no reference "
+    "counterpart — ML-eval/governance tier.".format(n=_FAIR_GROUPS),
+)
+def q_ml_group_fairness(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("s"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp_"),
+        F.sum("s").cast("long").alias("ts_"),
+    )
+    ex = u.join(F.broadcast(tot)).select(
+        (F.col("user_id") % _FAIR_GROUPS).cast("long").alias("grp"),
+        F.when(F.col("p") * F.col("nu") > F.col("tp_"), 1).otherwise(0).alias("label"),
+        F.when(F.col("s") * F.col("nu") > F.col("ts_"), 1).otherwise(0).alias("yhat"),
+    )
+    g = ex.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum("yhat").cast("long").alias("pred_pos"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long").alias("fp"),
+    )
+    return g.select(
+        "grp", "n", "pos", "pred_pos",
+        F.round(F.col("pred_pos").cast("double") / F.col("n"), 6).alias(
+            "selection_rate"
+        ),
+        (F.round(F.col("tp").cast("double") / F.nullif(F.col("pos"), F.lit(0)), 6)
+         + 0.0).alias("tpr"),
+        (F.round(
+            F.col("fp").cast("double")
+            / F.nullif(F.col("n") - F.col("pos"), F.lit(0)),
+            6,
+        ) + 0.0).alias("fpr"),
+    ).orderBy("grp")

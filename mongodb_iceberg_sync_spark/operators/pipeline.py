@@ -3040,3 +3040,221 @@ def q_timeseries_holt(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_timeseries_theilsen",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, 2
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (CAST(b.cents AS DOUBLE) - CAST(a.cents AS DOUBLE))
+               / (b.d - a.d) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS np
+      FROM slopes
+    )
+    SELECT r.user_id,
+           n.n_days,
+           CAST(r.np AS BIGINT) AS n_pairs,
+           round(r.slope / 100, 6) + 0.0 AS theil_slope_per_day
+    FROM ranked r
+    JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY user_id) n USING (user_id)
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY user_id
+    """,
+    doc="Theil-Sen robust trend slope per user over daily purchase "
+    "spend — the median of all pairwise slopes, the estimator that "
+    "shrugs off the outliers OLS (q_agg_ols) chases; the standard "
+    "robust-trend readout for spend/latency drift. Exactness: spend "
+    "becomes exact daily cent sums; every pairwise slope is ONE double "
+    "division of exact integers (bitwise both engines); the median is "
+    "the DISCRETE lower median picked by row_number over (slope, d1, "
+    "d2) — a total order, no averaging of two middle floats. Scale: "
+    "the pair join runs on the DAILY ROLLUP (bounded by the calendar — "
+    "~30 rows/user whatever the event volume), so pairs are "
+    "O(days^2)=O(1) per user, shuffled by user_id; the raw stream is "
+    "touched once by the combinable rollup. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_timeseries_theilsen(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    daily = daily.localCheckpoint(eager=False)  # pair join reads twice
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.cents").cast("double") - F.col("a.cents").cast("double"))
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    w = Window.partitionBy("user_id").orderBy("slope", "d1", "d2")
+    wc = Window.partitionBy("user_id")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    n_days = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .join(n_days, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            (F.round(F.col("slope") / 100, 6) + 0.0).alias("theil_slope_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SMA_FAST = 3
+_SMA_SLOW = 7
+
+
+@register(
+    "q_timeseries_sma_crossover",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    sma AS (
+      SELECT d, cents,
+             row_number() OVER (ORDER BY d) AS rn,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN {_SMA_FAST - 1} PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s_fast,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN {_SMA_SLOW - 1} PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s_slow
+      FROM daily
+    ),
+    sig AS (
+      SELECT d, cents, s_fast, s_slow,
+             CASE WHEN {_SMA_SLOW} * s_fast > {_SMA_FAST} * s_slow THEN 1
+                  WHEN {_SMA_SLOW} * s_fast < {_SMA_FAST} * s_slow THEN -1
+                  ELSE 0 END AS pos,
+             rn
+      FROM sma WHERE rn >= {_SMA_SLOW}
+    ),
+    x AS (
+      SELECT d, cents, s_fast, s_slow, pos,
+             lag(pos) OVER (ORDER BY d) AS prev_pos
+      FROM sig
+    )
+    SELECT d AS day,
+           round(CAST(s_fast AS DOUBLE) / {_SMA_FAST} / 100, 6) AS sma_fast,
+           round(CAST(s_slow AS DOUBLE) / {_SMA_SLOW} / 100, 6) AS sma_slow,
+           CASE WHEN pos = 1 THEN 'golden' ELSE 'death' END AS crossover
+    FROM x
+    WHERE prev_pos IS NOT NULL AND pos <> prev_pos AND pos <> 0
+    ORDER BY day
+    """,
+    doc="Moving-average crossover detection (SMA-3 vs SMA-7 of daily "
+    "spend): emit the days where the fast average crosses the slow one "
+    "— golden cross up, death cross down — the canonical trend-change "
+    "alert shape (trading signals, traffic trend flips, capacity "
+    "alerts). Exactness: the comparison never forms a float mean — "
+    "slow_n*sum_fast vs fast_n*sum_slow is integer cross-"
+    "multiplication of exact cent window sums, so the signal (and its "
+    "lag) is pure integer logic; the reported SMAs are single rounded "
+    "divisions. Warm-up rows (rn < slow window) are excluded so every "
+    "window is full. Scale: the window runs on the DAILY rollup "
+    "(calendar-bounded, one partition of ~tens of rows after a "
+    "combinable corpus rollup) — the pattern for any per-entity "
+    "variant is the same window partitioned by entity. Ref: no "
+    "reference counterpart — timeseries tier.",
+)
+def q_timeseries_sma_crossover(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("d")
+    sma = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(w.rowsBetween(-(_SMA_FAST - 1), 0))
+        .cast("long")
+        .alias("s_fast"),
+        F.sum("cents").over(w.rowsBetween(-(_SMA_SLOW - 1), 0))
+        .cast("long")
+        .alias("s_slow"),
+    )
+    sig = sma.filter(F.col("rn") >= _SMA_SLOW).select(
+        "d",
+        "s_fast",
+        "s_slow",
+        F.when(_SMA_SLOW * F.col("s_fast") > _SMA_FAST * F.col("s_slow"), 1)
+        .when(_SMA_SLOW * F.col("s_fast") < _SMA_FAST * F.col("s_slow"), -1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    x = sig.select(
+        "d", "s_fast", "s_slow", "pos", F.lag("pos").over(Window.orderBy("d")).alias("prev_pos")
+    )
+    return (
+        x.filter(
+            F.col("prev_pos").isNotNull()
+            & (F.col("pos") != F.col("prev_pos"))
+            & (F.col("pos") != 0)
+        )
+        .select(
+            F.col("d").alias("day"),
+            F.round(F.col("s_fast").cast("double") / _SMA_FAST / 100, 6).alias(
+                "sma_fast"
+            ),
+            F.round(F.col("s_slow").cast("double") / _SMA_SLOW / 100, 6).alias(
+                "sma_slow"
+            ),
+            F.when(F.col("pos") == 1, "golden").otherwise("death").alias("crossover"),
+        )
+        .orderBy("day")
+    )

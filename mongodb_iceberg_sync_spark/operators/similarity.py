@@ -1008,3 +1008,111 @@ def q_sim_rerank(spark, sf_dir):
         .select("probe_id", "vec_id", "bucket", "cos_sim", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+@register(
+    "q_embed_anisotropy",
+    family="similarity",
+    oracle="""
+    WITH cn AS (
+      SELECT label, i,
+             CAST(sum(CAST(round(embedding[i]::DOUBLE * 1e7) AS BIGINT))
+               AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS n
+      FROM embeddings, range(1, 65) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, min(n) AS n,
+             list(CAST(q AS DOUBLE) / 1e7 / n ORDER BY i) AS c
+      FROM cn GROUP BY label
+    ),
+    per_row AS (
+      SELECT e.label, cent.n,
+             list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * c[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> c[i] * c[i])))) AS cos_c,
+             sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+               AS nrm
+      FROM embeddings e JOIN cent ON cent.label = e.label
+    )
+    SELECT label, CAST(min(n) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(nrm * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / min(n), 6) AS mean_norm,
+           round(CAST(sum(CAST(round(cos_c * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / min(n), 6) AS mean_cos_centroid
+    FROM per_row GROUP BY label ORDER BY label
+    """,
+    doc="Embedding-health / anisotropy audit per label: mean vector "
+    "norm and mean cosine to the label centroid — the two numbers "
+    "that catch a degenerate embedding space before training wastes a "
+    "cluster on it (anisotropic spaces have mean-cos near 1: all "
+    "vectors point the same way, so cosine retrieval collapses; "
+    "Ethayarajh 2019's contextual-anisotropy readout). Exactness: "
+    "centroid components come from 1e-7-quantized exact component "
+    "sums (order-independent); per-row cosine/norm are sequential "
+    "64-term folds (bitwise both engines — the q_sim_topk "
+    "convention); per-label means ride 1e-9-quantized per-row terms. "
+    "Scale: one posexplode-shaped component rollup (64 longs per "
+    "vector, map-side combinable), centroids broadcast back (k "
+    "labels x 64 doubles), one combinable final agg — the corpus is "
+    "scanned twice, shuffled never (label rollups are tiny). Ref: no "
+    "reference counterpart — embedding-quality tier.",
+)
+def q_embed_anisotropy(spark, sf_dir):
+    from ..functions.vector import dot, norm
+
+    e = t(spark, sf_dir, "embeddings")
+    cn = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * 1e7).cast("long"))
+            .cast("long")
+            .alias("q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cent = cn.groupBy("label").agg(
+        F.min("n").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("q").cast("double") / 1e7 / F.col("n")).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s.v,
+        ).alias("c"),
+    )
+    per_row = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "n",
+        (dot("embedding", "c") / (norm("embedding") * norm("c"))).alias("cos_c"),
+        norm("embedding").alias("nrm"),
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("nrm") * 1e9).cast("long")).cast("double")
+                / 1e9
+                / F.min("n"),
+                6,
+            ).alias("mean_norm"),
+            F.round(
+                F.sum(F.round(F.col("cos_c") * 1e9).cast("long")).cast("double")
+                / 1e9
+                / F.min("n"),
+                6,
+            ).alias("mean_cos_centroid"),
+        )
+        .orderBy("label")
+    )

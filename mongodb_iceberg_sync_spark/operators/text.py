@@ -2297,3 +2297,161 @@ def q_text_entropy(spark, sf_dir):
             6,
         ).alias("entropy_nats"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_text_novelty",
+    family="text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+        FROM toks
+      )
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    agg AS (
+      SELECT sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+      FROM sh JOIN firsts f ON f.s = sh.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM agg ORDER BY doc_id
+    """,
+    doc="N-gram novelty score per document: the fraction of a doc's "
+    "distinct word-3-gram shingles whose FIRST occurrence (minimum "
+    "doc_id — in production, earliest ingest time) is this document — "
+    "the cheap informativeness/near-dup-pressure signal curriculum "
+    "builders use to order or downsample a corpus (a doc with novelty "
+    "~0 is assembled from text the corpus already has; exact dups "
+    "score 0 except the original). Counts are exact integers; the "
+    "score is one rounded division. Scale: Spark shuffles 16-byte md5 "
+    "shingle keys, never shingle strings (collision odds ~2^-128; the "
+    "oracle joins raw strings — same counts); first-seen is one "
+    "map-side-combinable min; the membership join is co-partitioned "
+    "on the same key. Ref: no reference counterpart — LLM curriculum "
+    "tier.",
+)
+def q_text_novelty(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .localCheckpoint(eager=False)  # firsts + membership join read this
+    )
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    agg = (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
+
+
+_MATTR_W = 50
+
+
+@register(
+    "q_text_mattr",
+    family="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             CASE WHEN len(l) >= {_MATTR_W} THEN
+               CAST(list_sum(list_transform(
+                 range(1, len(l) - {_MATTR_W} + 2),
+                 j -> len(list_distinct(l[j : j + {_MATTR_W} - 1]))))
+                 AS BIGINT)
+             ELSE CAST(len(list_distinct(l)) AS BIGINT) END AS s_distinct,
+             CASE WHEN len(l) >= {_MATTR_W}
+                  THEN CAST({_MATTR_W} * (len(l) - {_MATTR_W} + 1) AS BIGINT)
+                  ELSE CAST(len(l) AS BIGINT) END AS denom
+      FROM toks WHERE len(l) >= 1
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(s_distinct AS DOUBLE) / denom, 6) AS mattr
+    FROM m ORDER BY doc_id
+    """,
+    doc="Moving-Average Type-Token Ratio (MATTR, window "
+    f"{_MATTR_W}) per document: mean distinct-token share over every "
+    "sliding window — the length-invariant lexical-diversity measure "
+    "(plain TTR collapses as docs grow, so corpus quality filters use "
+    "MATTR; complements q_text_entropy's char-level signal). Docs "
+    "shorter than the window fall back to plain TTR. Exactness: the "
+    "mean of per-window ratios with a CONSTANT denominator is "
+    "sum(distinct counts) / (w * n_windows) — an integer sum over one "
+    "integer product — so both engines compute ONE division, no float "
+    "accumulation at all. Scale: entirely row-local JVM array "
+    "expressions (slice + array_distinct per window), zero shuffle "
+    "beyond the presentation sort, zero Python; cost is O(tokens * w) "
+    "per doc, embarrassingly parallel. Ref: no reference counterpart "
+    "— LLM quality-signal tier.",
+)
+def q_text_mattr(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    x = d.filter(F.size(toks) >= 1).select(
+        "doc_id", toks.alias("l"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    n_wins = F.col("n_tokens") - _MATTR_W + 1
+    win_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1)).cast("int")),
+            lambda j: F.size(F.array_distinct(F.slice("l", j, _MATTR_W))).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s_distinct = F.when(F.col("n_tokens") >= _MATTR_W, win_sum).otherwise(
+        F.size(F.array_distinct("l")).cast("long")
+    )
+    denom = F.when(
+        F.col("n_tokens") >= _MATTR_W,
+        (F.lit(_MATTR_W) * n_wins).cast("long"),
+    ).otherwise(F.col("n_tokens"))
+    return x.select(
+        "doc_id",
+        "n_tokens",
+        F.round(s_distinct.cast("double") / denom, 6).alias("mattr"),
+    ).orderBy("doc_id")

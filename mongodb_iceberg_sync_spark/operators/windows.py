@@ -637,3 +637,83 @@ def q_window_pareto(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+_PEAK_MIN = 3  # a peak must be at least this many events in the hour
+
+
+@register(
+    "q_window_peak_detect",
+    family="windows",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, 2
+    ),
+    x AS (
+      SELECT user_id, h, n,
+             lag(n)  OVER (PARTITION BY user_id ORDER BY h) AS prev_n,
+             lead(n) OVER (PARTITION BY user_id ORDER BY h) AS next_n
+      FROM hourly
+    )
+    SELECT user_id, h AS hour, n AS n_events,
+           CAST(n - greatest(coalesce(prev_n, 0), coalesce(next_n, 0))
+             AS BIGINT) AS prominence
+    FROM x
+    WHERE n >= {_PEAK_MIN}
+      AND (prev_n IS NULL OR n > prev_n)
+      AND (next_n IS NULL OR n >= next_n)
+    ORDER BY user_id, hour
+    """,
+    doc="Local-maximum peak detection over each user's hourly activity "
+    "series: an hour is a peak when it strictly beats its predecessor, "
+    "is >= its successor (the tie rule keeps exactly the FIRST hour of "
+    "a plateau, a total decision on integers), and clears a floor of "
+    f"{_PEAK_MIN} events — the burst-detector primitive behind rate "
+    "alerting and engagement-spike mining, complementary to "
+    "q_events_anomaly's z-score (shape, not deviation). Prominence is "
+    "the integer margin over the taller neighbor. Exactness: counts "
+    "and comparisons are all integers — nothing to round. Scale: one "
+    "combinable hourly rollup, then lag/lead over (user, hour) — "
+    "one shuffle on user_id, series bounded by the calendar. Note the "
+    "gap semantics: neighbors are ADJACENT OBSERVED hours (empty hours "
+    "are absent, not zero) — q_timeseries_gapfill is the zero-filled "
+    "front-end when true adjacency matters. Ref: no reference "
+    "counterpart — timeseries/alerting tier.",
+)
+def q_window_peak_detect(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    x = hourly.select(
+        "user_id",
+        "h",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        x.filter(
+            (F.col("n") >= _PEAK_MIN)
+            & (F.col("prev_n").isNull() | (F.col("n") > F.col("prev_n")))
+            & (F.col("next_n").isNull() | (F.col("n") >= F.col("next_n")))
+        )
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.col("n").alias("n_events"),
+            (
+                F.col("n")
+                - F.greatest(
+                    F.coalesce(F.col("prev_n"), F.lit(0)),
+                    F.coalesce(F.col("next_n"), F.lit(0)),
+                )
+            )
+            .cast("long")
+            .alias("prominence"),
+        )
+        .orderBy("user_id", "hour")
+    )

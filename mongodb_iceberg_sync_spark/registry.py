@@ -127,6 +127,20 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_hdr_histogram",
     "q_sql_unpivot",
     "q_timeseries_holt",
+    "q_agg_spearman",
+    "q_agg_kendall",
+    "q_agg_mutual_info",
+    "q_agg_gmean",
+    "q_timeseries_theilsen",
+    "q_timeseries_sma_crossover",
+    "q_window_peak_detect",
+    "q_ml_mcc",
+    "q_ml_group_fairness",
+    "q_graph_clustering_coeff",
+    "q_text_novelty",
+    "q_text_mattr",
+    "q_sql_qualify",
+    "q_embed_anisotropy",
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

@@ -1110,3 +1110,172 @@ def test_holt_fold_is_jvm_array_expression(spark, sf_dir):
     assert "Window" not in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan or "partial_collect" in plan or "objHashAggregate" in plan.lower() or "ObjectHashAggregate" in plan
+
+
+# --- round-7 wave-2 debuts -------------------------------------------
+
+
+def test_spearman_rank_maps_on_distinct_tables(spark, sf_dir):
+    # the two rank windows must run on DISTINCT-value tables, never
+    # sort the fact; the sufficient-stats agg partial-aggregates
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_agg_spearman"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # rank maps + join + stats + sort: bounded exchange budget
+    assert count_shuffles(df) <= 8, plan[:1200]
+
+
+def test_kendall_contingency_self_join_is_broadcast(spark, sf_dir):
+    # pairs come from the <=550-cell contingency table; its self-join
+    # must broadcast, never shuffle the fact twice
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_agg_kendall"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mutual_info_margins_broadcast(spark, sf_dir):
+    # one combinable cell rollup; margins/totals join back as
+    # broadcasts onto the bounded cell table — no fact re-shuffle
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_agg_mutual_info"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "Window" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gmean_single_combinable_agg(spark, sf_dir):
+    # one hash agg with map-side partials; no window, no Python, no join
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_agg_gmean"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "Window" not in plan and "Join" not in plan, plan[:1200]
+    assert count_shuffles(df) <= 2, plan[:1200]
+
+
+def test_theilsen_pair_join_on_daily_rollup(spark, sf_dir):
+    # the O(days^2) pair join must consume the DAILY ROLLUP (hash agg
+    # below the join), never raw events; median via per-user window on
+    # the bounded pair table
+    df = SPECS["q_timeseries_theilsen"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_sma_crossover_window_on_calendar_rollup(spark, sf_dir):
+    # the unpartitioned window is allowed ONLY because it runs on the
+    # daily rollup (calendar-bounded); the rollup below must combine
+    # map-side
+    df = SPECS["q_timeseries_sma_crossover"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan[:1200]
+    assert "Window" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_peak_detect_partitioned_window(spark, sf_dir):
+    # lag/lead windows must be PARTITIONED by user (no global window),
+    # fed by a combinable hourly rollup
+    df = SPECS["q_window_peak_detect"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:1200]
+    assert "hashpartitioning(user_id" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ml_mcc_constant_after_user_rollup(spark, sf_dir):
+    # per-user rollup (combinable) -> 1-row totals broadcast -> 4-counter
+    # agg; nothing after the first groupBy scales with the corpus
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_ml_mcc"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_fairness_constant_after_user_rollup(spark, sf_dir):
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_ml_group_fairness"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clustering_coeff_takeordered(spark, sf_dir):
+    # top-k must be TakeOrderedAndProject (never a global sort of all
+    # nodes); the degree broadcasts live BELOW the localCheckpoint cut
+    # (same shape q_graph_triangles pins), so this plan only shows the
+    # wedge joins + rollup
+    df = SPECS["q_graph_clustering_coeff"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_novelty_shuffles_hashes_not_strings(spark, sf_dir):
+    # the exploded shingle table must carry md5 hashes into the
+    # exchange — no raw shingle string may cross a shuffle boundary
+    df = SPECS["q_text_novelty"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(h" in plan, plan[:1200]
+    assert "partial_min" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mattr_row_local_zero_shuffle(spark, sf_dir):
+    # slice + array_distinct per window are row-local JVM expressions:
+    # no aggregate, no window, only the presentation sort may exchange
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_text_mattr"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(df) <= 1, plan[:1200]
+    assert "HashAggregate" not in plan and "Window" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_qualify_window_group_limit_pushdown(spark, sf_dir):
+    # QUALIFY translation: broadcast dim join, then Catalyst's
+    # WindowGroupLimit must prune to k rows per partition BEFORE the
+    # window shuffle (Partial) and again after (Final) — the rank
+    # filter never materializes full groups
+    from mongodb_iceberg_sync_spark.plans.explain import (
+        count_shuffles,
+        uses_broadcast_join,
+    )
+
+    df = SPECS["q_sql_qualify"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "WindowGroupLimit" in plan, plan[:1200]
+    assert count_shuffles(df) <= 3, plan[:1200]
+
+
+def test_anisotropy_centroids_broadcast_back(spark, sf_dir):
+    # component rollup is combinable; the k-label centroid table must
+    # come back as a BROADCAST (never shuffle the corpus onto labels);
+    # per-row cosine stays a JVM fold
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_embed_anisotropy"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
