@@ -175,6 +175,9 @@ HEADLINE = [
     "q_text_mattr",
     "q_sql_qualify",
     "q_embed_anisotropy",
+    "q_agg_ols_multi",
+    "q_stream_late_audit",
+    "q_embed_outliers",
 ]
 
 

@@ -2945,3 +2945,111 @@ def q_agg_gmean(spark, sf_dir):
             "mean_harm"
         ),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_ols_multi",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    st AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx1x1,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx2x2,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx1x2,
+             CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM r GROUP BY g
+    ),
+    m AS (
+      SELECT g, n, sx1, sx2, sy,
+             CAST(n AS DOUBLE) * sx1x1 - sx1 * sx1 AS m11,
+             CAST(n AS DOUBLE) * sx2x2 - sx2 * sx2 AS m22,
+             CAST(n AS DOUBLE) * sx1x2 - sx1 * sx2 AS m12,
+             CAST(n AS DOUBLE) * sx1y - sx1 * sy AS v1,
+             CAST(n AS DOUBLE) * sx2y - sx2 * sy AS v2,
+             CAST(n AS DOUBLE) * syy - sy * sy AS tss
+      FROM st
+    ),
+    b AS (
+      SELECT g, n, sx1, sx2, sy, v1, v2, tss,
+             (v1 * m22 - v2 * m12) / (m11 * m22 - m12 * m12) AS b1,
+             (m11 * v2 - m12 * v1) / (m11 * m22 - m12 * m12) AS b2
+      FROM m
+    )
+    SELECT g AS l_returnflag, n,
+           round((sy - b1 * sx1 - b2 * sx2) / n / 100, 6) AS intercept,
+           round(b1 / 100, 6) + 0.0 AS beta_qty,
+           round(b2 / 100, 6) + 0.0 AS beta_disc_cent,
+           round((b1 * v1 + b2 * v2) / tss, 6) + 0.0 AS r2
+    FROM b ORDER BY l_returnflag
+    """,
+    doc="Two-predictor OLS per group (price ~ quantity + discount) via "
+    "the closed-form normal equations — q_agg_ols's multiple-"
+    "regression upgrade, the 'controlling for X' attribution readout "
+    "single regression can't give. Exactness: all nine sufficient "
+    "statistics are exact integer sums (DECIMAL(38,0) on Spark, "
+    "HUGEINT in DuckDB), cast to double ONCE, then the centered 2x2 "
+    "Cramer solve is the identical float expression on both engines — "
+    "the q_agg_spearman discipline applied to regression. Scale: one "
+    "map-side-combinable hash agg carrying 10 numbers per group; the "
+    "solve is O(1) arithmetic on the bounded group table — a 100 TB "
+    "regression costs exactly one aggregation pass. The same pattern "
+    "extends to k predictors with a k x k driver-side solve on exact "
+    "sums. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_ols_multi(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    r = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def s(expr, name):
+        return F.sum(expr.cast(dec)).cast("double").alias(name)
+
+    st = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        s(F.col("x1"), "sx1"),
+        s(F.col("x2"), "sx2"),
+        s(F.col("y"), "sy"),
+        s(F.col("x1") * F.col("x1"), "sx1x1"),
+        s(F.col("x2") * F.col("x2"), "sx2x2"),
+        s(F.col("x1") * F.col("x2"), "sx1x2"),
+        s(F.col("x1") * F.col("y"), "sx1y"),
+        s(F.col("x2") * F.col("y"), "sx2y"),
+        s(F.col("y") * F.col("y"), "syy"),
+    )
+    nd = F.col("n").cast("double")
+    m11 = nd * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    m22 = nd * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    m12 = nd * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    v1 = nd * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    v2 = nd * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    tss = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    det = m11 * m22 - m12 * m12
+    b1 = (v1 * m22 - v2 * m12) / det
+    b2 = (m11 * v2 - m12 * v1) / det
+    return st.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.round(
+            (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / F.col("n") / 100,
+            6,
+        ).alias("intercept"),
+        (F.round(b1 / 100, 6) + 0.0).alias("beta_qty"),
+        (F.round(b2 / 100, 6) + 0.0).alias("beta_disc_cent"),
+        (F.round((b1 * v1 + b2 * v2) / tss, 6) + 0.0).alias("r2"),
+    ).orderBy("l_returnflag")

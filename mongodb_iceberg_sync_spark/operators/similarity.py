@@ -1116,3 +1116,104 @@ def q_embed_anisotropy(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_OUT_TOPK = 5  # outliers reported per label
+
+
+@register(
+    "q_embed_outliers",
+    family="similarity",
+    oracle=f"""
+    WITH cn AS (
+      SELECT label, i,
+             CAST(sum(CAST(round(embedding[i]::DOUBLE * 1e7) AS BIGINT))
+               AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS n
+      FROM embeddings, range(1, 65) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(CAST(q AS DOUBLE) / 1e7 / n ORDER BY i) AS c
+      FROM cn GROUP BY label
+    ),
+    d AS (
+      SELECT e.label, e.vec_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e.embedding[i]::DOUBLE - c[i])
+                         * (e.embedding[i]::DOUBLE - c[i]))) AS d2
+      FROM embeddings e JOIN cent ON cent.label = e.label
+    ),
+    ranked AS (
+      SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2 DESC, vec_id) AS rn
+      FROM d
+    )
+    SELECT label, CAST(rn AS BIGINT) AS rn, vec_id,
+           round(sqrt(d2), 6) AS dist
+    FROM ranked WHERE rn <= {_OUT_TOPK}
+    ORDER BY label, rn
+    """,
+    doc="Embedding outlier mining: per label, the top-5 vectors "
+    "farthest (euclidean) from their label centroid — the standard "
+    "mislabeled-example / contamination sweep run before training on "
+    "labeled embeddings (far-from-centroid points are label noise or "
+    "novel modes; the data-cleaning companion to "
+    "q_embed_anisotropy's aggregate health readout). Exactness: "
+    "centroids from the same 1e-7-quantized exact component sums; "
+    "per-row squared distance is a sequential 64-term fold (bitwise "
+    "both engines); ranking carries a (d2 DESC, vec_id) total order. "
+    "Scale: centroid table broadcasts back; the per-label rank is one "
+    "shuffle on label with Spark's WindowGroupLimit forwarding only "
+    "k rows per map task — the corpus never sorts globally. Ref: no "
+    "reference counterpart — embedding-quality tier.",
+)
+def q_embed_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cn = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * 1e7).cast("long"))
+            .cast("long")
+            .alias("q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cent = cn.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("q").cast("double") / 1e7 / F.col("n")).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s.v,
+        ).alias("c"),
+    )
+    diffs = F.zip_with(
+        "embedding",
+        "c",
+        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, p: acc + p)
+    d = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        d.select("label", "vec_id", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _OUT_TOPK)
+        .select(
+            "label",
+            F.col("rn").cast("long").alias("rn"),
+            "vec_id",
+            F.round(F.sqrt("d2"), 6).alias("dist"),
+        )
+        .orderBy("label", "rn")
+    )

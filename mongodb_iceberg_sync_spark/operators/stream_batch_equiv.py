@@ -404,3 +404,112 @@ def q_stream_ivm(spark, sf_dir):
         F.col("n").alias("n_keys"),
         (F.round(F.col("s").cast("double"), 4) + 0.0).alias("sum_value"),
     )
+
+
+_LATE_D_US = 600_000_000  # 10-minute watermark delay, in microseconds
+_LATE_BLOCK = 10_000      # arrival-order block size for the two-pass max
+
+
+@register(
+    "q_stream_late_audit",
+    family="streaming",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+    ),
+    wm AS (
+      SELECT event_type, t_us,
+             max(t_us) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS seen_max
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN seen_max IS NOT NULL
+                          AND t_us < seen_max - {_LATE_D_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(CAST(sum(CASE WHEN seen_max IS NOT NULL
+                          AND t_us < seen_max - {_LATE_D_US}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS late_share,
+           CAST(coalesce(max(CASE WHEN seen_max IS NOT NULL
+                          AND t_us < seen_max - {_LATE_D_US}
+                         THEN seen_max - {_LATE_D_US} - t_us END), 0)
+             AS BIGINT) AS max_lateness_us
+    FROM wm GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Watermark late-arrival audit — BEFORE committing a streaming "
+    "job's watermark delay, replay the log and count what that delay "
+    "would drop: an event is late iff its event time is older than "
+    "the max event time seen earlier in ARRIVAL order (event_id) "
+    "minus the 10-min delay — exactly Structured Streaming's global "
+    "watermark rule (max-event-time - delay, applied in arrival "
+    "order). The observability twin of q_stream_watermark_dedup: that "
+    "op drops late rows, this one prices the drop rate per event "
+    "type so the delay can be tuned on data instead of folklore. "
+    "Exactness: all-integer microsecond arithmetic; one rounded "
+    "share division. Scale: the ORACLE's single running max is an "
+    "unpartitioned window — Spark instead runs the two-pass "
+    "q_sort_global_rank trick: per-block running max (window "
+    "partitioned by arrival block, balanced), plus a prefix max over "
+    "the bounded block table broadcast back — no single-reducer "
+    "window ever touches the fact. Ref: Spark Structured Streaming "
+    "watermark semantics (public docs) — streaming-observability "
+    "tier.",
+)
+def q_stream_late_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.expr(f"event_id div {_LATE_BLOCK}").alias("blk"),
+    )
+    # pass 1: bounded per-block stats (combinable)
+    blocks = arr.groupBy("blk").agg(F.max("t_us").alias("blk_max"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.select(
+        "blk", F.max("blk_max").over(wb).alias("prefix_max")
+    )
+    # pass 2: within-block running max (balanced partitions) + prefix
+    wr = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = arr.join(F.broadcast(prefix), "blk").select(
+        "event_type",
+        "t_us",
+        # Spark greatest() skips NULLs (returns NULL only if all args
+        # are), so block-1/row-1 edges degrade exactly like the
+        # oracle's running max over an empty frame
+        F.greatest(F.max("t_us").over(wr), F.col("prefix_max")).alias("seen_max"),
+    )
+    late = F.col("seen_max").isNotNull() & (
+        F.col("t_us") < F.col("seen_max") - _LATE_D_US
+    )
+    return (
+        wm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.round(
+                F.sum(F.when(late, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("late_share"),
+            F.coalesce(
+                F.max(
+                    F.when(late, F.col("seen_max") - _LATE_D_US - F.col("t_us"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_lateness_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -141,6 +141,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_mattr",
     "q_sql_qualify",
     "q_embed_anisotropy",
+    "q_agg_ols_multi",
+    "q_stream_late_audit",
+    "q_embed_outliers",
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

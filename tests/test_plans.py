@@ -1279,3 +1279,40 @@ def test_anisotropy_centroids_broadcast_back(spark, sf_dir):
     assert uses_broadcast_join(df), plan[:1200]
     assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ols_multi_single_combinable_agg(spark, sf_dir):
+    # nine sufficient stats ride ONE hash agg with map-side partials;
+    # the 2x2 solve is projection arithmetic — no window, no join
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
+    df = SPECS["q_agg_ols_multi"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    assert "Window" not in plan and "Join" not in plan, plan[:1200]
+    assert count_shuffles(df) <= 2, plan[:1200]
+
+
+def test_late_audit_two_pass_no_global_window(spark, sf_dir):
+    # the running max must NEVER be a single-partition window over the
+    # fact: the only fact-side window partitions by arrival block, and
+    # the prefix max runs on the bounded block table broadcast back
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_stream_late_audit"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "hashpartitioning(blk" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embed_outliers_window_group_limit(spark, sf_dir):
+    # centroids broadcast back; the per-label top-k rank must engage
+    # WindowGroupLimit so each map task forwards <= k rows per label
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_embed_outliers"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "WindowGroupLimit" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
