@@ -178,6 +178,9 @@ HEADLINE = [
     "q_agg_ols_multi",
     "q_stream_late_audit",
     "q_embed_outliers",
+    "q_ml_auc_by_group",
+    "q_graph_summary",
+    "q_events_new_vs_returning",
 ]
 
 

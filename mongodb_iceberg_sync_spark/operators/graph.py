@@ -1004,3 +1004,81 @@ def q_graph_clustering_coeff(spark, sf_dir):
         )
         .limit(_CC_TOPK)
     )
+
+
+@register(
+    "q_graph_summary",
+    family="graph",
+    oracle="""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaves,
+           round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS avg_degree,
+           round(CAST(sum(d) AS DOUBLE)
+                 / nullif(CAST(count(*) AS DOUBLE) * (count(*) - 1), 0), 6)
+             + 0.0 AS density
+    FROM deg
+    """,
+    doc="Graph profile card for the part co-purchase graph: node/edge "
+    "counts, max degree, leaf count, average degree and density — the "
+    "60-second sanity readout run before any expensive graph "
+    "algorithm (a density or max-degree surprise here predicts "
+    "whether the triangle/wedge family will be linear or a hub "
+    "explosion, and whether LSH-style caps are needed). Everything "
+    "derives from the degree table: sum(d)/2 = |E| by handshake, all "
+    "counts exact integers, two rounded divisions (density uses the "
+    "directed-pair denominator V*(V-1) with a nullif guard). Scale: "
+    "edge build is the one co-occurrence self-join; the profile "
+    "itself is one combinable agg over the O(V) degree table. Ref: "
+    "no reference counterpart — graph tier.",
+)
+def q_graph_summary(spark, sf_dir):
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = pp.alias("a"), pp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_leaves"),
+        F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 6).alias("avg_degree"),
+        (
+            F.round(
+                F.sum("d").cast("double")
+                / F.nullif(nd * (F.count(F.lit(1)) - 1), F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("density"),
+    )

@@ -1221,3 +1221,109 @@ def q_ml_group_fairness(spark, sf_dir):
             6,
         ) + 0.0).alias("fpr"),
     ).orderBy("grp")
+
+
+@register(
+    "q_ml_auc_by_group",
+    family="mleval",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % {_FAIR_GROUPS} AS BIGINT) AS grp,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(p) AS BIGINT) AS tp FROM u),
+    ex AS (
+      SELECT grp, u.s AS score,
+             CASE WHEN u.p * t.nu > t.tp THEN 1 ELSE 0 END AS label
+      FROM u CROSS JOIN tot t
+    ),
+    by_score AS (
+      SELECT grp, score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY grp, score
+    ),
+    ranked AS (
+      SELECT grp, pos, neg,
+             CAST(coalesce(sum(neg) OVER (PARTITION BY grp ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+      FROM by_score
+    )
+    SELECT grp,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (2.0 * nullif(sum(pos) * sum(neg), 0)), 6) + 0.0 AS auc
+    FROM ranked GROUP BY grp ORDER BY grp
+    """,
+    doc="Subgroup ROC AUC — q_ml_auc sliced by q_ml_group_fairness's "
+    "cohorts: does the score RANK as well within every group? The "
+    "ranking-quality half of a fairness review (a model can pass "
+    "demographic-parity checks while ranking one cohort at "
+    "coin-flip quality — this is the readout that catches it; labels "
+    "stay GLOBAL so cohorts are comparable). Same exact Mann-Whitney "
+    "identity on integer counts as q_ml_auc, windowed per group over "
+    "the bounded distinct-score table; degenerate one-class groups "
+    "degrade to NULL via nullif on both engines. Scale: one per-user "
+    "rollup, then everything runs on (groups x distinct scores) rows. "
+    "Ref: no reference counterpart — ML-eval/governance tier.",
+)
+def q_ml_auc_by_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("s"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp_"),
+    )
+    ex = u.join(F.broadcast(tot)).select(
+        (F.col("user_id") % _FAIR_GROUPS).cast("long").alias("grp"),
+        F.col("s").alias("score"),
+        F.when(F.col("p") * F.col("nu") > F.col("tp_"), 1).otherwise(0).alias("label"),
+    )
+    by_score = ex.groupBy("grp", "score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = by_score.select(
+        "grp",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long").alias("neg_below"),
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+                    ).cast("double")
+                    / (2.0 * F.nullif(F.sum("pos") * F.sum("neg"), F.lit(0))),
+                    6,
+                )
+                + 0.0
+            ).alias("auc"),
+        )
+        .orderBy("grp")
+    )

@@ -3258,3 +3258,59 @@ def q_timeseries_sma_crossover(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_events_new_vs_returning",
+    family="pipeline",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    firsts AS (SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id)
+    SELECT a.day,
+           CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning,
+           round(CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS new_share
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY a.day ORDER BY a.day
+    """,
+    doc="Daily active users decomposed into NEW vs RETURNING (growth "
+    "accounting): each active (user, day) is classified by whether "
+    "the day is that user's first-ever active day — the DAU "
+    "decomposition every growth dashboard leads with, complementary "
+    "to q_events_retention's cohort triangle and "
+    "q_events_stickiness's DAU/MAU ratio. Exactness: all integer "
+    "counts, one rounded share division; first-day is a combinable "
+    "min. Scale: one distinct-activity rollup (combinable), one "
+    "per-user min, one join co-partitioned on user_id, one "
+    "calendar-bounded day rollup — no window anywhere. Ref: no "
+    "reference counterpart — product-analytics tier.",
+)
+def q_events_new_vs_returning(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    activity = activity.localCheckpoint(eager=False)  # firsts + join read it
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = activity.join(firsts, "user_id")
+    new_f = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(new_f).cast("long").alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.round(F.sum(new_f).cast("double") / F.count(F.lit(1)), 6).alias(
+                "new_share"
+            ),
+        )
+        .orderBy("day")
+    )

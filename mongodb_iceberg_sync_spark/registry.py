@@ -144,6 +144,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_ols_multi",
     "q_stream_late_audit",
     "q_embed_outliers",
+    "q_ml_auc_by_group",
+    "q_graph_summary",
+    "q_events_new_vs_returning",
+    # ^ the 29 r7 debuts fill window slots 22..50 exactly: with the
+    #   21-name backlog in slots 1..21 the 50-query driver window
+    #   covers every never-checked name — nothing registered this
+    #   round can miss its stamp.
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

@@ -1316,3 +1316,35 @@ def test_embed_outliers_window_group_limit(spark, sf_dir):
     assert uses_broadcast_join(df), plan[:1200]
     assert "WindowGroupLimit" in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auc_by_group_window_on_bounded_table(spark, sf_dir):
+    # cumulative neg runs over (groups x distinct scores), PARTITIONED
+    # by grp; the only corpus pass is the combinable per-user rollup
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_ml_auc_by_group"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "hashpartitioning(grp" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graph_summary_single_agg_over_degrees(spark, sf_dir):
+    # the profile is one combinable agg over the O(V) degree table; no
+    # window, no Python, no triangle join
+    df = SPECS["q_graph_summary"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
+    assert "Window" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_new_vs_returning_no_window(spark, sf_dir):
+    # distinct-activity rollup + per-user min + co-partitioned join +
+    # day rollup: combinable aggs only, zero windows
+    df = SPECS["q_events_new_vs_returning"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1200]
+    assert "partial_min" in plan or "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
