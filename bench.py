@@ -181,6 +181,9 @@ HEADLINE = [
     "q_ml_auc_by_group",
     "q_graph_summary",
     "q_events_new_vs_returning",
+    "q_events_heatmap_dow_hour",
+    "q_sim_cos_histogram",
+    "q_profile_join_skew",
 ]
 
 

@@ -1366,3 +1366,74 @@ def q_sql_qualify(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+_SKEW_TOPK = 5
+
+
+@register(
+    "q_profile_join_skew",
+    family="joins",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt FROM k)
+    SELECT k.key, k.cnt,
+           round(CAST(k.cnt AS DOUBLE) / t.n_rows, 6) AS share,
+           round(k.cnt * 1.0 * t.n_keys / t.n_rows, 6) AS skew_x,
+           t.n_keys, t.n_rows,
+           round(CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n_rows, 6)
+             AS max_skew_x
+    FROM k CROSS JOIN tot t
+    ORDER BY k.cnt DESC, k.key
+    LIMIT {_SKEW_TOPK}
+    """,
+    doc="Join-key skew profiler: the top-5 heaviest lineitem join keys "
+    "with per-key share and skew factor (cnt*n_keys/n_rows — how many "
+    "times the average key this one is), plus the global max skew "
+    "factor — the diagnostic run BEFORE choosing between a plain "
+    "shuffle join, q_join_salted's salting, or AQE skew-join hints "
+    "(skew_x ~ 1 means don't bother; skew_x >> shuffle parallelism "
+    "means one straggler task owns the join). Exactness: counts are "
+    "exact; share and skew are cross-multiplied rationals of exact "
+    "integers, one rounded division each. Scale: one combinable "
+    "per-key rollup (the profile costs one aggregation of the fact), "
+    "a 1-row totals broadcast, TakeOrderedAndProject top-k — never a "
+    "global sort. Ref: no reference counterpart — ops-diagnostics "
+    "tier.",
+)
+def q_profile_join_skew(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = k.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return (
+        k.join(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("cnt") * 1.0 * F.col("n_keys") / F.col("n_rows"), 6).alias(
+                "skew_x"
+            ),
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"),
+                6,
+            ).alias("max_skew_x"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(_SKEW_TOPK)
+    )

@@ -3314,3 +3314,64 @@ def q_events_new_vs_returning(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_events_heatmap_dow_hour",
+    family="pipeline",
+    oracle="""
+    WITH cells AS (
+      SELECT extract(dow FROM ts) AS dow, extract(hour FROM ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(count(*) AS BIGINT) AS k FROM cells)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr, n,
+           round(CAST(cents AS DOUBLE) / n / 100, 6) AS avg_value,
+           round(n * 1.0 * t.k / t.tn, 6) AS traffic_index
+    FROM cells CROSS JOIN tot t
+    ORDER BY dow, hr
+    """,
+    doc="Activity heatmap over (day-of-week x hour): event count, "
+    "average value and traffic index per cell (index 1.0 = uniform "
+    "across observed cells, the q_timeseries_dow_index convention "
+    "extended to the 168-cell week) — the when-are-users-here matrix "
+    "behind staffing, batch-window placement and anomaly baselines. "
+    "Exactness: integer counts and exact cent sums; the index is a "
+    "cross-multiplied rational (n*k/tn, never an intermediate float "
+    "mean); dow via extract == Spark dayofweek-1. Scale: one "
+    "map-side-combinable rollup to <=168 cells; everything after is "
+    "arithmetic on the bounded table. Ref: no reference counterpart "
+    "— product-analytics tier.",
+)
+def q_events_heatmap_dow_hour(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "cents"
+        ),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hr").cast("long").alias("hr"),
+            "n",
+            F.round(F.col("cents").cast("double") / F.col("n") / 100, 6).alias(
+                "avg_value"
+            ),
+            F.round(F.col("n") * 1.0 * F.col("k") / F.col("tn"), 6).alias(
+                "traffic_index"
+            ),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -1217,3 +1217,77 @@ def q_embed_outliers(spark, sf_dir):
         )
         .orderBy("label", "rn")
     )
+
+
+_COSH_STRIDE = 37  # deterministic pair sample: (id, id + stride)
+
+
+@register(
+    "q_sim_cos_histogram",
+    family="similarity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id = a.vec_id + {_COSH_STRIDE}
+    ),
+    b AS (
+      SELECT CAST(floor(cos_sim * 10) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM b)
+    SELECT bucket, round(bucket / 10.0, 1) AS lo_edge, n_pairs,
+           round(CAST(n_pairs AS DOUBLE) / t.tp, 6) AS share
+    FROM b CROSS JOIN tot t ORDER BY bucket
+    """,
+    doc="Pairwise-cosine distribution histogram over a deterministic "
+    "stride-pair sample (each vector vs vec_id+37): the "
+    "embedding-geometry diagnostic that catches collapse (mass near "
+    "1.0), hubness (heavy right tail) or dead features (mass at 0) — "
+    "the distributional companion to q_embed_anisotropy's centroid "
+    "readout, and the calibration curve that picks thresholds for "
+    "q_dedup_embedding / q_sim_range_search. Exactness: the stride "
+    "pair sample is a pure function of ids (no RNG); per-pair cosine "
+    "is the sequential-fold oracle form (bitwise); bucket = "
+    "floor(cos*10) on identical floats; counts exact, one share "
+    "division. Scale: ONE self-equi-join on vec_id (co-partitioned, "
+    "1:1 — never a cross product), then a <=21-bucket rollup; sample "
+    "density tunes with the stride at no plan change. Ref: no "
+    "reference counterpart — embedding-quality tier.",
+)
+def q_sim_cos_histogram(spark, sf_dir):
+    from ..functions.vector import dot, norm
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = e.select(
+        (F.col("vec_id") - _COSH_STRIDE).alias("ida"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "ida").select(
+        (dot("va", "vb") / (norm("va") * norm("vb"))).alias("cos_sim")
+    )
+    buckets = pairs.groupBy(
+        F.floor(F.col("cos_sim") * 10).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    tot = buckets.agg(F.sum("n_pairs").cast("long").alias("tp"))
+    return (
+        buckets.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("lo_edge"),
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("tp"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("bucket")
+    )

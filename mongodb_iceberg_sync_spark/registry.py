@@ -147,10 +147,16 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_auc_by_group",
     "q_graph_summary",
     "q_events_new_vs_returning",
-    # ^ the 29 r7 debuts fill window slots 22..50 exactly: with the
-    #   21-name backlog in slots 1..21 the 50-query driver window
-    #   covers every never-checked name — nothing registered this
-    #   round can miss its stamp.
+    # ^ the first 29 r7 debuts fill window slots 22..50 exactly: with
+    #   the 21-name backlog in slots 1..21 the 50-query driver window
+    #   covers every never-checked name from rounds 1-6 plus these 29.
+    # v wave-5 debuts land BEHIND the full window (slots 51+) — they
+    #   carry oracle + plan pin + bench + probe on arrival and take
+    #   their driver stamp in the r8 window rotation, exactly how the
+    #   r6 debuts were stamped in r7.
+    "q_events_heatmap_dow_hour",
+    "q_sim_cos_histogram",
+    "q_profile_join_skew",
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

@@ -1348,3 +1348,37 @@ def test_new_vs_returning_no_window(spark, sf_dir):
     assert "Window" not in plan, plan[:1200]
     assert "partial_min" in plan or "partial_count" in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heatmap_bounded_cell_rollup(spark, sf_dir):
+    # one combinable rollup to <=168 cells; totals broadcast back
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_events_heatmap_dow_hour"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
+    assert "Window" not in plan, plan[:1200]
+
+
+def test_cos_histogram_equi_join_no_cross(spark, sf_dir):
+    # the stride pair sample must be ONE equi-join — never a nested
+    # loop / cartesian — feeding a bounded bucket rollup
+    df = SPECS["q_sim_cos_histogram"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan, plan[:1200]
+    assert "partial_count" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_skew_takeordered(spark, sf_dir):
+    # profile = one combinable rollup + 1-row totals broadcast +
+    # TakeOrderedAndProject — never a global sort of the key table
+    from mongodb_iceberg_sync_spark.plans.explain import uses_broadcast_join
+
+    df = SPECS["q_profile_join_skew"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert uses_broadcast_join(df), plan[:1200]
+    assert "partial_count" in plan, plan[:1200]
