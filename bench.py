@@ -184,6 +184,7 @@ HEADLINE = [
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",
     "q_profile_join_skew",
+    "q_timeseries_wow",
 ]
 
 

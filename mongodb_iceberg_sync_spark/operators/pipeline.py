@@ -3375,3 +3375,91 @@ def q_events_heatmap_dow_hour(spark, sf_dir):
         )
         .orderBy("dow", "hr")
     )
+
+
+@register(
+    "q_timeseries_wow",
+    family="timeseries",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, week, n, cents,
+             lag(n)     OVER w AS prev_n,
+             lag(cents) OVER w AS prev_cents
+      FROM weekly
+      WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    )
+    SELECT event_type, week, n,
+           round(CAST(cents AS DOUBLE) / 100, 2) AS value_total,
+           round(CAST(n - prev_n AS DOUBLE) / nullif(prev_n, 0), 6) + 0.0
+             AS wow_count_growth,
+           round(CAST(cents - prev_cents AS DOUBLE) / nullif(prev_cents, 0), 6)
+             + 0.0 AS wow_value_growth
+    FROM x WHERE prev_n IS NOT NULL
+    ORDER BY event_type, week
+    """,
+    doc="Week-over-week growth per event type (count and value): the "
+    "default KPI delta every weekly business review reads, and the "
+    "coarse companion to q_timeseries_ewma/seasonal (WoW deliberately "
+    "ignores within-week shape; the dow/heatmap indexes handle that). "
+    "Weeks are ISO Monday-truncated — Spark date_trunc('week') == "
+    "DuckDB date_trunc('week'). Exactness: integer counts and exact "
+    "cent sums; each growth rate is ONE rounded division of exact "
+    "integer deltas with a nullif zero-base guard on both engines. "
+    "Scale: one map-side-combinable (type, week) rollup; the lag "
+    "window runs on the calendar-bounded weekly table. Ref: no "
+    "reference counterpart — timeseries tier.",
+)
+def q_timeseries_wow(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    x = weekly.select(
+        "event_type",
+        "week",
+        "n",
+        "cents",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    return (
+        x.filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "week",
+            "n",
+            F.round(F.col("cents").cast("double") / 100, 2).alias("value_total"),
+            (
+                F.round(
+                    (F.col("n") - F.col("prev_n")).cast("double")
+                    / F.nullif(F.col("prev_n"), F.lit(0)),
+                    6,
+                )
+                + 0.0
+            ).alias("wow_count_growth"),
+            (
+                F.round(
+                    (F.col("cents") - F.col("prev_cents")).cast("double")
+                    / F.nullif(F.col("prev_cents"), F.lit(0)),
+                    6,
+                )
+                + 0.0
+            ).alias("wow_value_growth"),
+        )
+        .orderBy("event_type", "week")
+    )

@@ -157,6 +157,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",
     "q_profile_join_skew",
+    "q_timeseries_wow",
     # --- driver-checked r6 (all green) — rotated behind the debuts ---
     "q_cdc_pos_delete",
     "q_corpus_datacard",

@@ -1382,3 +1382,13 @@ def test_join_skew_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:1200]
     assert uses_broadcast_join(df), plan[:1200]
     assert "partial_count" in plan, plan[:1200]
+
+
+def test_wow_window_on_weekly_rollup(spark, sf_dir):
+    # the lag window must consume the (type, week) rollup — combinable
+    # partials below, window partitioned by event_type above
+    df = SPECS["q_timeseries_wow"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
+    assert "hashpartitioning(event_type" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
