@@ -2657,32 +2657,38 @@ def q_agg_spearman(spark, sf_dir):
     ),
     cd AS (
       SELECT a.g,
-             CAST(sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
-               AS BIGINT) AS conc,
-             CAST(sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
-               AS BIGINT) AS disc
+             -- pair counts grow O(n^2) per group: accumulate in HUGEINT
+             -- (cast each factor up BEFORE the product) and only narrow
+             -- to BIGINT at output, where the count is display-exact to
+             -- 2^63 pairs; the tau_b math casts straight to DOUBLE
+             sum(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c
+                 ELSE 0 END) AS conc,
+             sum(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c
+                 ELSE 0 END) AS disc
       FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
       GROUP BY a.g
     ),
     ties AS (
-      SELECT g, CAST(sum(c) AS BIGINT) AS n,
-             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS txy
-      FROM cells GROUP BY g
+      SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY g
     ),
     tx AS (
-      SELECT g, CAST(sum(nx * (nx - 1) // 2) AS BIGINT) AS tx
+      SELECT g, sum(CAST(nx AS HUGEINT) * (nx - 1) // 2) AS tx
       FROM (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY g, x)
       GROUP BY g
     ),
     ty AS (
-      SELECT g, CAST(sum(ny * (ny - 1) // 2) AS BIGINT) AS ty
+      SELECT g, sum(CAST(ny AS HUGEINT) * (ny - 1) // 2) AS ty
       FROM (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM cells GROUP BY g, y)
       GROUP BY g
     )
-    SELECT t.g AS l_returnflag, t.n, cd.conc AS concordant, cd.disc AS discordant,
+    SELECT t.g AS l_returnflag, t.n,
+           CAST(cd.conc AS BIGINT) AS concordant,
+           CAST(cd.disc AS BIGINT) AS discordant,
            round((CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
-                 / (sqrt(CAST(t.n * (t.n - 1) // 2 - tx.tx AS DOUBLE))
-                  * sqrt(CAST(t.n * (t.n - 1) // 2 - ty.ty AS DOUBLE))), 6) + 0.0
+                 / (sqrt(CAST(CAST(t.n AS HUGEINT) * (t.n - 1) // 2 - tx.tx
+                      AS DOUBLE))
+                  * sqrt(CAST(CAST(t.n AS HUGEINT) * (t.n - 1) // 2 - ty.ty
+                      AS DOUBLE))), 6) + 0.0
              AS tau_b
     FROM ties t JOIN cd ON cd.g = t.g JOIN tx ON tx.g = t.g JOIN ty ON ty.g = t.g
     ORDER BY l_returnflag
@@ -2694,10 +2700,12 @@ def q_agg_spearman(spark, sf_dir):
     "one hash agg to <=550 cells per group, then a cell self-join "
     "(<=550^2 tiny rows, broadcast) sums c_a*c_b per orientation — "
     "compute is O(cells^2), not O(rows^2), the identical trick at any "
-    "corpus size. All pair counts are exact integers (ties via "
-    "c*(c-1)/2, always even products); tau_b is one float expression "
-    "over exact ints, identical on both engines. Ref: no reference "
-    "counterpart — statistics tier.",
+    "corpus size. All pair counts are exact integers accumulated in "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — they grow O(n^2) per "
+    "group, so LONG would overflow past ~4.3e9 rows/group; ties via "
+    "c*(c-1)/2 (always even) are halved while still LONG then widened. "
+    "tau_b is one float expression over the exact wide ints, identical "
+    "on both engines. Ref: no reference counterpart — statistics tier.",
 )
 def q_agg_kendall(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -2710,7 +2718,24 @@ def q_agg_kendall(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("c")
     )
     cells = cells.localCheckpoint(eager=False)  # 5 consumers below
+    # conc/disc and the tie corrections grow O(n^2) per group — accumulate
+    # in DECIMAL(38,0) (the Spark twin of DuckDB's HUGEINT), casting each
+    # FACTOR up before the product so no intermediate ever sits in LONG.
+    # half_pairs(k) = k*(k-1)/2 without `div` (Spark's IntegralDivide
+    # returns LONG, which would re-narrow): k*(k-1) is always even, so
+    # halve whichever factor is even while still a LONG, then widen.
+    dec = "decimal(38,0)"
+
+    def half_pairs(k: str):
+        return F.expr(
+            f"CASE WHEN {k} % 2 = 0 "
+            f"THEN CAST({k} div 2 AS DECIMAL(38,0)) * ({k} - 1) "
+            f"ELSE CAST({k} AS DECIMAL(38,0)) * (({k} - 1) div 2) END"
+        ).cast(dec)
+
     a, b = cells.alias("a"), cells.alias("b")
+    pair = F.col("a.c").cast(dec) * F.col("b.c").cast(dec)
+    zero = F.lit(0).cast(dec)
     cd = (
         a.join(
             F.broadcast(b),
@@ -2718,34 +2743,27 @@ def q_agg_kendall(spark, sf_dir):
         )
         .groupBy(F.col("a.g").alias("g"))
         .agg(
-            F.sum(
-                F.when(F.col("b.y") > F.col("a.y"), F.col("a.c") * F.col("b.c"))
-                .otherwise(F.lit(0))
-            ).cast("long").alias("conc"),
-            F.sum(
-                F.when(F.col("b.y") < F.col("a.y"), F.col("a.c") * F.col("b.c"))
-                .otherwise(F.lit(0))
-            ).cast("long").alias("disc"),
+            F.sum(F.when(F.col("b.y") > F.col("a.y"), pair).otherwise(zero))
+            .cast(dec).alias("conc"),
+            F.sum(F.when(F.col("b.y") < F.col("a.y"), pair).otherwise(zero))
+            .cast(dec).alias("disc"),
         )
     )
-    ties = cells.groupBy("g").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("txy"),
-    )
+    ties = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
     tx = (
         cells.groupBy("g", "x")
         .agg(F.sum("c").cast("long").alias("nx"))
         .groupBy("g")
-        .agg(F.sum(F.expr("nx * (nx - 1) div 2")).cast("long").alias("tx"))
+        .agg(F.sum(half_pairs("nx")).cast(dec).alias("tx"))
     )
     ty = (
         cells.groupBy("g", "y")
         .agg(F.sum("c").cast("long").alias("ny"))
         .groupBy("g")
-        .agg(F.sum(F.expr("ny * (ny - 1) div 2")).cast("long").alias("ty"))
+        .agg(F.sum(half_pairs("ny")).cast(dec).alias("ty"))
     )
     st = ties.join(cd, "g").join(tx, "g").join(ty, "g")
-    n0 = F.expr("n * (n - 1) div 2")
+    n0 = half_pairs("n")
     tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / (
         F.sqrt((n0 - F.col("tx")).cast("double"))
         * F.sqrt((n0 - F.col("ty")).cast("double"))
@@ -2753,8 +2771,8 @@ def q_agg_kendall(spark, sf_dir):
     return st.select(
         F.col("g").alias("l_returnflag"),
         "n",
-        F.col("conc").alias("concordant"),
-        F.col("disc").alias("discordant"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
         (F.round(tau, 6) + 0.0).alias("tau_b"),
     ).orderBy("l_returnflag")
 
@@ -2884,11 +2902,15 @@ def q_agg_mutual_info(spark, sf_dir):
       FROM lineitem WHERE l_extendedprice > 0
     ),
     st AS (
+      -- sums stay in DuckDB's HUGEINT accumulator (no BIGINT narrowing:
+      -- s_inv alone can pass 2^63 near ~1e6 rows of small values) and
+      -- cast straight to DOUBLE in the final expressions, mirroring the
+      -- Spark DECIMAL(38,0) path
       SELECT g, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s_cents,
-             CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE)) * 1e9) AS BIGINT))
-               AS BIGINT) AS s_ln,
-             CAST(sum(CAST(round(1e15 / cents) AS BIGINT)) AS BIGINT) AS s_inv
+             sum(cents) AS s_cents,
+             sum(CAST(round(ln(CAST(cents AS DOUBLE)) * 1e9) AS BIGINT))
+               AS s_ln,
+             sum(CAST(round(1e15 / cents) AS BIGINT)) AS s_inv
       FROM r GROUP BY g
     )
     SELECT g AS l_returnflag, n,

@@ -378,25 +378,35 @@ def synthesize(
 
 
 def main() -> int:
-    only = None
-    tier100 = False
-    keep = False
-    for a in list(sys.argv[1:]):
-        if a.startswith("--only="):
-            only = a.split("=", 1)[1].split(",")
-            sys.argv.remove(a)
-        if a == "--tier=100":
-            tier100 = True
-            sys.argv.remove(a)
-        if a == "--keep":
-            keep = True
-            sys.argv.remove(a)
-    distinct_text = "--distinct-text" in sys.argv
-    if distinct_text:
-        sys.argv.remove("--distinct-text")
-    distinct_vector = "--distinct-vector" in sys.argv
-    if distinct_vector:
-        sys.argv.remove("--distinct-vector")
+    # argparse so --help prints usage (pre-r8 an unrecognized flag fell
+    # through to the positional out_dir and synthesized ~100 MB into a
+    # dash-prefixed directory in the CWD — ADVICE r7)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Synthesize N-replica copies of the sf0.1 fixture and "
+        "time probe queries at both tiers to catch super-linear scaling."
+    )
+    ap.add_argument("out_dir", nargs="?", default="/tmp/mis_scale_probe",
+                    help="directory for synthesized replica tables")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to run verbatim")
+    ap.add_argument("--tier", default=None, choices=["100"],
+                    help="run the 100x heavy tier instead of the 10x default")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the synthesized copy after the run")
+    ap.add_argument("--distinct-text", action="store_true",
+                    help="perturb document text per replica (no duplicate inflation)")
+    ap.add_argument("--distinct-vector", action="store_true",
+                    help="perturb embeddings per replica")
+    ns = ap.parse_args()
+    if ns.out_dir.startswith("-"):
+        ap.error(f"out_dir may not start with '-': {ns.out_dir!r}")
+    only = ns.only.split(",") if ns.only is not None else None
+    tier100 = ns.tier == "100"
+    keep = ns.keep
+    distinct_text = ns.distinct_text
+    distinct_vector = ns.distinct_vector
     # --only names run verbatim (they need not appear in the tier's
     # default list); without it the tier's default list runs in full
     base = only if only is not None else (HEAVY_100X if tier100 else PROBE_QUERIES)
@@ -405,7 +415,7 @@ def main() -> int:
     if unknown:
         print(f"unknown query names: {unknown}", file=sys.stderr)
         return 2
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_scale_probe"
+    out_dir = ns.out_dir
     spark = get_spark(app_name="mis-scale-probe")
     specs = all_specs()
 
