@@ -185,6 +185,25 @@ HEADLINE = [
     "q_sim_cos_histogram",
     "q_profile_join_skew",
     "q_timeseries_wow",
+    # round-8 debuts (wave 1: TPC-H completion — all 22 now present)
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    # round-8 debuts (wave 2: inferential statistics)
+    "q_agg_anova",
+    "q_agg_levene_bf",
+    "q_agg_fisher_exact",
+    "q_agg_jackknife",
+    "q_agg_hellinger",
+    "q_timeseries_mann_kendall",
+    # round-8 debuts (wave 3: momentum/volatility + assignment ops)
+    "q_timeseries_bollinger",
+    "q_timeseries_rsi",
+    "q_multimodal_aspect_bucket",
+    "q_sample_kfold",
+    "q_graph_jaccard",
 ]
 
 

@@ -3075,3 +3075,716 @@ def q_agg_ols_multi(spark, sf_dir):
         (F.round(b2 / 100, 6) + 0.0).alias("beta_disc_cent"),
         (F.round((b1 * v1 + b2 * v2) / tss, 6) + 0.0).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave 2: inferential statistics that stay one-pass at 100 TB.
+# Shared discipline: sufficient statistics are exact integers (DECIMAL/
+# HUGEINT where quadratic), per-group float terms are quantized to fixed-
+# point BIGINTs BEFORE any cross-group sum (order-insensitive), and the
+# final test statistic is one float expression of identical inputs.
+# ---------------------------------------------------------------------------
+
+# ln(k!) for k<=12 as exact decimal literals (identical doubles in both
+# engines); beyond 12 the Stirling series with three correction terms is
+# accurate to ~1e-12 relative — far inside the 1e-6 output rounding.
+_LNFACT_SMALL = (
+    "0.0", "0.0", "0.6931471805599453", "1.791759469228055",
+    "3.1780538303479458", "4.787491742782046", "6.579251212010101",
+    "8.525161361065415", "10.60460290274525", "12.801827480081469",
+    "15.104412573075516", "17.502307845873887", "19.987214495661885",
+)
+
+
+def _lf_sql(x: str) -> str:
+    """SQL text for ln((x)!), valid in BOTH Spark SQL and DuckDB.
+
+    CASE over exact literals to 12!, then Stirling:
+      n ln n - n + 0.5 ln(2 pi n) + 1/(12n) - 1/(360 n^3) + 1/(1260 n^5)
+    Engines may differ by ~1 ulp in ln/exp; every consumer rounds at 1e-6
+    with a 1e-7 comparison slack, so ulp noise cannot flip a result.
+    """
+    cases = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in enumerate(_LNFACT_SMALL)
+    )
+    n = f"CAST({x} AS DOUBLE)"
+    return (
+        f"(CASE CAST({x} AS BIGINT) {cases} ELSE "
+        f"{n}*ln({n}) - {n} + 0.5*ln(2*pi()*{n}) "
+        f"+ 1.0/(12*{n}) - 1.0/(360*{n}*{n}*{n}) "
+        f"+ 1.0/(1260*{n}*{n}*{n}*{n}*{n}) END)"
+    )
+
+
+@register(
+    "q_agg_anova",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS ss
+      FROM r GROUP BY g
+    ),
+    gq AS (
+      SELECT g, n, s, ss,
+             CAST(s AS DOUBLE) / n AS m,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / nullif(n - 1, 0) AS s2
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS stot,
+             CAST(sum(ss) AS DOUBLE) AS sstot,
+             CAST(sum(CAST(round(n * m * m * 1e6) AS BIGINT)) AS BIGINT)
+               AS qb,
+             CAST(sum(CAST(round(n / s2 * 1e9) AS BIGINT)) AS BIGINT) AS qw,
+             CAST(sum(CAST(round(n / s2 * m * 1e9) AS BIGINT)) AS BIGINT)
+               AS qwm
+      FROM gq
+    ),
+    welch2 AS (
+      SELECT t.k,
+             CAST(sum(CAST(round(
+               (n / s2) * pow(m - (t.qwm * 1.0 / t.qw), 2) * 1e9
+             ) AS BIGINT)) AS BIGINT) AS qa,
+             CAST(sum(CAST(round(
+               pow(1.0 - (n / s2 * 1e9) / t.qw, 2) / (n - 1) * 1e12
+             ) AS BIGINT)) AS BIGINT) AS qh
+      FROM gq CROSS JOIN tot t GROUP BY t.k
+    )
+    SELECT t.k AS k_groups, t.nn AS n_total,
+           round(
+             ((t.qb / 1e6 - CAST(t.stot AS DOUBLE) * t.stot / t.nn)
+                / (t.k - 1))
+             / nullif((t.sstot - t.qb / 1e6) / (t.nn - t.k), 0), 6) + 0.0
+             AS f_classic,
+           round(
+             (w2.qa / 1e9 / (t.k - 1))
+             / (1.0 + (2.0 * (t.k - 2) / (t.k * t.k - 1))
+                      * (w2.qh / 1e12)), 6) + 0.0 AS f_welch
+    FROM tot t CROSS JOIN welch2 w2
+    """,
+    doc="One-way ANOVA (classic F) + Welch's heteroscedastic F of "
+    "quantity across return-flag groups — the does-the-mean-differ "
+    "gate run before any segmentation claim; Welch is the variant "
+    "robust to unequal group variances. Exactness: per-group "
+    "sufficient stats (n, Σx, Σx²) are exact ints (Σx² in DECIMAL/"
+    "HUGEINT — quadratic in the value bound, not the row count, but "
+    "guarded anyway); every cross-group FLOAT term (n·m², w=n/s², "
+    "w·m, Welch's A and h terms) is quantized to fixed-point BIGINT "
+    "before its order-insensitive integer sum, so group iteration "
+    "order cannot move a bit. The two-pass Welch shape (means pass, "
+    "then deviations-from-weighted-mean pass) runs on the ≤|groups| "
+    "row table — free at any corpus size. Scale: ONE "
+    "map-side-combinable pass over the fact; everything after is "
+    "arithmetic on k rows. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_anova(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_quantity").cast("long").alias("x"),
+    )
+    dec = "decimal(38,0)"
+    grp = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("ss"),
+    )
+    gq = grp.select(
+        "g",
+        "n",
+        "s",
+        "ss",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ).alias("s2"),
+    )
+    gq = gq.localCheckpoint(eager=False)  # consumed by tot and welch2
+    tot = gq.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("stot"),
+        F.sum(F.col("ss")).cast("double").alias("sstot"),
+        F.sum(F.round(F.col("n") * F.col("m") * F.col("m") * 1e6).cast("long"))
+        .cast("long").alias("qb"),
+        F.sum(F.round(F.col("n") / F.col("s2") * 1e9).cast("long"))
+        .cast("long").alias("qw"),
+        F.sum(
+            F.round(F.col("n") / F.col("s2") * F.col("m") * 1e9).cast("long")
+        ).cast("long").alias("qwm"),
+    )
+    welch2 = (
+        gq.join(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("n") / F.col("s2"))
+                    * F.pow(
+                        F.col("m") - F.col("qwm") * 1.0 / F.col("qw"), F.lit(2.0)
+                    )
+                    * 1e9
+                ).cast("long")
+            ).cast("long").alias("qa"),
+            F.sum(
+                F.round(
+                    F.pow(
+                        1.0 - (F.col("n") / F.col("s2") * 1e9) / F.col("qw"),
+                        F.lit(2.0),
+                    )
+                    / (F.col("n") - 1)
+                    * 1e12
+                ).cast("long")
+            ).cast("long").alias("qh"),
+        )
+        .withColumnRenamed("k", "k2")
+    )
+    f_classic = (
+        (
+            F.col("qb") / 1e6
+            - F.col("stot").cast("double") * F.col("stot") / F.col("nn")
+        )
+        / (F.col("k") - 1)
+    ) / F.nullif(
+        (F.col("sstot") - F.col("qb") / 1e6) / (F.col("nn") - F.col("k")),
+        F.lit(0.0),
+    )
+    f_welch = (F.col("qa") / 1e9 / (F.col("k") - 1)) / (
+        1.0
+        + (2.0 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1))
+        * (F.col("qh") / 1e12)
+    )
+    return (
+        tot.join(F.broadcast(welch2))
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("nn").alias("n_total"),
+            (F.round(f_classic, 6) + 0.0).alias("f_classic"),
+            (F.round(f_welch, 6) + 0.0).alias("f_welch"),
+        )
+    )
+
+
+@register(
+    "q_agg_levene_bf",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    vc AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY g, x),
+    cum AS (
+      SELECT g, x, c,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM vc
+    ),
+    med AS (
+      SELECT g, min(x) AS med
+      FROM cum WHERE cc >= (n + 1) // 2 GROUP BY g
+    ),
+    dev AS (
+      SELECT r.g, abs(r.x - m.med) AS y
+      FROM r JOIN med m ON m.g = r.g
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS ss
+      FROM dev GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS stot,
+             CAST(sum(ss) AS DOUBLE) AS sstot,
+             CAST(sum(CAST(round(
+               n * (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n) * 1e6
+             ) AS BIGINT)) AS BIGINT) AS qb
+      FROM grp
+    )
+    SELECT gr.g AS l_returnflag, gr.n,
+           m.med AS median_qty,
+           round(CAST(gr.s AS DOUBLE) / gr.n, 6) + 0.0 AS mean_abs_dev,
+           round(
+             ((t.qb / 1e6 - CAST(t.stot AS DOUBLE) * t.stot / t.nn)
+                / (t.k - 1))
+             / nullif((t.sstot - t.qb / 1e6) / (t.nn - t.k), 0), 6) + 0.0
+             AS bf_stat
+    FROM grp gr JOIN med m ON m.g = gr.g CROSS JOIN tot t
+    ORDER BY l_returnflag
+    """,
+    doc="Brown-Forsythe (median-based Levene) test for equality of "
+    "variances of quantity across return-flag groups — the "
+    "check-before-you-pool gate that decides between q_agg_anova's "
+    "classic and Welch F. Exactness: the per-group median is the "
+    "LOWER median (smallest value whose cumulative count reaches "
+    "ceil(n/2)) computed from the bounded value-count table (<=50 "
+    "distinct quantities), so median and every deviation |x-med| are "
+    "exact integers — no interpolation ambiguity cross-engine; the "
+    "one-way F on deviations reuses the quantized-term discipline "
+    "(n·m² fixed-point before the cross-group sum). Scale: one "
+    "value-count agg (bounded cells) + one broadcast join-back + one "
+    "combinable sufficient-stats agg; the windows run on the "
+    "<=|groups|x50 cell table, never the fact. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_levene_bf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_quantity").cast("long").alias("x"),
+    )
+    vc = r.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.partitionBy("g").orderBy("x")
+    w_all = Window.partitionBy("g")
+    cum = vc.select(
+        "g",
+        "x",
+        F.sum("c").over(w_cum).cast("long").alias("cc"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    med = (
+        # integer ceil(n/2) — `div`, not `/`: float division would make
+        # the even-n threshold m+0.5 and skip the value sitting exactly
+        # at cumulative count n/2 (DuckDB's (n+1)//2 keeps it)
+        cum.filter(F.col("cc") >= F.expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("x").alias("med"))
+    )
+    dev = r.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("y")
+    )
+    dec = "decimal(38,0)"
+    grp = dev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("ss"),
+    )
+    grp = grp.localCheckpoint(eager=False)  # consumed twice below
+    m_d = F.col("s").cast("double") / F.col("n")
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("stot"),
+        F.sum("ss").cast("double").alias("sstot"),
+        F.sum(F.round(F.col("n") * m_d * m_d * 1e6).cast("long"))
+        .cast("long").alias("qb"),
+    )
+    bf = (
+        (
+            F.col("qb") / 1e6
+            - F.col("stot").cast("double") * F.col("stot") / F.col("nn")
+        )
+        / (F.col("k") - 1)
+    ) / F.nullif(
+        (F.col("sstot") - F.col("qb") / 1e6) / (F.col("nn") - F.col("k")),
+        F.lit(0.0),
+    )
+    return (
+        grp.join(F.broadcast(med), "g")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "n",
+            F.col("med").alias("median_qty"),
+            (F.round(F.col("s").cast("double") / F.col("n"), 6) + 0.0).alias(
+                "mean_abs_dev"
+            ),
+            (F.round(bf, 6) + 0.0).alias("bf_stat"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _fisher_oracle() -> str:
+    lf = _lf_sql
+    # log P(k) for the hypergeometric cell count k, margins r1/r2/c1, total nn
+    lp = (
+        f"({lf('r1')} - {lf('k')} - {lf('r1 - k')} "
+        f"+ {lf('r2')} - {lf('c1 - k')} - {lf('r2 - c1 + k')} "
+        f"- ({lf('nn')} - {lf('c1')} - {lf('nn - c1')}))"
+    )
+    lpa = lp.replace("'k'", "'a'")  # placeholder; built below instead
+    return f"""
+    WITH cells AS (
+      SELECT CAST(count(*) FILTER (hi AND ur) AS BIGINT)         AS a,
+             CAST(count(*) FILTER (hi AND NOT ur) AS BIGINT)     AS b,
+             CAST(count(*) FILTER (NOT hi AND ur) AS BIGINT)     AS c,
+             CAST(count(*) FILTER (NOT hi AND NOT ur) AS BIGINT) AS d
+      FROM (SELECT o_totalprice > 300000 AS hi,
+                   o_orderpriority = '1-URGENT' AS ur
+            FROM orders)
+    ),
+    marg AS (
+      SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS nn
+      FROM cells
+    ),
+    win AS (
+      -- enumerate only mode +/- 12 sigma: the tail outside is < 1e-30,
+      -- invisible at 1e-6 rounding, and the window is O(sqrt(N)) terms
+      SELECT m.*,
+             greatest(greatest(0, c1 - r2),
+               CAST(floor(c1*1.0*r1/nn
+                 - 12*sqrt(c1*1.0*r1/nn * (r2*1.0/nn)
+                           * ((nn-c1)*1.0/greatest(nn-1,1))) - 2) AS BIGINT))
+               AS klo,
+             least(least(c1, r1),
+               CAST(ceil(c1*1.0*r1/nn
+                 + 12*sqrt(c1*1.0*r1/nn * (r2*1.0/nn)
+                           * ((nn-c1)*1.0/greatest(nn-1,1))) + 2) AS BIGINT))
+               AS khi
+      FROM marg m
+    ),
+    obs AS (
+      SELECT w.*,
+             ({lf('r1')} - {lf('a')} - {lf('r1 - a')}
+              + {lf('r2')} - {lf('c1 - a')} - {lf('r2 - c1 + a')}
+              - ({lf('nn')} - {lf('c1')} - {lf('nn - c1')})) AS lpa
+      FROM win w
+    ),
+    terms AS (
+      SELECT a, b, c, d, nn, lpa, exp({lp}) AS pk
+      FROM (SELECT o.*, unnest(generate_series(o.klo, o.khi)) AS k
+            FROM obs o)
+    )
+    SELECT any_value(a) AS a, any_value(b) AS b,
+           any_value(c) AS c, any_value(d) AS d,
+           any_value(nn) AS n_total,
+           round(any_value(exp(lpa)), 6) + 0.0 AS p_observed,
+           round(sum(CASE WHEN pk <= exp(lpa) * (1 + 1e-7)
+                          THEN pk ELSE 0 END), 6) + 0.0 AS p_two_sided
+    FROM terms
+    GROUP BY a
+    """
+
+
+@register(
+    "q_agg_fisher_exact",
+    family="aggregates",
+    oracle=_fisher_oracle(),
+    doc="Fisher's exact test (two-sided) on the 2x2 of high-value "
+    "(totalprice>300k) x urgent-priority orders — the "
+    "contingency-independence test that stays valid when chi-square's "
+    "expected-count assumptions fail. The hypergeometric tail is "
+    "enumerated, not approximated — but only over mode±12σ of the "
+    "cell distribution (O(sqrt N) terms; the excluded tail is <1e-30, "
+    "invisible at 1e-6 rounding), so the enumeration stays feasible "
+    "at any corpus size where the test is still meaningful. "
+    "log-probabilities ride a shared ln(k!) kernel: exact literals to "
+    "12!, then a 3-term Stirling series (~1e-12 relative) — the "
+    "IDENTICAL SQL text runs on both engines, and the R-convention "
+    "(1+1e-7) inclusion slack absorbs cross-engine ulp noise in "
+    "ln/exp. Scale: one conditional-count pass over the fact → a "
+    "1-row margins table → a generated k-series; nothing after the "
+    "first agg touches the fact. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_fisher_exact(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    hi = F.col("o_totalprice") > 300000
+    ur = F.col("o_orderpriority") == "1-URGENT"
+    cells = o.agg(
+        F.sum(F.when(hi & ur, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(hi & ~ur, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~hi & ur, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~hi & ~ur, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    marg = cells.select(
+        "a", "b", "c", "d",
+        F.expr("a + b").alias("r1"),
+        F.expr("c + d").alias("r2"),
+        F.expr("a + c").alias("c1"),
+        F.expr("a + b + c + d").alias("nn"),
+    )
+    win = marg.select(
+        "*",
+        F.expr(
+            "greatest(greatest(0L, c1 - r2), CAST(floor(c1*1.0*r1/nn"
+            " - 12*sqrt(c1*1.0*r1/nn * (r2*1.0/nn)"
+            " * ((nn-c1)*1.0/greatest(nn-1,1))) - 2) AS BIGINT))"
+        ).alias("klo"),
+        F.expr(
+            "least(least(c1, r1), CAST(ceil(c1*1.0*r1/nn"
+            " + 12*sqrt(c1*1.0*r1/nn * (r2*1.0/nn)"
+            " * ((nn-c1)*1.0/greatest(nn-1,1))) + 2) AS BIGINT))"
+        ).alias("khi"),
+    )
+    lf = _lf_sql
+    lp_obs = (
+        f"({lf('r1')} - {lf('a')} - {lf('r1 - a')}"
+        f" + {lf('r2')} - {lf('c1 - a')} - {lf('r2 - c1 + a')}"
+        f" - ({lf('nn')} - {lf('c1')} - {lf('nn - c1')}))"
+    )
+    lp_k = (
+        f"({lf('r1')} - {lf('k')} - {lf('r1 - k')}"
+        f" + {lf('r2')} - {lf('c1 - k')} - {lf('r2 - c1 + k')}"
+        f" - ({lf('nn')} - {lf('c1')} - {lf('nn - c1')}))"
+    )
+    obs = win.select("*", F.expr(lp_obs).alias("lpa"))
+    terms = obs.select(
+        "a", "b", "c", "d", "nn", "lpa", "r1", "r2", "c1",
+        F.explode(F.expr("sequence(klo, khi)")).alias("k"),
+    ).select("*", F.expr(f"exp({lp_k})").alias("pk"))
+    return terms.groupBy("a").agg(
+        F.any_value("b").alias("b"),
+        F.any_value("c").alias("c"),
+        F.any_value("d").alias("d"),
+        F.any_value("nn").alias("n_total"),
+        (F.round(F.exp(F.any_value("lpa")), 6) + 0.0).alias("p_observed"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pk") <= F.exp(F.col("lpa")) * (1 + 1e-7),
+                        F.col("pk"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("p_two_sided"),
+    ).select("a", "b", "c", "d", "n_total", "p_observed", "p_two_sided")
+
+
+@register(
+    "q_agg_jackknife",
+    family="aggregates",
+    oracle="""
+    WITH b AS (
+      SELECT user_id % 32 AS bkt,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(sv) AS BIGINT) AS svt
+      FROM b
+    ),
+    pseudo AS (
+      SELECT t.nb, t.nn, t.svt,
+             -- leave-one-out theta converted back to ORIGINAL value
+             -- units (/1e4) BEFORE the 1e9 quantization: quantizing the
+             -- scaled theta made the squared-deviation sum overflow LONG
+             CAST(round(
+               (CAST(t.svt - b.sv AS DOUBLE) / (t.nn - b.n)) / 1e4 * 1e9
+             ) AS BIGINT) AS q_theta
+      FROM b CROSS JOIN tot t
+    ),
+    jk AS (
+      SELECT any_value(nb) AS nb, any_value(nn) AS nn,
+             any_value(svt) AS svt,
+             CAST(sum(q_theta) AS BIGINT) AS q_sum
+      FROM pseudo GROUP BY nb
+    ),
+    var_ AS (
+      SELECT j.nb, j.nn, j.svt,
+             sum(CAST(round(
+               pow(p.q_theta / 1e9 - j.q_sum / 1e9 / j.nb, 2) * 1e12
+             ) AS BIGINT)) AS q_var
+      FROM pseudo p CROSS JOIN jk j GROUP BY j.nb, j.nn, j.svt
+    )
+    SELECT nb AS n_buckets, nn AS n_events,
+           round(CAST(svt AS DOUBLE) / nn / 1e4, 6) + 0.0 AS theta,
+           round(sqrt((nb - 1.0) / nb * (q_var / 1e12)), 6) + 0.0
+             AS jk_se
+    FROM var_
+    """,
+    doc="Delete-one-bucket jackknife standard error of a ratio "
+    "estimator (mean event value = Σvalue/Σcount) over 32 "
+    "deterministic user_id%32 buckets — the one-extra-agg way to put "
+    "an error bar on ANY pipeline metric without bootstrap replicas "
+    "or a second data pass; user-level bucketing keeps within-user "
+    "correlation inside a bucket so the SE is honest under repeated "
+    "measures. Exactness: bucket sufficient stats are exact ints "
+    "(values quantized 1e4 at ingest); each leave-one-out theta is "
+    "ONE float division of exact ints, quantized 1e9 before the "
+    "cross-bucket sum; the variance pass re-reads only the 32-row "
+    "pseudo-value table (broadcast totals, zero extra fact passes). "
+    "Scale: one map-combinable 32-group agg over the fact; bucket "
+    "count fixed → driver-side arithmetic is O(1). Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_jackknife(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy((F.col("user_id") % 32).alias("bkt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("sv"),
+    )
+    b = b.localCheckpoint(eager=False)  # totals + pseudo both read it
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sv").cast("long").alias("svt"),
+    )
+    pseudo = b.join(F.broadcast(tot)).select(
+        "nb", "nn", "svt",
+        F.round(
+            ((F.col("svt") - F.col("sv")).cast("double") / (F.col("nn") - F.col("n")))
+            / 1e4
+            * 1e9
+        ).cast("long").alias("q_theta"),
+    )
+    pseudo = pseudo.localCheckpoint(eager=False)  # jk + var_ both read it
+    jk = pseudo.groupBy("nb").agg(
+        F.any_value("nn").alias("nn"),
+        F.any_value("svt").alias("svt"),
+        F.sum("q_theta").cast("long").alias("q_sum"),
+    ).withColumnRenamed("nb", "nb2")
+    var_ = (
+        pseudo.select("q_theta")
+        .join(F.broadcast(jk))
+        .groupBy("nb2", "nn", "svt")
+        .agg(
+            F.sum(
+                F.round(
+                    F.pow(
+                        F.col("q_theta") / 1e9
+                        - F.col("q_sum") / 1e9 / F.col("nb2"),
+                        F.lit(2.0),
+                    )
+                    * 1e12
+                ).cast("long")
+            ).alias("q_var")
+        )
+    )
+    return var_.select(
+        F.col("nb2").alias("n_buckets"),
+        F.col("nn").alias("n_events"),
+        (F.round(F.col("svt").cast("double") / F.col("nn") / 1e4, 6) + 0.0).alias(
+            "theta"
+        ),
+        (
+            F.round(
+                F.sqrt(
+                    (F.col("nb2") - 1.0) / F.col("nb2") * (F.col("q_var") / 1e12)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("jk_se"),
+    )
+
+
+@register(
+    "q_agg_hellinger",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS et,
+             least(greatest(CAST(floor(ln(value + 1.0) * 4) AS BIGINT), 0),
+                   39) AS bin
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(count(*) FILTER (et = 'purchase') AS BIGINT) AS cp,
+             CAST(count(*) FILTER (et = 'click') AS BIGINT) AS cq
+      FROM r GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM cells
+    ),
+    q AS (
+      SELECT t.np, t.nq, t.n_bins,
+             CAST(sum(CAST(round(
+               sqrt((c.cp * 1.0 / t.np) * (c.cq * 1.0 / t.nq)) * 1e9
+             ) AS BIGINT)) AS BIGINT) AS q_bc
+      FROM cells c CROSS JOIN tot t
+      GROUP BY t.np, t.nq, t.n_bins
+    )
+    SELECT np AS n_p, nq AS n_q, n_bins,
+           round(sqrt(greatest(1.0 - q_bc / 1e9, 0.0)), 6) + 0.0
+             AS hellinger,
+           round(1.0 - q_bc / 1e9, 6) + 0.0 AS h_squared
+    FROM q
+    """,
+    doc="Hellinger distance between the value distributions of two "
+    "event types over a fixed 40-bin log grid — the bounded-[0,1] "
+    "distribution-drift metric (sibling of q_text_jsd_drift for "
+    "numeric columns): symmetric, metric (triangle inequality holds, "
+    "unlike JSD's square root caveats), and the standard gate for "
+    "'did this segment's spend distribution shift'. Exactness: bin "
+    "ids are floor(ln(v+1)·4) clamped to [0,39] — floor of a float "
+    "is ulp-stable away from integer boundaries (measure-zero risk, "
+    "same stance as every binned query here); bin counts are exact "
+    "ints; each per-bin sqrt(p·q) term is quantized 1e9 before the "
+    "order-insensitive integer sum; BC→H is one final float "
+    "expression. Scale: one combinable 40-cell conditional-count "
+    "agg over the fact; everything after is arithmetic on ≤40 rows. "
+    "Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_hellinger(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    r = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("et"),
+        F.least(
+            F.greatest(
+                F.floor(F.log(F.col("value") + 1.0) * 4).cast("long"), F.lit(0)
+            ),
+            F.lit(39),
+        ).alias("bin"),
+    )
+    cells = r.groupBy("bin").agg(
+        F.sum(F.when(F.col("et") == "purchase", 1).otherwise(0))
+        .cast("long").alias("cp"),
+        F.sum(F.when(F.col("et") == "click", 1).otherwise(0))
+        .cast("long").alias("cq"),
+    )
+    cells = cells.localCheckpoint(eager=False)  # tot + q both read it
+    tot = cells.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    q = (
+        cells.join(F.broadcast(tot))
+        .groupBy("np", "nq", "n_bins")
+        .agg(
+            F.sum(
+                F.round(
+                    F.sqrt(
+                        (F.col("cp") * 1.0 / F.col("np"))
+                        * (F.col("cq") * 1.0 / F.col("nq"))
+                    )
+                    * 1e9
+                ).cast("long")
+            ).cast("long").alias("q_bc")
+        )
+    )
+    return q.select(
+        F.col("np").alias("n_p"),
+        F.col("nq").alias("n_q"),
+        "n_bins",
+        (
+            F.round(F.sqrt(F.greatest(1.0 - F.col("q_bc") / 1e9, F.lit(0.0))), 6)
+            + 0.0
+        ).alias("hellinger"),
+        (F.round(1.0 - F.col("q_bc") / 1e9, 6) + 0.0).alias("h_squared"),
+    )

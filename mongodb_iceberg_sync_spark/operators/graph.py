@@ -1082,3 +1082,102 @@ def q_graph_summary(spark, sf_dir):
             + 0.0
         ).alias("density"),
     )
+
+
+_JC_MAX_DEG = 128
+_JC_TOPK = 20
+
+
+@register(
+    "q_graph_jaccard",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY s),
+    cdeg AS (
+      SELECT c, count(*) AS d FROM pairs GROUP BY c
+      HAVING count(*) BETWEEN 2 AND {_JC_MAX_DEG}
+    ),
+    kept AS (SELECT p.s, p.c FROM pairs p JOIN cdeg d ON d.c = p.c),
+    co AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT co.s1, co.s2, co.shared,
+           CAST(d1.d AS BIGINT) AS deg1, CAST(d2.d AS BIGINT) AS deg2,
+           round(CAST(co.shared AS DOUBLE)
+                 / (d1.d + d2.d - co.shared), 6) + 0.0 AS jaccard
+    FROM co JOIN sdeg d1 ON d1.s = co.s1 JOIN sdeg d2 ON d2.s = co.s2
+    ORDER BY co.shared * 1000000 // (d1.d + d2.d - co.shared) DESC, s1, s2
+    LIMIT {_JC_TOPK}
+    """,
+    doc="Neighbor-set Jaccard similarity for supplier pairs over shared "
+    "customers — |N(a)∩N(b)| / |N(a)∪N(b)|, the normalized sibling of "
+    "q_graph_common_neighbors (raw overlap) and q_graph_adamic_adar "
+    "(hub-discounted overlap): Jaccard is the one that's comparable "
+    "across degree scales, the same measure the dedup tier uses on "
+    "shingle sets. Wedge enumeration keyed on the shared customer "
+    f"with hubs above degree {_JC_MAX_DEG} dropped BEFORE any wedge "
+    "is emitted (the d² emitters; same principled valve as "
+    "adamic_adar) — but degrees for the UNION come from the full "
+    "pair set, so the denominator is exact even where hub-mediated "
+    "intersections are sparsified away. Determinism: the top-k "
+    "ORDER BY rides the exact integer rational shared·1e6/union "
+    "(no float argsort), ties broken on (s1,s2). Scale: degree agg + "
+    "capped wedge join are combinable; top-k is "
+    "TakeOrderedAndProject. Ref: no reference counterpart — graph "
+    "tier.",
+)
+def q_graph_jaccard(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("o_custkey").cast("long").alias("c"),
+        )
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # sdeg + wedges read it
+    sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cdeg = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter((F.col("cd") >= 2) & (F.col("cd") <= _JC_MAX_DEG))
+        .select("c")
+    )
+    kept = pairs.join(F.broadcast(cdeg), "c")
+    a, b = kept.alias("a"), kept.alias("b")
+    co = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    un = F.col("deg1") + F.col("deg2") - F.col("shared")
+    return (
+        co.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .orderBy(
+            F.desc(F.expr("shared * 1000000 div (deg1 + deg2 - shared)")),
+            "s1",
+            "s2",
+        )
+        .limit(_JC_TOPK)
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            "deg1",
+            "deg2",
+            (F.round(F.col("shared").cast("double") / un, 6) + 0.0).alias(
+                "jaccard"
+            ),
+        )
+    )

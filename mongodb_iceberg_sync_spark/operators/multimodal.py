@@ -423,3 +423,85 @@ def q_multimodal_shard_pack(spark, sf_dir):
     return pack_shards(
         blobs, budget=16384, weight=F.octet_length("payload").cast("long")
     ).select("doc_id", F.col("n_tokens").alias("n_bytes"), "shard_id")
+
+
+@register(
+    "q_multimodal_aspect_bucket",
+    family="multimodal",
+    oracle="""
+    WITH dims AS (
+      -- deterministic STUB dims (no decoder in this container): same
+      -- doc_id-derived fake as decode_stub_batches, mirrored here so
+      -- the oracle verifies the bucketing arithmetic end-to-end
+      SELECT d.doc_id,
+             CAST(256 + (d.doc_id % 97) * 8 AS BIGINT) AS w,
+             CAST(256 + (d.doc_id % 71) * 8 AS BIGINT) AS h
+      FROM documents d
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             -- 0.22314355131420976 == ln(1.25) as an exact shared literal
+             -- (one engine's libm could differ by 1 ulp from the other's)
+             least(greatest(CAST(floor(ln(w * 1.0 / h)
+                                       / 0.22314355131420976) AS BIGINT),
+                            -4), 4) AS bucket
+      FROM dims
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(w * h) AS BIGINT) AS min_pixels,
+           CAST(max(w * h) AS BIGINT) AS max_pixels,
+           round(sum(w * 1.0) / sum(h), 6) + 0.0 AS mean_aspect_w
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Aspect-ratio bucketing for image-batch training (the SDXL-"
+    "style trick: group images into log-spaced aspect buckets so each "
+    "GPU batch shares one padded shape — mixed aspects waste ~30% of "
+    "pixels as padding): bucket = floor(ln(w/h)/ln(1.25)) clamped to "
+    "±4, with per-bucket counts and pixel ranges — the table a "
+    "dataloader partitions by. Dims come from the SAME deterministic "
+    "doc_id-derived stub as q_multimodal_decode (no real decoder in "
+    "this container — the bucketing arithmetic, grouping and oracle "
+    "parity are what's tested; swap the dims CTE for real decode "
+    "output in production). Exactness: dims and pixel counts exact "
+    "ints; the bucket floor is ulp-stable away from bin edges "
+    "(measure-zero, the standard binning stance); mean aspect is one "
+    "weighted-rational division of exact sums. Scale: pure map + one "
+    "combinable ≤9-cell agg; no shuffle beyond the 9 groups. Ref: "
+    "reference treats media as opaque (docs/design.md:418 binary "
+    "passthrough); north-star multimodal tier.",
+)
+def q_multimodal_aspect_bucket(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    dims = d.select(
+        "doc_id",
+        (256 + (F.col("doc_id") % 97) * 8).cast("long").alias("w"),
+        (256 + (F.col("doc_id") % 71) * 8).cast("long").alias("h"),
+    )
+    b = dims.select(
+        "doc_id",
+        "w",
+        "h",
+        F.least(
+            F.greatest(
+                F.floor(
+                    F.log(F.col("w") * 1.0 / F.col("h"))
+                    / F.lit(0.22314355131420976)  # ln(1.25), shared literal
+                ).cast("long"),
+                F.lit(-4),
+            ),
+            F.lit(4),
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min(F.col("w") * F.col("h")).cast("long").alias("min_pixels"),
+            F.max(F.col("w") * F.col("h")).cast("long").alias("max_pixels"),
+            (
+                F.round(F.sum(F.col("w") * 1.0) / F.sum(F.col("h")), 6) + 0.0
+            ).alias("mean_aspect_w"),
+        )
+        .orderBy("bucket")
+    )

@@ -3463,3 +3463,298 @@ def q_timeseries_wow(spark, sf_dir):
         )
         .orderBy("event_type", "week")
     )
+
+
+@register(
+    "q_timeseries_mann_kendall",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    s AS (
+      SELECT a.et,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON a.et = b.et AND a.d < b.d
+      GROUP BY a.et
+    ),
+    ties AS (
+      SELECT et, CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18
+      FROM (SELECT et, c, CAST(count(*) AS BIGINT) AS tc
+            FROM daily GROUP BY et, c)
+      GROUP BY et
+    ),
+    nd AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY et)
+    SELECT nd.et AS event_type, nd.n AS n_days, s.s_stat,
+           CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie18 AS BIGINT)
+             AS var18,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1.0) ELSE
+                      CASE WHEN s.s_stat < 0 THEN (s.s_stat + 1.0)
+                           ELSE 0.0 END END
+                 / sqrt((nd.n * (nd.n - 1.0) * (2 * nd.n + 5) - ties.tie18)
+                        / 18.0), 6) + 0.0 AS z_score,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM nd JOIN s ON s.et = nd.et JOIN ties ON ties.et = nd.et
+    ORDER BY event_type
+    """,
+    doc="Mann-Kendall trend test per event type on the daily-count "
+    "series — the nonparametric is-volume-trending gate (no "
+    "normality or linearity assumption; robust to outlier days), "
+    "with the tie-corrected variance and the ±1 continuity "
+    "correction. Exactness: S and the tie term Σt(t-1)(2t+5) are "
+    "exact integers from the CALENDAR-BOUNDED daily rollup (≤366 "
+    "days/type regardless of corpus size, so the O(days²) pair "
+    "self-join is ≤67k tiny rows per type — never O(rows²)); var18 "
+    "is emitted as the exact integer 18·Var(S); z is one float "
+    "expression of exact ints. Scale: one combinable daily rollup "
+    "over the fact, then arithmetic on the grid. Ref: no reference "
+    "counterpart — timeseries tier.",
+)
+def q_timeseries_mann_kendall(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # 3 consumers below
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.et") == F.col("b.et")) & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.et").alias("et"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("et", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("et")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            ).cast("long").alias("tie18")
+        )
+    )
+    nd = daily.groupBy("et").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    var18_f = (
+        F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) - F.col("tie18")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1.0))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1.0))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var18_f)
+    return (
+        nd.join(s, "et")
+        .join(ties, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n").alias("n_days"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            ).cast("long").alias("var18"),
+            (F.round(z, 6) + 0.0).alias("z_score"),
+            F.when(F.col("s_stat") > 0, F.lit("increasing"))
+            .when(F.col("s_stat") < 0, F.lit("decreasing"))
+            .otherwise(F.lit("no trend"))
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_timeseries_bollinger",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY et, d
+    ),
+    w AS (
+      SELECT et, d, sv,
+             CAST(count(*) OVER fr AS BIGINT) AS nw,
+             CAST(sum(sv) OVER fr AS BIGINT) AS sw,
+             CAST(sum(CAST(sv AS HUGEINT) * sv) OVER fr AS DOUBLE) AS ssw
+      FROM daily
+      WINDOW fr AS (PARTITION BY et ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT et AS event_type, d AS day,
+           round(sv / 1e4, 6) + 0.0 AS daily_value,
+           round(CAST(sw AS DOUBLE) / nw / 1e4, 6) + 0.0 AS ma7,
+           round(sqrt(greatest(
+             ssw / nw - (CAST(sw AS DOUBLE) / nw) * (CAST(sw AS DOUBLE) / nw),
+             0.0)) / 1e4, 6) + 0.0 AS sigma7,
+           CASE WHEN sv * 1.0 > CAST(sw AS DOUBLE) / nw
+                     + 2 * sqrt(greatest(ssw / nw
+                       - (CAST(sw AS DOUBLE)/nw) * (CAST(sw AS DOUBLE)/nw),
+                       0.0)) THEN 'above'
+                WHEN sv * 1.0 < CAST(sw AS DOUBLE) / nw
+                     - 2 * sqrt(greatest(ssw / nw
+                       - (CAST(sw AS DOUBLE)/nw) * (CAST(sw AS DOUBLE)/nw),
+                       0.0)) THEN 'below'
+                ELSE 'inside' END AS band
+    FROM w WHERE nw = 7
+    ORDER BY event_type, day
+    """,
+    doc="Bollinger bands (7-day rolling mean ± 2σ) on daily value per "
+    "event type, with the above/inside/below band flag — the "
+    "volatility-normalized is-today-unusual check that q_events_"
+    "anomaly's fixed-threshold variant can't give. Exactness: daily "
+    "sums are exact 1e4-quantized ints; rolling mean and σ are float "
+    "expressions of exact window sums (Σ, Σ² — the square in DECIMAL/"
+    "HUGEINT) over a ROWS frame whose order key (et, day) is unique, "
+    "so both engines see identical frames; only full 7-day windows "
+    "emit (partial-frame rows differ in no way worth modeling). "
+    "Scale: the window runs on the CALENDAR-BOUNDED daily rollup "
+    "(≤366 rows/type at any corpus size), never the fact; one "
+    "combinable rollup pass is the only fact-sized work. Ref: no "
+    "reference counterpart — timeseries tier.",
+)
+def q_timeseries_bollinger(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("sv"))
+    fr = (
+        Window.partitionBy("et").orderBy("d").rowsBetween(-6, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    w = daily.select(
+        "et",
+        "d",
+        "sv",
+        F.count(F.lit(1)).over(fr).cast("long").alias("nw"),
+        F.sum("sv").over(fr).cast("long").alias("sw"),
+        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).over(fr)
+        .cast("double").alias("ssw"),
+    )
+    mean = F.col("sw").cast("double") / F.col("nw")
+    sig = F.sqrt(
+        F.greatest(F.col("ssw") / F.col("nw") - mean * mean, F.lit(0.0))
+    )
+    return (
+        w.filter(F.col("nw") == 7)
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("d").alias("day"),
+            (F.round(F.col("sv") / 1e4, 6) + 0.0).alias("daily_value"),
+            (F.round(mean / 1e4, 6) + 0.0).alias("ma7"),
+            (F.round(sig / 1e4, 6) + 0.0).alias("sigma7"),
+            F.when(F.col("sv") * 1.0 > mean + 2 * sig, F.lit("above"))
+            .when(F.col("sv") * 1.0 < mean - 2 * sig, F.lit("below"))
+            .otherwise(F.lit("inside"))
+            .alias("band"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q_timeseries_rsi",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY et, d
+    ),
+    delta AS (
+      SELECT et, d,
+             sv - lag(sv) OVER (PARTITION BY et ORDER BY d) AS ch
+      FROM daily
+    ),
+    gl AS (
+      SELECT et, d,
+             CAST(greatest(ch, 0) AS BIGINT) AS gain,
+             CAST(greatest(-ch, 0) AS BIGINT) AS loss
+      FROM delta WHERE ch IS NOT NULL
+    ),
+    w AS (
+      SELECT et, d,
+             CAST(count(*) OVER fr AS BIGINT) AS nw,
+             CAST(sum(gain) OVER fr AS BIGINT) AS ag,
+             CAST(sum(loss) OVER fr AS BIGINT) AS al
+      FROM gl
+      WINDOW fr AS (PARTITION BY et ORDER BY d
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT et AS event_type, d AS day,
+           round(100.0 * ag / nullif(ag + al, 0), 6) + 0.0 AS rsi14
+    FROM w WHERE nw = 14
+    ORDER BY event_type, day
+    """,
+    doc="RSI-14 (Cutler's simple-average variant — SMA of gains/losses, "
+    "the window-expressible form; Wilder's EMA recursion is "
+    "q_timeseries_ewma's territory) on daily value per event type — "
+    "the bounded-[0,100] momentum oscillator. Exactness: day-over-day "
+    "deltas of exact 1e4-quantized daily sums are exact ints; gains/"
+    "losses exact; the 14-row frame sums are exact ints; RSI = "
+    "100·ag/(ag+al) is ONE float division with a nullif zero guard "
+    "(algebraically identical to 100−100/(1+RS) without the "
+    "divide-by-zero-loss hole). Scale: lag + frame windows run on the "
+    "calendar-bounded daily rollup (≤366 rows/type), one combinable "
+    "fact pass. Ref: no reference counterpart — timeseries tier.",
+)
+def q_timeseries_rsi(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("sv"))
+    lagw = Window.partitionBy("et").orderBy("d")
+    delta = daily.select(
+        "et", "d", (F.col("sv") - F.lag("sv").over(lagw)).alias("ch")
+    ).filter(F.col("ch").isNotNull())
+    gl = delta.select(
+        "et",
+        "d",
+        F.greatest(F.col("ch"), F.lit(0)).cast("long").alias("gain"),
+        F.greatest(-F.col("ch"), F.lit(0)).cast("long").alias("loss"),
+    )
+    fr = (
+        Window.partitionBy("et").orderBy("d").rowsBetween(-13, Window.currentRow)
+    )
+    w = gl.select(
+        "et",
+        "d",
+        F.count(F.lit(1)).over(fr).cast("long").alias("nw"),
+        F.sum("gain").over(fr).cast("long").alias("ag"),
+        F.sum("loss").over(fr).cast("long").alias("al"),
+    )
+    return (
+        w.filter(F.col("nw") == 14)
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("d").alias("day"),
+            (
+                F.round(
+                    100.0 * F.col("ag") / F.nullif(
+                        (F.col("ag") + F.col("al")).cast("double"), F.lit(0.0)
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("rsi14"),
+        )
+        .orderBy("event_type", "day")
+    )

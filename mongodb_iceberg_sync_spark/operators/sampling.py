@@ -465,3 +465,63 @@ def q_sample_coreset(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "q_sample_kfold",
+    family="sampling",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id % 5 AS fold, user_id, event_type,
+             CAST(round(value * 1e4) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE)
+                 / count(*), 6) + 0.0 AS purchase_share,
+           round(sum(v) / 1e4, 4) + 0.0 AS value_sum
+    FROM tagged GROUP BY fold ORDER BY fold
+    """,
+    doc="Deterministic 5-fold cross-validation assignment at the USER "
+    "level (fold = user_id % 5): every event of a user lands in "
+    "exactly one fold, so no user leaks across train/validation "
+    "splits — the grouped-CV discipline that row-level random splits "
+    "silently violate on repeated-measures data. The per-fold balance "
+    "report (events, users, label share, value mass) is the "
+    "before-you-train sanity table; the modulo is engine-independent "
+    "and retry-stable, the same determinism stance as q_sample_hash "
+    "(which covers content-hash splits; this covers entity-keyed "
+    "folds). Exactness: counts exact; shares one division of exact "
+    "counts; value mass an exact 1e4-quantized integer sum. Scale: "
+    "one combinable 5-group agg; count(DISTINCT user) re-shuffles "
+    "only (fold, user) pairs. Ref: no reference counterpart — "
+    "sampling tier.",
+)
+def q_sample_kfold(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        (F.col("user_id") % 5).alias("fold"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1e4).cast("long").alias("v"),
+    )
+    return (
+        tagged.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + 0.0
+            ).alias("purchase_share"),
+            (F.round(F.sum("v") / 1e4, 4) + 0.0).alias("value_sum"),
+        )
+        .orderBy("fold")
+    )

