@@ -204,6 +204,12 @@ HEADLINE = [
     "q_multimodal_aspect_bucket",
     "q_sample_kfold",
     "q_graph_jaccard",
+    # round-8 debuts (wave 4: pipeline quality + SQL portability)
+    "q_dedup_softdedup",
+    "q_sim_recall_at_k",
+    "q_sql_groupby_all",
+    "q_sql_distinct_on",
+    "q_events_cuped",
 ]
 
 

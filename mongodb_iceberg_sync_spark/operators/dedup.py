@@ -1074,3 +1074,79 @@ def q_dedup_url(spark, sf_dir):
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+@register(
+    "q_dedup_softdedup",
+    family="dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    clus AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY h
+    ),
+    wdocs AS (
+      SELECT d.source, d.toks, cl.c,
+             CAST(round(d.toks * 1e6 / cl.c) AS BIGINT) AS eff_q
+      FROM docs d JOIN clus cl ON cl.h = d.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_singletons,
+           CAST(sum(toks) AS BIGINT) AS raw_tokens,
+           round(sum(eff_q) / 1e6, 4) + 0.0 AS effective_tokens,
+           round(CAST(sum(toks) AS DOUBLE) / (sum(eff_q) / 1e6), 6) + 0.0
+             AS inflation
+    FROM wdocs GROUP BY source ORDER BY source
+    """,
+    doc="SoftDeDup re-weighting per source (the modern alternative to "
+    "hard dedup — He et al. 2024, FineWeb ablations): instead of "
+    "dropping duplicates, each document gets sampling weight 1/c "
+    "where c is its exact-hash cluster size, so the EFFECTIVE token "
+    "mass of every duplicated text equals one copy while keeping all "
+    "surface forms available. Reports per-source raw vs effective "
+    "tokens and the inflation ratio — the table that reweights a "
+    "training mixture (feeds q_mix_token_budget). Exactness: md5 "
+    "cluster sizes and whitespace token counts are exact ints; each "
+    "doc's toks/c is ONE float division quantized to 1e6 fixed-point "
+    "before the order-insensitive per-source sum. Scale: one hash "
+    "agg on md5 (16-byte keys), one co-keyed join-back, one "
+    "combinable per-source rollup — exactly q_dedup_exact's plan "
+    "plus a broadcast-sized cluster table join. Ref: no reference "
+    "counterpart — LLM-dedup tier.",
+)
+def q_dedup_softdedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    clus = docs.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wdocs = docs.join(clus, "h").select(
+        "source",
+        "toks",
+        "c",
+        F.round(F.col("toks") * 1e6 / F.col("c")).cast("long").alias("eff_q"),
+    )
+    return (
+        wdocs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long").alias("n_singletons"),
+            F.sum("toks").cast("long").alias("raw_tokens"),
+            (F.round(F.sum("eff_q") / 1e6, 4) + 0.0).alias("effective_tokens"),
+            (
+                F.round(
+                    F.sum("toks").cast("double") / (F.sum("eff_q") / 1e6), 6
+                )
+                + 0.0
+            ).alias("inflation"),
+        )
+        .orderBy("source")
+    )

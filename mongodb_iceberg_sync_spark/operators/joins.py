@@ -1437,3 +1437,87 @@ def q_profile_join_skew(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "key")
         .limit(_SKEW_TOPK)
     )
+
+
+@register(
+    "q_sql_groupby_all",
+    family="sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics SQL "
+    "surface (Spark 3.4+/DuckDB both infer the grouping keys from "
+    "the non-aggregate select items and the sort keys from the full "
+    "select list): the same rollup as q_agg_groupby but exercising "
+    "the resolver path, proving the inferred plan is byte-identical "
+    "to the explicit one (same hash agg, same exchange — pinned). "
+    "Exact integer cents; counts exact. Scale: one combinable hash "
+    "agg, ≤|flags×status| groups. Ref: reference ships no SQL "
+    "surface; lake-analytics ergonomics tier.",
+)
+def q_sql_groupby_all(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("mis_gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS price_cents
+        FROM mis_gba_lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "q_sql_distinct_on",
+    family="sql",
+    oracle="""
+    SELECT user_id, last_ts, last_type, last_event_id
+    FROM (
+      SELECT DISTINCT ON (user_id)
+             user_id, ts AS last_ts, event_type AS last_type,
+             event_id AS last_event_id
+      FROM events
+      ORDER BY user_id, ts DESC, event_id DESC
+    )
+    ORDER BY user_id
+    """,
+    doc="DISTINCT ON semantics (latest event per user) — the "
+    "Postgres/DuckDB idiom Spark lacks natively, expressed as the "
+    "canonical row_number()=1 window (the translation any migration "
+    "off DuckDB/Postgres needs; same dedup core as q_cdc_latest but "
+    "surfaced as the SQL-portability operator). Determinism: the "
+    "ORDER BY carries event_id as a total tie-break (two events can "
+    "share a timestamp), so 'the' latest row is engine-independent. "
+    "Scale: one hash shuffle on user_id with per-user top-1 state — "
+    "no global sort; the window's partition key is the dedup key. "
+    "Ref: reference upserts by _id (docs/design.md:291-300) — same "
+    "latest-wins shape; SQL-portability tier.",
+)
+def q_sql_distinct_on(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("event_id").alias("last_event_id"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -3758,3 +3758,152 @@ def q_timeseries_rsi(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_events_cuped",
+    family="events",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 1e4) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS pre_q,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 1e4) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS post_q
+      FROM events GROUP BY user_id
+    ),
+    theta_stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_q) AS BIGINT) AS sx,
+             CAST(sum(post_q) AS BIGINT) AS sy,
+             sum(CAST(pre_q AS HUGEINT) * pre_q) AS sxx,
+             sum(CAST(pre_q AS HUGEINT) * post_q) AS sxy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx, sy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / nullif(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n, 0)
+               AS theta,
+             CAST(sx AS DOUBLE) / n AS pre_mean
+      FROM theta_stats
+    ),
+    adj AS (
+      SELECT u.variant,
+             u.post_q,
+             CAST(round(
+               (u.post_q - t.theta * (u.pre_q - t.pre_mean)) / 1e4 * 1e6
+             ) AS BIGINT) AS adj_q
+      FROM per_user u CROSS JOIN th t
+    ),
+    v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(post_q) AS BIGINT) AS post_sum,
+             CAST(sum(adj_q) AS BIGINT) AS adj_sum,
+             sum(CAST(post_q AS HUGEINT) * post_q) AS post_ss,
+             sum(CAST(adj_q AS HUGEINT) * adj_q) AS adj_ss
+      FROM adj GROUP BY variant
+    )
+    SELECT variant, n_users,
+           round(CAST(post_sum AS DOUBLE) / n_users / 1e4, 6) + 0.0
+             AS mean_post,
+           round(CAST(adj_sum AS DOUBLE) / n_users / 1e6, 6) + 0.0
+             AS mean_cuped,
+           round(1.0 -
+             (CAST(adj_ss AS DOUBLE) / n_users
+               - (CAST(adj_sum AS DOUBLE)/n_users) * (CAST(adj_sum AS DOUBLE)/n_users))
+             / 1e4
+             / nullif(CAST(post_ss AS DOUBLE) / n_users
+               - (CAST(post_sum AS DOUBLE)/n_users) * (CAST(post_sum AS DOUBLE)/n_users), 0)
+             , 6) + 0.0 AS var_reduction
+    FROM v ORDER BY variant
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013 — the standard "
+    "pre-experiment-covariate adjustment every A/B platform applies "
+    "before reading a metric): adjusted = post − θ·(pre − pre_mean) "
+    "with θ = cov(pre,post)/var(pre) fitted on ALL users, pre/post "
+    "split at the experiment midpoint and variant = user_id % 2 (the "
+    "deterministic stand-in for q_events_ab_assign's hash bucket). "
+    "Reports per-variant raw vs CUPED means and the achieved "
+    "variance-reduction fraction — the query that tells you how much "
+    "sample size the covariate just bought. Exactness: per-user "
+    "pre/post sums are exact 1e4-quantized ints; θ's sufficient "
+    "stats are exact (quadratics in HUGEINT/DECIMAL); each user's "
+    "adjusted value is ONE float expression quantized 1e6 before the "
+    "per-variant sums (order-insensitive); var_reduction's /1e4 "
+    "rescales the quantized-adj variance back to post units². Scale: "
+    "one combinable per-user agg over the fact, one 1-row θ "
+    "broadcast, one per-variant rollup — three tiny stages after the "
+    "single fact pass. Ref: no reference counterpart — "
+    "experimentation tier.",
+)
+def q_events_cuped(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    vq = F.round(F.col("value") * 1e4).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, vq).otherwise(F.lit(0)))
+        .cast("long").alias("pre_q"),
+        F.sum(F.when(F.col("ts") >= cut, vq).otherwise(F.lit(0)))
+        .cast("long").alias("post_q"),
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "pre_q", "post_q"
+    )
+    per_user = per_user.localCheckpoint(eager=False)  # theta + adj share it
+    dec = "decimal(38,0)"
+    ts_ = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre_q").cast("long").alias("sx"),
+        F.sum("post_q").cast("long").alias("sy"),
+        F.sum(F.col("pre_q").cast(dec) * F.col("pre_q").cast(dec)).alias("sxx"),
+        F.sum(F.col("pre_q").cast(dec) * F.col("post_q").cast(dec)).alias("sxy"),
+    )
+    th = ts_.select(
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / F.nullif(
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("pre_mean"),
+    )
+    adj = per_user.join(F.broadcast(th)).select(
+        "variant",
+        "post_q",
+        F.round(
+            (F.col("post_q") - F.col("theta") * (F.col("pre_q") - F.col("pre_mean")))
+            / 1e4
+            * 1e6
+        ).cast("long").alias("adj_q"),
+    )
+    v = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("post_q").cast("long").alias("post_sum"),
+        F.sum("adj_q").cast("long").alias("adj_sum"),
+        F.sum(F.col("post_q").cast(dec) * F.col("post_q").cast(dec)).alias("post_ss"),
+        F.sum(F.col("adj_q").cast(dec) * F.col("adj_q").cast(dec)).alias("adj_ss"),
+    )
+    mean_adj = F.col("adj_sum").cast("double") / F.col("n_users")
+    mean_post_q = F.col("post_sum").cast("double") / F.col("n_users")
+    var_adj = F.col("adj_ss").cast("double") / F.col("n_users") - mean_adj * mean_adj
+    var_post = (
+        F.col("post_ss").cast("double") / F.col("n_users")
+        - mean_post_q * mean_post_q
+    )
+    return v.select(
+        "variant",
+        "n_users",
+        (F.round(mean_post_q / 1e4, 6) + 0.0).alias("mean_post"),
+        (F.round(mean_adj / 1e6, 6) + 0.0).alias("mean_cuped"),
+        (
+            F.round(
+                1.0 - var_adj / 1e4 / F.nullif(var_post, F.lit(0.0)), 6
+            )
+            + 0.0
+        ).alias("var_reduction"),
+    ).orderBy("variant")

@@ -1291,3 +1291,180 @@ def q_sim_cos_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_RAK_PROBE_MOD = 50  # vec_id % 50 == 0 → deterministic probe sample
+_RAK_K = 10
+_RAK_BITS = 8
+
+
+@register(
+    "q_sim_recall_at_k",
+    family="similarity",
+    oracle=f"""
+    WITH codes AS (
+      -- 8-bit sign-LSH: bit j = (embedding · hyperplane_j >= 0), with
+      -- hyperplane_j[i] = sin((j*131 + i) * 0.7) — deterministic
+      -- pseudo-random planes from pure arithmetic, identical both
+      -- engines (no RNG, no engine hash)
+      SELECT vec_id,
+             CAST(sum(CASE WHEN d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT)
+               AS code
+      FROM (
+        SELECT e.vec_id, j,
+               list_sum(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * sin((j*131 + i - 1) * 0.7)))
+                 AS d
+        FROM embeddings e CROSS JOIN range(0, {_RAK_BITS}) AS t(j)
+      ) GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT e.vec_id AS pid, e.embedding AS pe, c.code AS pcode
+      FROM embeddings e JOIN codes c ON c.vec_id = e.vec_id
+      WHERE e.vec_id % {_RAK_PROBE_MOD} = 0
+    ),
+    scored AS (
+      SELECT p.pid, p.pcode, e.vec_id AS cid, c.code AS ccode,
+             list_sum(list_transform(range(1, 65),
+               i -> p.pe[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> p.pe[i]::DOUBLE * p.pe[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+               AS cos_sim
+      FROM probes p
+      JOIN embeddings e ON e.vec_id <> p.pid
+      JOIN codes c ON c.vec_id = e.vec_id
+    ),
+    topk AS (
+      SELECT pid, pcode, cid, ccode,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    ),
+    hits AS (
+      SELECT pid,
+             CAST(count(*) FILTER (ccode = pcode) AS BIGINT) AS n_hits
+      FROM topk WHERE rn <= {_RAK_K} GROUP BY pid
+    ),
+    cands AS (
+      SELECT p.pid, CAST(count(*) AS BIGINT) AS n_cand
+      FROM probes p JOIN codes c
+        ON c.code = p.pcode AND c.vec_id <> p.pid
+      GROUP BY p.pid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST({_RAK_K} AS BIGINT) AS k,
+           round(CAST(sum(coalesce(c.n_cand, 0)) AS DOUBLE) / count(*), 6)
+             + 0.0 AS avg_candidates,
+           round(CAST(sum(h.n_hits) AS DOUBLE)
+                 / ({_RAK_K} * count(*)), 6) + 0.0 AS recall_at_k
+    FROM hits h LEFT JOIN cands c ON c.pid = h.pid
+    """,
+    doc=f"Recall@{_RAK_K} metering of a sign-LSH ANN index against "
+    "exact brute-force cosine — the query every similarity-search "
+    "deployment runs before trusting its index: what fraction of the "
+    "TRUE top-k lands in the probe's LSH bucket, and what the "
+    "candidate-set size (≈ query cost) is. The "
+    f"{_RAK_BITS}-hyperplane code uses deterministic sin-derived "
+    "planes (pure arithmetic — identical both engines, unlike "
+    "q_sim_ann_lsh's engine-hash banding which is rows-only), so "
+    "THIS quality metric is fully oracle-checked. Exactness: hit and "
+    "candidate counts are exact ints (recall = one division); cosine "
+    "is the sequential-fold oracle form; plane-sign and ranking ulp "
+    "risk is measure-zero (documented binning stance). Scale: the "
+    f"brute-force side is probes×corpus with a FIXED probe sample "
+    "(recall metering always brute-forces a sample — the corpus side "
+    "stays a single scan joined to a broadcast probe set); the code "
+    "table is one map pass. Ref: no reference counterpart — "
+    "similarity tier.",
+)
+def q_sim_recall_at_k(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    planes = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.expr(f"sequence(0, {_RAK_BITS - 1})")).alias("j"),
+    )
+    d_expr = F.expr(
+        "aggregate(zip_with(embedding, transform(sequence(0, 63),"
+        " i -> sin((j*131 + i) * 0.7)),"
+        " (x, h) -> CAST(x AS DOUBLE) * h),"
+        " CAST(0.0 AS DOUBLE), (a, p) -> a + p)"
+    )
+    codes = (
+        planes.select(
+            "vec_id",
+            F.when(d_expr >= 0, F.expr("shiftleft(1L, CAST(j AS INT))"))
+            .otherwise(F.lit(0)).alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("long").alias("code"))
+    )
+    codes = codes.localCheckpoint(eager=False)  # probes/cands/scored share it
+    probes = (
+        e.filter(F.col("vec_id") % _RAK_PROBE_MOD == 0)
+        .join(codes, "vec_id")
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").alias("pe"),
+            F.col("code").alias("pcode"),
+        )
+    )
+    from ..functions.vector import dot, norm
+
+    scored = (
+        e.join(codes, "vec_id")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "pcode",
+            F.col("vec_id").alias("cid"),
+            F.col("code").alias("ccode"),
+            (dot("pe", "embedding") / (norm("pe") * norm("embedding"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cos_sim"), "cid")
+    topk = scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _RAK_K
+    )
+    hits = topk.groupBy("pid").agg(
+        F.sum(F.when(F.col("ccode") == F.col("pcode"), 1).otherwise(0))
+        .cast("long").alias("n_hits")
+    )
+    cands = (
+        probes.join(
+            codes,
+            (codes.code == probes.pcode) & (codes.vec_id != probes.pid),
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    )
+    return (
+        hits.join(cands, "pid", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.lit(_RAK_K).cast("long").alias("k"),
+            (
+                F.round(
+                    F.sum(F.coalesce(F.col("n_cand"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + 0.0
+            ).alias("avg_candidates"),
+            (
+                F.round(
+                    F.sum("n_hits").cast("double")
+                    / (_RAK_K * F.count(F.lit(1))),
+                    6,
+                )
+                + 0.0
+            ).alias("recall_at_k"),
+        )
+    )

@@ -128,6 +128,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_multimodal_aspect_bucket",
     "q_sample_kfold",
     "q_graph_jaccard",
+    # wave 4: LLM-pipeline quality + SQL-portability surface
+    "q_dedup_softdedup",
+    "q_sim_recall_at_k",
+    "q_sql_groupby_all",
+    "q_sql_distinct_on",
+    "q_events_cuped",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

@@ -1547,3 +1547,55 @@ def test_graph_jaccard_topk_and_hub_cap(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+def test_softdedup_hash_agg_joinback(spark, sf_dir):
+    # md5 cluster agg + co-keyed join-back; the fact is scanned once per
+    # side of the self-join on h (Catalyst may or may not reuse the
+    # exchange — assert no nested loop and a hash agg on h)
+    df = SPECS["q_dedup_softdedup"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+    assert "HashAggregate" in plan
+
+
+def test_recall_at_k_probe_side_broadcast(spark, sf_dir):
+    # the brute-force side must be corpus ⋈ BROADCAST(probes) — the
+    # corpus is never shuffled for the cross score; the top-k ranking
+    # window partitions by probe id
+    df = SPECS["q_sim_recall_at_k"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(pid" in line, line
+
+
+def test_groupby_all_matches_explicit_plan(spark, sf_dir):
+    # GROUP BY ALL must resolve to the same physical agg as the
+    # explicit grouping — same keys, one exchange
+    df = SPECS["q_sql_groupby_all"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    # exactly 2 physical exchanges (agg + sort), each named twice in the
+    # formatted output (tree + detail section)
+    assert plan.count("Exchange") <= 4
+
+
+def test_distinct_on_no_global_sort_before_rank(spark, sf_dir):
+    # the rank must come from a user_id-partitioned window (hash
+    # shuffle on the key), not a global sort of the fact
+    df = SPECS["q_sql_distinct_on"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line, line
+
+
+def test_cuped_single_fact_pass_theta_broadcast(spark, sf_dir):
+    # per-user agg is checkpointed (fact read once); θ is a 1-row
+    # broadcast join
+    df = SPECS["q_events_cuped"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the checkpoint
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
