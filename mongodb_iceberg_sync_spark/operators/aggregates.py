@@ -1152,6 +1152,8 @@ def q_agg_mannwhitney(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("long")).alias("n1v"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("n2v"),
     )
+    # BOUNDED global window: runs over the distinct CENTS-value table
+    # (value domain, not row count — SCALE.md §global-windows).
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = F.col("n1v") + F.col("n2v")
     c = g.select("n1v", "n2v", F.sum(tot).over(w).alias("cumtot"))
@@ -1221,6 +1223,8 @@ def q_agg_ks_test(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("long")).alias("n1v"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("n2v"),
     )
+    # BOUNDED global window: runs over the distinct CENTS-value table
+    # (value domain, not row count — SCALE.md §global-windows).
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = g.select(
         F.sum("n1v").over(w).alias("c1"), F.sum("n2v").over(w).alias("c2")

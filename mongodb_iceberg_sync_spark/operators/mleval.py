@@ -125,6 +125,10 @@ def q_ml_auc(spark, sf_dir):
         F.sum("label").cast("long").alias("pos"),
         F.sum(1 - F.col("label")).cast("long").alias("neg"),
     )
+    # BOUNDED global window: runs over the DISTINCT-SCORE table, whose
+    # cardinality is the score domain (quantized model outputs), not the
+    # row count; a continuous score column would unbound it — switch to
+    # the binned variant documented in SCALE.md §global-windows first.
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     ranked = by_score.select(
         "pos", "neg", F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below")
@@ -417,6 +421,8 @@ def q_ml_ks_separation(spark, sf_dir):
     tot = by_score.agg(
         F.sum("pos").cast("long").alias("p"), F.sum("neg").cast("long").alias("n")
     )
+    # BOUNDED global window over the distinct-score table (see SCALE.md
+    # §global-windows: score domain, not row count).
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
     cum = by_score.select(
         F.sum("pos").over(w).cast("long").alias("cum_pos"),
@@ -504,6 +510,8 @@ def q_ml_lift(spark, sf_dir):
     tot = cells.agg(
         F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("p")
     )
+    # BOUNDED global window: partitioned-by-nothing but over the FIXED
+    # bin grid (constant cardinality at any corpus size).
     w = Window.orderBy(F.col("bin").desc()).rowsBetween(Window.unboundedPreceding, 0)
     cum = cells.select(
         "bin",
@@ -875,6 +883,8 @@ def q_ml_pr_curve(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
     )
     tt = by_score.agg(F.sum("pos").cast("long").alias("p"))
+    # BOUNDED global window over the distinct-score table (see SCALE.md
+    # §global-windows).
     w = Window.orderBy(F.col("score").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )

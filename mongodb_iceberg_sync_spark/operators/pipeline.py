@@ -3216,6 +3216,8 @@ def q_timeseries_sma_crossover(spark, sf_dir):
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
     )
+    # BOUNDED global window: runs over the CALENDAR-day rollup (≤366
+    # rows/year at any corpus size — SCALE.md §global-windows).
     w = Window.orderBy("d")
     sma = daily.select(
         "d",
@@ -3238,6 +3240,7 @@ def q_timeseries_sma_crossover(spark, sf_dir):
         .alias("pos"),
     )
     x = sig.select(
+        # calendar-bounded global lag (same daily grid as above)
         "d", "s_fast", "s_slow", "pos", F.lag("pos").over(Window.orderBy("d")).alias("prev_pos")
     )
     return (

@@ -881,6 +881,8 @@ def q_scan_metadata_cols(spark, sf_dir):
             F.max("o_orderkey").alias("hi"),
         )
     )
+    # BOUNDED global window: one row per FILE (the layout audit table) —
+    # file count is rows/maxRecordsPerFile (SCALE.md §global-windows).
     w = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, -1)
     audited = per_file.withColumn(
         "disjoint", F.col("lo") > F.coalesce(F.max("hi").over(w), F.lit(-1))

@@ -471,6 +471,9 @@ def q_stream_late_audit(spark, sf_dir):
     )
     # pass 1: bounded per-block stats (combinable)
     blocks = arr.groupBy("blk").agg(F.max("t_us").alias("blk_max"))
+    # BOUNDED global window: one row per BLOCK (event_id div block_size),
+    # cardinality rows/block_size — grows 1000x slower than the fact and
+    # stays driver-tiny at 100 TB (SCALE.md §global-windows).
     wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
     prefix = blocks.select(
         "blk", F.max("blk_max").over(wb).alias("prefix_max")
