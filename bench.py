@@ -210,6 +210,11 @@ HEADLINE = [
     "q_sql_groupby_all",
     "q_sql_distinct_on",
     "q_events_cuped",
+    # round-8 debuts (wave 5: sequential inference + audits)
+    "q_agg_bh_fdr",
+    "q_events_sequential_msprt",
+    "q_profile_freshness",
+    "q_profile_eval_slices",
 ]
 
 

@@ -3792,3 +3792,147 @@ def q_agg_hellinger(spark, sf_dir):
         ).alias("hellinger"),
         (F.round(1.0 - F.col("q_bc") / 1e9, 6) + 0.0).alias("h_squared"),
     )
+
+
+def _erfc_sql(x: str) -> str:
+    """SQL text for erfc(x), x >= 0 — Abramowitz-Stegun 7.1.26
+    (|eps| <= 1.5e-7). As with _lf_sql, the IDENTICAL expression text
+    runs on both engines, so cross-engine parity is exact-by-
+    construction even where the approximation differs from true erfc.
+    """
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 "
+        f"+ {t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    return f"({poly} * exp(-(({x}) * ({x}))))"
+
+
+_BH_Q = 0.05  # target false-discovery rate
+
+
+@register(
+    "q_agg_bh_fdr",
+    family="aggregates",
+    oracle=f"""
+    WITH dow AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c
+      FROM events GROUP BY dw
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS m
+      FROM dow
+    ),
+    z AS (
+      SELECT d.dw, d.n, d.c, t.m,
+             (CAST(d.c AS DOUBLE)/d.n - CAST(t.ct - d.c AS DOUBLE)/(t.nt - d.n))
+             / sqrt((CAST(t.ct AS DOUBLE)/t.nt) * (1.0 - CAST(t.ct AS DOUBLE)/t.nt)
+                    * (1.0/d.n + 1.0/(t.nt - d.n))) AS zval
+      FROM dow d CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT dw, n, c, m, zval,
+             {_erfc_sql('abs(zval) / 1.4142135623730951')} AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY pval, dw) AS BIGINT) AS rnk
+      FROM p
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN pval <= rnk * {_BH_Q} / m THEN rnk ELSE 0 END AS ok_rnk
+      FROM ranked
+    ),
+    cut AS (SELECT max(ok_rnk) AS max_ok FROM flagged)
+    SELECT f.dw AS day_of_week, f.n, f.c AS conversions,
+           round(CAST(f.c AS DOUBLE) / f.n, 6) + 0.0 AS conv_rate,
+           round(f.zval, 6) + 0.0 AS z_score,
+           round(f.pval, 6) + 0.0 AS p_value,
+           f.rnk AS p_rank,
+           round(f.rnk * {_BH_Q} / f.m, 6) + 0.0 AS bh_threshold,
+           CAST(f.rnk <= cu.max_ok AS BOOLEAN) AS rejected
+    FROM flagged f CROSS JOIN cut cu
+    ORDER BY day_of_week
+    """,
+    doc="Benjamini-Hochberg FDR correction over the 7 day-of-week "
+    "conversion-rate tests (each dow vs the rest, two-proportion z) — "
+    "the multiple-testing discipline that stops a 20-segment dashboard "
+    "from 'finding' one spurious effect per page: rank p-values, "
+    "reject every rank up to the largest r with p_(r) <= r·q/m. "
+    "p-values ride a shared erfc kernel (A&S 7.1.26) whose IDENTICAL "
+    "SQL text runs on both engines — parity is by construction, the "
+    "1.5e-7 approximation error is common-mode. Exactness: counts "
+    "exact; z is one float expression of exact ints; the BH cutoff "
+    "windows run on the FIXED 7-row test table (bounded by the test "
+    "count, never the data — the SCALE.md global-window ledger "
+    "applies). Scale: one combinable 7-group pass over the fact; "
+    "everything after is arithmetic on 7 rows. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_bh_fdr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    # dayofweek−1: Spark is 1-based Sunday=1, DuckDB 0-based Sunday=0
+    dow = ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("c"),
+    )
+    dow = dow.localCheckpoint(eager=False)  # tot + z share it
+    tot = dow.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("c").cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    p0 = F.col("ct").cast("double") / F.col("nt")
+    zval = (
+        F.col("c").cast("double") / F.col("n")
+        - (F.col("ct") - F.col("c")).cast("double") / (F.col("nt") - F.col("n"))
+    ) / F.sqrt(
+        p0 * (1.0 - p0) * (1.0 / F.col("n") + 1.0 / (F.col("nt") - F.col("n")))
+    )
+    z = dow.join(F.broadcast(tot)).select(
+        "dw", "n", "c", "m", zval.alias("zval")
+    )
+    p = z.select(
+        "*",
+        F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")).alias("pval"),
+    )
+    # BOUNDED global windows: the test table has exactly m (=7) rows —
+    # bounded by the number of TESTS, not the corpus (SCALE.md ledger)
+    ranked = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("pval", "dw")).cast("long").alias("rnk"),
+    )
+    flagged = ranked.select(
+        "*",
+        F.when(
+            F.col("pval") <= F.col("rnk") * _BH_Q / F.col("m"), F.col("rnk")
+        ).otherwise(F.lit(0)).alias("ok_rnk"),
+    )
+    flagged = flagged.localCheckpoint(eager=False)  # cut + output share it
+    cut = flagged.agg(F.max("ok_rnk").alias("max_ok"))
+    return (
+        flagged.join(F.broadcast(cut))
+        .select(
+            F.col("dw").alias("day_of_week"),
+            "n",
+            F.col("c").alias("conversions"),
+            (F.round(F.col("c").cast("double") / F.col("n"), 6) + 0.0).alias(
+                "conv_rate"
+            ),
+            (F.round(F.col("zval"), 6) + 0.0).alias("z_score"),
+            (F.round(F.col("pval"), 6) + 0.0).alias("p_value"),
+            F.col("rnk").alias("p_rank"),
+            (F.round(F.col("rnk") * _BH_Q / F.col("m"), 6) + 0.0).alias(
+                "bh_threshold"
+            ),
+            (F.col("rnk") <= F.col("max_ok")).alias("rejected"),
+        )
+        .orderBy("day_of_week")
+    )

@@ -3910,3 +3910,273 @@ def q_events_cuped(spark, sf_dir):
             + 0.0
         ).alias("var_reduction"),
     ).orderBy("variant")
+
+
+_MSPRT_TAU2 = 0.0001  # mixture variance tau^2 (tau = 0.01 on proportions)
+_MSPRT_ALPHA = 0.05
+
+
+@register(
+    "q_events_sequential_msprt",
+    family="events",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (user_id % 2 = 0
+                  AND event_type = 'purchase') AS BIGINT) AS c0,
+             CAST(count(*) FILTER (user_id % 2 = 1
+                  AND event_type = 'purchase') AS BIGINT) AS c1
+      FROM events GROUP BY d
+    ),
+    cum AS (
+      SELECT d,
+             CAST(sum(n0) OVER w AS BIGINT) AS n0,
+             CAST(sum(n1) OVER w AS BIGINT) AS n1,
+             CAST(sum(c0) OVER w AS BIGINT) AS c0,
+             CAST(sum(c1) OVER w AS BIGINT) AS c1
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    lam AS (
+      SELECT d, n0, n1, c0, c1,
+             CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0 AS delta,
+             ((CAST(c0+c1 AS DOUBLE)/(n0+n1))
+              * (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+              * (1.0/n0 + 1.0/n1)) AS v
+      FROM cum WHERE n0 > 0 AND n1 > 0
+    ),
+    lam2 AS (
+      SELECT d, n0, n1, delta, v,
+             sqrt(v / (v + {_MSPRT_TAU2}))
+             * exp(delta * delta * {_MSPRT_TAU2}
+                   / (2.0 * v * (v + {_MSPRT_TAU2}))) AS lambda
+      FROM lam
+    ),
+    pv AS (
+      SELECT d, n0, n1, delta, lambda,
+             max(lambda) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS lam_max
+      FROM lam2
+    )
+    SELECT d AS day, n0, n1,
+           round(delta, 6) + 0.0 AS delta,
+           round(lambda, 6) + 0.0 AS lambda,
+           round(least(1.0, 1.0 / lam_max), 6) + 0.0 AS p_always_valid,
+           CAST(1.0 / lam_max < {_MSPRT_ALPHA} AS BOOLEAN) AS rejected
+    FROM pv ORDER BY day
+    """,
+    doc="Always-valid sequential test (mixture SPRT, Johari et al. "
+    "2017) on the running purchase-rate difference between the two "
+    "user_id%2 variants — the peek-as-often-as-you-like inference "
+    "every modern A/B platform runs instead of a fixed-horizon z "
+    "test: Λ_t from the normal-mixture likelihood ratio (τ=0.01), "
+    "always-valid p_t = min(1, 1/max_{{s<=t}} Λ_s), monotone "
+    "non-increasing by construction (the running max window). "
+    "Exactness: daily and cumulative counts are exact ints; Λ and p "
+    "are float expressions of exact ints computed IDENTICALLY both "
+    "engines; the cumulative and running-max windows run on the "
+    "CALENDAR-BOUNDED daily grid (≤366 rows — SCALE.md global-window "
+    "ledger). Scale: one combinable daily conditional-count pass "
+    "over the fact; everything after is arithmetic on the grid. "
+    "Ref: no reference counterpart — experimentation tier.",
+)
+def q_events_sequential_msprt(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    is0 = F.col("user_id") % 2 == 0
+    isp = F.col("event_type") == "purchase"
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(is0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(~is0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is0 & isp, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when((~is0) & isp, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    # calendar-bounded global windows (SCALE.md ledger: ≤366 day rows)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n0").over(w).cast("long").alias("n0"),
+        F.sum("n1").over(w).cast("long").alias("n1"),
+        F.sum("c0").over(w).cast("long").alias("c0"),
+        F.sum("c1").over(w).cast("long").alias("c1"),
+    ).filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    v = pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    delta = F.col("c1").cast("double") / F.col("n1") - F.col("c0").cast(
+        "double"
+    ) / F.col("n0")
+    lam2 = cum.select(
+        "d",
+        "n0",
+        "n1",
+        delta.alias("delta"),
+        (
+            F.sqrt(v / (v + _MSPRT_TAU2))
+            * F.exp(delta * delta * _MSPRT_TAU2 / (2.0 * v * (v + _MSPRT_TAU2)))
+        ).alias("lambda"),
+    )
+    pv = lam2.select(
+        "*", F.max("lambda").over(w).alias("lam_max")
+    )
+    return pv.select(
+        F.col("d").alias("day"),
+        "n0",
+        "n1",
+        (F.round(F.col("delta"), 6) + 0.0).alias("delta"),
+        (F.round(F.col("lambda"), 6) + 0.0).alias("lambda"),
+        (
+            F.round(F.least(F.lit(1.0), 1.0 / F.col("lam_max")), 6) + 0.0
+        ).alias("p_always_valid"),
+        (1.0 / F.col("lam_max") < _MSPRT_ALPHA).alias("rejected"),
+    ).orderBy("day")
+
+
+@register(
+    "q_profile_freshness",
+    family="events",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    f AS (
+      SELECT e.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             max(e.ts) AS last_ts,
+             CAST(count(*) FILTER (
+               epoch_us(g.gmax) - epoch_us(e.ts) < 86400000000
+             ) AS BIGINT) AS n_last_day
+      FROM events e CROSS JOIN g
+      GROUP BY e.event_type
+    )
+    SELECT f.event_type, f.n, f.last_ts,
+           CAST((epoch_us(g.gmax) - epoch_us(f.last_ts)) // 60000000
+             AS BIGINT) AS lag_minutes,
+           round(CAST(f.n_last_day AS DOUBLE) / f.n, 6) + 0.0
+             AS share_last_day,
+           CAST((epoch_us(g.gmax) - epoch_us(f.last_ts)) // 60000000 > 60
+             AS BOOLEAN) AS stale
+    FROM f CROSS JOIN g
+    ORDER BY event_type
+    """,
+    doc="Data-freshness audit per feed (event type): last-arrival lag "
+    "vs the newest row anywhere, last-24h volume share, and a "
+    ">60-minute staleness flag — the is-the-pipeline-alive table an "
+    "ingest SLO dashboard reads (the operational companion to the "
+    "sync engine's checkpoint lag, surfaced as a lake query). "
+    "Exactness: lags are exact integer microsecond differences "
+    "(epoch_us both engines) floor-divided to minutes; counts exact; "
+    "one share division. Scale: one conditional-count pass over the "
+    "fact with a 1-row global-max broadcast — the same "
+    "two-aggregate shape as every threshold query here. Ref: "
+    "reference tracks per-sync lastUpdated in checkpoints "
+    "(docs/design.md:302-328) — this is the analytics-side twin. "
+    "Experimentation/ops tier.",
+)
+def q_profile_freshness(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    # ntz→ltz cast before unix_micros: both sides shift identically, so
+    # the DIFFERENCE is timezone-invariant (and matches epoch_us diffs)
+    lag_us = F.unix_micros(F.col("gmax").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    f = (
+        ev.join(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(lag_us < 86400000000, 1).otherwise(0))
+            .cast("long").alias("n_last_day"),
+        )
+    )
+    last_lag_min = F.expr(
+        "(unix_micros(CAST(gmax AS TIMESTAMP))"
+        " - unix_micros(CAST(last_ts AS TIMESTAMP))) div 60000000"
+    )
+    return (
+        f.join(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            "last_ts",
+            last_lag_min.cast("long").alias("lag_minutes"),
+            (
+                F.round(F.col("n_last_day").cast("double") / F.col("n"), 6)
+                + 0.0
+            ).alias("share_last_day"),
+            (last_lag_min > 60).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_profile_eval_slices",
+    family="corpus",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+               AS BIGINT) AS tokens
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells
+    )
+    SELECT c.lang, c.source, c.n_docs, c.tokens,
+           round(CAST(c.n_docs AS DOUBLE) / t.nt, 6) + 0.0 AS share,
+           -- under-represented iff share < 0.5/n_cells, compared as the
+           -- exact integer cross-multiplication 2*n*cells < total
+           CAST(2 * c.n_docs * t.n_cells < t.nt AS BOOLEAN)
+             AS under_represented
+    FROM cells c CROSS JOIN tot t
+    ORDER BY lang, source
+    """,
+    doc="Eval-slice coverage audit over the (lang × source) grid: doc "
+    "and token mass per slice, share of corpus, and an "
+    "under-representation flag at half the uniform target — the "
+    "check-your-slices table every eval harness needs before "
+    "reporting per-slice metrics (a slice with 12 docs isn't a "
+    "metric, it's noise), and the input to q_mix_domains-style "
+    "rebalancing. Exactness: counts and token sums exact ints; the "
+    "threshold is an exact integer cross-multiplication (2·n·cells < "
+    "total — no float fraction); one share division for display. "
+    "Scale: one combinable grid agg (|langs|×|sources| cells) + a "
+    "1-row totals broadcast. Ref: no reference counterpart — corpus "
+    "tier.",
+)
+def q_profile_eval_slices(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias(
+            "tokens"
+        ),
+    )
+    cells = cells.localCheckpoint(eager=False)  # tot + output share it
+    tot = cells.agg(
+        F.sum("n_docs").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "tokens",
+            (
+                F.round(F.col("n_docs").cast("double") / F.col("nt"), 6) + 0.0
+            ).alias("share"),
+            (2 * F.col("n_docs") * F.col("n_cells") < F.col("nt")).alias(
+                "under_represented"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

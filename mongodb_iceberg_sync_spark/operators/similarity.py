@@ -1321,7 +1321,11 @@ _RAK_BITS = 8
     probes AS (
       SELECT e.vec_id AS pid, e.embedding AS pe, c.code AS pcode
       FROM embeddings e JOIN codes c ON c.vec_id = e.vec_id
+      -- the vec_id cap bounds the probe SAMPLE (<=256 probes) so the
+      -- brute-force side stays O(corpus x 256) — linear — at any
+      -- scale; at fixture scale (max vec_id 2000) it excludes nothing
       WHERE e.vec_id % {_RAK_PROBE_MOD} = 0
+        AND e.vec_id < {_RAK_PROBE_MOD} * 256
     ),
     scored AS (
       SELECT p.pid, p.pcode, e.vec_id AS cid, c.code AS ccode,
@@ -1405,7 +1409,12 @@ def q_sim_recall_at_k(spark, sf_dir):
     )
     codes = codes.localCheckpoint(eager=False)  # probes/cands/scored share it
     probes = (
-        e.filter(F.col("vec_id") % _RAK_PROBE_MOD == 0)
+        e.filter(
+            (F.col("vec_id") % _RAK_PROBE_MOD == 0)
+            # bounded probe sample: <=256 probes at ANY corpus size, so
+            # the brute-force side is O(corpus x 256), never quadratic
+            & (F.col("vec_id") < _RAK_PROBE_MOD * 256)
+        )
         .join(codes, "vec_id")
         .select(
             F.col("vec_id").alias("pid"),

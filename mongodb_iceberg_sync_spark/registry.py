@@ -134,6 +134,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sql_groupby_all",
     "q_sql_distinct_on",
     "q_events_cuped",
+    # wave 5: multiple-testing + sequential inference + coverage audits
+    "q_agg_bh_fdr",
+    "q_events_sequential_msprt",
+    "q_profile_freshness",
+    "q_profile_eval_slices",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

@@ -1599,3 +1599,37 @@ def test_cuped_single_fact_pass_theta_broadcast(spark, sf_dir):
     plan = formatted_plan(df)
     assert "events.parquet" not in plan  # folded into the checkpoint
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bh_fdr_windows_on_test_table(spark, sf_dir):
+    # the rank/cutoff windows run on the checkpointed 7-row test table —
+    # the fact parquet never reappears in the final plan
+    df = SPECS["q_agg_bh_fdr"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_msprt_windows_on_daily_grid(spark, sf_dir):
+    # cumulative + running-max windows order by the calendar day over
+    # the daily rollup; one events scan feeds it
+    df = SPECS["q_events_sequential_msprt"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Window" in plan
+
+
+def test_freshness_single_pass_broadcast_max(spark, sf_dir):
+    df = SPECS["q_profile_freshness"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    # two scans: one for the 1-row global max, one for the rollup —
+    # both broadcast-joined, never shuffled together
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_eval_slices_grid_agg_totals_broadcast(spark, sf_dir):
+    df = SPECS["q_profile_eval_slices"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "documents.parquet" not in plan  # folded into the checkpoint
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
