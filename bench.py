@@ -215,6 +215,10 @@ HEADLINE = [
     "q_events_sequential_msprt",
     "q_profile_freshness",
     "q_profile_eval_slices",
+    # round-8 debuts (wave 6: in-lake ML + long-memory diagnostics)
+    "q_ml_naive_bayes",
+    "q_timeseries_hurst",
+    "q_ml_silhouette",
 ]
 
 

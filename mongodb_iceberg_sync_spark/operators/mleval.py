@@ -1337,3 +1337,277 @@ def q_ml_auc_by_group(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_ml_naive_bayes",
+    family="mleval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    test  AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+    classes AS (
+      SELECT lang AS c, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_toks
+      FROM train GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT tok FROM train),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM classes),
+    counts AS (
+      SELECT lang AS c, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM train GROUP BY lang, tok
+    ),
+    lp AS (
+      -- add-1 smoothed log prob for EVERY (vocab token, class) cell,
+      -- quantized to 1e9 fixed-point so per-doc scores are exact
+      -- integer sums (order-insensitive)
+      SELECT cl.c, v.tok,
+             CAST(round(ln((coalesce(ct.cnt, 0) + 1.0)
+                           / (cl.n_toks + vs.v)) * 1e9) AS BIGINT) AS lp_q
+      FROM vocab v CROSS JOIN classes cl CROSS JOIN vsize vs
+      LEFT JOIN counts ct ON ct.c = cl.c AND ct.tok = v.tok
+    ),
+    prior AS (
+      SELECT cl.c,
+             CAST(round(ln(CAST(cl.n_docs AS DOUBLE) / t.nd) * 1e9)
+               AS BIGINT) AS pr_q
+      FROM classes cl CROSS JOIN tot t
+    ),
+    scores AS (
+      SELECT te.doc_id, any_value(te.lang) AS actual, lp.c,
+             CAST(any_value(p.pr_q) + sum(lp.lp_q) AS BIGINT) AS score_q
+      FROM test te
+      JOIN lp ON lp.tok = te.tok
+      JOIN prior p ON p.c = lp.c
+      GROUP BY te.doc_id, lp.c
+    ),
+    pred AS (
+      SELECT doc_id, actual, c AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, c) AS rn
+      FROM scores
+    )
+    SELECT actual AS lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (predicted = actual) AS BIGINT) AS n_correct,
+           round(CAST(count(*) FILTER (predicted = actual) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS accuracy
+    FROM pred WHERE rn = 1
+    GROUP BY actual ORDER BY lang
+    """,
+    doc="Multinomial Naive Bayes trained AND evaluated entirely in the "
+    "lake (add-1 smoothing, 80/20 deterministic doc_id%5 split, "
+    "language as the class): token log-probs from one train-side "
+    "agg, per-doc class scores as EXACT integer sums of "
+    "1e9-quantized log-probs (order-insensitive — the whole "
+    "train+predict pipeline is hash-checkable cross-engine, which "
+    "float log-sums would never be), argmax with a class tie-break. "
+    "The shape is the classic in-database ML pattern: model = "
+    "broadcast-sized (vocab × classes) table, scoring = one join + "
+    "combinable agg — no UDF, no driver loop. Scale: scoring cost is "
+    "O(test tokens × 1) after the lp join (the lp table hash-joins "
+    "on token); train is two combinable aggs. Reported accuracy is "
+    "whatever the corpus supports (the fixture's word-soup text has "
+    "little lang signal — the METER is the deliverable, the number "
+    "is honest). Ref: no reference counterpart — mleval tier.",
+)
+def q_ml_naive_bayes(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    train = train.localCheckpoint(eager=False)  # 3 consumers
+    test = toks.filter(F.col("doc_id") % 5 == 0)
+    classes = train.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    )
+    vocab = train.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    tot = classes.agg(F.sum("n_docs").cast("long").alias("nd"))
+    counts = train.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lp = (
+        vocab.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["c", "tok"], "left")
+        .select(
+            "c",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("n_toks") + F.col("v"))
+                )
+                * 1e9
+            ).cast("long").alias("lp_q"),
+        )
+    )
+    prior = classes.crossJoin(F.broadcast(tot)).select(
+        "c",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("nd")) * 1e9
+        ).cast("long").alias("pr_q"),
+    )
+    scores = (
+        test.join(lp, "tok")
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", "c")
+        .agg(
+            F.any_value("lang").alias("actual"),
+            (F.any_value("pr_q") + F.sum("lp_q")).cast("long").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "c")
+    pred = scores.select(
+        "doc_id", "actual", F.col("c").alias("predicted"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("actual").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0))
+            .cast("long").alias("n_correct"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("predicted") == F.col("actual"), 1)
+                        .otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + 0.0
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SIL_MOD = 10  # vec_id % 10 == 0 → deterministic point sample
+
+
+@register(
+    "q_ml_silhouette",
+    family="mleval",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id AS pid, embedding AS pe, label AS plab
+      FROM embeddings WHERE vec_id % {_SIL_MOD} = 0
+    ),
+    dists AS (
+      SELECT p.pid, p.plab, e.label AS clab,
+             CAST(round((1.0 -
+               list_sum(list_transform(range(1, 65),
+                 i -> p.pe[i]::DOUBLE * e.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> p.pe[i]::DOUBLE * p.pe[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+             ) * 1e9) AS BIGINT) AS dq
+      FROM pts p JOIN embeddings e ON e.vec_id <> p.pid
+    ),
+    md AS (
+      SELECT pid, plab, clab,
+             CAST(sum(dq) AS BIGINT) AS sdq,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM dists GROUP BY pid, plab, clab
+    ),
+    ab AS (
+      SELECT pid, plab,
+             max(CASE WHEN clab = plab THEN sdq * 1.0 / nd END) AS a_i,
+             min(CASE WHEN clab <> plab THEN sdq * 1.0 / nd END) AS b_i
+      FROM md GROUP BY pid, plab
+    ),
+    s AS (
+      SELECT pid, plab,
+             (b_i - a_i) / greatest(a_i, b_i) AS s_i
+      FROM ab WHERE a_i IS NOT NULL AND b_i IS NOT NULL
+    )
+    SELECT plab AS label,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           round(sum(CAST(round(s_i * 1e9) AS BIGINT)) / count(*) / 1e9, 6)
+             + 0.0 AS mean_silhouette
+    FROM s GROUP BY plab ORDER BY label
+    """,
+    doc="Silhouette score per cluster label over a deterministic "
+    "stride point sample (vec_id % 10) against the FULL corpus — the "
+    "are-my-clusters-real metric (s≈0: overlapping, s→1: separated, "
+    "s<0: misassigned) that validates the `label` partitioning used "
+    "by q_dedup_semantic / q_sample_balanced / blocked GEMMs: a(i) = "
+    "mean cosine distance to own label, b(i) = min over other labels "
+    "of mean distance, s = (b−a)/max(a,b). Exactness: every pairwise "
+    "distance is quantized 1e9 BEFORE the per-(point,label) sum "
+    "(order-insensitive — a float mean over thousands of corpus "
+    "rows would be summation-order-dependent); a/b are single "
+    "divisions of exact ints; s_i is re-quantized before the final "
+    "label mean. Scale: the sampled-point x corpus join is O(corpus "
+    "× sample) with the sample a fixed stride (the standard "
+    "silhouette estimator at scale — exact silhouette is O(n²) by "
+    "definition); one combinable (point,label) agg. Ref: no "
+    "reference counterpart — mleval tier.",
+)
+def q_ml_silhouette(spark, sf_dir):
+    from ..functions.vector import dot, norm
+
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.filter(F.col("vec_id") % _SIL_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("plab"),
+    )
+    cos = dot("pe", "embedding") / (norm("pe") * norm("embedding"))
+    dists = (
+        e.crossJoin(F.broadcast(pts))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "plab",
+            F.col("label").alias("clab"),
+            F.round((1.0 - cos) * 1e9).cast("long").alias("dq"),
+        )
+    )
+    md = dists.groupBy("pid", "plab", "clab").agg(
+        F.sum("dq").cast("long").alias("sdq"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    ab = md.groupBy("pid", "plab").agg(
+        F.max(
+            F.when(F.col("clab") == F.col("plab"), F.col("sdq") * 1.0 / F.col("nd"))
+        ).alias("a_i"),
+        F.min(
+            F.when(F.col("clab") != F.col("plab"), F.col("sdq") * 1.0 / F.col("nd"))
+        ).alias("b_i"),
+    )
+    s = ab.filter(
+        F.col("a_i").isNotNull() & F.col("b_i").isNotNull()
+    ).select(
+        "pid",
+        "plab",
+        ((F.col("b_i") - F.col("a_i")) / F.greatest("a_i", "b_i")).alias("s_i"),
+    )
+    return (
+        s.groupBy(F.col("plab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("s_i") * 1e9).cast("long"))
+                    / F.count(F.lit(1))
+                    / 1e9,
+                    6,
+                )
+                + 0.0
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

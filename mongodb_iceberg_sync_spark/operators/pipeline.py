@@ -4180,3 +4180,168 @@ def q_profile_eval_slices(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+_HURST_KS = (5, 10, 15, 30)
+
+
+@register(
+    "q_timeseries_hurst",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sv,
+             CAST(row_number() OVER (ORDER BY date_trunc('day', ts)) - 1
+               AS BIGINT) AS idx
+      FROM events GROUP BY d
+    ),
+    ks AS (SELECT unnest(ARRAY{list(_HURST_KS)}) AS k),
+    blocks AS (
+      SELECT k.k, daily.idx // k.k AS blk, daily.idx, daily.sv
+      FROM daily CROSS JOIN ks k
+    ),
+    bstat AS (
+      SELECT k, blk, idx, sv,
+             CAST(count(*) OVER pb AS BIGINT) AS bn,
+             CAST(sum(sv) OVER pb AS BIGINT) AS bs,
+             CAST(sum(CAST(sv AS HUGEINT) * sv) OVER pb AS DOUBLE) AS bss,
+             CAST(sum(sv) OVER (PARTITION BY k, blk ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM blocks
+      WINDOW pb AS (PARTITION BY k, blk)
+    ),
+    devrows AS (
+      -- cumulative deviation from the block mean at step t:
+      -- cum_t - pos*mean == exact rational: scale by bn to stay integer
+      -- (dev_scaled = cum_t*bn - pos*bs); materialized in its own CTE
+      -- because a window cannot nest inside another window's argument
+      SELECT k, blk, bn, bs, bss,
+             cum * bn - (row_number() OVER (PARTITION BY k, blk
+                 ORDER BY idx)) * bs AS dev_scaled
+      FROM bstat WHERE bn = k
+    ),
+    devs AS (
+      SELECT k, blk, bn, bs, bss,
+             max(dev_scaled) OVER (PARTITION BY k, blk) AS dmax,
+             min(dev_scaled) OVER (PARTITION BY k, blk) AS dmin
+      FROM devrows
+    ),
+    rs AS (
+      SELECT DISTINCT k, blk, bn, bs, bss, dmax, dmin,
+             (CAST(dmax - dmin AS DOUBLE) / bn)
+             / nullif(sqrt(bss / bn
+                 - (CAST(bs AS DOUBLE)/bn) * (CAST(bs AS DOUBLE)/bn)), 0)
+               AS rs_val
+      FROM devs
+    ),
+    per_k AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(round(ln(rs_val) * 1e9) AS BIGINT)) AS BIGINT)
+               AS qlrs
+      FROM rs WHERE rs_val > 0 GROUP BY k
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(ln(CAST(k AS DOUBLE))) AS sx,
+             sum(ln(CAST(k AS DOUBLE)) * ln(CAST(k AS DOUBLE))) AS sxx,
+             sum(qlrs * 1.0 / n_blocks / 1e9) AS sy,
+             sum(ln(CAST(k AS DOUBLE)) * (qlrs * 1.0 / n_blocks / 1e9))
+               AS sxy
+      FROM per_k
+    )
+    SELECT m AS n_window_sizes,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) + 0.0
+             AS hurst_exponent
+    FROM ols
+    """,
+    doc="Hurst exponent via rescaled-range (R/S) analysis of the daily "
+    "value series — the long-memory diagnostic (H≈0.5 random walk, "
+    ">0.5 trending/persistent, <0.5 mean-reverting) that tells a "
+    "forecasting pipeline whether q_timeseries_holt-style trend "
+    "models are even applicable. Block R over each window size rides "
+    "an EXACT integer trick: cumulative deviation from the block "
+    "mean is (cum·n − pos·sum)/n, so max−min of the SCALED integer "
+    "is exact and one division recovers R; S is the block σ from "
+    "exact Σ,Σ²; ln(R/S) is quantized 1e9 before the per-k average "
+    "and the final 4-point OLS slope. The 4-point ln-ln OLS sums are "
+    "float but over a FIXED 4-row table — deterministic. Scale: one "
+    "daily rollup pass; every window partitions by (k, block) over "
+    "the calendar-bounded grid (SCALE.md ledger). Ref: no reference "
+    "counterpart — timeseries tier.",
+)
+def q_timeseries_hurst(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    # calendar-bounded global window (≤366 rows — SCALE.md ledger)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("sv")
+    ).select(
+        "d", "sv",
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long").alias("idx"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _HURST_KS], "k long")
+    blocks = daily.crossJoin(F.broadcast(ks)).select(
+        "k", F.expr("idx div k").alias("blk"), "idx", "sv"
+    )
+    pb = Window.partitionBy("k", "blk")
+    pbo = pb.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    bstat = blocks.select(
+        "k", "blk", "idx", "sv",
+        F.count(F.lit(1)).over(pb).cast("long").alias("bn"),
+        F.sum("sv").over(pb).cast("long").alias("bs"),
+        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).over(pb)
+        .cast("double").alias("bss"),
+        F.sum("sv").over(pbo).cast("long").alias("cum"),
+    ).filter(F.col("bn") == F.col("k"))
+    pos = F.row_number().over(pb.orderBy("idx"))
+    devrows = bstat.select(
+        "k", "blk", "bn", "bs", "bss",
+        (F.col("cum") * F.col("bn") - pos * F.col("bs")).alias("dev_scaled"),
+    )
+    devs = devrows.select(
+        "k", "blk", "bn", "bs", "bss",
+        F.max("dev_scaled").over(pb).alias("dmax"),
+        F.min("dev_scaled").over(pb).alias("dmin"),
+    )
+    mean = F.col("bs").cast("double") / F.col("bn")
+    s_val = F.sqrt(F.col("bss") / F.col("bn") - mean * mean)
+    rs = devs.distinct().select(
+        "k",
+        (
+            ((F.col("dmax") - F.col("dmin")).cast("double") / F.col("bn"))
+            / F.nullif(s_val, F.lit(0.0))
+        ).alias("rs_val"),
+    )
+    per_k = (
+        rs.filter(F.col("rs_val") > 0)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.round(F.log("rs_val") * 1e9).cast("long"))
+            .cast("long").alias("qlrs"),
+        )
+    )
+    lnk = F.log(F.col("k").cast("double"))
+    y = F.col("qlrs") * 1.0 / F.col("n_blocks") / 1e9
+    ols = per_k.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(lnk).alias("sx"),
+        F.sum(lnk * lnk).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(lnk * y).alias("sxy"),
+    )
+    return ols.select(
+        F.col("m").alias("n_window_sizes"),
+        (
+            F.round(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            )
+            + 0.0
+        ).alias("hurst_exponent"),
+    )

@@ -139,6 +139,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_events_sequential_msprt",
     "q_profile_freshness",
     "q_profile_eval_slices",
+    # wave 6: in-lake ML + long-memory diagnostics
+    "q_ml_naive_bayes",
+    "q_timeseries_hurst",
+    "q_ml_silhouette",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

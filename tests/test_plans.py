@@ -1633,3 +1633,37 @@ def test_eval_slices_grid_agg_totals_broadcast(spark, sf_dir):
     plan = formatted_plan(df)
     assert "documents.parquet" not in plan  # folded into the checkpoint
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_naive_bayes_model_join_scores_combinable(spark, sf_dir):
+    # scoring must be a hash join on token feeding a combinable
+    # (doc, class) agg; the argmax is a doc-partitioned window
+    df = SPECS["q_ml_naive_bayes"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(doc_id" in line, line
+
+
+def test_hurst_windows_partition_by_block(spark, sf_dir):
+    # every frame window after the daily rollup partitions by (k, blk);
+    # only the initial row_number over the calendar grid is global
+    df = SPECS["q_timeseries_hurst"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_grid = 0
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            if "windowspecdefinition(k" in line:
+                continue
+            n_grid += 1  # the calendar-bounded global row_number
+    assert n_grid <= 2
+
+
+def test_silhouette_sample_broadcast_quantized(spark, sf_dir):
+    # corpus ⋈ BROADCAST(sampled points); the distance agg is a
+    # combinable (point, label) hash agg over quantized ints
+    df = SPECS["q_ml_silhouette"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
