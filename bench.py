@@ -219,6 +219,12 @@ HEADLINE = [
     "q_ml_naive_bayes",
     "q_timeseries_hurst",
     "q_ml_silhouette",
+    # round-8 debuts (wave 7: calibration + tail risk + partition quality)
+    "q_agg_raking",
+    "q_agg_expected_shortfall",
+    "q_graph_modularity",
+    "q_sample_importance",
+    "q_text_fertility",
 ]
 
 

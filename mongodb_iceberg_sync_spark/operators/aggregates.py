@@ -3936,3 +3936,201 @@ def q_agg_bh_fdr(spark, sf_dir):
         )
         .orderBy("day_of_week")
     )
+
+
+@register(
+    "q_agg_raking",
+    family="aggregates",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY et, dw
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT et) AS BIGINT) AS nr,
+             CAST(count(DISTINCT dw) AS BIGINT) AS nc,
+             CAST(sum(n) AS BIGINT) AS nt
+      FROM cells
+    ),
+    w0 AS (SELECT c.*, d.nr, d.nc, d.nt, n * 1.0 AS w
+           FROM cells c CROSS JOIN dims d),
+    -- iteration 1: scale rows to uniform target nt/nr, then columns
+    r1 AS (SELECT et, sum(w) AS rw FROM w0 GROUP BY et),
+    w1 AS (SELECT w0.et, w0.dw, w0.n, w0.nr, w0.nc, w0.nt,
+                  w0.w * (w0.nt * 1.0 / w0.nr) / r1.rw AS w
+           FROM w0 JOIN r1 ON r1.et = w0.et),
+    c1 AS (SELECT dw, sum(w) AS cw FROM w1 GROUP BY dw),
+    w2 AS (SELECT w1.et, w1.dw, w1.n, w1.nr, w1.nc, w1.nt,
+                  w1.w * (w1.nt * 1.0 / w1.nc) / c1.cw AS w
+           FROM w1 JOIN c1 ON c1.dw = w1.dw),
+    -- iteration 2
+    r2 AS (SELECT et, sum(w) AS rw FROM w2 GROUP BY et),
+    w3 AS (SELECT w2.et, w2.dw, w2.n, w2.nr, w2.nc, w2.nt,
+                  w2.w * (w2.nt * 1.0 / w2.nr) / r2.rw AS w
+           FROM w2 JOIN r2 ON r2.et = w2.et),
+    c2 AS (SELECT dw, sum(w) AS cw FROM w3 GROUP BY dw),
+    w4 AS (SELECT w3.et, w3.dw, w3.n, w3.nr, w3.nc, w3.nt,
+                  w3.w * (w3.nt * 1.0 / w3.nc) / c2.cw AS w
+           FROM w3 JOIN c2 ON c2.dw = w3.dw)
+    SELECT et AS event_type, dw AS day_of_week, n,
+           round(w / n, 6) + 0.0 AS rake_weight,
+           round(w, 4) + 0.0 AS raked_count
+    FROM w4 ORDER BY event_type, day_of_week
+    """,
+    doc="Iterative proportional fitting (raking) of the (event_type × "
+    "day-of-week) contingency table to uniform row AND column margins "
+    "— the survey-calibration / post-stratification weighting every "
+    "analytics team reaches for when a sample's margins drift from "
+    "the population's: two IPF iterations (row-scale, column-scale, "
+    "repeat), each a grouped sum + ratio join on the BOUNDED grid. "
+    "Two iterations are the fixed, documented contract (IPF converges "
+    "geometrically; fixture margins are near-uniform already and the "
+    "oracle mirrors the exact same unrolled schedule — parity tests "
+    "the machinery, not a convergence claim). Exactness: cell counts "
+    "exact; every scale factor is a float ratio of identically-"
+    "computed sums over the ≤|types×7| grid — the iteration order is "
+    "FIXED by the CTE chain on both engines, and grouped float sums "
+    "over ≤7 rows are too few to reorder (single partial per group). "
+    "Scale: one combinable grid rollup over the fact; iterations "
+    "touch only the grid. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_raking(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dw"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = cells.localCheckpoint(eager=False)  # dims + w0 share it
+    dims = cells.agg(
+        F.countDistinct("et").cast("long").alias("nr"),
+        F.countDistinct("dw").cast("long").alias("nc"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    w = cells.join(F.broadcast(dims)).select(
+        "et", "dw", "n", "nr", "nc", "nt", (F.col("n") * 1.0).alias("w")
+    )
+    for _ in range(2):  # two IPF iterations, fixed contract
+        rw = w.groupBy(F.col("et").alias("r_et")).agg(F.sum("w").alias("rw"))
+        w = w.join(F.broadcast(rw), F.col("r_et") == F.col("et")).select(
+            "et", "dw", "n", "nr", "nc", "nt",
+            (
+                F.col("w") * (F.col("nt") * 1.0 / F.col("nr")) / F.col("rw")
+            ).alias("w"),
+        )
+        cw = w.groupBy(F.col("dw").alias("c_dw")).agg(F.sum("w").alias("cw"))
+        w = w.join(F.broadcast(cw), F.col("c_dw") == F.col("dw")).select(
+            "et", "dw", "n", "nr", "nc", "nt",
+            (
+                F.col("w") * (F.col("nt") * 1.0 / F.col("nc")) / F.col("cw")
+            ).alias("w"),
+        )
+    return w.select(
+        F.col("et").alias("event_type"),
+        F.col("dw").alias("day_of_week"),
+        "n",
+        (F.round(F.col("w") / F.col("n"), 6) + 0.0).alias("rake_weight"),
+        (F.round(F.col("w"), 4) + 0.0).alias("raked_count"),
+    ).orderBy("event_type", "day_of_week")
+
+
+@register(
+    "q_agg_expected_shortfall",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    vc AS (SELECT g, cents, CAST(count(*) AS BIGINT) AS c
+           FROM r GROUP BY g, cents),
+    cum AS (
+      SELECT g, cents, c,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY cents) AS BIGINT)
+               AS cc,
+             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM vc
+    ),
+    var_ AS (
+      -- VaR_95 = the exact lower 95th percentile (percentile_disc):
+      -- smallest value whose cumulative count reaches ceil(0.95 n)
+      SELECT g, min(cents) AS var_cents
+      FROM cum WHERE cc * 100 >= n * 95 GROUP BY g
+    ),
+    tail AS (
+      SELECT r.g, CAST(count(*) AS BIGINT) AS n_tail,
+             CAST(sum(r.cents) AS BIGINT) AS s_tail,
+             CAST(any_value(v.var_cents) AS BIGINT) AS var_cents,
+             CAST(any_value(n.n) AS BIGINT) AS n
+      FROM r
+      JOIN var_ v ON v.g = r.g
+      JOIN (SELECT g, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY g) n
+        ON n.g = r.g
+      WHERE r.cents >= v.var_cents
+      GROUP BY r.g
+    )
+    SELECT g AS o_orderpriority, n, n_tail,
+           round(var_cents / 100.0, 2) + 0.0 AS var_95,
+           round(CAST(s_tail AS DOUBLE) / n_tail / 100, 6) + 0.0 AS es_95
+    FROM tail ORDER BY o_orderpriority
+    """,
+    doc="Value-at-Risk + Expected Shortfall (CVaR) at the 95th "
+    "percentile of order value per priority class — the tail-risk "
+    "pair (VaR: the threshold; ES: the mean BEYOND it, the coherent "
+    "risk measure Basel/actuarial work standardized on) that "
+    "q_agg_percentile alone can't give. Exactness: VaR is the exact "
+    "discrete percentile (smallest cent value whose cumulative count "
+    "reaches ceil(0.95n), via integer cross-multiplication cc·100 ≥ "
+    "n·95 — no interpolation, no float rank); the tail mean is one "
+    "division of exact integer sums over the ≥VaR rows. Scale: the "
+    "percentile rides the bounded distinct-value table per group "
+    "(money domain); the tail re-scan is filter-pushed; both aggs "
+    "combinable. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_expected_shortfall(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r = r.localCheckpoint(eager=False)  # vc + tail share it
+    vc = r.groupBy("g", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = vc.select(
+        "g",
+        "cents",
+        F.sum("c").over(Window.partitionBy("g").orderBy("cents"))
+        .cast("long").alias("cc"),
+        F.sum("c").over(Window.partitionBy("g")).cast("long").alias("n"),
+    )
+    var_ = (
+        cum.filter(F.col("cc") * 100 >= F.col("n") * 95)
+        .groupBy("g")
+        .agg(F.min("cents").alias("var_cents"))
+    )
+    nn = r.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tail = (
+        r.join(F.broadcast(var_), "g")
+        .filter(F.col("cents") >= F.col("var_cents"))
+        .join(F.broadcast(nn), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum("cents").cast("long").alias("s_tail"),
+            F.any_value("var_cents").cast("long").alias("var_cents"),
+            F.any_value("n").cast("long").alias("n"),
+        )
+    )
+    return tail.select(
+        F.col("g").alias("o_orderpriority"),
+        "n",
+        "n_tail",
+        (F.round(F.col("var_cents") / 100.0, 2) + 0.0).alias("var_95"),
+        (
+            F.round(F.col("s_tail").cast("double") / F.col("n_tail") / 100, 6)
+            + 0.0
+        ).alias("es_95"),
+    ).orderBy("o_orderpriority")

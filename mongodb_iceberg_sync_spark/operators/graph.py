@@ -1181,3 +1181,125 @@ def q_graph_jaccard(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_graph_modularity",
+    family="graph",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    -- undirected bipartite edges with community = the SUPPLIER's
+    -- nation on both endpoints (customers inherit the supplier side
+    -- they connect to most is a harder assignment; here community of
+    -- an edge is well-defined per endpoint: supplier nation vs
+    -- customer nation)
+    edges AS (
+      SELECT p.s, p.c,
+             sn.s_nationkey AS comm_s,
+             cn.c_nationkey AS comm_c
+      FROM pairs p
+      JOIN supplier sn ON sn.s_suppkey = p.s
+      JOIN customer cn ON cn.c_custkey = p.c
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS e_in
+      FROM edges WHERE comm_s = comm_c
+    ),
+    -- degree mass per community: each edge endpoint contributes its
+    -- community once (supplier endpoint + customer endpoint)
+    deg AS (
+      SELECT comm, CAST(sum(cnt) AS BIGINT) AS d FROM (
+        SELECT comm_s AS comm, CAST(count(*) AS BIGINT) AS cnt
+        FROM edges GROUP BY comm_s
+        UNION ALL
+        SELECT comm_c AS comm, CAST(count(*) AS BIGINT) AS cnt
+        FROM edges GROUP BY comm_c
+      ) GROUP BY comm
+    ),
+    q2 AS (
+      SELECT CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sum_d2
+      FROM deg
+    )
+    SELECT m.m AS n_edges,
+           i.e_in AS intra_edges,
+           round(CAST(i.e_in AS DOUBLE) / m.m
+                 - q2.sum_d2 / (4.0 * m.m * m.m), 6) + 0.0 AS modularity
+    FROM m CROSS JOIN intra i CROSS JOIN q2
+    """,
+    doc="Newman modularity Q of the nation partition over the "
+    "supplier↔customer graph — Q = e_in/m − Σ_c(d_c/2m)², the "
+    "did-the-communities-mean-anything score that validates (or "
+    "indicts) a partition BEFORE it's used for locality-aware "
+    "placement or blocked processing; pairs with q_graph_labelprop "
+    "(which finds communities) as its evaluation half. Exactness: "
+    "edge/intra counts and per-community degree masses are exact "
+    "ints (Σd² in HUGEINT/DECIMAL — quadratic in degree mass); Q is "
+    "ONE float expression of exact ints. Scale: distinct-pair "
+    "projection is the only fact shuffle; degree masses are two "
+    "combinable rollups of the edge table; the rest is arithmetic on "
+    "|communities| rows. Ref: no reference counterpart — graph "
+    "tier.",
+)
+def q_graph_modularity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("o_custkey").cast("long").alias("c"),
+        )
+        .distinct()
+    )
+    sn = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        pairs.join(F.broadcast(sn), F.col("s_suppkey") == F.col("s"))
+        .join(F.broadcast(cn), F.col("c_custkey") == F.col("c"))
+        .select(
+            F.col("s_nationkey").alias("comm_s"),
+            F.col("c_nationkey").alias("comm_c"),
+        )
+    )
+    edges = edges.localCheckpoint(eager=False)  # m/intra/deg share it
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = edges.filter(F.col("comm_s") == F.col("comm_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("e_in")
+    )
+    dec = "decimal(38,0)"
+    deg = (
+        edges.select(F.col("comm_s").alias("comm"))
+        .groupBy("comm")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .unionByName(
+            edges.select(F.col("comm_c").alias("comm"))
+            .groupBy("comm")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        .groupBy("comm")
+        .agg(F.sum("cnt").cast("long").alias("d"))
+    )
+    q2 = deg.agg(
+        F.sum(F.col("d").cast(dec) * F.col("d").cast(dec))
+        .cast("double").alias("sum_d2")
+    )
+    return (
+        m.join(F.broadcast(intra))
+        .join(F.broadcast(q2))
+        .select(
+            F.col("m").alias("n_edges"),
+            F.col("e_in").alias("intra_edges"),
+            (
+                F.round(
+                    F.col("e_in").cast("double") / F.col("m")
+                    - F.col("sum_d2") / (4.0 * F.col("m") * F.col("m")),
+                    6,
+                )
+                + 0.0
+            ).alias("modularity"),
+        )
+    )

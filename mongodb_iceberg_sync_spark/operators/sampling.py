@@ -525,3 +525,84 @@ def q_sample_kfold(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "q_sample_importance",
+    family="sampling",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k
+      FROM src
+    ),
+    w AS (
+      -- importance weight toward a UNIFORM source target:
+      -- w = (nt/k)/n = target_share / current_share
+      SELECT s.source, s.n, t.nt, t.k,
+             CAST(t.nt AS DOUBLE) / t.k / s.n AS wt
+      FROM src s CROSS JOIN tot t
+    ),
+    ess AS (
+      -- effective sample size (Kish): (Σ n·w)² / Σ n·w² — exact
+      -- rationals: Σn·w = nt (by construction), Σn·w² = (nt/k)²·Σ1/n
+      SELECT CAST(sum(CAST(round(1e12 / n) AS BIGINT)) AS BIGINT) AS q_inv
+      FROM src
+    )
+    SELECT w.source, w.n,
+           round(CAST(w.n AS DOUBLE) / w.nt, 6) + 0.0 AS current_share,
+           round(1.0 / w.k, 6) + 0.0 AS target_share,
+           round(w.wt, 6) + 0.0 AS weight,
+           round(CAST(w.nt AS DOUBLE) * w.nt
+                 / ((CAST(w.nt AS DOUBLE) / w.k) * (CAST(w.nt AS DOUBLE) / w.k)
+                    * (e.q_inv / 1e12)), 4) + 0.0 AS effective_n
+    FROM w CROSS JOIN ess e
+    ORDER BY source
+    """,
+    doc="Importance-sampling reweighting toward a uniform source "
+    "mixture, with the Kish effective sample size — the two numbers "
+    "that decide whether to REWEIGHT (cheap, but ESS collapse means "
+    "high variance) or RESAMPLE (q_mix_domains) a skewed corpus: "
+    "w = target_share/current_share per source, ESS = (Σnw)²/Σnw². "
+    "Exactness: counts exact; each 1/n term is quantized 1e12 before "
+    "the cross-source sum (order-insensitive), making ESS a float "
+    "expression of exact ints; shares/weights are single divisions. "
+    "Scale: one combinable per-source rollup + a 1-row totals "
+    "broadcast — nothing touches the fact twice. Ref: no reference "
+    "counterpart — sampling tier.",
+)
+def q_sample_importance(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    src = src.localCheckpoint(eager=False)  # tot/w/ess share it
+    tot = src.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ess = src.agg(
+        F.sum(F.round(F.lit(1e12) / F.col("n")).cast("long"))
+        .cast("long").alias("q_inv")
+    )
+    w = src.join(F.broadcast(tot)).join(F.broadcast(ess))
+    target = F.col("nt").cast("double") / F.col("k")
+    return w.select(
+        "source",
+        "n",
+        (F.round(F.col("n").cast("double") / F.col("nt"), 6) + 0.0).alias(
+            "current_share"
+        ),
+        (F.round(1.0 / F.col("k"), 6) + 0.0).alias("target_share"),
+        (F.round(target / F.col("n"), 6) + 0.0).alias("weight"),
+        (
+            F.round(
+                F.col("nt").cast("double") * F.col("nt")
+                / (target * target * (F.col("q_inv") / 1e12)),
+                4,
+            )
+            + 0.0
+        ).alias("effective_n"),
+    ).orderBy("source")

@@ -2455,3 +2455,62 @@ def q_text_mattr(spark, sf_dir):
         "n_tokens",
         F.round(s_distinct.cast("double") / denom, 6).alias("mattr"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_text_fertility",
+    family="text",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+               AS sub
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS words,
+           CAST(sum(sub) AS BIGINT) AS subword_tokens,
+           round(CAST(sum(sub) AS DOUBLE) / sum(ws), 6) + 0.0
+             AS fertility,
+           CAST(count(*) FILTER (sub * 10 > ws * 18) AS BIGINT)
+             AS n_high_fertility
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language — subword tokens per "
+    "whitespace word (the metric that quantifies how much more "
+    "compute a language costs under a given tokenizer: English ~1.2, "
+    "under-resourced scripts 3-8 on real BPE vocabularies) using the "
+    "same subword regex as q_text_token_count, plus a count of docs "
+    "above fertility 1.8 (the re-tokenize-or-upweight candidates). "
+    "The per-language fertility table is what mixture budgeting "
+    "(q_mix_token_budget) should consume instead of raw doc counts. "
+    "Exactness: token counts exact ints; fertility one division; "
+    "the high-fertility flag is an exact integer cross-multiplication "
+    "(sub·10 > ws·18). Scale: pure map + one combinable per-lang "
+    "agg. Ref: no reference counterpart — text tier.",
+)
+def q_text_fertility(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+        .cast("long").alias("sub"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("words"),
+            F.sum("sub").cast("long").alias("subword_tokens"),
+            (
+                F.round(F.sum("sub").cast("double") / F.sum("ws"), 6) + 0.0
+            ).alias("fertility"),
+            F.sum(
+                F.when(F.col("sub") * 10 > F.col("ws") * 18, 1).otherwise(0)
+            ).cast("long").alias("n_high_fertility"),
+        )
+        .orderBy("lang")
+    )

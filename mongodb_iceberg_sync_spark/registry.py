@@ -143,6 +143,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_naive_bayes",
     "q_timeseries_hurst",
     "q_ml_silhouette",
+    # wave 7: calibration weighting + tail risk + partition quality
+    "q_agg_raking",
+    "q_agg_expected_shortfall",
+    "q_graph_modularity",
+    "q_sample_importance",
+    "q_text_fertility",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

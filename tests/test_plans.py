@@ -1667,3 +1667,40 @@ def test_silhouette_sample_broadcast_quantized(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "HashAggregate" in plan
+
+
+def test_raking_iterations_on_grid_only(spark, sf_dir):
+    # the IPF iterations join only broadcast margin tables over the
+    # checkpointed grid — the fact never reappears
+    df = SPECS["q_agg_raking"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_expected_shortfall_percentile_on_value_domain(spark, sf_dir):
+    # the VaR windows run over the bounded distinct-cents table,
+    # partitioned by group; the tail re-scan is a broadcast join
+    df = SPECS["q_agg_expected_shortfall"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(g" in line, line
+    assert "BroadcastHashJoin" in plan
+
+
+def test_modularity_single_edge_materialization(spark, sf_dir):
+    # edges are checkpointed; m/intra/deg all read the cached table —
+    # no parquet re-scan, all tiny joins broadcast
+    df = SPECS["q_graph_modularity"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "lineitem.parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_importance_fertility_single_pass(spark, sf_dir):
+    plan1 = formatted_plan(SPECS["q_sample_importance"].func(spark, sf_dir))
+    assert "documents.parquet" not in plan1  # checkpointed rollup
+    plan2 = formatted_plan(SPECS["q_text_fertility"].func(spark, sf_dir))
+    assert plan2.count("documents.parquet") == 1
+    assert "HashAggregate" in plan2
