@@ -225,6 +225,10 @@ HEADLINE = [
     "q_graph_modularity",
     "q_sample_importance",
     "q_text_fertility",
+    # round-8 debuts (wave 8: changepoints + extremes + AUC error bars)
+    "q_timeseries_changepoint",
+    "q_timeseries_extreme_value",
+    "q_ml_bootstrap_auc_ci",
 ]
 
 

@@ -1502,7 +1502,11 @@ _SIL_MOD = 10  # vec_id % 10 == 0 → deterministic point sample
     oracle=f"""
     WITH pts AS (
       SELECT vec_id AS pid, embedding AS pe, label AS plab
-      FROM embeddings WHERE vec_id % {_SIL_MOD} = 0
+      -- the cap bounds the sample at <=256 points so the sampled-
+      -- point x corpus join stays O(corpus), never quadratic; at
+      -- fixture scale (max vec_id 2000, cap 2560) it excludes nothing
+      FROM embeddings
+      WHERE vec_id % {_SIL_MOD} = 0 AND vec_id < {_SIL_MOD} * 256
     ),
     dists AS (
       SELECT p.pid, p.plab, e.label AS clab,
@@ -1560,7 +1564,11 @@ def q_ml_silhouette(spark, sf_dir):
     from ..functions.vector import dot, norm
 
     e = t(spark, sf_dir, "embeddings")
-    pts = e.filter(F.col("vec_id") % _SIL_MOD == 0).select(
+    pts = e.filter(
+        (F.col("vec_id") % _SIL_MOD == 0)
+        # bounded sample: <=256 points at any corpus size (see oracle)
+        & (F.col("vec_id") < _SIL_MOD * 256)
+    ).select(
         F.col("vec_id").alias("pid"),
         F.col("embedding").alias("pe"),
         F.col("label").alias("plab"),
@@ -1610,4 +1618,171 @@ def q_ml_silhouette(spark, sf_dir):
             ).alias("mean_silhouette"),
         )
         .orderBy("label")
+    )
+
+
+_BAUC_R = 40          # bootstrap replicates (order stats 2/39 ≈ 95% CI)
+_BAUC_A = 2654435761  # Knuth multiplicative-hash constant
+_BAUC_B = 40503
+_BAUC_M = 100000
+# inverse-CDF thresholds of Poisson(1) scaled to M (same as q_agg_bootstrap)
+_BAUC_W = ((36788, 0), (73576, 1), (91970, 2), (98101, 3))
+
+
+def _bauc_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {thr} THEN {val}" for thr, val in _BAUC_W
+    )
+    return f"(CASE {cases} ELSE 4 END)"
+
+
+@register(
+    "q_ml_bootstrap_auc_ci",
+    family="mleval",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(p) AS BIGINT) AS tp FROM u),
+    exu AS (
+      SELECT u.user_id, u.s AS score,
+             CASE WHEN u.p * t.nu > t.tp THEN 1 ELSE 0 END AS label
+      FROM u CROSS JOIN tot t
+    ),
+    rep AS (
+      SELECT e.user_id, e.score, e.label, r.r,
+             {_bauc_w_sql(f"((e.user_id % {_BAUC_M}) * {_BAUC_A} + r.r * {_BAUC_B}) % {_BAUC_M}")}
+               AS w
+      FROM exu e CROSS JOIN range(0, {_BAUC_R}) AS r(r)
+    ),
+    by_score AS (
+      SELECT r, score,
+             CAST(sum(w * label) AS BIGINT) AS wpos,
+             CAST(sum(w * (1 - label)) AS BIGINT) AS wneg
+      FROM rep GROUP BY r, score
+    ),
+    ranked AS (
+      SELECT r, wpos, wneg,
+             CAST(coalesce(sum(wneg) OVER (PARTITION BY r ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS wneg_below
+      FROM by_score
+    ),
+    aucs AS (
+      SELECT r,
+             sum(wpos * (2 * wneg_below + wneg)) * 1.0
+             / (2.0 * sum(wpos) * sum(wneg)) AS auc
+      FROM ranked GROUP BY r
+    ),
+    ordered AS (
+      SELECT auc, row_number() OVER (ORDER BY auc, r) AS rk FROM aucs
+    )
+    SELECT CAST({_BAUC_R} AS BIGINT) AS n_replicates,
+           round(sum(CAST(round(auc * 1e9) AS BIGINT)) / {_BAUC_R} / 1e9, 6)
+             + 0.0 AS auc_boot_mean,
+           round(min(CASE WHEN rk = 2 THEN auc END), 6) + 0.0 AS ci_lo,
+           round(min(CASE WHEN rk = {_BAUC_R - 1} THEN auc END), 6) + 0.0
+             AS ci_hi
+    FROM ordered
+    """,
+    doc="Bootstrap confidence interval for AUC — the error bar "
+    "q_ml_auc's point estimate needs before anyone compares two "
+    "models on it: 40 Poisson-bootstrap replicates (per-user "
+    "multiplicities from the same engine-independent LCG as "
+    "q_agg_bootstrap — resampling USERS, the exchangeable unit, not "
+    "events), each replicate's AUC via the weighted Mann-Whitney "
+    "identity over the distinct-score table, CI = order statistics "
+    "2/39 (~95%). Exactness: weighted pos/neg masses are exact ints; "
+    "each replicate AUC is ONE division of exact ints; the replicate "
+    "mean is quantized 1e9 before averaging; the CI rides "
+    "row_number with a replicate tie-break (no float-equality "
+    "pitfalls). Scale: the explode is map-side (users × 40); "
+    "windows partition by replicate over the bounded score domain "
+    "(SCALE.md ledger); everything map-combinable. Ref: no "
+    "reference counterpart — mleval tier.",
+)
+def q_ml_bootstrap_auc_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("s"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp"),
+    )
+    exu = u.join(F.broadcast(tot)).select(
+        "user_id",
+        F.col("s").alias("score"),
+        F.when(F.col("p") * F.col("nu") > F.col("tp"), 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    rep = exu.select(
+        "user_id", "score", "label",
+        F.explode(F.sequence(F.lit(0), F.lit(_BAUC_R - 1))).alias("r"),
+    )
+    uexpr = (
+        (F.col("user_id") % _BAUC_M) * _BAUC_A + F.col("r") * _BAUC_B
+    ) % _BAUC_M
+    w = F.when(uexpr < _BAUC_W[0][0], _BAUC_W[0][1])
+    for thr, val in _BAUC_W[1:]:
+        w = w.when(uexpr < thr, val)
+    w = w.otherwise(4)
+    by_score = (
+        rep.select("r", "score", "label", w.alias("w"))
+        .groupBy("r", "score")
+        .agg(
+            F.sum(F.col("w") * F.col("label")).cast("long").alias("wpos"),
+            F.sum(F.col("w") * (1 - F.col("label"))).cast("long").alias("wneg"),
+        )
+    )
+    # replicate-partitioned window over the bounded score domain
+    wb = Window.partitionBy("r").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = by_score.select(
+        "r", "wpos", "wneg",
+        F.coalesce(F.sum("wneg").over(wb), F.lit(0)).cast("long").alias(
+            "wneg_below"
+        ),
+    )
+    aucs = ranked.groupBy("r").agg(
+        (
+            F.sum(F.col("wpos") * (2 * F.col("wneg_below") + F.col("wneg")))
+            * 1.0
+            / (2.0 * F.sum("wpos") * F.sum("wneg"))
+        ).alias("auc")
+    )
+    ordered = aucs.select(
+        "auc", F.row_number().over(Window.orderBy("auc", "r")).alias("rk")
+    )
+    return ordered.agg(
+        F.lit(_BAUC_R).cast("long").alias("n_replicates"),
+        (
+            F.round(
+                F.sum(F.round(F.col("auc") * 1e9).cast("long")) / _BAUC_R / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("auc_boot_mean"),
+        (F.round(F.min(F.when(F.col("rk") == 2, F.col("auc"))), 6) + 0.0).alias(
+            "ci_lo"
+        ),
+        (
+            F.round(
+                F.min(F.when(F.col("rk") == _BAUC_R - 1, F.col("auc"))), 6
+            )
+            + 0.0
+        ).alias("ci_hi"),
     )

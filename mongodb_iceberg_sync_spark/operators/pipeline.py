@@ -4345,3 +4345,208 @@ def q_timeseries_hurst(spark, sf_dir):
             + 0.0
         ).alias("hurst_exponent"),
     )
+
+
+@register(
+    "q_timeseries_changepoint",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY d
+    ),
+    cum AS (
+      SELECT d, sv,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             CAST(sum(sv) OVER w AS BIGINT) AS cs,
+             sum(CAST(sv AS HUGEINT) * sv) OVER w AS css,
+             CAST(sum(sv) OVER () AS BIGINT) AS ts_,
+             CAST(sum(CAST(sv AS HUGEINT) * sv) OVER () AS DOUBLE) AS tss,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    costs AS (
+      -- split AFTER row i: SSE_left + SSE_right from exact prefix sums
+      SELECT d, i, n, cs, ts_,
+             (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * cs / i)
+             + ((tss - CAST(css AS DOUBLE))
+                - CAST(ts_ - cs AS DOUBLE) * (ts_ - cs) / (n - i)) AS sse,
+             tss - CAST(ts_ AS DOUBLE) * ts_ / n AS sse0
+      FROM cum WHERE i >= 3 AND i <= n - 3
+    ),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY sse, d) AS rn FROM costs
+    )
+    SELECT d AS split_day, i AS n_left, n - i AS n_right,
+           round(CAST(cs AS DOUBLE) / i / 1e4, 6) + 0.0 AS mean_left,
+           round(CAST(ts_ - cs AS DOUBLE) / (n - i) / 1e4, 6) + 0.0
+             AS mean_right,
+           round(1.0 - sse / nullif(sse0, 0), 6) + 0.0 AS sse_reduction
+    FROM best WHERE rn = 1
+    """,
+    doc="Single changepoint detection by binary segmentation on the "
+    "daily value series: the split minimizing SSE_left + SSE_right "
+    "(equivalently maximizing between-segment variance) with a "
+    "minimum segment length of 3 — the where-did-the-level-shift-"
+    "happen answer that q_timeseries_cusum's threshold-crossing "
+    "can't localize, and the first recursion step of full binseg/"
+    "PELT. Exactness: every candidate cost comes from EXACT integer "
+    "prefix sums (Σ, Σ² with the square in HUGEINT/DECIMAL) — the "
+    "identical float expression per split on both engines; argmin "
+    "via row_number with the day as tie-break (no float-equality "
+    "join). Scale: one combinable daily rollup; the candidate scan "
+    "is the calendar-bounded grid (≤366 splits — SCALE.md ledger). "
+    "Ref: no reference counterpart — timeseries tier.",
+)
+def q_timeseries_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("sv")
+    )
+    dec = "decimal(38,0)"
+    # calendar-bounded global windows (SCALE.md ledger)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sv2 = F.col("sv").cast(dec) * F.col("sv").cast(dec)
+    cum = daily.select(
+        "d",
+        "sv",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"),
+        F.sum("sv").over(w).cast("long").alias("cs"),
+        F.sum(sv2).over(w).alias("css"),
+        F.sum("sv").over(wall).cast("long").alias("ts_"),
+        F.sum(sv2).over(wall).cast("double").alias("tss"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    sse_l = F.col("css").cast("double") - F.col("cs").cast("double") * F.col(
+        "cs"
+    ) / F.col("i")
+    rs = F.col("ts_") - F.col("cs")
+    sse_r = (F.col("tss") - F.col("css").cast("double")) - rs.cast(
+        "double"
+    ) * rs / (F.col("n") - F.col("i"))
+    costs = cum.filter(
+        (F.col("i") >= 3) & (F.col("i") <= F.col("n") - 3)
+    ).select(
+        "d", "i", "n", "cs", "ts_",
+        (sse_l + sse_r).alias("sse"),
+        (
+            F.col("tss") - F.col("ts_").cast("double") * F.col("ts_") / F.col("n")
+        ).alias("sse0"),
+    )
+    best = costs.select(
+        "*", F.row_number().over(Window.orderBy("sse", "d")).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("d").alias("split_day"),
+        F.col("i").alias("n_left"),
+        (F.col("n") - F.col("i")).alias("n_right"),
+        (
+            F.round(F.col("cs").cast("double") / F.col("i") / 1e4, 6) + 0.0
+        ).alias("mean_left"),
+        (
+            F.round(
+                (F.col("ts_") - F.col("cs")).cast("double")
+                / (F.col("n") - F.col("i"))
+                / 1e4,
+                6,
+            )
+            + 0.0
+        ).alias("mean_right"),
+        (
+            F.round(
+                1.0 - F.col("sse") / F.nullif(F.col("sse0"), F.lit(0.0)), 6
+            )
+            + 0.0
+        ).alias("sse_reduction"),
+    )
+
+
+_EV_GAMMA = 0.5772156649015329  # Euler–Mascheroni, shared literal
+_EV_SQRT6_PI = 0.7796968012336793  # sqrt(6)/pi, shared literal
+
+
+@register(
+    "q_timeseries_extreme_value",
+    family="timeseries",
+    oracle=f"""
+    WITH dmax AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(max(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS mx
+      FROM events GROUP BY d
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS BIGINT) AS s,
+             sum(CAST(mx AS HUGEINT) * mx) AS ss
+      FROM dmax
+    ),
+    fit AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / n / 1e4 AS mean_,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) / 1e4 AS sd_
+      FROM st
+    )
+    SELECT n AS n_blocks,
+           round(sd_ * {_EV_SQRT6_PI}, 6) + 0.0 AS gumbel_beta,
+           round(mean_ - {_EV_GAMMA} * sd_ * {_EV_SQRT6_PI}, 6) + 0.0
+             AS gumbel_mu,
+           round(mean_ - {_EV_GAMMA} * sd_ * {_EV_SQRT6_PI}
+                 - sd_ * {_EV_SQRT6_PI} * ln(-ln(1.0 - 1.0/100)), 6) + 0.0
+             AS return_level_100,
+           round(mean_ - {_EV_GAMMA} * sd_ * {_EV_SQRT6_PI}
+                 - sd_ * {_EV_SQRT6_PI} * ln(-ln(1.0 - 1.0/1000)), 6) + 0.0
+             AS return_level_1000
+    FROM fit
+    """,
+    doc="Extreme-value analysis: Gumbel fit (method of moments — β = "
+    "σ√6/π, μ = x̄ − γβ) on daily block maxima of event value, with "
+    "100-day and 1000-day return levels — the capacity-planning "
+    "question ('what peak should we provision for?') answered from "
+    "the tail law rather than an observed quantile, which cannot "
+    "extrapolate beyond the data. Constants (Euler–Mascheroni γ, "
+    "√6/π) are shared decimal literals on both engines. Exactness: "
+    "block maxima and their Σ/Σ² are exact ints (Σ² HUGEINT/"
+    "DECIMAL); the fit and return levels are one float expression "
+    "each. Scale: one combinable daily-max rollup; the fit runs on "
+    "a 1-row stats table. Ref: no reference counterpart — "
+    "timeseries tier.",
+)
+def q_timeseries_extreme_value(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dmax = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.max(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("mx")
+    )
+    dec = "decimal(38,0)"
+    st = dmax.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx").cast(dec) * F.col("mx").cast(dec)).alias("ss"),
+    )
+    mean_ = F.col("s").cast("double") / F.col("n") / 1e4
+    sd_ = (
+        F.sqrt(
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        )
+        / 1e4
+    )
+    beta = sd_ * _EV_SQRT6_PI
+    mu = mean_ - _EV_GAMMA * beta
+    def rl(T):
+        return mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / T)))
+    return st.select(
+        F.col("n").alias("n_blocks"),
+        (F.round(beta, 6) + 0.0).alias("gumbel_beta"),
+        (F.round(mu, 6) + 0.0).alias("gumbel_mu"),
+        (F.round(rl(100), 6) + 0.0).alias("return_level_100"),
+        (F.round(rl(1000), 6) + 0.0).alias("return_level_1000"),
+    )

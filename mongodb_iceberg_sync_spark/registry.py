@@ -149,6 +149,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_graph_modularity",
     "q_sample_importance",
     "q_text_fertility",
+    # wave 8: changepoint localization + extreme values + AUC error bars
+    "q_timeseries_changepoint",
+    "q_timeseries_extreme_value",
+    "q_ml_bootstrap_auc_ci",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

@@ -1704,3 +1704,22 @@ def test_importance_fertility_single_pass(spark, sf_dir):
     plan2 = formatted_plan(SPECS["q_text_fertility"].func(spark, sf_dir))
     assert plan2.count("documents.parquet") == 1
     assert "HashAggregate" in plan2
+
+
+def test_changepoint_extreme_value_single_pass(spark, sf_dir):
+    for q in ("q_timeseries_changepoint", "q_timeseries_extreme_value"):
+        plan = formatted_plan(SPECS[q].func(spark, sf_dir))
+        assert plan.count("events.parquet") == 1, q
+
+
+def test_bootstrap_auc_windows_partition_by_replicate(spark, sf_dir):
+    # every cumulative window partitions by the replicate id over the
+    # bounded score domain; the explode is map-side (no shuffle of the
+    # base before the (r, score) agg)
+    df = SPECS["q_ml_bootstrap_auc_ci"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    saw_r = False
+    for line in plan.splitlines():
+        if "windowspecdefinition(r" in line:
+            saw_r = True
+    assert saw_r
