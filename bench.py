@@ -229,6 +229,12 @@ HEADLINE = [
     "q_timeseries_changepoint",
     "q_timeseries_extreme_value",
     "q_ml_bootstrap_auc_ci",
+    # round-8 debuts (wave 9: equivalence/confound/decision inference)
+    "q_agg_tost_equivalence",
+    "q_agg_partial_corr",
+    "q_timeseries_stl_strength",
+    "q_ml_threshold_cost",
+    "q_events_propensity_strata",
 ]
 
 

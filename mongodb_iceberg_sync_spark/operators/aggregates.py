@@ -4134,3 +4134,224 @@ def q_agg_expected_shortfall(spark, sf_dir):
             + 0.0
         ).alias("es_95"),
     ).orderBy("o_orderpriority")
+
+
+_TOST_DELTA_E4 = 50000  # equivalence margin: ±5.0 in value units (1e4 scale)
+
+
+@register(
+    "q_agg_tost_equivalence",
+    family="aggregates",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id % 2 AS variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS s,
+             sum(CAST(CAST(round(value * 1e4) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 1e4) AS BIGINT)) AS ss
+      FROM events GROUP BY variant
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n0,
+        max(CASE WHEN variant = 1 THEN n END) AS n1,
+        max(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE)/n END) AS m0,
+        max(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE)/n END) AS m1,
+        max(CASE WHEN variant = 0 THEN
+          (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n) / (n-1) END) AS v0,
+        max(CASE WHEN variant = 1 THEN
+          (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n) / (n-1) END) AS v1
+      FROM v
+    ),
+    tt AS (
+      SELECT n0, n1, m1 - m0 AS diff,
+             sqrt(v0/n0 + v1/n1) AS se
+      FROM w
+    )
+    SELECT n0, n1,
+           round(diff / 1e4, 6) + 0.0 AS diff,
+           round(se / 1e4, 6) + 0.0 AS se,
+           round(0.5 * {_erfc_sql(f'((diff + {_TOST_DELTA_E4}) / se) / 1.4142135623730951')}, 6)
+             + 0.0 AS p_lower,
+           round(0.5 * {_erfc_sql(f'(({_TOST_DELTA_E4} - diff) / se) / 1.4142135623730951')}, 6)
+             + 0.0 AS p_upper,
+           CAST(greatest(
+             0.5 * {_erfc_sql(f'((diff + {_TOST_DELTA_E4}) / se) / 1.4142135623730951')},
+             0.5 * {_erfc_sql(f'(({_TOST_DELTA_E4} - diff) / se) / 1.4142135623730951')}
+           ) < 0.05 AS BOOLEAN) AS equivalent
+    FROM tt
+    """,
+    doc="TOST equivalence test (two one-sided tests) on the mean event "
+    "value between the user_id%2 variants with a ±5.0 margin — the "
+    "non-inferiority question ('prove the change did NOT move the "
+    "metric') that a plain t-test can never answer (failing to reject "
+    "≠ equivalence). p_lower tests diff > −δ, p_upper tests diff < "
+    "+δ; equivalent iff max(p) < α. Normal approximation through the "
+    "shared erfc kernel (identical SQL text both engines). "
+    "Exactness: per-variant sufficient stats exact ints (Σ² HUGEINT/"
+    "DECIMAL); diff/se/z are single float expressions of exact ints. "
+    "Scale: one combinable 2-group pass; arithmetic on one row "
+    "after. Ref: no reference counterpart — experimentation tier.",
+)
+def q_agg_tost_equivalence(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    vq = F.round(F.col("value") * 1e4).cast("long")
+    v = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vq).cast("long").alias("s"),
+        F.sum(vq.cast(dec) * vq.cast(dec)).alias("ss"),
+    )
+    mean_ = F.col("s").cast("double") / F.col("n")
+    var_ = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    w = v.select("variant", "n", mean_.alias("m"), var_.alias("vv")).agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("variant") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("variant") == 0, F.col("vv"))).alias("v0"),
+        F.max(F.when(F.col("variant") == 1, F.col("vv"))).alias("v1"),
+    )
+    tt = w.select(
+        "n0", "n1",
+        (F.col("m1") - F.col("m0")).alias("diff_q"),
+        F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")).alias(
+            "se_q"
+        ),
+    )
+    p_lo = F.expr(
+        "0.5 * " + _erfc_sql(
+            f"((diff_q + {_TOST_DELTA_E4}) / se_q) / 1.4142135623730951"
+        )
+    )
+    p_hi = F.expr(
+        "0.5 * " + _erfc_sql(
+            f"(({_TOST_DELTA_E4} - diff_q) / se_q) / 1.4142135623730951"
+        )
+    )
+    return tt.select(
+        "n0",
+        "n1",
+        (F.round(F.col("diff_q") / 1e4, 6) + 0.0).alias("diff"),
+        (F.round(F.col("se_q") / 1e4, 6) + 0.0).alias("se"),
+        (F.round(p_lo, 6) + 0.0).alias("p_lower"),
+        (F.round(p_hi, 6) + 0.0).alias("p_upper"),
+        (F.greatest(p_lo, p_hi) < 0.05).alias("equivalent"),
+    )
+
+
+@register(
+    "q_agg_partial_corr",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+      FROM r
+    ),
+    c AS (
+      SELECT n,
+        (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+         * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS rxy,
+        (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+         * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)) AS rxz,
+        (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+        / (sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+         * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)) AS ryz
+      FROM st
+    )
+    SELECT n,
+           round(rxy, 6) + 0.0 AS r_xy,
+           round(rxz, 6) + 0.0 AS r_xz,
+           round(ryz, 6) + 0.0 AS r_yz,
+           round((rxy - rxz * ryz)
+                 / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)), 6) + 0.0
+             AS partial_r_xy_given_z
+    FROM c
+    """,
+    doc="Partial correlation of quantity and price CONTROLLING for "
+    "discount — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), "
+    "the is-the-association-real-or-confounded question that raw "
+    "q_agg_corr cannot answer; the scalar special case of the "
+    "precision-matrix reading of q_agg_covar_matrix. Exactness: all "
+    "nine sufficient statistics are exact ints in one pass "
+    "(quadratics HUGEINT/DECIMAL); the three Pearson r's and the "
+    "partial r are single float expressions of them — no "
+    "intermediate rounding. Scale: ONE map-side-combinable pass, "
+    "1-row output. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_partial_corr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.round("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    z = F.round(F.col("l_discount") * 100).cast("long")
+    r = li.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    st = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("z").cast(dec) * F.col("z").cast(dec)).alias("szz"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("z").cast(dec)).alias("sxz"),
+        F.sum(F.col("y").cast(dec) * F.col("z").cast(dec)).alias("syz"),
+    )
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return (
+            F.col("n") * F.col(sab).cast("double")
+            - F.col(sa).cast("double") * F.col(sb)
+        ) / (
+            F.sqrt(
+                F.col("n") * F.col(saa).cast("double")
+                - F.col(sa).cast("double") * F.col(sa)
+            )
+            * F.sqrt(
+                F.col("n") * F.col(sbb).cast("double")
+                - F.col(sb).cast("double") * F.col(sb)
+            )
+        )
+
+    c = st.select(
+        "n",
+        pearson("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        pearson("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        pearson("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return c.select(
+        "n",
+        (F.round(F.col("rxy"), 6) + 0.0).alias("r_xy"),
+        (F.round(F.col("rxz"), 6) + 0.0).alias("r_xz"),
+        (F.round(F.col("ryz"), 6) + 0.0).alias("r_yz"),
+        (
+            F.round(
+                (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+                / (
+                    F.sqrt(1.0 - F.col("rxz") * F.col("rxz"))
+                    * F.sqrt(1.0 - F.col("ryz") * F.col("ryz"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("partial_r_xy_given_z"),
+    )

@@ -1786,3 +1786,105 @@ def q_ml_bootstrap_auc_ci(spark, sf_dir):
             + 0.0
         ).alias("ci_hi"),
     )
+
+
+_TC_COSTS = ((1, 1), (1, 5), (1, 20))  # (fp_cost, fn_cost) scenarios
+
+
+@register(
+    "q_ml_threshold_cost",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    by_score AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY score
+    ),
+    cum AS (
+      -- predict positive iff score >= threshold: at threshold t,
+      -- FN = positives with score < t, FP = negatives with score >= t
+      SELECT score AS threshold, pos, neg,
+             CAST(coalesce(sum(pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS fn_,
+             CAST(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS fp_
+      FROM by_score
+    ),
+    costs AS (
+      SELECT c.threshold, c.fn_, c.fp_, s.fp_cost, s.fn_cost,
+             CAST(c.fp_ * s.fp_cost + c.fn_ * s.fn_cost AS BIGINT) AS cost
+      FROM cum c CROSS JOIN (VALUES {", ".join(f"({a}, {b})" for a, b in _TC_COSTS)})
+        AS s(fp_cost, fn_cost)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY fp_cost, fn_cost
+                                   ORDER BY cost, threshold) AS rn
+      FROM costs
+    )
+    SELECT fp_cost, fn_cost, threshold AS best_threshold,
+           fp_ AS false_positives, fn_ AS false_negatives, cost AS total_cost
+    FROM best WHERE rn = 1
+    ORDER BY fp_cost, fn_cost
+    """,
+    doc="Cost-optimal decision threshold under asymmetric FP/FN costs "
+    "(three scenarios: 1:1, 1:5, 1:20) — the step every deployed "
+    "classifier needs after q_ml_pr_curve: sweep every achievable "
+    "threshold (= every distinct score) and pick the argmin of "
+    "fp·c_fp + fn·c_fn. FN/FP counts at every threshold come from "
+    "ONE pair of cumulative windows over the distinct-score table "
+    "(positives below / negatives at-or-above), so the full sweep "
+    "costs one window pass, not |thresholds| scans. Exactness: all "
+    "counts and costs exact ints; argmin via row_number with "
+    "threshold tie-break. Scale: windows on the bounded score "
+    "domain (SCALE.md ledger); the scenario grid is a 3-row "
+    "broadcast VALUES. Ref: no reference counterpart — mleval "
+    "tier.",
+)
+def q_ml_threshold_cost(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = _examples(spark, sf_dir)
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    # BOUNDED global windows over the distinct-score table (SCALE.md)
+    w_below = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_above = Window.orderBy("score").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    cum = by_score.select(
+        F.col("score").alias("threshold"),
+        F.coalesce(F.sum("pos").over(w_below), F.lit(0)).cast("long").alias(
+            "fn_"
+        ),
+        F.sum("neg").over(w_above).cast("long").alias("fp_"),
+    )
+    scen = spark.createDataFrame(
+        list(_TC_COSTS), "fp_cost long, fn_cost long"
+    )
+    costs = cum.crossJoin(F.broadcast(scen)).select(
+        "threshold", "fn_", "fp_", "fp_cost", "fn_cost",
+        (F.col("fp_") * F.col("fp_cost") + F.col("fn_") * F.col("fn_cost"))
+        .cast("long").alias("cost"),
+    )
+    wb = Window.partitionBy("fp_cost", "fn_cost").orderBy("cost", "threshold")
+    return (
+        costs.select("*", F.row_number().over(wb).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp_cost",
+            "fn_cost",
+            F.col("threshold").alias("best_threshold"),
+            F.col("fp_").alias("false_positives"),
+            F.col("fn_").alias("false_negatives"),
+            F.col("cost").alias("total_cost"),
+        )
+        .orderBy("fp_cost", "fn_cost")
+    )

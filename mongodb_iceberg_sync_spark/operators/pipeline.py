@@ -4550,3 +4550,265 @@ def q_timeseries_extreme_value(spark, sf_dir):
         (F.round(rl(100), 6) + 0.0).alias("return_level_100"),
         (F.round(rl(1000), 6) + 0.0).alias("return_level_1000"),
     )
+
+
+@register(
+    "q_timeseries_stl_strength",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY d, dw
+    ),
+    tr AS (
+      -- centered 7-day moving average = the trend component; only full
+      -- windows (edges trimmed) so both engines see identical frames
+      SELECT d, dw, sv,
+             CAST(count(*) OVER fr AS BIGINT) AS nw,
+             CAST(sum(sv) OVER fr AS BIGINT) AS sw
+      FROM daily
+      WINDOW fr AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, dw,
+             CAST(round(sv - CAST(sw AS DOUBLE) / 7) AS BIGINT) AS detr
+      FROM tr WHERE nw = 7
+    ),
+    seas AS (
+      SELECT dw, CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(detr) AS BIGINT) AS ssum
+      FROM det GROUP BY dw
+    ),
+    resid AS (
+      SELECT de.d,
+             de.detr,
+             CAST(round(de.detr - CAST(s.ssum AS DOUBLE) / s.ns) AS BIGINT)
+               AS res
+      FROM det de JOIN seas s ON s.dw = de.dw
+    ),
+    var_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(detr) AS BIGINT) AS s_d,
+             sum(CAST(detr AS HUGEINT) * detr) AS ss_d,
+             CAST(sum(res) AS BIGINT) AS s_r,
+             sum(CAST(res AS HUGEINT) * res) AS ss_r
+      FROM resid
+    )
+    SELECT n AS n_days_used,
+           round(greatest(0.0, 1.0 -
+             (CAST(ss_r AS DOUBLE)/n - (CAST(s_r AS DOUBLE)/n)*(CAST(s_r AS DOUBLE)/n))
+             / nullif(CAST(ss_d AS DOUBLE)/n
+               - (CAST(s_d AS DOUBLE)/n)*(CAST(s_d AS DOUBLE)/n), 0)), 6)
+             + 0.0 AS seasonal_strength
+    FROM var_
+    """,
+    doc="Seasonal-strength measure (Hyndman & Athanasopoulos FPP: "
+    "F_s = max(0, 1 − var(remainder)/var(detrended))) from an "
+    "STL-lite decomposition — trend = centered 7-day MA, seasonal = "
+    "day-of-week means of the detrended series, remainder = the "
+    "rest: the one number that says whether dow-aware models "
+    "(q_timeseries_seasonal/dow_index) are worth their complexity "
+    "on this series. Exactness: the detrended and remainder series "
+    "are re-quantized to ints at each subtraction (round of a "
+    "deterministic float — identical both engines), so all variance "
+    "sufficient stats are exact ints (Σ² HUGEINT/DECIMAL); F_s is "
+    "one float expression. Scale: windows and grouped means on the "
+    "calendar-bounded daily grid (SCALE.md ledger); one combinable "
+    "rollup over the fact. Ref: no reference counterpart — "
+    "timeseries tier.",
+)
+def q_timeseries_stl_strength(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.dayofweek("ts").cast("long").alias("dw"),
+    ).agg(F.sum(F.round(F.col("value") * 1e4).cast("long")).cast("long").alias("sv"))
+    # calendar-bounded global window (SCALE.md ledger)
+    fr = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "dw", "sv",
+        F.count(F.lit(1)).over(fr).cast("long").alias("nw"),
+        F.sum("sv").over(fr).cast("long").alias("sw"),
+    )
+    det = tr.filter(F.col("nw") == 7).select(
+        "d", "dw",
+        F.round(F.col("sv") - F.col("sw").cast("double") / 7)
+        .cast("long").alias("detr"),
+    )
+    det = det.localCheckpoint(eager=False)  # seas + resid share it
+    seas = det.groupBy("dw").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("detr").cast("long").alias("ssum"),
+    )
+    resid = det.join(F.broadcast(seas), "dw").select(
+        "d", "detr",
+        F.round(F.col("detr") - F.col("ssum").cast("double") / F.col("ns"))
+        .cast("long").alias("res"),
+    )
+    dec = "decimal(38,0)"
+    var_ = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("detr").cast("long").alias("s_d"),
+        F.sum(F.col("detr").cast(dec) * F.col("detr").cast(dec)).alias("ss_d"),
+        F.sum("res").cast("long").alias("s_r"),
+        F.sum(F.col("res").cast(dec) * F.col("res").cast(dec)).alias("ss_r"),
+    )
+    def v(ss, s):
+        m = F.col(s).cast("double") / F.col("n")
+        return F.col(ss).cast("double") / F.col("n") - m * m
+    return var_.select(
+        F.col("n").alias("n_days_used"),
+        (
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - v("ss_r", "s_r") / F.nullif(v("ss_d", "s_d"), F.lit(0.0)),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("seasonal_strength"),
+    )
+
+
+@register(
+    "q_events_propensity_strata",
+    family="events",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS treat,
+             CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS BIGINT)
+               AS pre_n,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 1e4) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS post_q
+      FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT treat, least(pre_n // 25, 3) AS stratum, post_q
+      FROM per_user
+    ),
+    cell AS (
+      SELECT stratum, treat,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(post_q) AS BIGINT) AS s,
+             sum(CAST(post_q AS HUGEINT) * post_q) AS ss
+      FROM strat GROUP BY stratum, treat
+    ),
+    eff AS (
+      SELECT stratum,
+        max(CASE WHEN treat = 0 THEN n END) AS n0,
+        max(CASE WHEN treat = 1 THEN n END) AS n1,
+        max(CASE WHEN treat = 1 THEN CAST(s AS DOUBLE)/n END)
+          - max(CASE WHEN treat = 0 THEN CAST(s AS DOUBLE)/n END) AS effect,
+        max(CASE WHEN treat = 0 THEN
+          ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/nullif(n-1, 0))/n END)
+        + max(CASE WHEN treat = 1 THEN
+          ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/nullif(n-1, 0))/n END)
+          AS var_eff
+      FROM cell GROUP BY stratum
+    ),
+    pool AS (
+      SELECT CAST(sum(CAST(round(1e9 / var_eff) AS BIGINT)) AS BIGINT)
+               AS qw,
+             CAST(sum(CAST(round(effect / var_eff * 1e5) AS BIGINT))
+               AS BIGINT) AS qwe
+      FROM eff WHERE var_eff > 0
+    )
+    SELECT e.stratum, e.n0, e.n1,
+           round(e.effect / 1e4, 6) + 0.0 AS effect,
+           round(sqrt(e.var_eff) / 1e4, 6) + 0.0 AS se,
+           round((p.qwe / 1e5) / nullif(p.qw / 1e9, 0) / 1e4, 6) + 0.0
+             AS pooled_ate
+    FROM eff e CROSS JOIN pool p
+    ORDER BY e.stratum
+    """,
+    doc="Stratified treatment-effect estimation: users bucketed by "
+    "PRE-period activity (fixed breaks, 4 strata), per-stratum "
+    "treated-vs-control mean difference of post-period value, pooled "
+    "by inverse-variance weighting — the observational-causal "
+    "workhorse (stratification on a pre-treatment covariate removes "
+    "the confounding that a raw q_events_did difference absorbs "
+    "silently); fixed integer breaks instead of ntile because "
+    "quantile bucket BOUNDARIES are engine-order-dependent under "
+    "ties. Exactness: per-user and per-cell stats exact ints (Σ² "
+    "HUGEINT/DECIMAL); per-stratum effect/variance single float "
+    "expressions; the inverse-variance weights and weighted effects "
+    "are quantized to fixed-point BEFORE the cross-stratum pooled "
+    "sums. Scale: one combinable per-user pass, one per-cell "
+    "rollup (8 cells), arithmetic after. Ref: no reference "
+    "counterpart — experimentation tier.",
+)
+def q_events_propensity_strata(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    vq = F.round(F.col("value") * 1e4).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("long").alias("pre_n"),
+        F.sum(F.when(F.col("ts") >= cut, vq).otherwise(F.lit(0)))
+        .cast("long").alias("post_q"),
+    ).select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.least(F.expr("pre_n div 25"), F.lit(3)).alias("stratum"),
+        "post_q",
+    )
+    dec = "decimal(38,0)"
+    cell = per_user.groupBy("stratum", "treat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("post_q").cast("long").alias("s"),
+        F.sum(F.col("post_q").cast(dec) * F.col("post_q").cast(dec)).alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    vn = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+    ) / F.col("n")
+    eff = (
+        cell.select("stratum", "treat", "n", m.alias("m"), vn.alias("vn"))
+        .groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("treat") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("treat") == 1, F.col("n"))).alias("n1"),
+            (
+                F.max(F.when(F.col("treat") == 1, F.col("m")))
+                - F.max(F.when(F.col("treat") == 0, F.col("m")))
+            ).alias("effect"),
+            (
+                F.max(F.when(F.col("treat") == 0, F.col("vn")))
+                + F.max(F.when(F.col("treat") == 1, F.col("vn")))
+            ).alias("var_eff"),
+        )
+    )
+    eff = eff.localCheckpoint(eager=False)  # pool + output share it
+    pool = eff.filter(F.col("var_eff") > 0).agg(
+        F.sum(F.round(F.lit(1e9) / F.col("var_eff")).cast("long"))
+        .cast("long").alias("qw"),
+        F.sum(
+            F.round(F.col("effect") / F.col("var_eff") * 1e5).cast("long")
+        ).cast("long").alias("qwe"),
+    )
+    return (
+        eff.join(F.broadcast(pool))
+        .select(
+            "stratum",
+            "n0",
+            "n1",
+            (F.round(F.col("effect") / 1e4, 6) + 0.0).alias("effect"),
+            (F.round(F.sqrt(F.col("var_eff")) / 1e4, 6) + 0.0).alias("se"),
+            (
+                F.round(
+                    (F.col("qwe") / 1e5)
+                    / F.nullif(F.col("qw") / 1e9, F.lit(0.0))
+                    / 1e4,
+                    6,
+                )
+                + 0.0
+            ).alias("pooled_ate"),
+        )
+        .orderBy("stratum")
+    )

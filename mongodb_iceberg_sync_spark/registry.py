@@ -153,6 +153,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_timeseries_changepoint",
     "q_timeseries_extreme_value",
     "q_ml_bootstrap_auc_ci",
+    # wave 9: equivalence/confound/decision-theory inference
+    "q_agg_tost_equivalence",
+    "q_agg_partial_corr",
+    "q_timeseries_stl_strength",
+    "q_ml_threshold_cost",
+    "q_events_propensity_strata",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

@@ -1723,3 +1723,36 @@ def test_bootstrap_auc_windows_partition_by_replicate(spark, sf_dir):
         if "windowspecdefinition(r" in line:
             saw_r = True
     assert saw_r
+
+
+def test_tost_partial_corr_single_pass(spark, sf_dir):
+    plan1 = formatted_plan(SPECS["q_agg_tost_equivalence"].func(spark, sf_dir))
+    assert plan1.count("events.parquet") == 1
+    plan2 = formatted_plan(SPECS["q_agg_partial_corr"].func(spark, sf_dir))
+    assert plan2.count("lineitem.parquet") == 1
+    assert "Exchange" in plan2  # exactly the one global-agg exchange
+
+
+def test_stl_strength_grid_windows(spark, sf_dir):
+    # the centered-MA window runs on the daily grid; the seasonal means
+    # join back via broadcast
+    df = SPECS["q_timeseries_stl_strength"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_threshold_cost_one_window_pass(spark, sf_dir):
+    # the full threshold sweep must come from cumulative windows over
+    # the distinct-score table — two events scans total (the per-user
+    # rollup + the 1-row totals broadcast, _examples' standard shape),
+    # NOT one scan per threshold
+    df = SPECS["q_ml_threshold_cost"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 2
+
+
+def test_propensity_strata_pool_on_checkpoint(spark, sf_dir):
+    df = SPECS["q_events_propensity_strata"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the checkpoint
+    assert "BroadcastNestedLoopJoin" in plan
