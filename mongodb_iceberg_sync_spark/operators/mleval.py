@@ -1574,8 +1574,13 @@ def q_ml_silhouette(spark, sf_dir):
         F.col("label").alias("plab"),
     )
     cos = dot("pe", "embedding") / (norm("pe") * norm("embedding"))
+    # same under-parallel-scan guard as q_sim_recall_at_k: spread the
+    # expensive cosine map when the compressed file scans as <cores
+    # partitions; no-op (no shuffle) when partitions are plentiful
+    par = spark.sparkContext.defaultParallelism
+    corpus = e if e.rdd.getNumPartitions() >= par else e.repartition(par)
     dists = (
-        e.crossJoin(F.broadcast(pts))
+        corpus.crossJoin(F.broadcast(pts))
         .filter(F.col("vec_id") != F.col("pid"))
         .select(
             "pid",

@@ -1424,8 +1424,15 @@ def q_sim_recall_at_k(spark, sf_dir):
     )
     from ..functions.vector import dot, norm
 
+    # a highly-compressed corpus file can scan as 1-2 partitions (size-
+    # based splitting never sees the decompressed row count), which
+    # would serialize the expensive cosine map below. Repartition ONLY
+    # when the scan is under-parallel — a metadata check, so at real
+    # scale (many files) no shuffle is added.
+    par = spark.sparkContext.defaultParallelism
+    corpus = e if e.rdd.getNumPartitions() >= par else e.repartition(par)
     scored = (
-        e.join(codes, "vec_id")
+        corpus.join(codes, "vec_id")
         .crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("pid"))
         .select(
