@@ -235,6 +235,9 @@ HEADLINE = [
     "q_timeseries_stl_strength",
     "q_ml_threshold_cost",
     "q_events_propensity_strata",
+    # round-8 debuts (wave 10: metric decomposition + pricing)
+    "q_timeseries_contribution",
+    "q_agg_elasticity",
 ]
 
 

@@ -4355,3 +4355,95 @@ def q_agg_partial_corr(spark, sf_dir):
             + 0.0
         ).alias("partial_r_xy_given_z"),
     )
+
+
+@register(
+    "q_agg_elasticity",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      -- per (type, part): total qty at that part's price point — the
+      -- cross-sectional demand observation; ln terms quantized 1e9 so
+      -- the OLS sufficient statistics are exact integer sums
+      SELECT p.p_type AS g,
+             CAST(round(ln(CAST(round(p.p_retailprice * 100) AS BIGINT)
+                           * 1.0) * 1e9) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(sum(CAST(round(l.l_quantity) AS BIGINT))
+                           AS DOUBLE)) * 1e9) AS BIGINT) AS ly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, p.p_partkey, p.p_retailprice
+    ),
+    st AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+             sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+             sum(CAST(lx AS HUGEINT) * ly) AS sxy
+      FROM r GROUP BY g
+    )
+    SELECT g AS p_type, n AS n_parts,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / nullif(n * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sx, 0), 6) + 0.0 AS elasticity
+    FROM st ORDER BY p_type
+    """,
+    doc="Price elasticity of demand per part type: OLS slope of "
+    "ln(total quantity) on ln(price) across a type's parts — the "
+    "log-log regression whose coefficient IS the elasticity "
+    "(%Δdemand per %Δprice), the pricing-analytics staple; a "
+    "domain-framed sibling of q_agg_ols on the same quantized-log "
+    "machinery. Exactness: both log terms quantize to 1e9 ints at "
+    "the per-part level, so the per-type OLS sufficient statistics "
+    "are exact integer sums (quadratics HUGEINT/DECIMAL) and the "
+    "slope is one float expression. Scale: one combinable per-part "
+    "rollup (the only fact shuffle) + a per-type stats agg on the "
+    "part-sized table. Ref: no reference counterpart — statistics "
+    "tier.",
+)
+def q_agg_elasticity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    r = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "p_partkey", "p_retailprice")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+        .select(
+            F.col("p_type").alias("g"),
+            F.round(
+                F.log(
+                    F.round(F.col("p_retailprice") * 100).cast("long") * 1.0
+                )
+                * 1e9
+            ).cast("long").alias("lx"),
+            F.round(F.log(F.col("q").cast("double")) * 1e9)
+            .cast("long").alias("ly"),
+        )
+    )
+    dec = "decimal(38,0)"
+    st = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx").cast(dec) * F.col("lx").cast(dec)).alias("sxx"),
+        F.sum(F.col("lx").cast(dec) * F.col("ly").cast(dec)).alias("sxy"),
+    )
+    return st.select(
+        F.col("g").alias("p_type"),
+        F.col("n").alias("n_parts"),
+        (
+            F.round(
+                (
+                    F.col("n") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy")
+                )
+                / F.nullif(
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx"),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("elasticity"),
+    ).orderBy("p_type")

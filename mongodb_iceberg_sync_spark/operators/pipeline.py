@@ -4812,3 +4812,99 @@ def q_events_propensity_strata(spark, sf_dir):
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "q_timeseries_contribution",
+    family="timeseries",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type AS et,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 1e4) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 1e4) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v2
+      FROM events GROUP BY et
+    ),
+    tot AS (
+      SELECT CAST(sum(v1) AS BIGINT) AS t1, CAST(sum(v2) AS BIGINT) AS t2
+      FROM halves
+    )
+    SELECT h.et AS event_type,
+           round(h.v1 / 1e4, 4) + 0.0 AS value_p1,
+           round(h.v2 / 1e4, 4) + 0.0 AS value_p2,
+           round((h.v2 - h.v1) / 1e4, 4) + 0.0 AS delta,
+           round(CAST(h.v2 - h.v1 AS DOUBLE)
+                 / nullif(t.t2 - t.t1, 0), 6) + 0.0 AS share_of_total_delta,
+           round(CAST(h.v2 - h.v1 AS DOUBLE) / nullif(h.v1, 0), 6) + 0.0
+             AS pct_change,
+           round(CAST(t.t2 - t.t1 AS DOUBLE) / nullif(t.t1, 0), 6) + 0.0
+             AS total_pct_change
+    FROM halves h CROSS JOIN tot t
+    ORDER BY event_type
+    """,
+    doc="Metric-movement contribution analysis: the total value delta "
+    "between the two halves of the window decomposed by event type — "
+    "each segment's share of the TOTAL change (shares sum to 1 "
+    "exactly, since Σ segment deltas = total delta) plus its own "
+    "percent change — the 'WHY did the metric move' drill-down that "
+    "follows q_timeseries_wow's 'it moved': a segment with a small "
+    "own-change but huge base can dominate the total delta, which "
+    "per-segment growth rates alone never reveal. Exactness: period "
+    "sums are exact 1e4-quantized ints; every share/pct is ONE "
+    "division of exact integer deltas with nullif zero guards. "
+    "Scale: one conditional-sum pass over the fact + a 1-row totals "
+    "broadcast. Ref: no reference counterpart — timeseries tier.",
+)
+def q_timeseries_contribution(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    vq = F.round(F.col("value") * 1e4).cast("long")
+    halves = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum(F.when(F.col("ts") < cut, vq).otherwise(F.lit(0)))
+        .cast("long").alias("v1"),
+        F.sum(F.when(F.col("ts") >= cut, vq).otherwise(F.lit(0)))
+        .cast("long").alias("v2"),
+    )
+    halves = halves.localCheckpoint(eager=False)  # tot + output share it
+    tot = halves.agg(
+        F.sum("v1").cast("long").alias("t1"),
+        F.sum("v2").cast("long").alias("t2"),
+    )
+    d = F.col("v2") - F.col("v1")
+    td = F.col("t2") - F.col("t1")
+    return (
+        halves.join(F.broadcast(tot))
+        .select(
+            F.col("et").alias("event_type"),
+            (F.round(F.col("v1") / 1e4, 4) + 0.0).alias("value_p1"),
+            (F.round(F.col("v2") / 1e4, 4) + 0.0).alias("value_p2"),
+            (F.round(d / 1e4, 4) + 0.0).alias("delta"),
+            (
+                F.round(
+                    d.cast("double") / F.nullif(td.cast("double"), F.lit(0.0)),
+                    6,
+                )
+                + 0.0
+            ).alias("share_of_total_delta"),
+            (
+                F.round(
+                    d.cast("double")
+                    / F.nullif(F.col("v1").cast("double"), F.lit(0.0)),
+                    6,
+                )
+                + 0.0
+            ).alias("pct_change"),
+            (
+                F.round(
+                    td.cast("double")
+                    / F.nullif(F.col("t1").cast("double"), F.lit(0.0)),
+                    6,
+                )
+                + 0.0
+            ).alias("total_pct_change"),
+        )
+        .orderBy("event_type")
+    )

@@ -159,6 +159,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_timeseries_stl_strength",
     "q_ml_threshold_cost",
     "q_events_propensity_strata",
+    # wave 10: metric decomposition + pricing
+    "q_timeseries_contribution",
+    "q_agg_elasticity",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

@@ -1756,3 +1756,11 @@ def test_propensity_strata_pool_on_checkpoint(spark, sf_dir):
     plan = formatted_plan(df)
     assert "events.parquet" not in plan  # folded into the checkpoint
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_contribution_elasticity_single_pass(spark, sf_dir):
+    plan1 = formatted_plan(SPECS["q_timeseries_contribution"].func(spark, sf_dir))
+    assert "events.parquet" not in plan1  # folded into the checkpoint
+    plan2 = formatted_plan(SPECS["q_agg_elasticity"].func(spark, sf_dir))
+    assert plan2.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan2  # part dim broadcast
