@@ -1422,19 +1422,32 @@ def q_ml_naive_bayes(spark, sf_dir):
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    train = toks.filter(F.col("doc_id") % 5 != 0)
-    train = train.localCheckpoint(eager=False)  # 3 consumers
     test = toks.filter(F.col("doc_id") % 5 == 0)
-    classes = train.groupBy(F.col("lang").alias("c")).agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    # ONE pass over the exploded train tokens: the (class, token) count
+    # table is the sufficient statistic — class token totals and the
+    # vocabulary both DERIVE from it (orders of magnitude smaller than
+    # the token stream), and per-class doc counts come straight from
+    # the un-exploded documents table. Pre-r8-final this ran three
+    # aggregations over the exploded tokens (9s -> 3s at sf0.1).
+    counts = (
+        toks.filter(F.col("doc_id") % 5 != 0)
+        .groupBy(F.col("lang").alias("c"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    vocab = train.select("tok").distinct()
+    counts = counts.localCheckpoint(eager=False)  # 3 derived consumers
+    ndocs = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    classes = (
+        counts.groupBy("c")
+        .agg(F.sum("cnt").cast("long").alias("n_toks"))
+        .join(F.broadcast(ndocs), "c")
+    )
+    vocab = counts.select("tok").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
     tot = classes.agg(F.sum("n_docs").cast("long").alias("nd"))
-    counts = train.groupBy(F.col("lang").alias("c"), "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
     lp = (
         vocab.crossJoin(F.broadcast(classes))
         .crossJoin(F.broadcast(vsize))
