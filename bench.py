@@ -238,6 +238,10 @@ HEADLINE = [
     # round-8 debuts (wave 10: metric decomposition + pricing)
     "q_timeseries_contribution",
     "q_agg_elasticity",
+    # round-8 debuts (wave 11: paired test + calibration + diversity)
+    "q_agg_mcnemar",
+    "q_ml_ece",
+    "q_agg_diversity_hill",
 ]
 
 

@@ -4447,3 +4447,198 @@ def q_agg_elasticity(spark, sf_dir):
             + 0.0
         ).alias("elasticity"),
     ).orderBy("p_type")
+
+
+@register(
+    "q_agg_mcnemar",
+    family="aggregates",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pre_c,
+             CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS post_c
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) FILTER (pre_c = 1 AND post_c = 0) AS BIGINT) AS b,
+             CAST(count(*) FILTER (pre_c = 0 AND post_c = 1) AS BIGINT) AS c
+      FROM per_user
+    ),
+    win AS (
+      -- exact binomial(n=b+c, p=1/2) tail; enumerate only the 12σ
+      -- window below min(b,c) — the excluded head is < 1e-30
+      SELECT n_pairs, b, c, least(b, c) AS m, b + c AS nd,
+             greatest(CAST(0 AS BIGINT),
+               CAST(floor(least(b, c) - 12 * sqrt((b + c) / 4.0) - 2)
+                 AS BIGINT)) AS klo
+      FROM cells
+    ),
+    terms AS (
+      SELECT n_pairs, b, c, m, nd,
+             exp({_lf_sql('nd')} - {_lf_sql('k')} - {_lf_sql('nd - k')}
+                 - nd * 0.6931471805599453) AS pk
+      FROM (SELECT w.*, unnest(generate_series(w.klo, w.m)) AS k FROM win w)
+    )
+    SELECT any_value(n_pairs) AS n_pairs, any_value(b) AS b,
+           any_value(c) AS c,
+           round(CASE WHEN any_value(nd) = 0 THEN 0.0 ELSE
+             pow(abs(any_value(b) - any_value(c)) - 1.0, 2)
+             / any_value(nd) END, 6) + 0.0 AS chi2_cc,
+           round(least(1.0, 2.0 * sum(pk)), 6) + 0.0 AS p_exact
+    FROM terms GROUP BY n_pairs
+    """,
+    doc="McNemar's test on paired pre/post per-user conversion (did "
+    "each user purchase before vs after the midpoint) — the "
+    "PAIRED-nominal test a two-proportion z gets wrong when both "
+    "columns come from the same subjects: only the discordant cells "
+    "b (pre-only) and c (post-only) carry information. Reports the "
+    "continuity-corrected chi² AND the exact binomial(b+c, 1/2) "
+    "two-sided p through the shared ln(k!) kernel, enumerating only "
+    "the 12σ window below min(b,c) (excluded head < 1e-30 — the "
+    "same honest cap as q_agg_fisher_exact). Exactness: cells are "
+    "exact ints from one per-user max-flag pass; ln(2) is a shared "
+    "literal; the tail sum's terms are identical expressions both "
+    "engines. Scale: one combinable per-user agg + O(σ)-term "
+    "generated series. Ref: no reference counterpart — statistics "
+    "tier.",
+)
+def q_agg_mcnemar(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    isp = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when((F.col("ts") < cut) & isp, 1).otherwise(0))
+        .cast("long").alias("pre_c"),
+        F.max(F.when((F.col("ts") >= cut) & isp, 1).otherwise(0))
+        .cast("long").alias("post_c"),
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((F.col("pre_c") == 1) & (F.col("post_c") == 0), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when((F.col("pre_c") == 0) & (F.col("post_c") == 1), 1).otherwise(0))
+        .cast("long").alias("c"),
+    )
+    win = cells.select(
+        "n_pairs", "b", "c",
+        F.least("b", "c").alias("m"),
+        (F.col("b") + F.col("c")).alias("nd"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(
+                "CAST(floor(least(b, c) - 12 * sqrt((b + c) / 4.0) - 2)"
+                " AS BIGINT)"
+            ),
+        ).alias("klo"),
+    )
+    lf = _lf_sql
+    pk = F.expr(
+        f"exp({lf('nd')} - {lf('k')} - {lf('nd - k')}"
+        " - nd * 0.6931471805599453)"
+    )
+    terms = win.select(
+        "n_pairs", "b", "c", "m", "nd",
+        F.explode(F.expr("sequence(klo, m)")).alias("k"),
+    ).select("*", pk.alias("pk"))
+    chi2 = F.when(F.any_value("nd") == 0, F.lit(0.0)).otherwise(
+        F.pow(F.abs(F.any_value("b") - F.any_value("c")) - 1.0, F.lit(2.0))
+        / F.any_value("nd")
+    )
+    return terms.groupBy("n_pairs").agg(
+        F.any_value("b").alias("b"),
+        F.any_value("c").alias("c"),
+        (F.round(chi2, 6) + 0.0).alias("chi2_cc"),
+        (
+            F.round(F.least(F.lit(1.0), 2.0 * F.sum("pk")), 6) + 0.0
+        ).alias("p_exact"),
+    ).select("n_pairs", "b", "c", "chi2_cc", "p_exact")
+
+
+@register(
+    "q_agg_diversity_hill",
+    family="aggregates",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS k FROM src),
+    q AS (
+      SELECT t.k, t.nt,
+             CAST(sum(CAST(round(
+               (s.n * 1.0 / t.nt) * ln(s.n * 1.0 / t.nt) * 1e12
+             ) AS BIGINT)) AS BIGINT) AS q_plnp,
+             -- plug-in Simpson (Σn², not the unbiased Σn(n-1)): the
+             -- plug-in keeps the Hill ladder richness >= h1 >= h2 an
+             -- EXACT invariant (pinned); the unbiased form overshoots
+             -- it by O(k/N) on near-uniform samples
+             sum(CAST(s.n AS HUGEINT) * s.n) AS sq_mass
+      FROM src s CROSS JOIN tot t GROUP BY t.k, t.nt
+    )
+    SELECT k AS richness, nt AS n_docs,
+           round(exp(-q_plnp / 1e12), 6) + 0.0 AS hill_1,
+           round(CAST(nt AS DOUBLE) * nt
+                 / CAST(sq_mass AS DOUBLE), 6) + 0.0 AS hill_2,
+           round(exp(-q_plnp / 1e12) / k, 6) + 0.0 AS evenness
+    FROM q
+    """,
+    doc="Hill-number diversity profile of the source mixture — the "
+    "'effective number of sources' ladder: q=0 richness (count), "
+    "q=1 exp(Shannon) (weights sources by share), q=2 inverse "
+    "Simpson (weights by share², punishing dominance) plus Pielou-"
+    "style evenness = hill₁/richness — the corpus-health readout "
+    "that q_agg_entropy's nats don't make comparable across corpora "
+    "('effective 3.2 sources out of 5' is actionable; '1.16 nats' "
+    "is not). Exactness: each p·ln p term is quantized 1e12 before "
+    "the cross-source integer sum; inverse Simpson is the exact "
+    "rational N²/Σn² (the PLUG-IN form, chosen over the unbiased "
+    "N(N−1)/Σn(n−1) because plug-in keeps the Hill ladder richness "
+    "≥ h₁ ≥ h₂ an exact invariant — pinned — where the unbiased "
+    "estimator overshoots it by O(k/N) on near-uniform samples) "
+    "with the square mass in HUGEINT/DECIMAL. Scale: one combinable "
+    "per-source rollup + arithmetic on |sources| rows. Ref: no "
+    "reference counterpart — statistics tier.",
+)
+def q_agg_diversity_hill(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    src = src.localCheckpoint(eager=False)  # tot + q share it
+    tot = src.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("n") * 1.0 / F.col("nt")
+    q = (
+        src.join(F.broadcast(tot))
+        .groupBy("k", "nt")
+        .agg(
+            F.sum(F.round(p * F.log(p) * 1e12).cast("long"))
+            .cast("long").alias("q_plnp"),
+            F.sum(F.col("n").cast(dec) * F.col("n").cast(dec)).alias(
+                "sq_mass"
+            ),
+        )
+    )
+    return q.select(
+        F.col("k").alias("richness"),
+        F.col("nt").alias("n_docs"),
+        (F.round(F.exp(-F.col("q_plnp") / 1e12), 6) + 0.0).alias("hill_1"),
+        (
+            F.round(
+                F.col("nt").cast("double") * F.col("nt")
+                / F.col("sq_mass").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("hill_2"),
+        (
+            F.round(F.exp(-F.col("q_plnp") / 1e12) / F.col("k"), 6) + 0.0
+        ).alias("evenness"),
+    )

@@ -1906,3 +1906,91 @@ def q_ml_threshold_cost(spark, sf_dir):
         )
         .orderBy("fp_cost", "fn_cost")
     )
+
+
+@register(
+    "q_ml_ece",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    binned AS (
+      SELECT CAST((ex.score - r.mn) * 10 // (r.mx - r.mn + 1) AS BIGINT)
+               AS bin,
+             ex.score, ex.label, r.mn, r.mx
+      FROM ex CROSS JOIN rng r
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(score) AS BIGINT) AS sscore,
+             CAST(sum(label) AS BIGINT) AS pos,
+             any_value(mn) AS mn, any_value(mx) AS mx
+      FROM binned GROUP BY bin
+    ),
+    gaps AS (
+      SELECT n,
+             CAST(round(abs(
+               CAST(pos AS DOUBLE) / n
+               - (CAST(sscore AS DOUBLE) / n - mn) / (mx - mn)
+             ) * 1e9) AS BIGINT) AS gap_q
+      FROM bins
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_examples,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(n * gap_q) / 1e9 / sum(n), 6) + 0.0 AS ece,
+           round(max(gap_q) / 1e9, 6) + 0.0 AS mce
+    FROM gaps
+    """,
+    doc="Expected + maximum calibration error (ECE/MCE) over the same "
+    "10 fixed-width score bins as q_ml_calibration — the two scalars "
+    "a model gate thresholds on, where the calibration TABLE is what "
+    "a human reads: ECE = Σ(n_b/N)·|acc_b − conf_b|, MCE = max gap. "
+    "Exactness: per-bin confidence comes from the exact integer "
+    "score sum ((Σs/n − mn)/(mx−mn) — ONE division, unlike a "
+    "row-level float avg whose summation order drifts); each bin gap "
+    "is quantized 1e9 before the n-weighted cross-bin integer sum. "
+    "Scale: one hash agg over users into ≤10 bins + arithmetic. "
+    "Ref: no reference counterpart — mleval tier.",
+)
+def q_ml_ece(spark, sf_dir):
+    # checkpoint: rng and binned both consume ex, halving the fact scans
+    ex = _examples(spark, sf_dir).localCheckpoint(eager=False)
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    binned = ex.join(F.broadcast(rng)).select(
+        F.floor(
+            (F.col("score") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn") + 1)
+        ).cast("long").alias("bin"),
+        "score",
+        "label",
+        "mn",
+        "mx",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score").cast("long").alias("sscore"),
+        F.sum("label").cast("long").alias("pos"),
+        F.any_value("mn").alias("mn"),
+        F.any_value("mx").alias("mx"),
+    )
+    gap_q = F.round(
+        F.abs(
+            F.col("pos").cast("double") / F.col("n")
+            - (F.col("sscore").cast("double") / F.col("n") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+        )
+        * 1e9
+    ).cast("long")
+    gaps = bins.select("n", gap_q.alias("gap_q"))
+    return gaps.agg(
+        F.sum("n").cast("long").alias("n_examples"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.round(F.sum(F.col("n") * F.col("gap_q")) / 1e9 / F.sum("n"), 6)
+            + 0.0
+        ).alias("ece"),
+        (F.round(F.max("gap_q") / 1e9, 6) + 0.0).alias("mce"),
+    )

@@ -162,6 +162,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # wave 10: metric decomposition + pricing
     "q_timeseries_contribution",
     "q_agg_elasticity",
+    # wave 11 (final 3 — window closes at exactly 50): paired test,
+    # calibration scalars, diversity profile
+    "q_agg_mcnemar",
+    "q_ml_ece",
+    "q_agg_diversity_hill",
     # --- driver-checked r7 (all green) — rotated behind the debuts ---
     "q_events_interpurchase",
     "q_join_nn_1d",

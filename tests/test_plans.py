@@ -1764,3 +1764,16 @@ def test_contribution_elasticity_single_pass(spark, sf_dir):
     plan2 = formatted_plan(SPECS["q_agg_elasticity"].func(spark, sf_dir))
     assert plan2.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan2  # part dim broadcast
+
+
+def test_mcnemar_ece_diversity_single_pass(spark, sf_dir):
+    plan1 = formatted_plan(SPECS["q_agg_mcnemar"].func(spark, sf_dir))
+    assert plan1.count("events.parquet") == 1
+    assert "Generate" in plan1  # the k-series explode on the 1-row cells
+    plan2 = formatted_plan(SPECS["q_ml_ece"].func(spark, sf_dir))
+    # the example table is checkpointed, so the final plan reads the
+    # cached RDD — zero parquet re-scans
+    assert "events.parquet" not in plan2
+    assert "ExistingRDD" in plan2
+    plan3 = formatted_plan(SPECS["q_agg_diversity_hill"].func(spark, sf_dir))
+    assert "documents.parquet" not in plan3  # checkpointed rollup

@@ -295,3 +295,25 @@ def test_aspect_bucket_partition(spark, sf_dir):
     rs = rows(spark, sf_dir, "q_multimodal_aspect_bucket")
     assert all(-4 <= r.bucket <= 4 for r in rs)
     assert all(r.min_pixels <= r.max_pixels for r in rs)
+
+
+def test_mcnemar_probability_and_cells(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_mcnemar")
+    assert 0.0 <= r.p_exact <= 1.0
+    assert r.chi2_cc >= 0
+    assert r.b + r.c <= r.n_pairs
+
+
+def test_ece_bounds(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_ml_ece")
+    assert 0.0 <= r.ece <= r.mce <= 1.0
+    assert 1 <= r.n_bins <= 10
+
+
+def test_hill_diversity_ladder(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_diversity_hill")
+    # Hill numbers are non-increasing in q: richness >= hill1 >= hill2
+    assert r.richness >= r.hill_1 - 1e-6
+    assert r.hill_1 >= r.hill_2 - 1e-6
+    assert r.hill_2 >= 1.0 - 1e-9
+    assert 0.0 < r.evenness <= 1.0 + 1e-9
