@@ -1,0 +1,59 @@
+"""Numerical accuracy of the shared special-function SQL kernels.
+
+The kernels (_lf_sql ln-factorial, _erfc_sql complementary error
+function) guarantee cross-engine PARITY by running identical expression
+text on Spark and DuckDB — these tests pin their ACCURACY against
+Python's libm (math.lgamma / math.erfc), evaluated through DuckDB
+(same arithmetic, no Spark session needed), so a kernel that drifted
+from the true function could not hide behind matching itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongodb_iceberg_sync_spark.operators.aggregates import _erfc_sql, _lf_sql
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@given(n=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_lf_kernel_matches_lgamma(con, n):
+    (got,) = con.execute(f"SELECT {_lf_sql(str(n))}").fetchone()
+    want = math.lgamma(n + 1)
+    if want == 0.0:
+        assert abs(got) < 1e-12
+    else:
+        # 3-term Stirling: ~1e-12 relative at n>=13, exact literals below
+        assert abs(got - want) <= 2e-11 * max(1.0, abs(want)), (n, got, want)
+
+
+@given(x=st.floats(min_value=0.0, max_value=8.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_erfc_kernel_matches_libm(con, x):
+    (got,) = con.execute(f"SELECT {_erfc_sql(repr(x))}").fetchone()
+    want = math.erfc(x)
+    # Abramowitz-Stegun 7.1.26: |eps| <= 1.5e-7 ABSOLUTE
+    assert abs(got - want) <= 1.6e-7, (x, got, want)
+
+
+def test_lf_kernel_exact_small_values(con):
+    for n in range(13):
+        (got,) = con.execute(f"SELECT {_lf_sql(str(n))}").fetchone()
+        assert got == pytest.approx(math.lgamma(n + 1), abs=1e-12)
+
+
+def test_erfc_kernel_boundary_values(con):
+    (at0,) = con.execute(f"SELECT {_erfc_sql('0.0')}").fetchone()
+    assert abs(at0 - 1.0) <= 1.6e-7
+    (far,) = con.execute(f"SELECT {_erfc_sql('6.0')}").fetchone()
+    assert far == pytest.approx(0.0, abs=1e-7)
