@@ -3146,21 +3146,21 @@ def _lf_sql(x: str) -> str:
              CAST(sum(n) AS BIGINT) AS nn,
              CAST(sum(s) AS BIGINT) AS stot,
              CAST(sum(ss) AS DOUBLE) AS sstot,
-             CAST(sum(CAST(round(n * m * m * 1e6) AS BIGINT)) AS BIGINT)
-               AS qb,
-             CAST(sum(CAST(round(n / s2 * 1e9) AS BIGINT)) AS BIGINT) AS qw,
-             CAST(sum(CAST(round(n / s2 * m * 1e9) AS BIGINT)) AS BIGINT)
-               AS qwm
+             -- n-scaling quantized terms: HUGEINT accumulators (a term
+             -- alone passes 2^63 near n_i ~ 3.7e9 rows/group)
+             sum(CAST(round(n * m * m * 1e6) AS HUGEINT)) AS qb,
+             sum(CAST(round(n / s2 * 1e9) AS HUGEINT)) AS qw,
+             sum(CAST(round(n / s2 * m * 1e9) AS HUGEINT)) AS qwm
       FROM gq
     ),
     welch2 AS (
       SELECT t.k,
-             CAST(sum(CAST(round(
+             sum(CAST(round(
                (n / s2) * pow(m - (t.qwm * 1.0 / t.qw), 2) * 1e9
-             ) AS BIGINT)) AS BIGINT) AS qa,
-             CAST(sum(CAST(round(
+             ) AS HUGEINT)) AS qa,
+             sum(CAST(round(
                pow(1.0 - (n / s2 * 1e9) / t.qw, 2) / (n - 1) * 1e12
-             ) AS BIGINT)) AS BIGINT) AS qh
+             ) AS HUGEINT)) AS qh
       FROM gq CROSS JOIN tot t GROUP BY t.k
     )
     SELECT t.k AS k_groups, t.nn AS n_total,
@@ -3223,13 +3223,19 @@ def q_agg_anova(spark, sf_dir):
         F.sum("n").cast("long").alias("nn"),
         F.sum("s").cast("long").alias("stot"),
         F.sum(F.col("ss")).cast("double").alias("sstot"),
-        F.sum(F.round(F.col("n") * F.col("m") * F.col("m") * 1e6).cast("long"))
-        .cast("long").alias("qb"),
-        F.sum(F.round(F.col("n") / F.col("s2") * 1e9).cast("long"))
-        .cast("long").alias("qw"),
+        # n-scaling quantized terms: DECIMAL(38,0) accumulators (a term
+        # alone passes 2^63 near n_i ~ 3.7e9 rows/group)
         F.sum(
-            F.round(F.col("n") / F.col("s2") * F.col("m") * 1e9).cast("long")
-        ).cast("long").alias("qwm"),
+            F.round(F.col("n") * F.col("m") * F.col("m") * 1e6)
+            .cast("decimal(38,0)")
+        ).alias("qb"),
+        F.sum(
+            F.round(F.col("n") / F.col("s2") * 1e9).cast("decimal(38,0)")
+        ).alias("qw"),
+        F.sum(
+            F.round(F.col("n") / F.col("s2") * F.col("m") * 1e9)
+            .cast("decimal(38,0)")
+        ).alias("qwm"),
     )
     welch2 = (
         gq.join(F.broadcast(tot))
@@ -3242,8 +3248,8 @@ def q_agg_anova(spark, sf_dir):
                         F.col("m") - F.col("qwm") * 1.0 / F.col("qw"), F.lit(2.0)
                     )
                     * 1e9
-                ).cast("long")
-            ).cast("long").alias("qa"),
+                ).cast("decimal(38,0)")
+            ).alias("qa"),
             F.sum(
                 F.round(
                     F.pow(
@@ -3252,8 +3258,8 @@ def q_agg_anova(spark, sf_dir):
                     )
                     / (F.col("n") - 1)
                     * 1e12
-                ).cast("long")
-            ).cast("long").alias("qh"),
+                ).cast("decimal(38,0)")
+            ).alias("qh"),
         )
         .withColumnRenamed("k", "k2")
     )
@@ -3317,9 +3323,9 @@ def q_agg_anova(spark, sf_dir):
              CAST(sum(n) AS BIGINT) AS nn,
              CAST(sum(s) AS BIGINT) AS stot,
              CAST(sum(ss) AS DOUBLE) AS sstot,
-             CAST(sum(CAST(round(
+             sum(CAST(round(
                n * (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n) * 1e6
-             ) AS BIGINT)) AS BIGINT) AS qb
+             ) AS HUGEINT)) AS qb
       FROM grp
     )
     SELECT gr.g AS l_returnflag, gr.n,
@@ -3389,8 +3395,9 @@ def q_agg_levene_bf(spark, sf_dir):
         F.sum("n").cast("long").alias("nn"),
         F.sum("s").cast("long").alias("stot"),
         F.sum("ss").cast("double").alias("sstot"),
-        F.sum(F.round(F.col("n") * m_d * m_d * 1e6).cast("long"))
-        .cast("long").alias("qb"),
+        # n-scaling quantized term: DECIMAL accumulator (see q_agg_anova)
+        F.sum(F.round(F.col("n") * m_d * m_d * 1e6).cast("decimal(38,0)"))
+        .alias("qb"),
     )
     bf = (
         (

@@ -100,7 +100,8 @@ def _examples(spark, sf_dir):
     )
     SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
            CAST(sum(neg) AS BIGINT) AS n_neg,
-           round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+           -- U grows O(P*N): accumulate in HUGEINT, cast once to DOUBLE
+           round(CAST(sum(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS DOUBLE)
                  / (2.0 * sum(pos) * sum(neg)), 6) AS auc
     FROM ranked
     """,
@@ -137,9 +138,11 @@ def q_ml_auc(spark, sf_dir):
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
         F.round(
-            F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).cast(
-                "double"
-            )
+            # U grows O(P*N) — accumulate in DECIMAL(38,0), not LONG
+            F.sum(
+                F.col("pos").cast("decimal(38,0)")
+                * (2 * F.col("neg_below") + F.col("neg")).cast("decimal(38,0)")
+            ).cast("double")
             / (2.0 * F.sum("pos") * F.sum("neg")),
             6,
         ).alias("auc"),
@@ -1269,7 +1272,8 @@ def q_ml_group_fairness(spark, sf_dir):
     SELECT grp,
            CAST(sum(pos) AS BIGINT) AS n_pos,
            CAST(sum(neg) AS BIGINT) AS n_neg,
-           round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+           -- U grows O(P*N): accumulate in HUGEINT, cast once to DOUBLE
+           round(CAST(sum(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS DOUBLE)
                  / (2.0 * nullif(sum(pos) * sum(neg), 0)), 6) + 0.0 AS auc
     FROM ranked GROUP BY grp ORDER BY grp
     """,
@@ -1327,7 +1331,11 @@ def q_ml_auc_by_group(spark, sf_dir):
             (
                 F.round(
                     F.sum(
-                        F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+                        # O(P*N) U statistic — DECIMAL accumulator
+                        F.col("pos").cast("decimal(38,0)")
+                        * (2 * F.col("neg_below") + F.col("neg")).cast(
+                            "decimal(38,0)"
+                        )
                     ).cast("double")
                     / (2.0 * F.nullif(F.sum("pos") * F.sum("neg"), F.lit(0))),
                     6,
@@ -1694,7 +1702,8 @@ def _bauc_w_sql(u: str) -> str:
     ),
     aucs AS (
       SELECT r,
-             sum(wpos * (2 * wneg_below + wneg)) * 1.0
+             -- weighted U grows O(P*N): accumulate in HUGEINT
+             CAST(sum(CAST(wpos AS HUGEINT) * (2 * wneg_below + wneg)) AS DOUBLE)
              / (2.0 * sum(wpos) * sum(wneg)) AS auc
       FROM ranked GROUP BY r
     ),
@@ -1777,8 +1786,11 @@ def q_ml_bootstrap_auc_ci(spark, sf_dir):
     )
     aucs = ranked.groupBy("r").agg(
         (
-            F.sum(F.col("wpos") * (2 * F.col("wneg_below") + F.col("wneg")))
-            * 1.0
+            # weighted U grows O(P*N) — DECIMAL accumulator
+            F.sum(
+                F.col("wpos").cast("decimal(38,0)")
+                * (2 * F.col("wneg_below") + F.col("wneg")).cast("decimal(38,0)")
+            ).cast("double")
             / (2.0 * F.sum("wpos") * F.sum("wneg"))
         ).alias("auc")
     )

@@ -3805,7 +3805,9 @@ def q_timeseries_rsi(spark, sf_dir):
       SELECT variant,
              CAST(count(*) AS BIGINT) AS n_users,
              CAST(sum(post_q) AS BIGINT) AS post_sum,
-             CAST(sum(adj_q) AS BIGINT) AS adj_sum,
+             -- adj_q carries a 1e6 quantization on top of value units:
+             -- its sum passes 2^63 near ~1e9 users — HUGEINT accumulator
+             sum(CAST(adj_q AS HUGEINT)) AS adj_sum,
              sum(CAST(post_q AS HUGEINT) * post_q) AS post_ss,
              sum(CAST(adj_q AS HUGEINT) * adj_q) AS adj_ss
       FROM adj GROUP BY variant
@@ -3887,7 +3889,8 @@ def q_events_cuped(spark, sf_dir):
     v = adj.groupBy("variant").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("post_q").cast("long").alias("post_sum"),
-        F.sum("adj_q").cast("long").alias("adj_sum"),
+        # 1e6-quantized terms: DECIMAL accumulator (overflows LONG ~1e9 users)
+        F.sum(F.col("adj_q").cast(dec)).alias("adj_sum"),
         F.sum(F.col("post_q").cast(dec) * F.col("post_q").cast(dec)).alias("post_ss"),
         F.sum(F.col("adj_q").cast(dec) * F.col("adj_q").cast(dec)).alias("adj_ss"),
     )
