@@ -1543,7 +1543,9 @@ _SIL_MOD = 10  # vec_id % 10 == 0 → deterministic point sample
     ),
     md AS (
       SELECT pid, plab, clab,
-             CAST(sum(dq) AS BIGINT) AS sdq,
+             -- 1e9-quantized per-pair terms over up-to-corpus-size
+             -- groups: HUGEINT accumulator (LONG caps at ~9e9 pairs)
+             sum(CAST(dq AS HUGEINT)) AS sdq,
              CAST(count(*) AS BIGINT) AS nd
       FROM dists GROUP BY pid, plab, clab
     ),
@@ -1611,7 +1613,9 @@ def q_ml_silhouette(spark, sf_dir):
         )
     )
     md = dists.groupBy("pid", "plab", "clab").agg(
-        F.sum("dq").cast("long").alias("sdq"),
+        # 1e9-quantized per-pair terms over up-to-corpus-size groups:
+        # DECIMAL accumulator (LONG caps at ~9e9 pairs per group)
+        F.sum(F.col("dq").cast("decimal(38,0)")).alias("sdq"),
         F.count(F.lit(1)).cast("long").alias("nd"),
     )
     ab = md.groupBy("pid", "plab").agg(
