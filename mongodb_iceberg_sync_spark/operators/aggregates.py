@@ -3433,7 +3433,6 @@ def _fisher_oracle() -> str:
         f"+ {lf('r2')} - {lf('c1 - k')} - {lf('r2 - c1 + k')} "
         f"- ({lf('nn')} - {lf('c1')} - {lf('nn - c1')}))"
     )
-    lpa = lp.replace("'k'", "'a'")  # placeholder; built below instead
     return f"""
     WITH cells AS (
       SELECT CAST(count(*) FILTER (hi AND ur) AS BIGINT)         AS a,
@@ -3807,12 +3806,16 @@ def _erfc_sql(x: str) -> str:
     runs on both engines, so cross-engine parity is exact-by-
     construction even where the approximation differs from true erfc.
     """
-    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    # Bind the argument as DOUBLE once: a bare high-scale decimal literal
+    # (e.g. repr() of a small float) parses as DECIMAL in DuckDB, and the
+    # textual square below would need scale > 38 -> OutOfRangeException.
+    xd = f"CAST(({x}) AS DOUBLE)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {xd}))"
     poly = (
         f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 "
         f"+ {t} * (-1.453152027 + {t} * 1.061405429)))))"
     )
-    return f"({poly} * exp(-(({x}) * ({x}))))"
+    return f"({poly} * exp(-({xd} * {xd})))"
 
 
 _BH_Q = 0.05  # target false-discovery rate

@@ -1078,6 +1078,9 @@ def q_tpch_q2(spark, sf_dir):
     offers = catalog.join(
         F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
     ).join(F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey"))
+    # consumed twice (mins agg + min-cost join-back): cut lineage so the
+    # catalog aggregation isn't recomputed per consumer
+    offers = offers.localCheckpoint(eager=False)
     mins = offers.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
         F.min("unit_cost_e4").alias("min_cost_e4")
     )

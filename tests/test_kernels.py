@@ -57,3 +57,47 @@ def test_erfc_kernel_boundary_values(con):
     assert abs(at0 - 1.0) <= 1.6e-7
     (far,) = con.execute(f"SELECT {_erfc_sql('6.0')}").fetchone()
     assert far == pytest.approx(0.0, abs=1e-7)
+
+
+# ---- literal-robustness pins (r9) ------------------------------------
+# Every shared kernel must survive a bare full-precision decimal literal
+# as its argument: DuckDB types such literals DECIMAL(p,s) with s up to
+# ~20, and any textual multiplication of the raw argument then needs
+# scale > 38 -> OutOfRangeException (the r8 erfc regression). These pins
+# feed repr()-precision literals straight in — no caller-side CAST.
+
+@given(x=st.floats(min_value=1e-12, max_value=8.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_erfc_kernel_survives_decimal_literals(con, x):
+    (got,) = con.execute(f"SELECT {_erfc_sql(repr(x))}").fetchone()
+    assert abs(got - math.erfc(x)) <= 1.6e-7, (x, got)
+
+
+@given(n=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=100, deadline=None)
+def test_lf_kernel_survives_decimal_literals(con, n):
+    # integer-valued but DECIMAL-typed at maximum scale: the kernel's
+    # contract is integer counts, so only the literal's TYPE is hostile
+    lit = f"{n}.00000000000000000000"
+    (got,) = con.execute(f"SELECT {_lf_sql(lit)}").fetchone()
+    want = math.lgamma(n + 1)
+    assert abs(got - want) <= 2e-11 * max(1.0, abs(want)), (n, got, want)
+
+
+def test_bauc_w_kernel_thresholds(con):
+    from mongodb_iceberg_sync_spark.operators.mleval import (
+        _BAUC_W,
+        _bauc_w_sql,
+    )
+
+    # exact threshold semantics: u < thr picks val; >= last thr -> 4;
+    # and a high-scale DECIMAL literal argument must not error
+    edges = [0, 36787, 36788, 73575, 73576, 91969, 91970, 98100, 98101, 99999]
+    for u in edges:
+        (got,) = con.execute(f"SELECT {_bauc_w_sql(str(u))}").fetchone()
+        want = next((val for thr, val in _BAUC_W if u < thr), 4)
+        assert got == want, (u, got, want)
+    (dec,) = con.execute(
+        f"SELECT {_bauc_w_sql('50000.00000000000000000001')}"
+    ).fetchone()
+    assert dec == 1

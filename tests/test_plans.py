@@ -1445,7 +1445,7 @@ def test_tpch_q20_single_pass_conditional_agg(spark, sf_dir):
     # the supplier membership must be a left-semi join
     df = SPECS["q_tpch_q20"].func(spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("lineitem.parquet") == 1 or plan.count("lineitem") >= 1
+    assert plan.count("lineitem.parquet") == 1
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
     assert "StringStartsWith(p_name,small)" in plan
 
