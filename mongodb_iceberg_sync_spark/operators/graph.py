@@ -1086,6 +1086,15 @@ def q_graph_summary(spark, sf_dir):
 
 _JC_MAX_DEG = 128
 _JC_TOPK = 20
+# supplier-side hub valve (r9, VERDICT r8 task #6): a supplier whose
+# neighborhood exceeds this participates in unboundedly many wedge
+# centers, so its OUTPUT pair fan-out is unbounded even with the
+# customer-side cap. Drop such hubs from the wedge input entirely —
+# the same drop-the-hub semantics as the customer valve. Inactive at
+# fixture scale (max supplier degree 679 at sf0.1) and under replica
+# synthesis (keys shift together -> degrees invariant, scale_probe.py
+# synthesize()); binding only at real-world mega-hub skew.
+_JC_MAX_SDEG = 4096
 
 
 @register(
@@ -1097,11 +1106,14 @@ _JC_TOPK = 20
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY s),
+    sok AS (SELECT s FROM sdeg WHERE d <= {_JC_MAX_SDEG}),
     cdeg AS (
       SELECT c, count(*) AS d FROM pairs GROUP BY c
       HAVING count(*) BETWEEN 2 AND {_JC_MAX_DEG}
     ),
-    kept AS (SELECT p.s, p.c FROM pairs p JOIN cdeg d ON d.c = p.c),
+    kept AS (SELECT p.s, p.c FROM pairs p
+             JOIN cdeg d ON d.c = p.c
+             JOIN sok ON sok.s = p.s),
     co AS (
       SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
       FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
@@ -1123,9 +1135,13 @@ _JC_TOPK = 20
     "shingle sets. Wedge enumeration keyed on the shared customer "
     f"with hubs above degree {_JC_MAX_DEG} dropped BEFORE any wedge "
     "is emitted (the d² emitters; same principled valve as "
-    "adamic_adar) — but degrees for the UNION come from the full "
-    "pair set, so the denominator is exact even where hub-mediated "
-    "intersections are sparsified away. Determinism: the top-k "
+    f"adamic_adar), and supplier hubs above degree {_JC_MAX_SDEG} "
+    "dropped too (r9: bounds each supplier's OUTPUT pair fan-out, "
+    "which the customer cap alone does not; inactive below that "
+    "degree, so fixture-scale results are unchanged) — but degrees "
+    "for the UNION come from the full pair set, so the denominator "
+    "is exact even where hub-mediated intersections are sparsified "
+    "away. Determinism: the top-k "
     "ORDER BY rides the exact integer rational shared·1e6/union "
     "(no float argsort), ties broken on (s1,s2). Scale: degree agg + "
     "capped wedge join are combinable; top-k is "
@@ -1145,13 +1161,15 @@ def q_graph_jaccard(spark, sf_dir):
     )
     pairs = pairs.localCheckpoint(eager=False)  # sdeg + wedges read it
     sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    sdeg = sdeg.localCheckpoint(eager=False)  # sok filter + d1/d2 join-backs
+    sok = sdeg.filter(F.col("d") <= _JC_MAX_SDEG).select("s")
     cdeg = (
         pairs.groupBy("c")
         .agg(F.count(F.lit(1)).alias("cd"))
         .filter((F.col("cd") >= 2) & (F.col("cd") <= _JC_MAX_DEG))
         .select("c")
     )
-    kept = pairs.join(F.broadcast(cdeg), "c")
+    kept = pairs.join(F.broadcast(cdeg), "c").join(F.broadcast(sok), "s")
     a, b = kept.alias("a"), kept.alias("b")
     co = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))

@@ -61,3 +61,35 @@ def test_pagerank_mass_conserved(spark, sf_dir, edge_list):
     # mass stays 1 after every superstep
     expected = _numpy_pagerank(edge_list)
     assert sum(expected.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_jaccard_supplier_hub_valve(spark, tmp_path):
+    """The r9 supplier-side valve drops a mega-hub supplier from the
+    wedge input entirely: its pairs never reach the output, while
+    normal suppliers' pairs are unaffected (exactness below the cap)."""
+    from mongodb_iceberg_sync_spark.operators.graph import (
+        _JC_MAX_SDEG,
+        q_graph_jaccard,
+    )
+
+    # hub supplier 999 -> customers 1..cap+4 (degree > _JC_MAX_SDEG);
+    # suppliers 1 and 2 -> customers 1..100 (well below the cap)
+    edges = [(999, c) for c in range(1, _JC_MAX_SDEG + 5)]
+    edges += [(s, c) for s in (1, 2) for c in range(1, 101)]
+    rows = [(i, s, c) for i, (s, c) in enumerate(edges)]
+    li = spark.createDataFrame(
+        [(ok, s) for ok, s, _ in rows], "l_orderkey long, l_suppkey long"
+    )
+    o = spark.createDataFrame(
+        [(ok, c) for ok, _, c in rows], "o_orderkey long, o_custkey long"
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    o.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = q_graph_jaccard(spark, str(tmp_path)).collect()
+    # without the valve, (1,999) and (2,999) would rank in the top-k
+    assert all(999 not in (r.s1, r.s2) for r in got)
+    assert [(r.s1, r.s2, r.shared) for r in got] == [(1, 2, 100)]
+    (r,) = got
+    # degrees stay EXACT from the full pair set even with the hub gone
+    assert (r.deg1, r.deg2, r.jaccard) == (100, 100, 1.0)
