@@ -4652,3 +4652,567 @@ def q_agg_diversity_hill(spark, sf_dir):
             F.round(F.exp(-F.col("q_plnp") / 1e12) / F.col("k"), 6) + 0.0
         ).alias("evenness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 1: inferential statistics (Kruskal-Wallis, Jarque-Bera,
+# Tukey HSD, Hodges-Lehmann, G-test). Same discipline as the r8 wave:
+# exact integer sufficient statistics (DECIMAL/HUGEINT where quadratic+),
+# quantize-before-sum for any cross-row float term, and one identical
+# float expression tree on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _chi2_sf_even_sql(x: str, m: int) -> str:
+    """SQL text for the chi-square survival function with EVEN df = 2m:
+    P(X > x) = exp(-x/2) * sum_{i=0}^{m-1} (x/2)^i / i! — the exact
+    closed form (no approximation), identical expression text on both
+    engines. The argument is bound as DOUBLE once (the r8 erfc lesson:
+    a bare high-scale DECIMAL literal overflows scale 38 under textual
+    powering).
+    """
+    import math as _math
+
+    xd = f"(CAST(({x}) AS DOUBLE) / 2.0)"
+    terms = " + ".join(
+        "1.0" if i == 0 else f"({' * '.join([xd] * i)}) / {float(_math.factorial(i))!r}"
+        for i in range(m)
+    )
+    return f"(exp(-{xd}) * ({terms}))"
+
+
+@register(
+    "q_agg_kruskal",
+    family="aggregates",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type AS et
+      FROM events
+    ),
+    cells AS (
+      SELECT cents, et, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY cents, et
+    ),
+    vtot AS (
+      SELECT cents, CAST(sum(cnt) AS BIGINT) AS tc FROM cells GROUP BY cents
+    ),
+    mr AS (
+      SELECT cents, tc,
+             2 * (sum(tc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - tc)
+               + tc + 1 AS dmr
+      FROM vtot
+    ),
+    rj AS (
+      SELECT c.et, CAST(sum(c.cnt) AS BIGINT) AS nj,
+             CAST(sum(c.cnt * m.dmr) AS BIGINT) AS r2j
+      FROM cells c JOIN mr m ON m.cents = c.cents
+      GROUP BY c.et
+    ),
+    tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k FROM rj),
+    tq AS (
+      SELECT CAST(sum(CAST(round(CAST(r2j AS DOUBLE) * r2j / (4.0 * nj))
+                           AS HUGEINT)) AS DOUBLE) AS t
+      FROM rj
+    ),
+    ties AS (SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS t3 FROM vtot),
+    h AS (
+      SELECT tot.n, tot.k,
+             12.0 * tq.t / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+               - 3.0 * (tot.n + 1) AS h_raw,
+             1.0 - CAST(ties.t3 AS DOUBLE)
+               / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n) AS cc
+      FROM tot CROSS JOIN tq CROSS JOIN ties
+    )
+    SELECT n AS n_total, k AS k_groups,
+           round(h_raw, 6) + 0.0 AS h_stat,
+           round(h_raw / cc, 6) + 0.0 AS h_corrected,
+           round({_chi2_sf_even_sql("h_raw / cc", 2)}, 6) + 0.0 AS p_value
+    FROM h
+    """,
+    doc="Kruskal-Wallis H across the five event types on value — the "
+    "k-group generalization of q_agg_mannwhitney (rank-based one-way "
+    "ANOVA, no normality assumption), with the tie correction and an "
+    "EXACT chi-square p-value (df = k-1 = 4 is even, so the survival "
+    "function is the closed form exp(-x/2)(1+x/2) — no approximation, "
+    "via the shared _chi2_sf_even_sql kernel). Ranks never "
+    "materialize per row: the mannwhitney discipline — values "
+    "collapse to the cent-quantized domain, DOUBLED midranks keep "
+    "ties integral, per-group doubled rank sums are exact BIGINTs. "
+    "R_j^2/n_j (which exceeds int64) is computed in double from "
+    "exactly-equal ints and re-quantized to HUGEINT/DECIMAL(38,0) "
+    "BEFORE the cross-group sum, so group order cannot perturb H. "
+    "Scale: one combinable (value,group) cell rollup; the cumsum "
+    "window is DOMAIN-bounded (distinct cents, not rows); everything "
+    "after runs on k rows. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_kruskal(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("cents", "et")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # vtot + rj read it
+    vtot = cells.groupBy("cents").agg(F.sum("cnt").cast("long").alias("tc"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    # domain-bounded window: one row per distinct cent value, never per event
+    mr = vtot.select(
+        "cents",
+        "tc",
+        (2 * (F.sum("tc").over(w) - F.col("tc")) + F.col("tc") + 1).alias("dmr"),
+    )
+    rj = (
+        cells.join(mr.select("cents", "dmr"), "cents")
+        .groupBy("et")
+        .agg(
+            F.sum("cnt").cast("long").alias("nj"),
+            F.sum(F.col("cnt") * F.col("dmr")).cast("long").alias("r2j"),
+        )
+    )
+    rj = rj.localCheckpoint(eager=False)  # tot + tq read it
+    tot = rj.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tq = rj.agg(
+        F.sum(
+            F.round(
+                F.col("r2j").cast("double") * F.col("r2j") / (4.0 * F.col("nj"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("t")
+    )
+    ties = vtot.agg(
+        F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+        .cast("long")
+        .alias("t3")
+    )
+    nd = F.col("n").cast("double")
+    h_raw = 12.0 * F.col("t") / (nd * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    cc = 1.0 - F.col("t3").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    hc = (h_raw / cc).alias("hc")
+    out = (
+        tot.crossJoin(tq)
+        .crossJoin(ties)
+        .select(F.col("n"), F.col("k"), h_raw.alias("h_raw"), hc)
+    )
+    return out.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        (F.round(F.col("h_raw"), 6) + 0.0).alias("h_stat"),
+        (F.round(F.col("hc"), 6) + 0.0).alias("h_corrected"),
+        (F.round(F.expr(_chi2_sf_even_sql("hc", 2)), 6) + 0.0).alias("p_value"),
+    )
+
+
+@register(
+    "q_agg_jarque_bera",
+    family="aggregates",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)        AS n,
+             CAST(sum(c)             AS DOUBLE) AS s1,
+             CAST(sum(c*c)           AS DOUBLE) AS s2,
+             CAST(sum(c*c*c)         AS DOUBLE) AS s3,
+             CAST(sum(c*c*c*c)       AS DOUBLE) AS s4
+      FROM c GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n,
+             s2 / n - (s1 / n) * (s1 / n)                    AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n)     AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    ),
+    jb AS (
+      SELECT event_type, n,
+             m3 / (m2 * sqrt(m2))  AS skew,
+             m4 / (m2 * m2) - 3    AS kurt,
+             n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                        + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)
+               AS jb_stat
+      FROM m
+    )
+    SELECT event_type, n,
+           round(skew, 6) + 0.0 AS skewness,
+           round(kurt, 6) + 0.0 AS kurtosis_excess,
+           round(jb_stat, 6) + 0.0 AS jb_stat,
+           round({_chi2_sf_even_sql("jb_stat", 1)}, 6) + 0.0 AS p_value
+    FROM jb ORDER BY event_type
+    """,
+    doc="Jarque-Bera normality test per event type — the is-this-"
+    "metric-normal gate that decides whether q_agg_ttest's "
+    "assumptions hold or q_agg_mannwhitney should be used instead; "
+    "pairs with q_agg_moments exactly the way q_agg_tukey_hsd pairs "
+    "with q_agg_anova (moments describe, JB tests). JB = n/6 "
+    "(skew^2 + kurtosis^2/4) from the same exact integer power sums "
+    "as q_agg_moments (cents as DECIMAL(38,0)/HUGEINT, c..c^4 exact), "
+    "and the p-value is the EXACT chi-square survival at df=2 "
+    "(exp(-JB/2), the m=1 case of the shared _chi2_sf_even_sql "
+    "kernel — no approximation). Scale: one map-side-combinable "
+    "groupBy carrying 5 numbers per series; constant work after. "
+    "Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_jarque_bera(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("c"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("c") * F.col("c"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("c") * F.col("c") * F.col("c"))).cast("double").alias("s3"),
+        F.sum(
+            dec(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+        ).cast("double").alias("s4"),
+    )
+    s1n = F.col("s1") / F.col("n")
+    s2n = F.col("s2") / F.col("n")
+    s3n = F.col("s3") / F.col("n")
+    s4n = F.col("s4") / F.col("n")
+    m = s.select(
+        "event_type",
+        "n",
+        (s2n - s1n * s1n).alias("m2"),
+        (s3n - F.lit(3) * s1n * s2n + F.lit(2) * s1n * s1n * s1n).alias("m3"),
+        (
+            s4n
+            - F.lit(4) * s1n * s3n
+            + F.lit(6) * s1n * s1n * s2n
+            - F.lit(3) * s1n * s1n * s1n * s1n
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    skew = F.col("m3") / (m2 * F.sqrt(m2))
+    kurt = F.col("m4") / (m2 * m2) - 3
+    jb = m.select(
+        "event_type",
+        "n",
+        skew.alias("skew"),
+        kurt.alias("kurt"),
+        (F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4.0)).alias("jb_stat"),
+    )
+    return jb.select(
+        "event_type",
+        "n",
+        (F.round("skew", 6) + 0.0).alias("skewness"),
+        (F.round("kurt", 6) + 0.0).alias("kurtosis_excess"),
+        (F.round("jb_stat", 6) + 0.0).alias("jb_stat"),
+        (F.round(F.expr(_chi2_sf_even_sql("jb_stat", 1)), 6) + 0.0).alias(
+            "p_value"
+        ),
+    ).orderBy("event_type")
+
+
+# q_{0.05, k=5, df=inf} — the studentized-range critical value for five
+# groups at alpha=0.05 with large within-group df (every fixture group
+# has n >> 1000, so the inf-df row of the published table applies).
+_TUKEY_Q_CRIT = 3.858
+
+
+@register(
+    "q_agg_tukey_hsd",
+    family="aggregates",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    st AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                        - CAST(sum(c) AS DOUBLE) * sum(c) / count(*))
+                  AS HUGEINT) AS sswj
+      FROM c GROUP BY g
+    ),
+    msw AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sswj) AS DOUBLE) AS ssw
+      FROM st
+    ),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+             CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n AS diff,
+             sqrt(m.ssw / (m.nn - m.k) / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS se
+      FROM st a JOIN st b ON a.g < b.g CROSS JOIN msw m
+    )
+    SELECT g1, g2, n1, n2,
+           round(diff / 100, 6) + 0.0 AS mean_diff,
+           round(abs(diff) / se, 6) + 0.0 AS q_stat,
+           abs(diff) / se > {_TUKEY_Q_CRIT} AS significant
+    FROM pairs ORDER BY g1, g2
+    """,
+    doc="Tukey HSD post-hoc pairwise comparisons after q_agg_anova — "
+    "WHICH groups differ once the omnibus F says some do; the "
+    "studentized-range q statistic |mean_i - mean_j| / "
+    "sqrt(MSW/2 (1/n_i + 1/n_j)) for all k(k-1)/2 pairs, judged "
+    f"against the published q_(0.05, k=5, inf) = {_TUKEY_Q_CRIT} "
+    "(within-group df is >>1000 at every fixture scale, so the "
+    "inf-df row applies; emitting q itself keeps the operator "
+    "critical-value-table-free). Exactness: per-group (n, sum, "
+    "sumsq) are exact ints; each group's within-SS is quantized to "
+    "HUGEINT/DECIMAL(38,0) BEFORE the cross-group sum (group order "
+    "cannot perturb MSW); q is one float expression of exact ints. "
+    "Scale: one combinable pass over the fact; the pair join runs "
+    "on the k-row group table. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_tukey_hsd(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    st = c.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("double")
+            - F.sum("c").cast("double") * F.sum("c") / F.count(F.lit(1))
+        )
+        .cast("decimal(38,0)")
+        .alias("sswj"),
+    )
+    st = st.localCheckpoint(eager=False)  # msw + both pair sides read it
+    msw = st.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sswj").cast("double").alias("ssw"),
+    )
+    a, b = st.alias("a"), st.alias("b")
+    diff = F.col("a.s1").cast("double") / F.col("a.n") - F.col(
+        "b.s1"
+    ).cast("double") / F.col("b.n")
+    se = F.sqrt(
+        F.col("ssw")
+        / (F.col("nn") - F.col("k"))
+        / 2.0
+        * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+    )
+    return (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            F.col("a.g").alias("g1"),
+            F.col("b.g").alias("g2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+            (F.round(diff / 100, 6) + 0.0).alias("mean_diff"),
+            (F.round(F.abs(diff) / se, 6) + 0.0).alias("q_stat"),
+            (F.abs(diff) / se > _TUKEY_Q_CRIT).alias("significant"),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+@register(
+    "q_agg_hodges_lehmann",
+    family="aggregates",
+    oracle="""
+    WITH d1 AS (
+      SELECT CAST(round(value * 10) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events WHERE event_type = 'click' GROUP BY v
+    ),
+    d2 AS (
+      SELECT CAST(round(value * 10) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events WHERE event_type = 'purchase' GROUP BY v
+    ),
+    diffs AS (
+      SELECT d1.v - d2.v AS d, CAST(sum(d1.w * d2.w) AS BIGINT) AS w
+      FROM d1 CROSS JOIN d2 GROUP BY d1.v - d2.v
+    ),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS t,
+             (SELECT CAST(sum(w) AS BIGINT) FROM d1) AS n1,
+             (SELECT CAST(sum(w) AS BIGINT) FROM d2) AS n2
+      FROM diffs
+    ),
+    cum AS (
+      SELECT d, sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw
+      FROM diffs
+    )
+    SELECT tot.n1, tot.n2, tot.t AS n_pairs,
+           round(((SELECT min(d) FROM cum WHERE cw >= (tot.t + 1) // 2)
+                  + (SELECT min(d) FROM cum WHERE cw >= tot.t // 2 + 1))
+                 / 2.0 / 10.0, 6) + 0.0 AS hl_shift
+    FROM tot
+    """,
+    doc="Hodges-Lehmann shift estimator between click and purchase "
+    "values — the median of ALL n1*n2 pairwise differences, the "
+    "robust effect-SIZE companion to q_agg_mannwhitney's test (U "
+    "says the distributions differ; HL says by how much, immune to "
+    "outliers that wreck a difference of means). The pairwise set "
+    "never materializes per row: values collapse to the dime-"
+    "quantized DOMAIN (the estimator's documented 0.1 resolution), "
+    "the difference distribution is the weighted cross of the two "
+    "domain tables — O(|domain|^2) cells bounded by the VALUE RANGE, "
+    "never O(rows^2) — and the median is an exact weighted-median "
+    "walk over the cumulated cells (lower+upper convention, exact "
+    "integers throughout). Scale: two combinable per-value rollups; "
+    "the domain cross is ~6k x 6k worst case regardless of corpus "
+    "size; the cumsum window is domain-bounded. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_hodges_lehmann(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    dime = F.round(F.col("value") * 10).cast("long").alias("v")
+
+    def dom(et):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(dime)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+
+    d1, d2 = dom("click"), dom("purchase")
+    diffs = (
+        d1.crossJoin(d2.select(F.col("v").alias("v2"), F.col("w").alias("w2")))
+        .groupBy((F.col("v") - F.col("v2")).alias("d"))
+        .agg(F.sum(F.col("w") * F.col("w2")).cast("long").alias("w"))
+    )
+    diffs = diffs.localCheckpoint(eager=False)  # tot + cum read it
+    tot = (
+        diffs.agg(F.sum("w").cast("long").alias("t"))
+        .crossJoin(d1.agg(F.sum("w").cast("long").alias("n1")))
+        .crossJoin(d2.agg(F.sum("w").cast("long").alias("n2")))
+    )
+    # domain-bounded window: one row per distinct dime difference
+    cum = diffs.select(
+        "d",
+        F.sum("w")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+    )
+    cum = cum.localCheckpoint(eager=False)  # two median walks read it
+    lo = (
+        cum.crossJoin(F.broadcast(tot.select("t")))
+        .filter(F.col("cw") >= F.expr("(t + 1) div 2"))
+        .agg(F.min("d").alias("lo"))
+    )
+    hi = (
+        cum.crossJoin(F.broadcast(tot.select(F.col("t").alias("t2"))))
+        .filter(F.col("cw") >= F.expr("t2 div 2 + 1"))
+        .agg(F.min("d").alias("hi"))
+    )
+    return (
+        tot.crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            "n1",
+            "n2",
+            F.col("t").alias("n_pairs"),
+            (
+                F.round((F.col("lo") + F.col("hi")) / 2.0 / 10.0, 6) + 0.0
+            ).alias("hl_shift"),
+        )
+    )
+
+
+@register(
+    "q_agg_g_test",
+    family="aggregates",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type AS et, CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY et, dw
+    ),
+    rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY et),
+    ct AS (SELECT dw, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY dw),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CAST(round(2e9 * o * ln(CAST(o AS DOUBLE) * nn.n
+                                     / (CAST(rt.r AS DOUBLE) * ct.c)))
+                  AS BIGINT) AS tq
+      FROM cells JOIN rt ON rt.et = cells.et
+                 JOIN ct ON ct.dw = cells.dw
+                 CROSS JOIN nn
+    ),
+    g AS (
+      SELECT CAST(sum(tq) AS DOUBLE) / 1e9 AS g_stat,
+             (SELECT (count(*) - 1) FROM rt)
+               * (SELECT (count(*) - 1) FROM ct) AS df
+      FROM terms
+    )
+    SELECT CAST(df AS BIGINT) AS df,
+           round(g_stat, 6) + 0.0 AS g_stat,
+           round({_chi2_sf_even_sql("g_stat", 12)}, 6) + 0.0 AS p_value
+    FROM g
+    """,
+    doc="G-test (log-likelihood-ratio test) of independence on the "
+    "event_type x day-of-week contingency table — the additive "
+    "sibling of q_agg_chisq (G decomposes exactly across table "
+    "collapses, chi-square does not; it is 2n x the mutual "
+    "information q_agg_mutual_info reports). Each cell's "
+    "2 O ln(O n / (r c)) term is an identical float expression of "
+    "exact integer margins, quantized to 1e-9 and BIGINT-summed — "
+    "cross-engine order-independent (the q_ml_brier discipline). "
+    "The p-value is the EXACT even-df chi-square survival via the "
+    "shared _chi2_sf_even_sql kernel at df = (5-1)(7-1) = 24 (m=12; "
+    "df is also emitted as data-derived so a fixture change is "
+    "visible). Scale: one combinable <=35-cell rollup; arithmetic "
+    "after. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_g_test(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dw"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = cells.localCheckpoint(eager=False)  # margins + terms read it
+    rt = cells.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("dw").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dw")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                2e9
+                * F.col("o")
+                * F.log(
+                    F.col("o").cast("double")
+                    * F.col("n")
+                    / (F.col("r").cast("double") * F.col("c"))
+                )
+            )
+            .cast("long")
+            .alias("tq")
+        )
+    )
+    dfree = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("r1"))
+        .crossJoin(ct.agg((F.count(F.lit(1)) - 1).alias("c1")))
+        .select((F.col("r1") * F.col("c1")).cast("long").alias("df"))
+    )
+    g = terms.agg((F.sum("tq").cast("double") / 1e9).alias("g_stat"))
+    return dfree.crossJoin(g).select(
+        "df",
+        (F.round("g_stat", 6) + 0.0).alias("g_stat"),
+        (F.round(F.expr(_chi2_sf_even_sql("g_stat", 12)), 6) + 0.0).alias(
+            "p_value"
+        ),
+    )

@@ -101,3 +101,46 @@ def test_bauc_w_kernel_thresholds(con):
         f"SELECT {_bauc_w_sql('50000.00000000000000000001')}"
     ).fetchone()
     assert dec == 1
+
+
+# ---- chi-square even-df survival kernel (r9) --------------------------
+
+def _chi2_sf_even_ref(x: float, m: int) -> float:
+    """Independent reference: P(chi2_{2m} > x) = exp(-x/2) sum (x/2)^i/i!"""
+    t = x / 2.0
+    acc, term = 0.0, 1.0
+    for i in range(m):
+        if i > 0:
+            term *= t / i
+        acc += term
+    return math.exp(-t) * acc
+
+
+@given(
+    x=st.floats(min_value=0.0, max_value=200.0, allow_nan=False),
+    m=st.sampled_from([1, 2, 12]),
+)
+@settings(max_examples=200, deadline=None)
+def test_chi2_sf_even_kernel_matches_reference(con, x, m):
+    from mongodb_iceberg_sync_spark.operators.aggregates import (
+        _chi2_sf_even_sql,
+    )
+
+    # repr() literal: the DECIMAL-typed-argument robustness the r8 erfc
+    # regression taught us to pin for every shared kernel
+    (got,) = con.execute(f"SELECT {_chi2_sf_even_sql(repr(x), m)}").fetchone()
+    want = _chi2_sf_even_ref(x, m)
+    assert abs(got - want) <= 1e-12 + 1e-9 * abs(want), (x, m, got, want)
+
+
+def test_chi2_sf_even_kernel_known_values(con):
+    from mongodb_iceberg_sync_spark.operators.aggregates import (
+        _chi2_sf_even_sql,
+    )
+
+    # df=2: P(X>x) = exp(-x/2); chi2_{0.05,2} = 5.991464...
+    (p,) = con.execute(f"SELECT {_chi2_sf_even_sql('5.991464547107979', 1)}").fetchone()
+    assert p == pytest.approx(0.05, abs=1e-9)
+    # df=4 at x=0 -> 1
+    (p0,) = con.execute(f"SELECT {_chi2_sf_even_sql('0.0', 2)}").fetchone()
+    assert p0 == pytest.approx(1.0, abs=1e-12)
