@@ -4911,3 +4911,689 @@ def q_timeseries_contribution(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 2: time-series diagnostics on the calendar-bounded daily
+# grid (seasonal Mann-Kendall, Ljung-Box, Durbin-Watson, Granger, runs
+# test). All heavy lifting is ONE combinable daily rollup over the fact;
+# every window/join after runs on the <=366-row-per-series grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_timeseries_seasonal_mk",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS season,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    s AS (
+      SELECT a.et, a.season,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a
+      JOIN daily b ON a.et = b.et AND a.season = b.season AND a.d < b.d
+      GROUP BY a.et, a.season
+    ),
+    ties AS (
+      SELECT et, season,
+             CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18
+      FROM (SELECT et, season, c, CAST(count(*) AS BIGINT) AS tc
+            FROM daily GROUP BY et, season, c)
+      GROUP BY et, season
+    ),
+    nd AS (SELECT et, season, CAST(count(*) AS BIGINT) AS n
+           FROM daily GROUP BY et, season),
+    per AS (
+      SELECT nd.et, nd.season, nd.n, s.s_stat,
+             CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie18 AS BIGINT)
+               AS var18
+      FROM nd JOIN s ON s.et = nd.et AND s.season = nd.season
+              JOIN ties ON ties.et = nd.et AND ties.season = nd.season
+    ),
+    tot AS (
+      SELECT et, CAST(sum(n) AS BIGINT) AS n_days,
+             CAST(sum(s_stat) AS BIGINT) AS s_total,
+             CAST(sum(var18) AS BIGINT) AS var18_total
+      FROM per GROUP BY et
+    )
+    SELECT et AS event_type, n_days, s_total, var18_total,
+           round(CASE WHEN s_total > 0 THEN (s_total - 1.0)
+                      WHEN s_total < 0 THEN (s_total + 1.0)
+                      ELSE 0.0 END
+                 / sqrt(var18_total / 18.0), 6) + 0.0 AS z_score,
+           CASE WHEN s_total > 0 THEN 'increasing'
+                WHEN s_total < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM tot ORDER BY event_type
+    """,
+    doc="Seasonal Mann-Kendall trend test per event type — "
+    "q_timeseries_mann_kendall's seasonality-robust upgrade (Hirsch "
+    "& Slack): the MK statistic is computed WITHIN each day-of-week "
+    "season (so a strong weekly cycle cannot masquerade as — or "
+    "mask — a trend), then S and the tie-corrected 18*Var(S) are "
+    "summed across seasons and one continuity-corrected z is taken "
+    "on the totals. Exactness: every per-season S and variance term "
+    "is an exact integer from the calendar-bounded daily grid; only "
+    "the final z is float. Scale: one combinable daily rollup over "
+    "the fact; the pair self-join is per-(type, season) over <=53 "
+    "rows each — never O(rows^2). Season key is Spark dayofweek-1 "
+    "== DuckDB dayofweek (both on the truncated day). Ref: no "
+    "reference counterpart — timeseries tier.",
+)
+def q_timeseries_seasonal_mk(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        day.alias("d"),
+        (F.dayofweek(day) - 1).cast("long").alias("season"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # 3 consumers below
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.et") == F.col("b.et"))
+            & (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.et").alias("et"), F.col("a.season").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("et", "season", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("et", "season")
+        .agg(
+            F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    nd = daily.groupBy("et", "season").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = nd.join(s, ["et", "season"]).join(ties, ["et", "season"]).select(
+        "et",
+        "season",
+        "n",
+        "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie18")
+        ).cast("long").alias("var18"),
+    )
+    tot = per.groupBy("et").agg(
+        F.sum("n").cast("long").alias("n_days"),
+        F.sum("s_stat").cast("long").alias("s_total"),
+        F.sum("var18").cast("long").alias("var18_total"),
+    )
+    z = (
+        F.when(F.col("s_total") > 0, F.col("s_total") - 1.0)
+        .when(F.col("s_total") < 0, F.col("s_total") + 1.0)
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(F.col("var18_total") / 18.0)
+    return tot.select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        "s_total",
+        "var18_total",
+        (F.round(z, 6) + 0.0).alias("z_score"),
+        F.when(F.col("s_total") > 0, F.lit("increasing"))
+        .when(F.col("s_total") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+_LB_MAX_LAG = 7           # weekly horizon on the daily grid
+_LB_CHI2_CRIT_7 = 14.067  # chi2_{0.05, df=7}
+
+
+@register(
+    "q_timeseries_ljung_box",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    idx AS (
+      SELECT et, CAST(date_diff('day', min(d) OVER (PARTITION BY et), d)
+                      AS BIGINT) AS tt, c
+      FROM daily
+    ),
+    st AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM idx GROUP BY et
+    ),
+    lagged AS (
+      SELECT a.et, b.tt - a.tt AS k,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(a.c * b.c) AS BIGINT) AS spp,
+             CAST(sum(a.c) AS BIGINT) AS hs,
+             CAST(sum(b.c) AS BIGINT) AS ts_
+      FROM idx a JOIN idx b
+        ON a.et = b.et AND b.tt - a.tt BETWEEN 1 AND {_LB_MAX_LAG}
+      GROUP BY a.et, b.tt - a.tt
+    ),
+    rk AS (
+      SELECT l.et, l.k, s.n,
+             (l.spp - (CAST(s.s1 AS DOUBLE) / s.n) * (l.hs + l.ts_)
+                    + l.cnt * (CAST(s.s1 AS DOUBLE) / s.n)
+                            * (CAST(s.s1 AS DOUBLE) / s.n))
+             / (s.s2 - s.n * (CAST(s.s1 AS DOUBLE) / s.n)
+                           * (CAST(s.s1 AS DOUBLE) / s.n)) AS r
+      FROM lagged l JOIN st s ON s.et = l.et
+    ),
+    q AS (
+      SELECT et, max(n) AS n,
+             CAST(sum(CAST(round(1e12 * r * r / (n - k)) AS BIGINT))
+                  AS DOUBLE) / 1e12 AS tsum,
+             CAST(sum(CASE WHEN k = 1
+                           THEN CAST(round(1e6 * r) AS BIGINT) END)
+                  AS DOUBLE) / 1e6 AS r1
+      FROM rk GROUP BY et
+    )
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+           round(r1, 6) + 0.0 AS r1,
+           round(n * (n + 2.0) * tsum, 6) + 0.0 AS q_lb,
+           n * (n + 2.0) * tsum > {_LB_CHI2_CRIT_7} AS significant
+    FROM q ORDER BY event_type
+    """,
+    doc="Ljung-Box portmanteau test per event type — is the daily "
+    f"series white noise, or autocorrelated up to lag {_LB_MAX_LAG} "
+    "(the weekly horizon)? The is-there-structure-left gate run on "
+    "model residuals and on raw series before q_timeseries_autocorr "
+    "is trusted. Autocorrelations never touch per-row floats: each "
+    "lag's cross-product, head/tail sums and pair count are exact "
+    "integers from the calendar-bounded grid, r_k is one float "
+    "expression of them, and the Q summands r_k^2/(n-k) are "
+    "quantized to 1e-12 BIGINTs before the cross-lag sum (lag order "
+    "cannot perturb Q). Judged against the published "
+    f"chi2_(0.05, df={_LB_MAX_LAG}) = {_LB_CHI2_CRIT_7} (odd df has "
+    "no even-df closed form; the critical-value literal keeps the "
+    "operator exact). Scale: one combinable daily rollup; the lag "
+    "join is banded (<=7 partners) on the <=366-row grid. Ref: no "
+    "reference counterpart — timeseries tier.",
+)
+def q_timeseries_ljung_box(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # grid-bounded window: one row per (type, day)
+    idx = daily.select(
+        "et",
+        F.datediff(
+            F.col("d"), F.min("d").over(Window.partitionBy("et"))
+        ).cast("long").alias("tt"),
+        "c",
+    )
+    idx = idx.localCheckpoint(eager=False)  # st + both lag sides read it
+    st = idx.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    lagged = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.et") == F.col("b.et"))
+            & ((F.col("b.tt") - F.col("a.tt")).between(1, _LB_MAX_LAG)),
+        )
+        .groupBy(F.col("a.et").alias("et"), (F.col("b.tt") - F.col("a.tt")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("spp"),
+            F.sum(F.col("a.c")).cast("long").alias("hs"),
+            F.sum(F.col("b.c")).cast("long").alias("ts_"),
+        )
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    r = (F.col("spp") - m * (F.col("hs") + F.col("ts_")) + F.col("cnt") * m * m) / (
+        F.col("s2") - F.col("n") * m * m
+    )
+    rk = lagged.join(F.broadcast(st), "et").select("et", "k", "n", r.alias("r"))
+    q = rk.groupBy("et").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(
+                F.round(1e12 * F.col("r") * F.col("r") / (F.col("n") - F.col("k")))
+                .cast("long")
+            ).cast("double")
+            / 1e12
+        ).alias("tsum"),
+        (
+            F.sum(
+                F.when(F.col("k") == 1, F.round(1e6 * F.col("r")).cast("long"))
+            ).cast("double")
+            / 1e6
+        ).alias("r1"),
+    )
+    qlb = F.col("n") * (F.col("n") + 2.0) * F.col("tsum")
+    return q.select(
+        F.col("et").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        (F.round("r1", 6) + 0.0).alias("r1"),
+        (F.round(qlb, 6) + 0.0).alias("q_lb"),
+        (qlb > _LB_CHI2_CRIT_7).alias("significant"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_timeseries_durbin_watson",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    idx AS (
+      SELECT et, CAST(date_diff('day', min(d) OVER (PARTITION BY et), d)
+                      AS BIGINT) AS tt, c
+      FROM daily
+    ),
+    st AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tt) AS BIGINT) AS stx,
+             CAST(sum(tt * tt) AS BIGINT) AS stt,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(tt * c) AS BIGINT) AS stc
+      FROM idx GROUP BY et
+    ),
+    fit AS (
+      SELECT et, n,
+             (n * CAST(stc AS DOUBLE) - CAST(stx AS DOUBLE) * sc)
+             / (n * CAST(stt AS DOUBLE) - CAST(stx AS DOUBLE) * stx) AS b,
+             (CAST(sc AS DOUBLE)
+              - (n * CAST(stc AS DOUBLE) - CAST(stx AS DOUBLE) * sc)
+                / (n * CAST(stt AS DOUBLE) - CAST(stx AS DOUBLE) * stx)
+                * stx) / n AS a
+      FROM st
+    ),
+    res AS (
+      SELECT i.et, i.tt, f.n, f.b,
+             CAST(round((i.c - f.a - f.b * i.tt) * 1e6) AS HUGEINT) AS eq
+      FROM idx i JOIN fit f ON f.et = i.et
+    ),
+    dw AS (
+      SELECT r.et, max(r.n) AS n, max(r.b) AS b,
+             CAST(sum(r.eq * r.eq) AS DOUBLE) AS sse,
+             CAST(sum(CASE WHEN p.eq IS NULL THEN 0
+                           ELSE (r.eq - p.eq) * (r.eq - p.eq) END)
+                  AS DOUBLE) AS ssd
+      FROM res r LEFT JOIN res p ON p.et = r.et AND p.tt = r.tt - 1
+      GROUP BY r.et
+    )
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+           round(b, 6) + 0.0 AS trend_slope,
+           round(ssd / sse, 6) + 0.0 AS dw_stat,
+           round(1.0 - ssd / sse / 2.0, 6) + 0.0 AS rho_approx
+    FROM dw ORDER BY event_type
+    """,
+    doc="Durbin-Watson serial-correlation statistic per event type on "
+    "the residuals of an OLS linear trend over the daily grid — the "
+    "are-residuals-independent check that validates (or indicts) "
+    "every trend fit the timeseries tier reports "
+    "(q_timeseries_theilsen, q_window_regr_slope); DW ~ 2 means "
+    "clean, <2 positive autocorrelation (rho_approx = 1 - DW/2). "
+    "Exactness: the trend coefficients come from exact integer sums "
+    "(the q_agg_ols discipline); each residual — an identical float "
+    "expression both engines — is quantized to 1e-6 BIGINTs and the "
+    "two quadratic sums run in HUGEINT/DECIMAL(38,0), so day order "
+    "cannot perturb DW. Scale: one combinable daily rollup; the "
+    "lag-1 join and both quadratic sums run on the <=366-row grid. "
+    "Ref: no reference counterpart — timeseries tier.",
+)
+def q_timeseries_durbin_watson(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    idx = daily.select(
+        "et",
+        F.datediff(
+            F.col("d"), F.min("d").over(Window.partitionBy("et"))
+        ).cast("long").alias("tt"),
+        "c",
+    )
+    idx = idx.localCheckpoint(eager=False)  # st + residual pass read it
+    st = idx.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tt").cast("long").alias("stx"),
+        F.sum(F.col("tt") * F.col("tt")).cast("long").alias("stt"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("tt") * F.col("c")).cast("long").alias("stc"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("stc").cast("double") - F.col("stx").cast("double") * F.col("sc")) / (
+        nd * F.col("stt").cast("double") - F.col("stx").cast("double") * F.col("stx")
+    )
+    fit = st.select("et", "n", b.alias("b"), ((F.col("sc").cast("double") - b * F.col("stx")) / nd).alias("a"))
+    res = idx.join(F.broadcast(fit), "et").select(
+        "et",
+        "tt",
+        "n",
+        "b",
+        F.round((F.col("c") - F.col("a") - F.col("b") * F.col("tt")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("eq"),
+    )
+    res = res.localCheckpoint(eager=False)  # both lag-join sides read it
+    r, p = res.alias("r"), res.alias("p")
+    dw = (
+        r.join(
+            F.broadcast(p.select(F.col("et").alias("pet"), F.col("tt").alias("ptt"), F.col("eq").alias("peq"))),
+            (F.col("pet") == F.col("r.et")) & (F.col("ptt") == F.col("r.tt") - 1),
+            "left",
+        )
+        .groupBy(F.col("r.et").alias("et"))
+        .agg(
+            F.max("r.n").alias("n"),
+            F.max("r.b").alias("b"),
+            F.sum(F.col("r.eq") * F.col("r.eq")).cast("double").alias("sse"),
+            F.sum(
+                F.when(F.col("peq").isNull(), F.lit(0).cast("decimal(38,0)"))
+                .otherwise((F.col("r.eq") - F.col("peq")) * (F.col("r.eq") - F.col("peq")))
+            ).cast("double").alias("ssd"),
+        )
+    )
+    return dw.select(
+        F.col("et").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        (F.round("b", 6) + 0.0).alias("trend_slope"),
+        (F.round(F.col("ssd") / F.col("sse"), 6) + 0.0).alias("dw_stat"),
+        (F.round(1.0 - F.col("ssd") / F.col("sse") / 2.0, 6) + 0.0).alias("rho_approx"),
+    ).orderBy("event_type")
+
+
+_GRANGER_CAUSE = "click"     # candidate leading indicator
+_GRANGER_EFFECT = "purchase" # series being predicted
+
+
+@register(
+    "q_timeseries_granger",
+    family="timeseries",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+    ),
+    idx AS (
+      SELECT d, CAST(date_diff('day', (SELECT min(d) FROM days), d)
+                     AS BIGINT) AS tt
+      FROM days
+    ),
+    cx AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = '{_GRANGER_CAUSE}' GROUP BY 1
+    ),
+    cy AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = '{_GRANGER_EFFECT}' GROUP BY 1
+    ),
+    grid AS (
+      SELECT i.tt, coalesce(cx.x, 0) AS x, coalesce(cy.y, 0) AS y
+      FROM idx i LEFT JOIN cx ON cx.d = i.d LEFT JOIN cy ON cy.d = i.d
+    ),
+    rows_ AS (
+      SELECT cur.y AS y, prev.y AS x1, prev.x AS x2
+      FROM grid cur JOIN grid prev ON prev.tt = cur.tt - 1
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx1x1,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx2x2,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx1x2,
+             CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM rows_
+    ),
+    m AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * sx1x1 - sx1 * sx1 AS m11,
+             CAST(n AS DOUBLE) * sx2x2 - sx2 * sx2 AS m22,
+             CAST(n AS DOUBLE) * sx1x2 - sx1 * sx2 AS m12,
+             CAST(n AS DOUBLE) * sx1y - sx1 * sy AS v1,
+             CAST(n AS DOUBLE) * sx2y - sx2 * sy AS v2,
+             CAST(n AS DOUBLE) * syy - sy * sy AS tss
+      FROM st
+    ),
+    b AS (
+      SELECT n, tss, v1, v2, m11,
+             (v1 * m22 - v2 * m12) / (m11 * m22 - m12 * m12) AS b1,
+             (m11 * v2 - m12 * v1) / (m11 * m22 - m12 * m12) AS b2
+      FROM m
+    )
+    SELECT n AS n_obs,
+           round(b1, 6) + 0.0 AS beta_own,
+           round(b2, 6) + 0.0 AS beta_cross,
+           round(((tss - v1 * v1 / m11) - (tss - b1 * v1 - b2 * v2))
+                 * (n - 3) / (tss - b1 * v1 - b2 * v2), 6) + 0.0 AS f_stat
+    FROM b
+    """,
+    doc=f"Granger causality test (lag 1): does yesterday's "
+    f"{_GRANGER_CAUSE} volume improve the prediction of today's "
+    f"{_GRANGER_EFFECT} volume beyond {_GRANGER_EFFECT}'s own lag? "
+    "F = ((SSE_restricted - SSE_unrestricted)/1) / (SSE_u/(n-3)) "
+    "where the unrestricted model y_t ~ y_(t-1) + x_(t-1) is solved "
+    "with q_agg_ols_multi's closed-form 2x2 Cramer normal equations "
+    "and the restricted one is simple OLS — both from the SAME ten "
+    "exact integer sums over the lag-aligned daily grid (counts are "
+    "ints, so every sufficient statistic is exact; the n-scaled "
+    "centered moments cancel in the F ratio). Scale: two filtered "
+    "combinable daily rollups + a lag-1 grid join on <=366 rows; "
+    "the fact is scanned once. Ref: no reference counterpart — "
+    "timeseries tier.",
+)
+def q_timeseries_granger(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    days = days.localCheckpoint(eager=False)  # min + index read it
+    idx = days.crossJoin(F.broadcast(days.agg(F.min("d").alias("d0")))).select(
+        "d", F.datediff(F.col("d"), F.col("d0")).cast("long").alias("tt")
+    )
+
+    def series(et, name):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    grid = (
+        idx.join(F.broadcast(series(_GRANGER_CAUSE, "x")), "d", "left")
+        .join(F.broadcast(series(_GRANGER_EFFECT, "y")), "d", "left")
+        .select(
+            "tt",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    grid = grid.localCheckpoint(eager=False)  # both lag-join sides read it
+    cur, prev = grid.alias("cur"), grid.alias("prev")
+    rows_ = cur.join(
+        F.broadcast(prev), F.col("prev.tt") == F.col("cur.tt") - 1
+    ).select(
+        F.col("cur.y").alias("y"),
+        F.col("prev.y").alias("x1"),
+        F.col("prev.x").alias("x2"),
+    )
+    st = rows_.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    m11 = nd * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    m22 = nd * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    m12 = nd * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    v1 = nd * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    v2 = nd * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    tss = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    det = m11 * m22 - m12 * m12
+    b1 = (v1 * m22 - v2 * m12) / det
+    b2 = (m11 * v2 - m12 * v1) / det
+    sse_u = tss - b1 * v1 - b2 * v2
+    sse_r = tss - v1 * v1 / m11
+    return st.select(
+        F.col("n").alias("n_obs"),
+        (F.round(b1, 6) + 0.0).alias("beta_own"),
+        (F.round(b2, 6) + 0.0).alias("beta_cross"),
+        (F.round((sse_r - sse_u) * (F.col("n") - 3) / sse_u, 6) + 0.0).alias(
+            "f_stat"
+        ),
+    )
+
+
+@register(
+    "q_timeseries_runs_test",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    cells AS (
+      SELECT et, c, CAST(count(*) AS BIGINT) AS w FROM daily GROUP BY et, c
+    ),
+    cum AS (
+      SELECT et, c,
+             sum(w) OVER (PARTITION BY et ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY et) AS n
+      FROM cells
+    ),
+    med AS (
+      SELECT et,
+             min(CASE WHEN cw >= (n + 1) // 2 THEN c END)
+           + min(CASE WHEN cw >= n // 2 + 1 THEN c END) AS med2
+      FROM cum GROUP BY et
+    ),
+    signs AS (
+      SELECT daily.et, daily.d,
+             CASE WHEN 2 * daily.c > m.med2 THEN 1 ELSE -1 END AS s
+      FROM daily JOIN med m ON m.et = daily.et
+      WHERE 2 * daily.c <> m.med2
+    ),
+    runs AS (
+      SELECT et, s,
+             CASE WHEN lag(s) OVER (PARTITION BY et ORDER BY d) IS NULL
+                  OR lag(s) OVER (PARTITION BY et ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS strt
+      FROM signs
+    ),
+    agg AS (
+      SELECT et,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(strt) AS BIGINT) AS r
+      FROM runs GROUP BY et
+    )
+    SELECT et AS event_type, n1 AS n_above, n2 AS n_below, r AS n_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))),
+                 6) + 0.0 AS z_score
+    FROM agg ORDER BY event_type
+    """,
+    doc="Wald-Wolfowitz runs test per event type — is the daily series "
+    "RANDOM around its median, or do above/below-median days clump "
+    "(regime persistence) or alternate (overdispersion)? The "
+    "randomness gate that complements q_timeseries_ljung_box's "
+    "correlation view with a fully nonparametric one. The median is "
+    "an exact lower+upper walk over per-count cells (DOUBLED to stay "
+    "integral, the q_agg_hodges_lehmann convention); median-equal "
+    "days are excluded per the classical prescription; runs are "
+    "counted with one lag over the calendar-bounded grid; z is one "
+    "float expression of the exact integers (n1, n2, R). Scale: one "
+    "combinable daily rollup; every window is partitioned by series "
+    "and grid-bounded. Ref: no reference counterpart — timeseries "
+    "tier.",
+)
+def q_timeseries_runs_test(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # cells + signs read it
+    cells = daily.groupBy("et", "c").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    wc = Window.partitionBy("et").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "et",
+        "c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("et")).alias("n"),
+    )
+    med = cum.groupBy("et").agg(
+        (
+            F.min(F.when(F.col("cw") >= F.expr("(n + 1) div 2"), F.col("c")))
+            + F.min(F.when(F.col("cw") >= F.expr("n div 2 + 1"), F.col("c")))
+        ).alias("med2")
+    )
+    signs = (
+        daily.join(F.broadcast(med), "et")
+        .filter(2 * F.col("c") != F.col("med2"))
+        .select(
+            "et",
+            "d",
+            F.when(2 * F.col("c") > F.col("med2"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    wd = Window.partitionBy("et").orderBy("d")
+    runs = signs.select(
+        "et",
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        ).otherwise(0).alias("strt"),
+    )
+    agg = runs.groupBy("et").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum("strt").cast("long").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        F.col("et").alias("event_type"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        (F.round((r - mu) / sig, 6) + 0.0).alias("z_score"),
+    ).orderBy("event_type")
