@@ -1321,3 +1321,76 @@ def q_graph_modularity(spark, sf_dir):
             ).alias("modularity"),
         )
     )
+
+
+@register(
+    "q_graph_reciprocity",
+    family="graph",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS et,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    edges AS (
+      SELECT prev AS a, et AS b, CAST(count(*) AS BIGINT) AS w
+      FROM seq WHERE prev IS NOT NULL AND prev <> et
+      GROUP BY prev, et
+    ),
+    paired AS (
+      SELECT e.a, e.b, e.w, CAST(coalesce(r.w, 0) AS BIGINT) AS wr
+      FROM edges e LEFT JOIN edges r ON r.a = e.b AND r.b = e.a
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_pairs,
+           CAST(sum(w) AS BIGINT) AS total_transitions,
+           round(CAST(sum(least(w, wr)) AS DOUBLE) / sum(w), 6) + 0.0
+             AS reciprocity
+    FROM paired
+    """,
+    doc="Weighted reciprocity of the event-type transition digraph "
+    "(consecutive events per user, q_events_markov's edge table): "
+    "sum(min(w_ab, w_ba)) / sum(w) — 1.0 means every a->b flow is "
+    "matched by an equal b->a flow, near 0 means the journey is a "
+    "one-way funnel; THE digraph-shape diagnostic that says whether "
+    "markov transition analysis faces a cycle or a DAG-like flow. "
+    "Exactness: edge weights are exact ints from one lag window "
+    "(partitioned per user, ordered (ts, event_id) — a total order); "
+    "reciprocity is one rounded division. Scale: the lag window is "
+    "per-user-bounded; the edge table is <=k(k-1) rows (k event "
+    "types) so the swap join is trivially broadcast. Ref: no "
+    "reference counterpart — graph tier.",
+)
+def q_graph_reciprocity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("et"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("et")))
+        .groupBy(F.col("prev").alias("a"), F.col("et").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # both sides of the swap join
+    rev = edges.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb"), F.col("w").alias("wr")
+    )
+    paired = edges.join(
+        F.broadcast(rev),
+        (F.col("ra") == F.col("b")) & (F.col("rb") == F.col("a")),
+        "left",
+    ).select("a", "b", "w", F.coalesce("wr", F.lit(0)).cast("long").alias("wr"))
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_pairs"),
+        F.sum("w").cast("long").alias("total_transitions"),
+        (
+            F.round(
+                F.sum(F.least("w", "wr")).cast("double") / F.sum("w"), 6
+            )
+            + 0.0
+        ).alias("reciprocity"),
+    )

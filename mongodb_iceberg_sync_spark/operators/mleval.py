@@ -2010,3 +2010,222 @@ def q_ml_ece(spark, sf_dir):
         ).alias("ece"),
         (F.round(F.max("gap_q") / 1e9, 6) + 0.0).alias("mce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 3: calibration decomposition + inter-rater agreement.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ml_brier_decomp",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    binned AS (
+      SELECT least(CAST(floor((ex.score - r.mn) * 10.0 / (r.mx - r.mn))
+                        AS BIGINT), 9) AS bin,
+             ex.label,
+             (ex.score - r.mn) * 1.0 / (r.mx - r.mn) AS f
+      FROM ex CROSS JOIN rng r
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(CAST(round(f * 1e9) AS BIGINT)) AS BIGINT) AS fsum9
+      FROM binned GROUP BY bin
+    ),
+    gtot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                    CAST(sum(pos) AS BIGINT) AS npos FROM bins),
+    terms AS (
+      SELECT CAST(sum(CAST(round(
+               nk * ((CAST(fsum9 AS DOUBLE) / nk / 1e9)
+                     - CAST(pos AS DOUBLE) / nk)
+                  * ((CAST(fsum9 AS DOUBLE) / nk / 1e9)
+                     - CAST(pos AS DOUBLE) / nk) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9 AS rel_n,
+             CAST(sum(CAST(round(
+               nk * (CAST(pos AS DOUBLE) / nk
+                     - CAST(t.npos AS DOUBLE) / t.n)
+                  * (CAST(pos AS DOUBLE) / nk
+                     - CAST(t.npos AS DOUBLE) / t.n) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9 AS res_n
+      FROM bins CROSS JOIN gtot t
+    )
+    SELECT t.n,
+           round(terms.rel_n / t.n, 6) + 0.0 AS reliability,
+           round(terms.res_n / t.n, 6) + 0.0 AS resolution,
+           round(CAST(t.npos AS DOUBLE) / t.n
+                 * (1.0 - CAST(t.npos AS DOUBLE) / t.n), 6) + 0.0
+             AS uncertainty,
+           round(terms.rel_n / t.n - terms.res_n / t.n
+                 + CAST(t.npos AS DOUBLE) / t.n
+                   * (1.0 - CAST(t.npos AS DOUBLE) / t.n), 6) + 0.0
+             AS brier_binned
+    FROM gtot t CROSS JOIN terms
+    """,
+    doc="Murphy decomposition of the Brier score over 10 forecast "
+    "bins: reliability (calibration gap — how far each bin's mean "
+    "forecast sits from its observed rate), resolution (how much "
+    "the bins separate outcomes), uncertainty (base-rate variance) "
+    "— brier_binned = REL - RES + UNC, the WHY behind q_ml_brier's "
+    "single number and q_ml_calibration's table. Per-bin counts and "
+    "positives are exact ints; mean forecasts ride 1e-9-quantized "
+    "BIGINT sums; each bin's REL/RES term is re-quantized before "
+    "the cross-bin sum (bin order cannot perturb the result — the "
+    "q_ml_brier discipline applied twice). Scale: one per-user "
+    "rollup, a broadcast min/max, a <=10-row bin table. Ref: no "
+    "reference counterpart — ML-eval tier.",
+)
+def q_ml_brier_decomp(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    f = (F.col("score") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn"))
+    binned = ex.crossJoin(F.broadcast(rng)).select(
+        F.least(F.floor(f * 10.0).cast("long"), F.lit(9)).alias("bin"),
+        "label",
+        f.alias("f"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(F.round(F.col("f") * 1e9).cast("long")).cast("long").alias("fsum9"),
+    )
+    bins = bins.localCheckpoint(eager=False)  # tot + terms read it
+    tot = bins.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    fbar = F.col("fsum9").cast("double") / F.col("nk") / 1e9
+    obar_k = F.col("pos").cast("double") / F.col("nk")
+    obar = F.col("npos").cast("double") / F.col("n")
+    terms = (
+        bins.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("nk") * (fbar - obar_k) * (fbar - obar_k) * 1e9
+                    ).cast("long")
+                ).cast("double")
+                / 1e9
+            ).alias("rel_n"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("nk") * (obar_k - obar) * (obar_k - obar) * 1e9
+                    ).cast("long")
+                ).cast("double")
+                / 1e9
+            ).alias("res_n"),
+        )
+    )
+    unc = obar * (1.0 - obar)
+    return tot.crossJoin(terms).select(
+        "n",
+        (F.round(F.col("rel_n") / F.col("n"), 6) + 0.0).alias("reliability"),
+        (F.round(F.col("res_n") / F.col("n"), 6) + 0.0).alias("resolution"),
+        (F.round(unc, 6) + 0.0).alias("uncertainty"),
+        (
+            F.round(
+                F.col("rel_n") / F.col("n") - F.col("res_n") / F.col("n") + unc,
+                6,
+            )
+            + 0.0
+        ).alias("brier_binned"),
+    )
+
+
+@register(
+    "q_ml_kappa",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rated AS (
+      SELECT CASE WHEN ex.score * t.nu > t.ts THEN 1 ELSE 0 END AS a,
+             ex.label AS b
+      FROM ex CROSS JOIN tot t
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c00
+      FROM rated
+    )
+    SELECT c11 + c10 + c01 + c00 AS n,
+           round(CAST(c11 + c00 AS DOUBLE) / (c11 + c10 + c01 + c00), 6) + 0.0
+             AS po,
+           round((CAST(c11 + c10 AS DOUBLE) * (c11 + c01)
+                  + CAST(c01 + c00 AS DOUBLE) * (c10 + c00))
+                 / ((c11 + c10 + c01 + c00) * 1.0 * (c11 + c10 + c01 + c00)),
+                 6) + 0.0 AS pe,
+           round((CAST(c11 + c00 AS DOUBLE) / (c11 + c10 + c01 + c00)
+                  - (CAST(c11 + c10 AS DOUBLE) * (c11 + c01)
+                     + CAST(c01 + c00 AS DOUBLE) * (c10 + c00))
+                    / ((c11 + c10 + c01 + c00) * 1.0
+                       * (c11 + c10 + c01 + c00)))
+                 / (1.0 - (CAST(c11 + c10 AS DOUBLE) * (c11 + c01)
+                           + CAST(c01 + c00 AS DOUBLE) * (c10 + c00))
+                          / ((c11 + c10 + c01 + c00) * 1.0
+                             * (c11 + c10 + c01 + c00))), 6) + 0.0 AS kappa
+    FROM cells
+    """,
+    doc="Cohen's kappa between two deterministic raters over the "
+    "per-user examples: rater A = above-average ACTIVITY (score "
+    "cross-multiplication s*n > total_s), rater B = above-average "
+    "PURCHASING (the label) — chance-corrected agreement, the "
+    "does-engagement-proxy-revenue check behind every proxy-metric "
+    "decision, and the agreement statistic any labeling pipeline "
+    "needs verbatim for annotator QA. Both raters are decided by "
+    "integer cross-multiplication (no float thresholds), the 2x2 "
+    "cells are exact ints, and po/pe/kappa are single float "
+    "expressions of them. Scale: one per-user rollup + a broadcast "
+    "totals row + a 4-counter agg. Ref: no reference counterpart — "
+    "ML-eval tier.",
+)
+def q_ml_kappa(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("s"),
+    )
+    u = u.localCheckpoint(eager=False)  # tot + rated read it
+    tot = u.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp"),
+        F.sum("s").cast("long").alias("ts"),
+    )
+    rated = u.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("s") * F.col("nu") > F.col("ts"), 1).otherwise(0).alias("a"),
+        F.when(F.col("p") * F.col("nu") > F.col("tp"), 1).otherwise(0).alias("b"),
+    )
+    cells = rated.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long").alias("c11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long").alias("c10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long").alias("c01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long").alias("c00"),
+    )
+    n = F.col("c11") + F.col("c10") + F.col("c01") + F.col("c00")
+    po = (F.col("c11") + F.col("c00")).cast("double") / n
+    pe = (
+        (F.col("c11") + F.col("c10")).cast("double") * (F.col("c11") + F.col("c01"))
+        + (F.col("c01") + F.col("c00")).cast("double") * (F.col("c10") + F.col("c00"))
+    ) / (n * 1.0 * n)
+    return cells.select(
+        n.alias("n"),
+        (F.round(po, 6) + 0.0).alias("po"),
+        (F.round(pe, 6) + 0.0).alias("pe"),
+        (F.round((po - pe) / (1.0 - pe), 6) + 0.0).alias("kappa"),
+    )

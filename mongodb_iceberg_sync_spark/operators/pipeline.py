@@ -5597,3 +5597,277 @@ def q_timeseries_runs_test(spark, sf_dir):
         r.alias("n_runs"),
         (F.round((r - mu) / sig, 6) + 0.0).alias("z_score"),
     ).orderBy("event_type")
+
+
+# activity-tier cuts for the uplift segmentation (per-user event counts
+# center on ~67 at every fixture SF; the cuts straddle the terciles)
+_UPLIFT_LO = 63
+_UPLIFT_HI = 70
+_UPLIFT_VAL = 200  # conversion = any purchase at value >= this (~20% of
+                   # users at every fixture SF -- a NON-saturated outcome;
+                   # plain any-purchase converts ~100% of users and its
+                   # pooled variance collapses to zero)
+
+
+@register(
+    "q_events_uplift",
+    family="events",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                               1, 4)) AS BIGINT) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' AND value >= {_UPLIFT_VAL}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT CASE WHEN n_events < {_UPLIFT_LO} THEN 'low'
+                  WHEN n_events < {_UPLIFT_HI} THEN 'mid'
+                  ELSE 'high' END AS segment,
+             arm, conv
+      FROM u
+    ),
+    c AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+             CAST(sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+      FROM seg GROUP BY segment
+    )
+    SELECT segment, n_t, n_c, conv_t, conv_c,
+           round(CAST(conv_t AS DOUBLE) / n_t
+                 - CAST(conv_c AS DOUBLE) / n_c, 6) + 0.0 AS uplift,
+           round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                        * (1.0 - CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                        * (1.0 / n_t + 1.0 / n_c)), 6) + 0.0 AS z_score
+    FROM c ORDER BY segment
+    """,
+    doc="Segment-level uplift readout: per activity tier, the "
+    "treatment-minus-control conversion-rate difference with its "
+    "pooled two-proportion z — the heterogeneous-treatment-effect "
+    "table that decides WHERE a feature works, the segment-sliced "
+    "companion to q_events_ab_assign (same md5 hash split, so arms "
+    "replay deterministically) and q_events_cuped (which tightens "
+    "the same CI with covariates). Conversion and segment come from "
+    "ONE per-user rollup (conv = any purchase, tier from the event "
+    "count); every cell is an exact integer and uplift/z are single "
+    "float expressions. Scale: one combinable per-user rollup, then "
+    "a <=3-row segment table. Ref: no reference counterpart — "
+    "events tier.",
+)
+def q_events_uplift(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _UPLIFT_VAL),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).select(
+        F.when(bucket < 50, "control").otherwise("treatment").alias("arm"),
+        "n_events",
+        "conv",
+    )
+    seg = u.select(
+        F.when(F.col("n_events") < _UPLIFT_LO, "low")
+        .when(F.col("n_events") < _UPLIFT_HI, "mid")
+        .otherwise("high")
+        .alias("segment"),
+        "arm",
+        "conv",
+    )
+    c = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_t"),
+        F.sum(F.when(F.col("arm") == "control", F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_c"),
+    )
+    pt = F.col("conv_t").cast("double") / F.col("n_t")
+    pc = F.col("conv_c").cast("double") / F.col("n_c")
+    pool = (F.col("conv_t") + F.col("conv_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    z = (pt - pc) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    )
+    return c.select(
+        "segment",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        (F.round(pt - pc, 6) + 0.0).alias("uplift"),
+        (F.round(z, 6) + 0.0).alias("z_score"),
+    ).orderBy("segment")
+
+
+_BASS_K = 50  # "adoption" = the day a user crosses this cumulative
+              # event count (first-ever event is degenerate on the fixture:
+              # every user starts on day 1-2, so no curve exists to fit)
+
+
+@register(
+    "q_events_bass",
+    family="events",
+    oracle=f"""
+    WITH ud AS (
+      SELECT user_id, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, d
+    ),
+    ucum AS (
+      SELECT user_id, d,
+             sum(c) OVER (PARTITION BY user_id ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM ud
+    ),
+    first_day AS (
+      SELECT user_id, min(d) AS d0 FROM ucum
+      WHERE cw >= {_BASS_K} GROUP BY user_id
+    ),
+    adopt AS (
+      SELECT d0 AS d, CAST(count(*) AS BIGINT) AS nt FROM first_day GROUP BY d0
+    ),
+    cum AS (
+      SELECT d, nt,
+             sum(nt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) - nt AS nprev
+      FROM adopt
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nprev) AS DOUBLE) AS sx1,
+             CAST(sum(nprev * nprev) AS DOUBLE) AS sx2,
+             CAST(sum(nt) AS DOUBLE) AS sy,
+             CAST(sum(nprev * nprev) AS DOUBLE) AS sx1x1,
+             CAST(sum(CAST(nprev AS HUGEINT) * nprev * nprev * nprev)
+                  AS DOUBLE) AS sx2x2,
+             CAST(sum(CAST(nprev AS HUGEINT) * nprev * nprev) AS DOUBLE) AS sx1x2,
+             CAST(sum(nprev * nt) AS DOUBLE) AS sx1y,
+             CAST(sum(CAST(nprev AS HUGEINT) * nprev * nt) AS DOUBLE) AS sx2y,
+             CAST(sum(nt) AS BIGINT) AS m_users
+      FROM cum
+    ),
+    m AS (
+      SELECT n, m_users, sx1, sx2, sy,
+             CAST(n AS DOUBLE) * sx1x1 - sx1 * sx1 AS m11,
+             CAST(n AS DOUBLE) * sx2x2 - sx2 * sx2 AS m22,
+             CAST(n AS DOUBLE) * sx1x2 - sx1 * sx2 AS m12,
+             CAST(n AS DOUBLE) * sx1y - sx1 * sy AS v1,
+             CAST(n AS DOUBLE) * sx2y - sx2 * sy AS v2
+      FROM st
+    ),
+    b AS (
+      SELECT n, m_users,
+             (v1 * m22 - v2 * m12) / nullif(m11 * m22 - m12 * m12, 0) AS cb,
+             (m11 * v2 - m12 * v1) / nullif(m11 * m22 - m12 * m12, 0) AS cc,
+             (sy - (v1 * m22 - v2 * m12) / nullif(m11 * m22 - m12 * m12, 0) * sx1
+                 - (m11 * v2 - m12 * v1) / nullif(m11 * m22 - m12 * m12, 0) * sx2)
+             / n AS ca
+      FROM m
+    )
+    SELECT n AS n_days, m_users,
+           round(ca, 6) + 0.0 AS coef_a,
+           round(cb, 6) + 0.0 AS coef_b,
+           round(cc, 6) + 0.0 AS coef_c,
+           round(CASE WHEN cc < 0 AND cb * cb - 4 * cc * ca >= 0
+                      THEN (-cb - sqrt(cb * cb - 4 * cc * ca)) / (2 * nullif(cc, 0))
+                 END, 6) + 0.0 AS m_est,
+           round(CASE WHEN cc < 0 AND cb * cb - 4 * cc * ca >= 0
+                      THEN ca / nullif((-cb - sqrt(cb * cb - 4 * cc * ca)) / (2 * nullif(cc, 0)), 0)
+                 END, 6) + 0.0 AS p_est,
+           round(CASE WHEN cc < 0 AND cb * cb - 4 * cc * ca >= 0
+                      THEN -cc * ((-cb - sqrt(cb * cb - 4 * cc * ca)) / (2 * nullif(cc, 0)))
+                 END, 6) + 0.0 AS q_est
+    FROM b
+    """,
+    doc="Bass diffusion fit on the adoption curve — adoption = the "
+    f"day a user crosses {_BASS_K} cumulative events (first-ever "
+    "event is degenerate on the fixture: everyone starts on day "
+    "1-2): the discrete Bass estimation n_t = a + b N_(t-1) "
+    "+ c N_(t-1)^2 via the same closed-form two-predictor normal "
+    "equations as q_agg_ols_multi (exact integer sums — adopter "
+    "counts are ints; N^3/N^4 cross-terms ride HUGEINT/"
+    "DECIMAL(38,0)), then the implied market size m (positive root "
+    "of c m^2 + b m + a), innovation p = a/m and imitation q = -c m "
+    "— guarded NULL (both engines) when the fit is not "
+    "diffusion-shaped (c >= 0 or negative discriminant), which a "
+    "uniform-arrival synthetic corpus may legitimately produce. "
+    "Scale: one per-user min rollup (combinable), a <=366-row "
+    "cumulative grid, constant work after. Ref: no reference "
+    "counterpart — events tier.",
+)
+def q_events_bass(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # per-user window over that user's <=31 active days
+    wu = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ucum = ud.select("user_id", "d", F.sum("c").over(wu).alias("cw"))
+    first_day = (
+        ucum.filter(F.col("cw") >= _BASS_K)
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d0"))
+    )
+    adopt = first_day.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    # grid-bounded window: one row per adoption day
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = adopt.select(
+        "nt", (F.sum("nt").over(w) - F.col("nt")).alias("nprev")
+    )
+    hp = F.col("nprev").cast("decimal(38,0)")
+    st = cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nprev").cast("double").alias("sx1"),
+        F.sum(F.col("nprev") * F.col("nprev")).cast("double").alias("sx2"),
+        F.sum("nt").cast("double").alias("sy"),
+        F.sum(F.col("nprev") * F.col("nprev")).cast("double").alias("sx1x1"),
+        F.sum(hp * F.col("nprev") * F.col("nprev") * F.col("nprev"))
+        .cast("double").alias("sx2x2"),
+        F.sum(hp * F.col("nprev") * F.col("nprev")).cast("double").alias("sx1x2"),
+        F.sum(F.col("nprev") * F.col("nt")).cast("double").alias("sx1y"),
+        F.sum(hp * F.col("nprev") * F.col("nt")).cast("double").alias("sx2y"),
+        F.sum("nt").cast("long").alias("m_users"),
+    )
+    nd = F.col("n").cast("double")
+    m11 = nd * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    m22 = nd * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    m12 = nd * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    v1 = nd * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    v2 = nd * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    det = F.nullif(m11 * m22 - m12 * m12, F.lit(0.0))
+    cb = (v1 * m22 - v2 * m12) / det
+    cc = (m11 * v2 - m12 * v1) / det
+    ca = (F.col("sy") - cb * F.col("sx1") - cc * F.col("sx2")) / nd
+    disc = cb * cb - 4 * cc * ca
+    ok = (cc < 0) & (disc >= 0)
+    m_est = (-cb - F.sqrt(F.when(ok, disc))) / (2 * F.nullif(cc, F.lit(0.0)))
+    return st.select(
+        F.col("n").alias("n_days"),
+        "m_users",
+        (F.round(ca, 6) + 0.0).alias("coef_a"),
+        (F.round(cb, 6) + 0.0).alias("coef_b"),
+        (F.round(cc, 6) + 0.0).alias("coef_c"),
+        (F.round(F.when(ok, m_est), 6) + 0.0).alias("m_est"),
+        (F.round(F.when(ok, ca / F.nullif(m_est, F.lit(0.0))), 6) + 0.0).alias("p_est"),
+        (F.round(F.when(ok, -cc * m_est), 6) + 0.0).alias("q_est"),
+    )

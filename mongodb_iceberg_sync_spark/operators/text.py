@@ -2514,3 +2514,4 @@ def q_text_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
