@@ -1150,3 +1150,162 @@ def q_dedup_softdedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# IVF coarse quantizer for semantic dedup (r9, VERDICT r8 task #5): the
+# documented 100 TB valve for q_dedup_semantic, promoted to a first-class
+# operator. K scales as ceil(sqrt(n)) (the FAISS/IVF convention) within
+# [16, 256]; centroids are the K lowest-vec_id vectors — deterministic,
+# no RNG, no iteration — the degenerate-but-honest stand-in for a k-means
+# codebook (SemDedup uses k-means; the plan shape is identical and a
+# trained codebook drops in as a broadcast table without touching it).
+_IVF_MIN_K = 16
+_IVF_MAX_K = 256
+_IVF_TAU = 0.25  # same epsilon-ball as q_dedup_semantic
+
+
+@register(
+    "q_dedup_semantic_ivf",
+    family="dedup",
+    oracle=f"""
+    WITH nn AS (
+      SELECT greatest({_IVF_MIN_K}, least({_IVF_MAX_K},
+               CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) AS rnk
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT r.vec_id AS cid, r.embedding AS cv
+      FROM ranked r CROSS JOIN nn WHERE r.rnk <= nn.k
+    ),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * cent.cv[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> cent.cv[i]::DOUBLE * cent.cv[i]::DOUBLE)))),
+               6) AS cs
+      FROM embeddings e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    b AS (
+      SELECT a.vec_id, a.cell, e.embedding
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    dup AS (
+      SELECT hi.vec_id, count(*) AS n_dups
+      FROM b lo JOIN b hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      WHERE round(
+              list_sum(list_transform(range(1, 65),
+                       i -> lo.embedding[i]::DOUBLE * hi.embedding[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> lo.embedding[i]::DOUBLE * lo.embedding[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> hi.embedding[i]::DOUBLE * hi.embedding[i]::DOUBLE)))),
+              6) >= {_IVF_TAU}
+      GROUP BY hi.vec_id
+    )
+    SELECT b.vec_id, b.cell,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(d.n_dups, 0) = 0             AS kept
+    FROM b LEFT JOIN dup d ON b.vec_id = d.vec_id
+    """,
+    doc="SemDedup with an IVF coarse quantizer — the documented 100 TB "
+    "valve of q_dedup_semantic (sign-bit cells) promoted to a real "
+    "operator: vectors are assigned to their nearest of K = "
+    "ceil(sqrt(n)) centroids by rounded cosine (ties to the lower "
+    "centroid id — fully deterministic), and the epsilon-ball "
+    "pairwise cosine (tau = 0.25, keep-lowest-id) runs ONLY within a "
+    "cell, so the self-join is cell-blocked like SemDedup's k-means "
+    "clustering. Centroids are the K lowest-vec_id vectors — no RNG; "
+    "a trained k-means codebook drops into the same broadcast join "
+    "without changing the plan. Exactness: every cosine is the "
+    "elementwise-double sequential fold on BOTH engines, rounded at "
+    "6 before any comparison. Scale: assignment is corpus x K "
+    "(broadcast centroids, map-side — the IVF training/assignment "
+    "cost every ANN system pays; a GEMM kernel swaps in per "
+    "q_sim_knn_join when K grows); K ~ sqrt(n) keeps expected cell "
+    "size ~sqrt(n) so within-cell pairs stay ~n^1.5 worst-case and "
+    "~linear on clustered data; multi-probe (2 nearest cells) is the "
+    "documented recall knob. The count feeding K is one scalar to "
+    "the driver (the q_dedup_semantic precedent). Ref: no reference "
+    "counterpart — LLM-pipeline tier.",
+)
+def q_dedup_semantic_ivf(spark, sf_dir):
+    import math
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.localCheckpoint(eager=False)  # centroid pick + scoring + pairs
+    n_vec = e.count()
+    k = max(_IVF_MIN_K, min(_IVF_MAX_K, math.ceil(math.sqrt(n_vec))))
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    base = e.select("vec_id", "v", nrm.alias("nrm"))
+    base = base.localCheckpoint(eager=False)
+    cent = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_c = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cs = F.round(dot_c / (F.col("nrm") * F.col("cnrm")), 6)
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nrm", F.col("cid"), cs.alias("cs")
+    )
+    from pyspark.sql import Window
+
+    # per-vector window: exactly K rows per partition
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
+    b = (
+        scored.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "v", "nrm")
+    )
+    b = b.localCheckpoint(eager=False)  # both pair sides + output read it
+    lo, hi = b.alias("lo"), b.alias("hi")
+    dot = F.aggregate(
+        F.zip_with(F.col("lo.v"), F.col("hi.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("lo.nrm") * F.col("hi.nrm")), 6)
+    dup = (
+        lo.join(
+            hi,
+            (F.col("lo.cell") == F.col("hi.cell"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .filter(cos >= _IVF_TAU)
+        .groupBy(F.col("hi.vec_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_dups"))
+    )
+    return b.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
+    )

@@ -1484,3 +1484,145 @@ def q_sim_recall_at_k(spark, sf_dir):
             ).alias("recall_at_k"),
         )
     )
+
+
+# Cross-encoder rescoring stage (r9, VERDICT r8 task #5 backlog): the
+# third retrieval stage behind q_sim_rerank's candidates. The "model"
+# here is a deterministic pair-interaction kernel — mean over dims of
+# g(4 q_i d_i) with the ALGEBRAIC sigmoid g(x) = x / (1 + |x|) — chosen
+# because (a) it is a true cross feature (not expressible as any
+# dot(q, d), which is the whole point of a cross-encoder stage) and
+# (b) it is pure rational IEEE arithmetic: div/abs/add are exactly
+# rounded, so the identical fold is BITWISE equal on both engines
+# (tanh/exp would carry JVM-vs-libm 1-ulp risk — registry trap 5). A
+# real learned cross-encoder slots into the same candidate-bounded
+# stage as an Arrow-batched mapInPandas over (probe, candidate) pairs.
+_CE_CANDS = 8   # stage-2 bi-encoder candidates per probe
+_CE_TOPK = 3    # final results per probe after rescoring
+_CE_GAIN = 4.0  # interaction gain before the sigmoid
+
+
+@register(
+    "q_sim_rerank_ce",
+    family="similarity",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN list_sum(list_transform(embedding[1:16],
+                    x -> x::DOUBLE)) >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(embedding[17:32],
+                    x -> x::DOUBLE)) >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(embedding[33:48],
+                    x -> x::DOUBLE)) >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(embedding[49:64],
+                    x -> x::DOUBLE)) >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT p.vec_id AS probe_id, c.vec_id,
+             p.embedding AS pv, c.embedding AS cv,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)))),
+               5) AS cos_sim
+      FROM sig p JOIN sig c
+        ON p.bucket = c.bucket AND c.vec_id >= {_RERANK_NPROBES}
+      WHERE p.vec_id < {_RERANK_NPROBES}
+    ),
+    shortlist AS (
+      SELECT probe_id, vec_id, pv, cv, cos_sim FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS r
+        FROM cand
+      ) WHERE r <= {_CE_CANDS}
+    ),
+    ce AS (
+      SELECT probe_id, vec_id, cos_sim,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> ({_CE_GAIN} * pv[i]::DOUBLE * cv[i]::DOUBLE)
+                          / (1.0 + abs({_CE_GAIN} * pv[i]::DOUBLE
+                                        * cv[i]::DOUBLE))))
+                   / 64.0, 5) AS ce_score
+      FROM shortlist
+    )
+    SELECT probe_id, vec_id, cos_sim, ce_score, rnk
+    FROM (
+      SELECT probe_id, vec_id, cos_sim, ce_score,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY ce_score DESC, vec_id) AS rnk
+      FROM ce
+    )
+    WHERE rnk <= {_CE_TOPK}
+    ORDER BY probe_id, rnk
+    """,
+    doc="Three-stage retrieval: coarse signature buckets -> bi-encoder "
+    f"cosine shortlist (top-{_CE_CANDS} per probe) -> CROSS-ENCODER "
+    f"rescoring of only the shortlist -> top-{_CE_TOPK} — the "
+    "retrieve-shortlist-rescore shape of every production search "
+    "stack, extending q_sim_rerank by the stage where a pair model "
+    "re-orders what the dot product got roughly right. The stand-in "
+    "cross-encoder is a deterministic pair-interaction kernel "
+    "(mean_i g(4 q_i d_i), g(x) = x/(1+|x|)) — a true cross feature "
+    "no bi-encoder dot can express, in pure rational IEEE arithmetic "
+    "so the identical fold is bitwise cross-engine (tanh/exp would "
+    "carry the JVM-vs-libm 1-ulp trap); a learned model drops into "
+    "the same candidate-bounded stage as an Arrow-batched "
+    "mapInPandas over (probe, candidate) pairs without changing the "
+    "plan. Scale: the expensive model runs on probes x "
+    f"{_CE_CANDS} rows ONLY — the stage-1/2 funnel pays for it; "
+    "both windows partition by probe id. Ref: no reference "
+    "counterpart — LLM-pipeline tier.",
+)
+def q_sim_rerank_ce(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sign_bucket("embedding").alias("bucket")
+    )
+    e = e.localCheckpoint(eager=False)  # probe + corpus sides read it
+    probes = e.filter(F.col("vec_id") < _RERANK_NPROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        "bucket",
+    )
+    corpus = e.filter(F.col("vec_id") >= _RERANK_NPROBES)
+    cand = corpus.join(F.broadcast(probes), "bucket").select(
+        "probe_id",
+        "vec_id",
+        "pv",
+        F.col("embedding").alias("cv"),
+        F.round(cosine("pv", "embedding"), 5).alias("cos_sim"),
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    shortlist = (
+        cand.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= _CE_CANDS)
+        .drop("r")
+    )
+    ce_fold = F.aggregate(
+        F.zip_with(
+            F.col("pv"),
+            F.col("cv"),
+            lambda x, y: (F.lit(_CE_GAIN) * x.cast("double") * y.cast("double"))
+            / (1.0 + F.abs(F.lit(_CE_GAIN) * x.cast("double") * y.cast("double"))),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ce = shortlist.select(
+        "probe_id",
+        "vec_id",
+        "cos_sim",
+        F.round(ce_fold / 64.0, 5).alias("ce_score"),
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("ce_score"), "vec_id")
+    return (
+        ce.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _CE_TOPK)
+        .select("probe_id", "vec_id", "cos_sim", "ce_score", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
