@@ -242,6 +242,27 @@ HEADLINE = [
     "q_agg_mcnemar",
     "q_ml_ece",
     "q_agg_diversity_hill",
+    # round-9 debuts (wave 1: inferential statistics)
+    "q_agg_kruskal",
+    "q_agg_jarque_bera",
+    "q_agg_tukey_hsd",
+    "q_agg_hodges_lehmann",
+    "q_agg_g_test",
+    # round-9 debuts (wave 2: timeseries diagnostics)
+    "q_timeseries_seasonal_mk",
+    "q_timeseries_ljung_box",
+    "q_timeseries_durbin_watson",
+    "q_timeseries_granger",
+    "q_timeseries_runs_test",
+    # round-9 debuts (wave 3: experiments + eval + graph)
+    "q_events_uplift",
+    "q_events_bass",
+    "q_ml_brier_decomp",
+    "q_ml_kappa",
+    "q_graph_reciprocity",
+    # round-9 debuts (wave 4: ANN/dedup backlog)
+    "q_dedup_semantic_ivf",
+    "q_sim_rerank_ce",
 ]
 
 

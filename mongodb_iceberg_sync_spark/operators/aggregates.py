@@ -5087,6 +5087,9 @@ def q_agg_hodges_lehmann(spark, sf_dir):
         )
 
     d1, d2 = dom("click"), dom("purchase")
+    # each domain feeds the cross AND its n_j total: cut lineage once
+    d1 = d1.localCheckpoint(eager=False)
+    d2 = d2.localCheckpoint(eager=False)
     diffs = (
         d1.crossJoin(d2.select(F.col("v").alias("v2"), F.col("w").alias("w2")))
         .groupBy((F.col("v") - F.col("v2")).alias("d"))
@@ -5098,6 +5101,7 @@ def q_agg_hodges_lehmann(spark, sf_dir):
         .crossJoin(d1.agg(F.sum("w").cast("long").alias("n1")))
         .crossJoin(d2.agg(F.sum("w").cast("long").alias("n2")))
     )
+    tot = tot.localCheckpoint(eager=False)  # 1 row, three consumers
     # domain-bounded window: one row per distinct dime difference
     cum = diffs.select(
         "d",

@@ -1160,7 +1160,7 @@ def q_dedup_softdedup(spark, sf_dir):
 # codebook (SemDedup uses k-means; the plan shape is identical and a
 # trained codebook drops in as a broadcast table without touching it).
 _IVF_MIN_K = 16
-_IVF_MAX_K = 256
+_IVF_MAX_K = 4096
 _IVF_TAU = 0.25  # same epsilon-ball as q_dedup_semantic
 
 
@@ -1232,78 +1232,70 @@ _IVF_TAU = 0.25  # same epsilon-ball as q_dedup_semantic
     "pairwise cosine (tau = 0.25, keep-lowest-id) runs ONLY within a "
     "cell, so the self-join is cell-blocked like SemDedup's k-means "
     "clustering. Centroids are the K lowest-vec_id vectors — no RNG; "
-    "a trained k-means codebook drops into the same broadcast join "
-    "without changing the plan. Exactness: every cosine is the "
-    "elementwise-double sequential fold on BOTH engines, rounded at "
-    "6 before any comparison. Scale: assignment is corpus x K "
-    "(broadcast centroids, map-side — the IVF training/assignment "
-    "cost every ANN system pays; a GEMM kernel swaps in per "
-    "q_sim_knn_join when K grows); K ~ sqrt(n) keeps expected cell "
-    "size ~sqrt(n) so within-cell pairs stay ~n^1.5 worst-case and "
-    "~linear on clustered data; multi-probe (2 nearest cells) is the "
-    "documented recall knob. The count feeding K is one scalar to "
-    "the driver (the q_dedup_semantic precedent). Ref: no reference "
-    "counterpart — LLM-pipeline tier.",
-)
+    "a trained k-means codebook drops into the same broadcast without "
+    "changing the plan. Both dense stages are Arrow-batched numpy "
+    "GEMM (the r9 probe caught the per-pair JVM-fold version at "
+    "~550x/100x — dense linear algebra is the documented exception "
+    "to stay-JVM-side): assignment is one mapInPandas over the "
+    "corpus against the K x d broadcast codebook (argmax of round-6 "
+    "cosine; codebook columns cid-ascending so numpy's first-max IS "
+    "the oracle's tie-break), and the within-cell pair stage is "
+    "functions.vector.pairwise_cosine_gemm keyed on the cell — the "
+    "same kernel+rounding q_dedup_embedding hash-matches with. "
+    "K ~ sqrt(n) (cap 4096) balances assignment (n*K) against "
+    "within-cell pairs (n*n/K) at the classical IVF optimum ~n^1.5; "
+    "multi-probe (2 nearest cells) is the documented recall knob. "
+    "The count feeding K and the K x d codebook are the only driver "
+    "collects — bounded by K, never the corpus (the q_embed_pca "
+    "class). Ref: no reference counterpart — LLM-pipeline tier.",)
 def q_dedup_semantic_ivf(spark, sf_dir):
     import math
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    e = e.localCheckpoint(eager=False)  # centroid pick + scoring + pairs
+    import numpy as np
+
+    from ..functions.vector import pairwise_cosine_gemm
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.localCheckpoint(eager=False)  # count + codebook + assignment + GEMM
     n_vec = e.count()
     k = max(_IVF_MIN_K, min(_IVF_MAX_K, math.ceil(math.sqrt(n_vec))))
-    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    base = e.select("vec_id", "v", nrm.alias("nrm"))
-    base = base.localCheckpoint(eager=False)
-    cent = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    dot_c = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cs = F.round(dot_c / (F.col("nrm") * F.col("cnrm")), 6)
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "nrm", F.col("cid"), cs.alias("cs")
-    )
-    from pyspark.sql import Window
+    # K x d codebook to the driver: bounded by K (never by the corpus) —
+    # the same bounded-collect class as q_embed_pca's partials
+    cent = e.orderBy("vec_id").limit(k).collect()
+    cid_arr = np.array([r.vec_id for r in cent], dtype=np.int64)
+    cmat = np.array([r.embedding for r in cent], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cid_arr, cmat, cnorm))
 
-    # per-vector window: exactly K rows per partition
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
-    b = (
-        scored.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v", "nrm")
+    def assign(batches):
+        import numpy as np  # noqa: PLC0415 — by-value closure
+        import pandas as pd
+
+        cids, cm, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            # oracle form: dot / (|a||b|), rounded at 6 BEFORE the argmax;
+            # the codebook columns are cid-ascending, and np.argmax takes
+            # the FIRST max — exactly the oracle's (cs DESC, cid) tie-break
+            sims = np.round((x @ cm.T) / (xn[:, None] * cn[None, :]), 6)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cids[best]}
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id bigint, cell bigint")
+    b = e.join(assigned, "vec_id")  # carry the vector next to its cell
+    b = b.localCheckpoint(eager=False)  # GEMM pair stage + output read it
+    pairs = pairwise_cosine_gemm(
+        b, "vec_id", "embedding", threshold=_IVF_TAU, label_col="cell"
     )
-    b = b.localCheckpoint(eager=False)  # both pair sides + output read it
-    lo, hi = b.alias("lo"), b.alias("hi")
-    dot = F.aggregate(
-        F.zip_with(F.col("lo.v"), F.col("hi.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dup = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_dups")
     )
-    cos = F.round(dot / (F.col("lo.nrm") * F.col("hi.nrm")), 6)
-    dup = (
-        lo.join(
-            hi,
-            (F.col("lo.cell") == F.col("hi.cell"))
-            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
-        )
-        .filter(cos >= _IVF_TAU)
-        .groupBy(F.col("hi.vec_id").alias("vec_id"))
-        .agg(F.count("*").alias("n_dups"))
-    )
-    return b.join(dup, "vec_id", "left").select(
+    return b.select("vec_id", "cell").join(dup, "vec_id", "left").select(
         "vec_id",
         "cell",
         F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),

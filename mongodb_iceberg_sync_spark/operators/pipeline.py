@@ -5637,14 +5637,15 @@ _UPLIFT_VAL = 200  # conversion = any purchase at value >= this (~20% of
              CAST(sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
              CAST(sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS BIGINT) AS conv_c
       FROM seg GROUP BY segment
+      HAVING n_t > 0 AND n_c > 0
     )
     SELECT segment, n_t, n_c, conv_t, conv_c,
            round(CAST(conv_t AS DOUBLE) / n_t
                  - CAST(conv_c AS DOUBLE) / n_c, 6) + 0.0 AS uplift,
            round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
-                 / sqrt((CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                 / nullif(sqrt((CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
                         * (1.0 - CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
-                        * (1.0 / n_t + 1.0 / n_c)), 6) + 0.0 AS z_score
+                        * (1.0 / n_t + 1.0 / n_c)), 0), 6) + 0.0 AS z_score
     FROM c ORDER BY segment
     """,
     doc="Segment-level uplift readout: per activity tier, the "
@@ -5698,13 +5699,21 @@ def q_events_uplift(spark, sf_dir):
         F.sum(F.when(F.col("arm") == "control", F.col("conv")).otherwise(0))
         .cast("long").alias("conv_c"),
     )
+    # a segment without BOTH arms has no estimable uplift (and at tiny
+    # fixture scales a tercile can be one-armed) — drop it in both engines
+    c = c.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
     pt = F.col("conv_t").cast("double") / F.col("n_t")
     pc = F.col("conv_c").cast("double") / F.col("n_c")
     pool = (F.col("conv_t") + F.col("conv_c")).cast("double") / (
         F.col("n_t") + F.col("n_c")
     )
-    z = (pt - pc) / F.sqrt(
-        pool * (1.0 - pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    # pool*(1-pool) degenerates to 0 when a tiny segment converts no
+    # one (or everyone) — z is NULL there, identically on both engines
+    z = (pt - pc) / F.nullif(
+        F.sqrt(
+            pool * (1.0 - pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+        ),
+        F.lit(0.0),
     )
     return c.select(
         "segment",

@@ -1001,6 +1001,37 @@ def q_tpch_q21(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q2_offers(spark, sf_dir):
+    """Q2's offer table (catalog x filtered part x European supplier) —
+    factored so the plan pin can assert the part-filter pushdown on THIS
+    plan (the query checkpoints it, which hides the scan downstream)."""
+    li = t(spark, sf_dir, "lineitem")
+    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT) * 10000 "
+                "div CAST(round(l_quantity) AS BIGINT)"
+            )
+        ).alias("unit_cost_e4")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    return catalog.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).join(F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey"))
+
+
 @register(
     "q_tpch_q2",
     family="tpch",
@@ -1053,34 +1084,9 @@ def q_tpch_q21(spark, sf_dir):
     "(docs/plan.md phases 3-10 unchecked); lake-analytics tier.",
 )
 def q_tpch_q2(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(
-            F.expr(
-                "CAST(round(l_extendedprice * 100) AS BIGINT) * 10000 "
-                "div CAST(round(l_quantity) AS BIGINT)"
-            )
-        ).alias("unit_cost_e4")
-    )
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    euro = (
-        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    p = (
-        t(spark, sf_dir, "part")
-        .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE"))
-        .select("p_partkey")
-    )
-    offers = catalog.join(
-        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
-    ).join(F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey"))
     # consumed twice (mins agg + min-cost join-back): cut lineage so the
     # catalog aggregation isn't recomputed per consumer
-    offers = offers.localCheckpoint(eager=False)
+    offers = _q2_offers(spark, sf_dir).localCheckpoint(eager=False)
     mins = offers.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
         F.min("unit_cost_e4").alias("min_cost_e4")
     )

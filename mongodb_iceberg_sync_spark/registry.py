@@ -98,7 +98,31 @@ def _load_all_operator_modules() -> None:
 # guaranteed no matter how many debuts land (tests/test_registry.py
 # window invariant).
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (r1-r7) — the final 4-name backlog ---
+    # --- r9 debuts lead the window (every r1-r8 name is driver-checked
+    #     as of CORRECTNESS_r08; each r9 row arrives checklist-complete:
+    #     oracle + plan pin + bench entry + 100x probe + SURVEY row) ---
+    # wave 1: inferential statistics
+    "q_agg_kruskal",
+    "q_agg_jarque_bera",
+    "q_agg_tukey_hsd",
+    "q_agg_hodges_lehmann",
+    "q_agg_g_test",
+    # wave 2: timeseries diagnostics on the calendar grid
+    "q_timeseries_seasonal_mk",
+    "q_timeseries_ljung_box",
+    "q_timeseries_durbin_watson",
+    "q_timeseries_granger",
+    "q_timeseries_runs_test",
+    # wave 3: experiments + eval + graph
+    "q_events_uplift",
+    "q_events_bass",
+    "q_ml_brier_decomp",
+    "q_ml_kappa",
+    "q_graph_reciprocity",
+    # wave 4: ANN/dedup backlog (VERDICT r8 task #5)
+    "q_dedup_semantic_ivf",
+    "q_sim_rerank_ce",
+    # --- r8 window (all driver-checked green in CORRECTNESS_r08) ---
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",
     "q_profile_join_skew",
