@@ -263,6 +263,12 @@ HEADLINE = [
     # round-9 debuts (wave 4: ANN/dedup backlog)
     "q_dedup_semantic_ivf",
     "q_sim_rerank_ce",
+    # round-9 debuts (wave 5: covariate adjustment + intervals + cycles)
+    "q_agg_ancova",
+    "q_agg_wilson_ci",
+    "q_agg_dunn",
+    "q_timeseries_periodogram",
+    "q_events_meta_i2",
 ]
 
 

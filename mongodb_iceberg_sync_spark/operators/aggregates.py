@@ -5220,3 +5220,366 @@ def q_agg_g_test(spark, sf_dir):
             "p_value"
         ),
     )
+
+
+@register(
+    "q_agg_ancova",
+    family="aggregates",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS g,
+             CAST(extract(hour FROM ts) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    st AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(round((CAST(sum(x * x) AS DOUBLE)
+                         - CAST(sum(x) AS DOUBLE) * sum(x) / count(*)) * 1e6)
+                  AS HUGEINT) AS sxx6,
+             CAST(round((CAST(sum(x * y) AS DOUBLE)
+                         - CAST(sum(x) AS DOUBLE) * sum(y) / count(*)) * 1e6)
+                  AS HUGEINT) AS sxy6,
+             CAST(round((CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
+                         - CAST(sum(y) AS DOUBLE) * sum(y) / count(*)) * 1e6)
+                  AS HUGEINT) AS syy6
+      FROM r GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sx) AS BIGINT) AS tsx, CAST(sum(sy) AS BIGINT) AS tsy,
+             CAST(sum(sxx6) AS DOUBLE) / 1e6 AS sxx_w,
+             CAST(sum(sxy6) AS DOUBLE) / 1e6 AS sxy_w,
+             CAST(sum(syy6) AS DOUBLE) / 1e6 AS syy_w
+      FROM st
+    ),
+    gt AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn2,
+             CAST(sum(x) AS BIGINT) AS gx, CAST(sum(y) AS BIGINT) AS gy,
+             CAST(sum(x * x) AS BIGINT) AS gxx,
+             CAST(sum(x * y) AS BIGINT) AS gxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS gyy
+      FROM r
+    ),
+    f AS (
+      SELECT t.nn, t.k,
+             t.sxy_w / t.sxx_w AS bw,
+             t.syy_w - t.sxy_w * t.sxy_w / t.sxx_w AS sse_full,
+             (CAST(gt.gyy AS DOUBLE) - CAST(gt.gy AS DOUBLE) * gt.gy / gt.nn2)
+             - (CAST(gt.gxy AS DOUBLE) - CAST(gt.gx AS DOUBLE) * gt.gy / gt.nn2)
+               * (CAST(gt.gxy AS DOUBLE) - CAST(gt.gx AS DOUBLE) * gt.gy / gt.nn2)
+               / (CAST(gt.gxx AS DOUBLE) - CAST(gt.gx AS DOUBLE) * gt.gx / gt.nn2)
+               AS sse_red,
+             CAST(gt.gx AS DOUBLE) / gt.nn2 AS xbar
+      FROM tot t CROSS JOIN gt
+    )
+    SELECT st.g AS event_type, st.n,
+           round((CAST(st.sy AS DOUBLE) / st.n
+                  - f.bw * (CAST(st.sx AS DOUBLE) / st.n - f.xbar)) / 100,
+                 6) + 0.0 AS adj_mean_value,
+           round(f.bw / 100, 6) + 0.0 AS slope_within,
+           round(((f.sse_red - f.sse_full) / (f.k - 1))
+                 / (f.sse_full / (f.nn - f.k - 1)), 6) + 0.0 AS f_groups
+    FROM st CROSS JOIN f ORDER BY event_type
+    """,
+    doc="One-covariate ANCOVA: per-event-type mean value ADJUSTED for "
+    "hour-of-day (the pooled within-group regression slope removes "
+    "the shared time-of-day effect before groups are compared), plus "
+    "the F test of the group effect given the covariate — the "
+    "are-groups-different-once-X-is-controlled readout that raw "
+    "ANOVA (q_agg_anova) cannot give; completes the "
+    "describe(moments) -> omnibus(anova) -> covariate-adjust(ancova) "
+    "-> post-hoc(tukey_hsd) inference ladder. Exactness: per-group "
+    "centered S-terms are floats of exact integer sums, quantized to "
+    "1e-6 HUGEINT/DECIMAL(38,0) BEFORE the cross-group pooling "
+    "(group order cannot perturb the pooled slope or either SSE); "
+    "the F ratio and adjusted means are single float expressions. "
+    "Scale: one combinable pass carrying 6 numbers per group + one "
+    "grand-total pass over the same scan; k-row arithmetic after. "
+    "Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_ancova(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    r = ev.select(
+        F.col("event_type").alias("g"),
+        F.hour("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    r = r.localCheckpoint(eager=False)  # per-group + grand passes read it
+    n_, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    st = r.groupBy("g").agg(
+        n_.cast("long").alias("n"),
+        sx.cast("long").alias("sx"),
+        sy.cast("long").alias("sy"),
+        F.round(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x") / F.count(F.lit(1))
+            )
+            * 1e6
+        ).cast("decimal(38,0)").alias("sxx6"),
+        F.round(
+            (
+                F.sum(F.col("x") * F.col("y")).cast("double")
+                - F.sum("x").cast("double") * F.sum("y") / F.count(F.lit(1))
+            )
+            * 1e6
+        ).cast("decimal(38,0)").alias("sxy6"),
+        F.round(
+            (
+                F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double")
+                - F.sum("y").cast("double") * F.sum("y") / F.count(F.lit(1))
+            )
+            * 1e6
+        ).cast("decimal(38,0)").alias("syy6"),
+    )
+    st = st.localCheckpoint(eager=False)  # tot + output rows read it
+    tot = st.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("sxx6").cast("double") / 1e6).alias("sxx_w"),
+        (F.sum("sxy6").cast("double") / 1e6).alias("sxy_w"),
+        (F.sum("syy6").cast("double") / 1e6).alias("syy_w"),
+    )
+    gt = r.agg(
+        F.count(F.lit(1)).cast("long").alias("nn2"),
+        F.sum("x").cast("long").alias("gx"),
+        F.sum("y").cast("long").alias("gy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("gxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("gxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("gyy"),
+    )
+    bw = F.col("sxy_w") / F.col("sxx_w")
+    sse_full = F.col("syy_w") - F.col("sxy_w") * F.col("sxy_w") / F.col("sxx_w")
+    gsxy = F.col("gxy").cast("double") - F.col("gx").cast("double") * F.col("gy") / F.col("nn2")
+    gsxx = F.col("gxx").cast("double") - F.col("gx").cast("double") * F.col("gx") / F.col("nn2")
+    gsyy = F.col("gyy").cast("double") - F.col("gy").cast("double") * F.col("gy") / F.col("nn2")
+    sse_red = gsyy - gsxy * gsxy / gsxx
+    xbar = F.col("gx").cast("double") / F.col("nn2")
+    f = tot.crossJoin(gt).select(
+        "nn",
+        "k",
+        bw.alias("bw"),
+        sse_full.alias("sse_full"),
+        sse_red.alias("sse_red"),
+        xbar.alias("xbar"),
+    )
+    return (
+        st.crossJoin(F.broadcast(f))
+        .select(
+            F.col("g").alias("event_type"),
+            "n",
+            (
+                F.round(
+                    (
+                        F.col("sy").cast("double") / F.col("n")
+                        - F.col("bw")
+                        * (F.col("sx").cast("double") / F.col("n") - F.col("xbar"))
+                    )
+                    / 100,
+                    6,
+                )
+                + 0.0
+            ).alias("adj_mean_value"),
+            (F.round(F.col("bw") / 100, 6) + 0.0).alias("slope_within"),
+            (
+                F.round(
+                    ((F.col("sse_red") - F.col("sse_full")) / (F.col("k") - 1))
+                    / (F.col("sse_full") / (F.col("nn") - F.col("k") - 1)),
+                    6,
+                )
+                + 0.0
+            ).alias("f_groups"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WILSON_Z = 1.959963984540054  # two-sided 95% normal quantile
+
+
+@register(
+    "q_agg_wilson_ci",
+    family="aggregates",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS s
+      FROM events GROUP BY dw
+    )
+    SELECT dw, n, s,
+           round(CAST(s AS DOUBLE) / n, 6) + 0.0 AS rate,
+           round(((CAST(s AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n))
+                  - {_WILSON_Z} * sqrt((CAST(s AS DOUBLE) / n)
+                        * (1.0 - CAST(s AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) + 0.0 AS ci_lo,
+           round(((CAST(s AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n))
+                  + {_WILSON_Z} * sqrt((CAST(s AS DOUBLE) / n)
+                        * (1.0 - CAST(s AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) + 0.0 AS ci_hi
+    FROM c ORDER BY dw
+    """,
+    doc="Wilson score 95% confidence interval for the purchase rate per "
+    "day of week — the binomial CI that stays inside [0,1] and "
+    "behaves at small n / extreme p where the naive Wald interval "
+    "collapses (the dashboard-error-bar primitive; Wald is what "
+    "spreadsheet pipelines get wrong). Counts are exact integers "
+    "from one <=7-cell conditional rollup; the interval is one float "
+    "expression per cell with the z quantile embedded as an exact "
+    "literal (identical text both engines). Scale: one combinable "
+    "pass; constant cells after. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_wilson_ci(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    z = F.lit(_WILSON_Z)
+    p = F.col("s").cast("double") / F.col("n")
+    center = p + z * z / (2.0 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1.0 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1.0 + z * z / F.col("n")
+    return c.select(
+        "dw",
+        "n",
+        "s",
+        (F.round(p, 6) + 0.0).alias("rate"),
+        (F.round((center - half) / denom, 6) + 0.0).alias("ci_lo"),
+        (F.round((center + half) / denom, 6) + 0.0).alias("ci_hi"),
+    ).orderBy("dw")
+
+
+_DUNN_Z_CRIT = 2.807  # two-sided 0.05 Bonferroni-adjusted for 10 pairs
+
+
+@register(
+    "q_agg_dunn",
+    family="aggregates",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type AS et
+      FROM events
+    ),
+    cells AS (
+      SELECT cents, et, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY cents, et
+    ),
+    vtot AS (
+      SELECT cents, CAST(sum(cnt) AS BIGINT) AS tc FROM cells GROUP BY cents
+    ),
+    mr AS (
+      SELECT cents, tc,
+             2 * (sum(tc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - tc)
+               + tc + 1 AS dmr
+      FROM vtot
+    ),
+    rj AS (
+      SELECT c.et, CAST(sum(c.cnt) AS BIGINT) AS nj,
+             CAST(sum(c.cnt * m.dmr) AS BIGINT) AS r2j
+      FROM cells c JOIN mr m ON m.cents = c.cents
+      GROUP BY c.et
+    ),
+    tot AS (
+      SELECT CAST(sum(nj) AS BIGINT) AS n,
+             (SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) FROM vtot) AS t3
+      FROM rj
+    ),
+    pairs AS (
+      SELECT a.et AS g1, b.et AS g2, a.nj AS n1, b.nj AS n2,
+             CAST(a.r2j AS DOUBLE) / (2.0 * a.nj)
+               - CAST(b.r2j AS DOUBLE) / (2.0 * b.nj) AS rdiff,
+             sqrt((CAST(t.n AS DOUBLE) * (t.n + 1) / 12.0
+                   - CAST(t.t3 AS DOUBLE) / (12.0 * (t.n - 1)))
+                  * (1.0 / a.nj + 1.0 / b.nj)) AS se
+      FROM rj a JOIN rj b ON a.et < b.et CROSS JOIN tot t
+    )
+    SELECT g1, g2, n1, n2,
+           round(rdiff / se, 6) + 0.0 AS z_dunn,
+           abs(rdiff / se) > {_DUNN_Z_CRIT} AS significant
+    FROM pairs ORDER BY g1, g2
+    """,
+    doc="Dunn's post-hoc pairwise rank test after q_agg_kruskal — WHICH "
+    "groups differ once the omnibus H says some do, on ranks (the "
+    "nonparametric sibling of q_agg_tukey_hsd's mean-based q): "
+    "z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 - Sum(t^3-t)/(12(N-1))) "
+    "(1/n_i + 1/n_j)), judged against the Bonferroni-adjusted "
+    f"two-sided critical value {_DUNN_Z_CRIT} for the 10 pairs of 5 "
+    "groups. Reuses the kruskal machinery verbatim: doubled midranks "
+    "over the cent-quantized domain keep every rank sum an exact "
+    "BIGINT (mean rank = R2/(2n), one division); the tie term is the "
+    "same exact integer. Scale: one combinable cell rollup + the "
+    "domain-bounded cumsum; the pair join runs on the k-row rank "
+    "table. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_dunn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("cents", "et")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # vtot + rj read it
+    vtot = cells.groupBy("cents").agg(F.sum("cnt").cast("long").alias("tc"))
+    vtot = vtot.localCheckpoint(eager=False)  # midranks + tie term read it
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    # domain-bounded window: one row per distinct cent value
+    mr = vtot.select(
+        "cents",
+        (2 * (F.sum("tc").over(w) - F.col("tc")) + F.col("tc") + 1).alias("dmr"),
+    )
+    rj = (
+        cells.join(mr, "cents")
+        .groupBy("et")
+        .agg(
+            F.sum("cnt").cast("long").alias("nj"),
+            F.sum(F.col("cnt") * F.col("dmr")).cast("long").alias("r2j"),
+        )
+    )
+    rj = rj.localCheckpoint(eager=False)  # tot + both pair sides read it
+    tot = rj.agg(F.sum("nj").cast("long").alias("n")).crossJoin(
+        vtot.agg(
+            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+            .cast("long")
+            .alias("t3")
+        )
+    )
+    a, b = rj.alias("a"), rj.alias("b")
+    rdiff = F.col("a.r2j").cast("double") / (2.0 * F.col("a.nj")) - F.col(
+        "b.r2j"
+    ).cast("double") / (2.0 * F.col("b.nj"))
+    se = F.sqrt(
+        (
+            F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+            - F.col("t3").cast("double") / (12.0 * (F.col("n") - 1))
+        )
+        * (1.0 / F.col("a.nj") + 1.0 / F.col("b.nj"))
+    )
+    return (
+        a.join(b, F.col("a.et") < F.col("b.et"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a.et").alias("g1"),
+            F.col("b.et").alias("g2"),
+            F.col("a.nj").alias("n1"),
+            F.col("b.nj").alias("n2"),
+            (F.round(rdiff / se, 6) + 0.0).alias("z_dunn"),
+            (F.abs(rdiff / se) > _DUNN_Z_CRIT).alias("significant"),
+        )
+        .orderBy("g1", "g2")
+    )

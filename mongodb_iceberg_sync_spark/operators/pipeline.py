@@ -5880,3 +5880,302 @@ def q_events_bass(spark, sf_dir):
         (F.round(F.when(ok, ca / F.nullif(m_est, F.lit(0.0))), 6) + 0.0).alias("p_est"),
         (F.round(F.when(ok, -cc * m_est), 6) + 0.0).alias("q_est"),
     )
+
+
+_PGRAM_MIN_P = 2    # candidate period range (days): Nyquist floor ..
+_PGRAM_MAX_P = 14   # .. two weeks (the grid spans ~30 days)
+_TWO_PI = "6.283185307179586"  # exact literal, identical text both engines
+
+
+@register(
+    "q_timeseries_periodogram",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    idx AS (
+      SELECT et, CAST(date_diff('day', min(d) OVER (PARTITION BY et), d)
+                      AS BIGINT) AS tt, c
+      FROM daily
+    ),
+    st AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM idx GROUP BY et
+    ),
+    terms AS (
+      SELECT i.et, p.p, s.n,
+             CAST(sum(CAST(round((i.c - CAST(s.s AS DOUBLE) / s.n)
+                   * cos({_TWO_PI} * i.tt / p.p) * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS sc,
+             CAST(sum(CAST(round((i.c - CAST(s.s AS DOUBLE) / s.n)
+                   * sin({_TWO_PI} * i.tt / p.p) * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS ss
+      FROM idx i
+      JOIN st s ON s.et = i.et
+      CROSS JOIN (SELECT unnest(range({_PGRAM_MIN_P}, {_PGRAM_MAX_P} + 1))
+                    AS p) p
+      GROUP BY i.et, p.p, s.n
+    ),
+    pw AS (
+      SELECT et, p, n, sc * sc + ss * ss AS power,
+             sum(sc * sc + ss * ss) OVER (PARTITION BY et) AS total,
+             row_number() OVER (
+               PARTITION BY et
+               ORDER BY round(sc * sc + ss * ss, 6) DESC, p) AS r
+      FROM terms
+    )
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(p AS BIGINT) AS best_period,
+           round(power / total, 6) + 0.0 AS power_share
+    FROM pw WHERE r = 1 ORDER BY event_type
+    """,
+    doc="Discrete periodogram over candidate periods "
+    f"{_PGRAM_MIN_P}..{_PGRAM_MAX_P} days per event type (Goertzel-"
+    "style single-bin DFT power of the demeaned daily series), "
+    "reporting the dominant period and its share of candidate power "
+    "— the which-cycle-is-it detector that tells the seasonal suite "
+    "(q_timeseries_seasonal, q_timeseries_seasonal_mk) WHAT season "
+    "length to use instead of assuming weekly. Determinism: each "
+    "cos/sin product term is quantized to 1e-6 BIGINTs before the "
+    "per-(series, period) sum (engine libm cos/sin may differ by 1 "
+    "ulp — the quantize-before-sum discipline absorbs it, same as "
+    "the entropy/hill ln terms); 2*pi rides one exact literal; the "
+    "argmax is a (rounded power DESC, period) total order. Scale: "
+    "one combinable daily rollup; the period fan-out multiplies the "
+    "GRID (<=366 rows/series x 13 periods), never the fact; all "
+    "windows partition by series. Ref: no reference counterpart — "
+    "timeseries tier.",
+)
+def q_timeseries_periodogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    idx = daily.select(
+        "et",
+        F.datediff(
+            F.col("d"), F.min("d").over(Window.partitionBy("et"))
+        ).cast("long").alias("tt"),
+        "c",
+    )
+    idx = idx.localCheckpoint(eager=False)  # st + term fan-out read it
+    st = idx.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    fan = idx.join(F.broadcast(st), "et").withColumn(
+        "p",
+        F.explode(F.sequence(F.lit(_PGRAM_MIN_P), F.lit(_PGRAM_MAX_P))),
+    )
+    dm = F.col("c") - F.col("s").cast("double") / F.col("n")
+    ang = F.expr(f"{_TWO_PI} * tt / p")
+    terms = fan.groupBy("et", "p", "n").agg(
+        (
+            F.sum(F.round(dm * F.cos(ang) * 1e6).cast("long")).cast("double")
+            / 1e6
+        ).alias("sc"),
+        (
+            F.sum(F.round(dm * F.sin(ang) * 1e6).cast("long")).cast("double")
+            / 1e6
+        ).alias("ss"),
+    )
+    power = F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+    wtot = Window.partitionBy("et")
+    wrnk = Window.partitionBy("et").orderBy(F.round(power, 6).desc(), "p")
+    pw = terms.select(
+        "et",
+        "p",
+        "n",
+        power.alias("power"),
+        F.sum(power).over(wtot).alias("total"),
+        F.row_number().over(wrnk).alias("r"),
+    )
+    return (
+        pw.filter(F.col("r") == 1)
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("p").cast("long").alias("best_period"),
+            (F.round(F.col("power") / F.col("total"), 6) + 0.0).alias(
+                "power_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_events_meta_i2",
+    family="events",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                               1, 4)) AS BIGINT) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' AND value >= {_UPLIFT_VAL}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT CASE WHEN n_events < {_UPLIFT_LO} THEN 'low'
+                  WHEN n_events < {_UPLIFT_HI} THEN 'mid'
+                  ELSE 'high' END AS segment,
+             arm, conv
+      FROM u
+    ),
+    c AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+             CAST(sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+      FROM seg GROUP BY segment
+      HAVING n_t > 0 AND n_c > 0
+    ),
+    eff AS (
+      SELECT segment,
+             CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c AS d,
+             (CAST(conv_t AS DOUBLE) / n_t)
+               * (1.0 - CAST(conv_t AS DOUBLE) / n_t) / n_t
+             + (CAST(conv_c AS DOUBLE) / n_c)
+               * (1.0 - CAST(conv_c AS DOUBLE) / n_c) / n_c AS v
+      FROM c
+    ),
+    ok AS (SELECT segment, d, 1.0 / v AS w FROM eff WHERE v > 0),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(w * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sw,
+             CAST(sum(CAST(round(w * d * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               AS swd
+      FROM ok
+    ),
+    q AS (
+      SELECT p.k, p.swd / p.sw AS pooled,
+             CAST(sum(CAST(round(o.w * (o.d - p.swd / p.sw)
+                                     * (o.d - p.swd / p.sw) * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS qstat
+      FROM ok o CROSS JOIN pool p
+      GROUP BY p.k, p.swd / p.sw
+    )
+    SELECT k AS k_segments,
+           round(pooled, 6) + 0.0 AS pooled_uplift,
+           round(qstat, 6) + 0.0 AS q_stat,
+           round(greatest(0.0, (qstat - (k - 1)) / nullif(qstat, 0)), 6) + 0.0
+             AS i_squared
+    FROM q
+    """,
+    doc="Fixed-effect meta-analysis over the uplift segments: the "
+    "inverse-variance pooled treatment effect, Cochran's Q "
+    "heterogeneity statistic, and Higgins' I^2 (share of "
+    "between-segment variance not explained by sampling noise) — "
+    "the one-effect-or-many verdict that decides whether "
+    "q_events_uplift's per-segment table can be collapsed to a "
+    "single number or the effect is genuinely heterogeneous; the "
+    "same machinery pools per-shard A/B readouts at 100 TB. Segment "
+    "effects/variances are single float expressions of exact cells "
+    "(same md5 arm split and guards as q_events_uplift, plus a "
+    "v > 0 degeneracy filter); weights, weighted effects and Q "
+    "summands are 1e-6-quantized BIGINTs before every cross-segment "
+    "sum (segment order cannot perturb the pooled estimate). Scale: "
+    "one per-user rollup; everything after runs on <=3 rows. Ref: "
+    "no reference counterpart — events tier.",
+)
+def q_events_meta_i2(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _UPLIFT_VAL),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).select(
+        F.when(bucket < 50, "control").otherwise("treatment").alias("arm"),
+        "n_events",
+        "conv",
+    )
+    seg = u.select(
+        F.when(F.col("n_events") < _UPLIFT_LO, "low")
+        .when(F.col("n_events") < _UPLIFT_HI, "mid")
+        .otherwise("high")
+        .alias("segment"),
+        "arm",
+        "conv",
+    )
+    c = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_t"),
+        F.sum(F.when(F.col("arm") == "control", F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_c"),
+    ).filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    pt = F.col("conv_t").cast("double") / F.col("n_t")
+    pc = F.col("conv_c").cast("double") / F.col("n_c")
+    eff = c.select(
+        "segment",
+        (pt - pc).alias("d"),
+        (pt * (1.0 - pt) / F.col("n_t") + pc * (1.0 - pc) / F.col("n_c")).alias(
+            "v"
+        ),
+    )
+    ok = eff.filter(F.col("v") > 0).select(
+        "segment", "d", (1.0 / F.col("v")).alias("w")
+    )
+    ok = ok.localCheckpoint(eager=False)  # pool + Q pass read it
+    pool = ok.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum(F.round(F.col("w") * 1e6).cast("long")).cast("double") / 1e6)
+        .alias("sw"),
+        (
+            F.sum(F.round(F.col("w") * F.col("d") * 1e6).cast("long"))
+            .cast("double") / 1e6
+        ).alias("swd"),
+    )
+    pooled = F.col("swd") / F.col("sw")
+    q = (
+        ok.crossJoin(F.broadcast(pool))
+        .groupBy("k", pooled.alias("pooled"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("w")
+                        * (F.col("d") - pooled)
+                        * (F.col("d") - pooled)
+                        * 1e6
+                    ).cast("long")
+                ).cast("double")
+                / 1e6
+            ).alias("qstat")
+        )
+    )
+    return q.select(
+        F.col("k").alias("k_segments"),
+        (F.round("pooled", 6) + 0.0).alias("pooled_uplift"),
+        (F.round("qstat", 6) + 0.0).alias("q_stat"),
+        (
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("qstat") - (F.col("k") - 1))
+                    / F.nullif(F.col("qstat"), F.lit(0.0)),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("i_squared"),
+    )

@@ -122,6 +122,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # wave 4: ANN/dedup backlog (VERDICT r8 task #5)
     "q_dedup_semantic_ivf",
     "q_sim_rerank_ce",
+    # wave 5: covariate adjustment + intervals + cycles + meta-analysis
+    "q_agg_ancova",
+    "q_agg_wilson_ci",
+    "q_agg_dunn",
+    "q_timeseries_periodogram",
+    "q_events_meta_i2",
     # --- r8 window (all driver-checked green in CORRECTNESS_r08) ---
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",

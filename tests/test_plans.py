@@ -1939,3 +1939,50 @@ def test_rerank_ce_funnel_windows_per_probe(spark, sf_dir):
             n_win += 1
             assert "windowspecdefinition(probe_id" in line, line
     assert n_win >= 2
+
+
+# ---- r9 wave-5 plan pins ----------------------------------------------
+
+
+def test_ancova_two_passes_one_scan_each(spark, sf_dir):
+    # per-group + grand sufficient stats both read the checkpointed row
+    # projection; the F/adjusted-mean arithmetic rides a broadcast
+    df = SPECS["q_agg_ancova"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the row checkpoint
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_wilson_ci_single_cell_rollup(spark, sf_dir):
+    df = SPECS["q_agg_wilson_ci"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_dunn_pairs_on_rank_table(spark, sf_dir):
+    df = SPECS["q_agg_dunn"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the cell checkpoint
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_periodogram_windows_partitioned(spark, sf_dir):
+    # the period fan-out multiplies the grid, and every window
+    # partitions by series
+    df = SPECS["q_timeseries_periodogram"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(et" in line, line
+
+
+def test_meta_i2_constant_tail(spark, sf_dir):
+    df = SPECS["q_events_meta_i2"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the segment checkpoint
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
