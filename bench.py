@@ -269,6 +269,12 @@ HEADLINE = [
     "q_agg_dunn",
     "q_timeseries_periodogram",
     "q_events_meta_i2",
+    # round-9 debuts (wave 6: stratified association + levels + diversity)
+    "q_agg_cmh_test",
+    "q_timeseries_cointegration",
+    "q_text_self_bleu",
+    "q_agg_capture_recapture",
+    "q_graph_hits",
 ]
 
 

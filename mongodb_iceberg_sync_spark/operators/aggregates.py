@@ -5583,3 +5583,211 @@ def q_agg_dunn(spark, sf_dir):
         )
         .orderBy("g1", "g2")
     )
+
+
+@register(
+    "q_agg_cmh_test",
+    family="aggregates",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS stratum,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                               1, 4)) AS BIGINT) % 100 < 50
+                  THEN 0 ELSE 1 END AS treated,
+             CASE WHEN event_type = 'purchase' AND value >= 200
+                  THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN treated = 1 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN treated = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN treated = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN treated = 0 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM base GROUP BY stratum
+    ),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(a) AS BIGINT) AS sa,
+             CAST(sum(CAST(round(CAST(a + b AS DOUBLE) * (a + c)
+                                 / (a + b + c + d) * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS se_,
+             CAST(sum(CAST(round(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                                 * (b + d)
+                                 / ((a + b + c + d) * 1.0 * (a + b + c + d)
+                                    * (a + b + c + d - 1)) * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS sv,
+             CAST(sum(CAST(round(CAST(a AS DOUBLE) * d / (a + b + c + d) * 1e6)
+                           AS BIGINT)) AS DOUBLE) / 1e6 AS sad,
+             CAST(sum(CAST(round(CAST(b AS DOUBLE) * c / (a + b + c + d) * 1e6)
+                           AS BIGINT)) AS DOUBLE) / 1e6 AS sbc
+      FROM cells
+    )
+    SELECT k AS k_strata,
+           round(sad / sbc, 6) + 0.0 AS or_mh,
+           round((abs(sa - se_) - 0.5) * (abs(sa - se_) - 0.5) / sv, 6) + 0.0
+             AS cmh_chi2,
+           round({_erfc_sql("sqrt((abs(sa - se_) - 0.5) * (abs(sa - se_) - 0.5) / sv / 2.0)")},
+                 6) + 0.0 AS p_value
+    FROM terms
+    """,
+    doc="Cochran-Mantel-Haenszel test of the treatment-conversion "
+    "association STRATIFIED by day of week, plus the Mantel-Haenszel "
+    "common odds ratio — the confound-proof 2x2 analysis that "
+    "collapses strata WITHOUT Simpson's-paradox bias (q_agg_chisq on "
+    "the pooled table would conflate the dow mix with the effect); "
+    "pairs with q_events_meta_i2 (which asks whether one common "
+    "effect even exists). Continuity-corrected chi2 with the EXACT "
+    "df=1 p-value erfc(sqrt(x/2)) via the shared erfc kernel. Every "
+    "per-stratum expectation/variance/odds term is a float of exact "
+    "integer cells quantized to 1e-6 BIGINTs before the cross-"
+    "stratum sums. Scale: one combinable <=7x4-cell rollup; "
+    "constant arithmetic after. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_cmh_test(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    base = ev.select(
+        (F.dayofweek("ts") - 1).cast("long").alias("stratum"),
+        F.when(bucket < 50, 0).otherwise(1).alias("treated"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 200), 1
+        ).otherwise(0).alias("hit"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.sum(F.when((F.col("treated") == 1) & (F.col("hit") == 1), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("hit") == 0), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("hit") == 1), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("hit") == 0), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    e_a = (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")) / n
+    v_a = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+        / (n * n * (n - 1))
+    )
+    terms = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("a").cast("long").alias("sa"),
+        (F.sum(F.round(e_a * 1e6).cast("long")).cast("double") / 1e6).alias("se_"),
+        (F.sum(F.round(v_a * 1e6).cast("long")).cast("double") / 1e6).alias("sv"),
+        (
+            F.sum(
+                F.round(F.col("a").cast("double") * F.col("d") / n * 1e6).cast("long")
+            ).cast("double") / 1e6
+        ).alias("sad"),
+        (
+            F.sum(
+                F.round(F.col("b").cast("double") * F.col("c") / n * 1e6).cast("long")
+            ).cast("double") / 1e6
+        ).alias("sbc"),
+    )
+    dev = F.abs(F.col("sa") - F.col("se_")) - 0.5
+    chi2 = dev * dev / F.col("sv")
+    return terms.select(
+        F.col("k").alias("k_strata"),
+        (F.round(F.col("sad") / F.col("sbc"), 6) + 0.0).alias("or_mh"),
+        (F.round(chi2, 6) + 0.0).alias("cmh_chi2"),
+        (
+            F.round(
+                F.expr(
+                    _erfc_sql(
+                        "sqrt((abs(sa - se_) - 0.5) * (abs(sa - se_) - 0.5)"
+                        " / sv / 2.0)"
+                    )
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("p_value"),
+    )
+
+
+_CRC_CUTOFF = "2024-01-16"  # period split: days 1-15 vs 16-30
+_CRC_Z = 1.959963984540054
+
+
+@register(
+    "q_agg_capture_recapture",
+    family="aggregates",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN ts <  TIMESTAMP '{_CRC_CUTOFF}' THEN 1 ELSE 0 END)
+               AS s1,
+             max(CASE WHEN ts >= TIMESTAMP '{_CRC_CUTOFF}' THEN 1 ELSE 0 END)
+               AS s2
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s1 * s2) AS BIGINT) AS m
+      FROM u
+    )
+    SELECT n1, n2, m,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 6) + 0.0
+             AS n_hat,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1
+                 - {_CRC_Z} * sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+                                   * (n1 - m) * (n2 - m)
+                                   / ((m + 1) * 1.0 * (m + 1) * (m + 2))),
+                 6) + 0.0 AS ci_lo,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1
+                 + {_CRC_Z} * sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+                                   * (n1 - m) * (n2 - m)
+                                   / ((m + 1) * 1.0 * (m + 1) * (m + 2))),
+                 6) + 0.0 AS ci_hi
+    FROM c
+    """,
+    doc="Capture-recapture population estimate (Chapman's "
+    "bias-corrected Lincoln-Petersen): users active in the first "
+    "half-month are the 'marked' sample, the second half is the "
+    "recapture, and the overlap estimates the TOTAL user population "
+    "including never-seen users — the how-big-is-the-universe "
+    "estimator behind reach/dedup-rate projections when no id "
+    "universe exists (same math ecologists use for fish). N_hat = "
+    "(n1+1)(n2+1)/(m+1) - 1 with the Seber variance CI; every count "
+    "is an exact integer from ONE per-user two-flag rollup; the "
+    "estimate and CI are single float expressions (z as an exact "
+    "literal). Scale: one combinable per-user pass; constant "
+    "arithmetic after. Ref: no reference counterpart — statistics "
+    "tier.",
+)
+def q_agg_capture_recapture(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit(_CRC_CUTOFF).cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("s2"),
+    )
+    c = u.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("m"),
+    )
+    n_hat = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (
+        F.col("m") + 1
+    ) - 1
+    half = F.lit(_CRC_Z) * F.sqrt(
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / ((F.col("m") + 1) * 1.0 * (F.col("m") + 1) * (F.col("m") + 2))
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        (F.round(n_hat, 6) + 0.0).alias("n_hat"),
+        (F.round(n_hat - half, 6) + 0.0).alias("ci_lo"),
+        (F.round(n_hat + half, 6) + 0.0).alias("ci_hi"),
+    )

@@ -1394,3 +1394,76 @@ def q_graph_reciprocity(spark, sf_dir):
             + 0.0
         ).alias("reciprocity"),
     )
+
+
+_HITS_ITERS = 10
+_HITS_TOPK = 20
+
+
+@register(
+    "q_graph_hits",
+    family="graph",
+    oracle=None,  # iterative fixpoint — pinned by tests/test_graph.py vs numpy
+    doc="HITS hubs-and-authorities over the DIRECTED supplier->customer "
+    "purchase graph (suppliers are hubs: they point at the customers "
+    "they serve; customers are authorities): 10 synchronized power "
+    f"iterations of a = E^T h, h = E a with sum-normalization each "
+    "half-step, emitting the top-"
+    f"{_HITS_TOPK} hub suppliers — the who-serves-the-important-"
+    "customers ranking that PageRank's undirected random walk "
+    "(q_graph_pagerank) deliberately erases; the same "
+    "mutual-reinforcement recurrence ranks query->document click "
+    "graphs in retrieval pipelines. Determinism: fixed iteration "
+    "count (no float convergence test), L1 normalization via an "
+    "exact float sum per step on each side table, top-k under a "
+    "(rounded score DESC, node) total order — the q_graph_pagerank "
+    "contract, pinned against an independent dense numpy recurrence. "
+    "Scale: each half-step is one co-keyed join + combinable agg on "
+    "the distinct edge table; lineage is cut per iteration "
+    "(localCheckpoint) so the plan stays O(1) deep; O(iters) "
+    "shuffles total, same as pagerank.",
+)
+def q_graph_hits(spark, sf_dir):
+    # _edges is symmetric (both directions); keep the supplier->customer
+    # direction only (supplier ids live below the customer namespace)
+    edges = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") < _CUST_NS)
+        .select(F.col("src").alias("h"), F.col("dst").alias("a"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = edges.select(F.col("h").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    for _ in range(_HITS_ITERS):
+        # authority half-step: a(c) = sum of hub scores pointing at c
+        auth = (
+            edges.join(hubs, edges.h == hubs.node)
+            .groupBy("a")
+            .agg(F.sum("score").alias("raw"))
+        )
+        atot = auth.agg(F.sum("raw").alias("t"))
+        auth = auth.crossJoin(F.broadcast(atot)).select(
+            F.col("a").alias("node"), (F.col("raw") / F.col("t")).alias("score")
+        )
+        # hub half-step: h(s) = sum of authority scores s points at
+        hub_raw = (
+            edges.join(auth, edges.a == auth.node)
+            .groupBy("h")
+            .agg(F.sum("score").alias("raw"))
+        )
+        htot = hub_raw.agg(F.sum("raw").alias("t"))
+        hubs = (
+            hub_raw.crossJoin(F.broadcast(htot))
+            .select(
+                F.col("h").alias("node"),
+                (F.col("raw") / F.col("t")).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        hubs.select("node", F.round("score", 8).alias("hub_score"))
+        .orderBy(F.col("hub_score").desc(), "node")
+        .limit(_HITS_TOPK)
+    )

@@ -6179,3 +6179,161 @@ def q_events_meta_i2(spark, sf_dir):
             + 0.0
         ).alias("i_squared"),
     )
+
+
+_COINT_ADF_CRIT = -3.34  # MacKinnon asymptotic 5% for 2-variable EG step 2
+
+
+@register(
+    "q_timeseries_cointegration",
+    family="timeseries",
+    oracle=f"""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+    idx AS (
+      SELECT d, CAST(date_diff('day', (SELECT min(d) FROM days), d)
+                     AS BIGINT) AS tt
+      FROM days
+    ),
+    cx AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    cy AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    grid AS (
+      SELECT i.tt, coalesce(cx.x, 0) AS x, coalesce(cy.y, 0) AS y
+      FROM idx i LEFT JOIN cx ON cx.d = i.d LEFT JOIN cy ON cy.d = i.d
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM grid
+    ),
+    fit AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+             (CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx)
+             / n AS a
+      FROM st
+    ),
+    res AS (
+      SELECT g.tt,
+             CAST(round((g.y - f.a - f.b * g.x) * 1e6) AS HUGEINT) AS eq
+      FROM grid g CROSS JOIN fit f
+    ),
+    df_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(p.eq * (r.eq - p.eq)) AS DOUBLE) AS sed,
+             CAST(sum(p.eq * p.eq) AS DOUBLE) AS see,
+             CAST(sum((r.eq - p.eq) * (r.eq - p.eq)) AS DOUBLE) AS sdd
+      FROM res r JOIN res p ON p.tt = r.tt - 1
+    ),
+    adf AS (
+      SELECT f.n, f.b, d.m,
+             d.sed / d.see AS rho,
+             (d.sed / d.see)
+             / sqrt(((d.sdd - d.sed * d.sed / d.see) / (d.m - 1)) / d.see)
+               AS t_adf
+      FROM df_ d CROSS JOIN fit f
+    )
+    SELECT n AS n_days,
+           round(b, 6) + 0.0 AS hedge_beta,
+           round(rho, 6) + 0.0 AS resid_rho,
+           round(t_adf, 6) + 0.0 AS adf_stat,
+           t_adf < {_COINT_ADF_CRIT} AS cointegrated
+    FROM adf
+    """,
+    doc="Engle-Granger cointegration test between the click and "
+    "purchase daily LEVEL series: step 1 fits the long-run hedge "
+    "(OLS y ~ x), step 2 runs a no-intercept Dickey-Fuller "
+    "regression of the residual increments on the lagged residual — "
+    "a stationary residual (t_adf below the MacKinnon asymptotic 5% "
+    f"critical {_COINT_ADF_CRIT}) means the two series share a "
+    "common stochastic trend, the do-these-metrics-move-together "
+    "question q_timeseries_granger answers for INCREMENTS asked for "
+    "LEVELS. Exactness: both regressions ride exact integer sums "
+    "(residuals quantized to 1e-6 HUGEINT/DECIMAL before the "
+    "quadratic DF sums); the t statistic is one float expression. "
+    "Scale: two filtered combinable daily rollups; everything after "
+    "runs on the <=366-row grid. Ref: no reference counterpart — "
+    "timeseries tier.",
+)
+def q_timeseries_cointegration(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    days = days.localCheckpoint(eager=False)
+    idx = days.crossJoin(F.broadcast(days.agg(F.min("d").alias("d0")))).select(
+        "d", F.datediff(F.col("d"), F.col("d0")).cast("long").alias("tt")
+    )
+
+    def series(et, name):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    grid = (
+        idx.join(F.broadcast(series("click", "x")), "d", "left")
+        .join(F.broadcast(series("purchase", "y")), "d", "left")
+        .select(
+            "tt",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    grid = grid.localCheckpoint(eager=False)  # fit + residual pass read it
+    st = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = st.select(
+        "n", b.alias("b"), ((F.col("sy").cast("double") - b * F.col("sx")) / nd).alias("a")
+    )
+    fit = fit.localCheckpoint(eager=False)  # residuals + output read it
+    res = grid.crossJoin(F.broadcast(fit)).select(
+        "tt",
+        F.round((F.col("y") - F.col("a") - F.col("b") * F.col("x")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("eq"),
+    )
+    res = res.localCheckpoint(eager=False)  # both DF-join sides read it
+    r, p = res.alias("r"), res.alias("p")
+    dfr = r.join(
+        F.broadcast(
+            p.select(F.col("tt").alias("ptt"), F.col("eq").alias("peq"))
+        ),
+        F.col("ptt") == F.col("r.tt") - 1,
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("peq") * (F.col("r.eq") - F.col("peq"))).cast("double").alias("sed"),
+        F.sum(F.col("peq") * F.col("peq")).cast("double").alias("see"),
+        F.sum((F.col("r.eq") - F.col("peq")) * (F.col("r.eq") - F.col("peq")))
+        .cast("double").alias("sdd"),
+    )
+    rho = F.col("sed") / F.col("see")
+    t_adf = rho / F.sqrt(
+        ((F.col("sdd") - F.col("sed") * F.col("sed") / F.col("see")) / (F.col("m") - 1))
+        / F.col("see")
+    )
+    return dfr.crossJoin(F.broadcast(fit.select("n", "b"))).select(
+        F.col("n").alias("n_days"),
+        (F.round("b", 6) + 0.0).alias("hedge_beta"),
+        (F.round(rho, 6) + 0.0).alias("resid_rho"),
+        (F.round(t_adf, 6) + 0.0).alias("adf_stat"),
+        (t_adf < _COINT_ADF_CRIT).alias("cointegrated"),
+    )

@@ -2515,3 +2515,115 @@ def q_text_fertility(spark, sf_dir):
         .orderBy("lang")
     )
 
+
+
+@register(
+    "q_text_self_bleu",
+    family="text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i + 1] AS g
+      FROM toks CROSS JOIN unnest(range(1, len(ws))) AS r(i)
+    ),
+    df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY g),
+    per AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS matched
+      FROM bg JOIN df ON df.g = bg.g
+      GROUP BY bg.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(matched) AS DOUBLE) / sum(total), 6) + 0.0
+             AS micro_self_bleu2,
+           round(CAST(sum(CAST(round(1e9 * matched / total) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1e9, 6) + 0.0
+             AS macro_self_bleu2,
+           round(CAST(sum(CASE WHEN matched * 10 >= total * 9
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS pct_templated
+    FROM per
+    """,
+    doc="Self-BLEU-2 corpus diversity: for every document, the share "
+    "of its distinct bigrams that also occur in at least one OTHER "
+    "document (df >= 2) — high self-BLEU marks a templated, "
+    "mode-collapsed corpus; the diversity gate run on generated or "
+    "scraped training data BEFORE it is mixed in (Zhu et al.'s "
+    "texygen metric, re-expressed as an exact df computation instead "
+    "of sampled pairwise BLEU). Emits micro (corpus-ratio of exact "
+    "ints), macro (per-doc ratios quantized 1e-9 before the mean — "
+    "doc order cannot perturb it), and the share of docs >= 0.9 "
+    "matched (an exact integer cross-multiplication, no float "
+    "threshold). Scale: one explode + a distinct-bigram projection "
+    "keyed on the bigram (the only corpus-wide shuffles); df "
+    "join-back is co-keyed; nothing is pairwise. Ref: no reference "
+    "counterpart — LLM-pipeline text tier.",
+)
+def q_text_self_bleu(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # bind the token array BEFORE any indexing lambda: an embedded
+    # split() re-evaluates once per array element inside transform —
+    # O(words^2) per doc, the measured Catalyst trap from the minhash
+    # pipeline (SCALE.md); the probe caught the embedded version at
+    # 253s/100x. After the checkpoint ws is a bound attribute.
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    toks = toks.localCheckpoint(eager=False)
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1), "
+                    "slice(ws, 2, size(ws) - 1), "
+                    "(a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bg = bg.localCheckpoint(eager=False)  # df + per-doc pass read it
+    df = bg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per = (
+        bg.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("matched"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.round(F.sum("matched").cast("double") / F.sum("total"), 6) + 0.0
+        ).alias("micro_self_bleu2"),
+        (
+            F.round(
+                F.sum(
+                    F.round(1e9 * F.col("matched") / F.col("total")).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("macro_self_bleu2"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("matched") * 10 >= F.col("total") * 9, 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            + 0.0
+        ).alias("pct_templated"),
+    )

@@ -128,6 +128,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_dunn",
     "q_timeseries_periodogram",
     "q_events_meta_i2",
+    # wave 6: stratified association + levels cointegration + corpus
+    # diversity + population estimation + link analysis
+    "q_agg_cmh_test",
+    "q_timeseries_cointegration",
+    "q_text_self_bleu",
+    "q_agg_capture_recapture",
+    "q_graph_hits",
     # --- r8 window (all driver-checked green in CORRECTNESS_r08) ---
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",

@@ -93,3 +93,56 @@ def test_jaccard_supplier_hub_valve(spark, tmp_path):
     (r,) = got
     # degrees stay EXACT from the full pair set even with the hub gone
     assert (r.deg1, r.deg2, r.jaccard) == (100, 100, 1.0)
+
+
+# ---- HITS pinned against a dense numpy power iteration (r9) ----------
+
+
+def _numpy_hits(edge_list):
+    from mongodb_iceberg_sync_spark.operators.graph import (
+        _CUST_NS,
+        _HITS_ITERS,
+    )
+
+    directed = sorted({(s, d) for s, d in edge_list if s < _CUST_NS})
+    hubs = sorted({s for s, _ in directed})
+    auths = sorted({d for _, d in directed})
+    hi = {n: i for i, n in enumerate(hubs)}
+    ai = {n: i for i, n in enumerate(auths)}
+    h = np.ones(len(hubs))
+    for _ in range(_HITS_ITERS):
+        a = np.zeros(len(auths))
+        for s, d in directed:
+            a[ai[d]] += h[hi[s]]
+        a /= a.sum()
+        h = np.zeros(len(hubs))
+        for s, d in directed:
+            h[hi[s]] += a[ai[d]]
+        h /= h.sum()
+    return {n: h[hi[n]] for n in hubs}
+
+
+def test_hits_matches_numpy(spark, sf_dir, edge_list):
+    from mongodb_iceberg_sync_spark.operators.graph import (
+        _HITS_TOPK,
+        q_graph_hits,
+    )
+
+    expected = _numpy_hits(edge_list)
+    got = q_graph_hits(spark, sf_dir).collect()
+    assert len(got) == min(_HITS_TOPK, len(expected))
+    top = sorted(expected.items(), key=lambda kv: (-round(kv[1], 8), kv[0]))[
+        : len(got)
+    ]
+    for row, (node, score) in zip(got, top):
+        assert row["node"] == node
+        assert row["hub_score"] == pytest.approx(score, abs=1e-6)
+
+
+def test_hits_scores_normalized(spark, sf_dir):
+    from mongodb_iceberg_sync_spark.operators.graph import q_graph_hits
+
+    got = q_graph_hits(spark, sf_dir).collect()
+    # L1-normalized hub vector: every score in (0, 1), top-k sums < 1
+    assert all(0.0 < r["hub_score"] < 1.0 for r in got)
+    assert sum(r["hub_score"] for r in got) < 1.0 + 1e-9

@@ -1986,3 +1986,50 @@ def test_meta_i2_constant_tail(spark, sf_dir):
     assert "events.parquet" not in plan  # folded into the segment checkpoint
     assert "ExistingRDD" in plan
     assert "Window" not in plan
+
+
+# ---- r9 wave-6 plan pins ----------------------------------------------
+
+
+def test_cmh_single_cell_rollup(spark, sf_dir):
+    df = SPECS["q_agg_cmh_test"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_cointegration_grid_bounded(spark, sf_dir):
+    # the fact feeds three filtered rollups at most; residual/DF joins
+    # run on checkpointed grids
+    df = SPECS["q_timeseries_cointegration"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") <= 3
+    assert "ExistingRDD" in plan
+
+
+def test_self_bleu_bigram_keyed_never_pairwise(spark, sf_dir):
+    # df join-back is co-keyed on the bigram; no nested loop anywhere
+    df = SPECS["q_text_self_bleu"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "documents.parquet" not in plan  # folded into the bigram checkpoint
+    assert "ExistingRDD" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_capture_recapture_one_user_pass(spark, sf_dir):
+    df = SPECS["q_agg_capture_recapture"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Window" not in plan
+
+
+def test_hits_edges_checkpointed_once(spark, sf_dir):
+    # the per-iteration joins all read the eagerly-checkpointed distinct
+    # edge table; the fact never re-scans inside the loop
+    df = SPECS["q_graph_hits"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "lineitem.parquet" not in plan
+    assert "orders.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan

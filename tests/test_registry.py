@@ -50,6 +50,7 @@ NO_ORACLE_PINS: dict[str, tuple[str, str]] = {
     "q_dedup_simhash": ("tests/test_rows_only_pins.py", ""),
     "q_dedup_bloom": ("tests/test_dedup_bloom.py", ""),
     "q_graph_pagerank": ("tests/test_graph.py", ""),
+    "q_graph_hits": ("tests/test_graph.py", ""),
 }
 
 
