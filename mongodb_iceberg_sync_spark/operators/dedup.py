@@ -1258,6 +1258,10 @@ def q_dedup_semantic_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     e = e.localCheckpoint(eager=False)  # count + codebook + assignment + GEMM
     n_vec = e.count()
+    if n_vec == 0:  # empty corpus: no codebook to build, empty result
+        return spark.createDataFrame(
+            [], "vec_id bigint, cell bigint, n_dups bigint, kept boolean"
+        )
     k = max(_IVF_MIN_K, min(_IVF_MAX_K, math.ceil(math.sqrt(n_vec))))
     # K x d codebook to the driver: bounded by K (never by the corpus) —
     # the same bounded-collect class as q_embed_pca's partials
