@@ -275,6 +275,11 @@ HEADLINE = [
     "q_text_self_bleu",
     "q_agg_capture_recapture",
     "q_graph_hits",
+    # round-9 debuts (wave 7: MRL ablation + permutation + fairness)
+    "q_embed_matryoshka",
+    "q_agg_permutation_test",
+    "q_ml_equalized_odds",
+    "q_text_ngram_coverage",
 ]
 
 

@@ -5791,3 +5791,133 @@ def q_agg_capture_recapture(spark, sf_dir):
         (F.round(n_hat - half, 6) + 0.0).alias("ci_lo"),
         (F.round(n_hat + half, 6) + 0.0).alias("ci_hi"),
     )
+
+
+_PERM_R = 40          # label permutations (deterministic hash LCG)
+_PERM_A = 2654435761  # Knuth multiplicative-hash constant
+_PERM_B = 40503
+_PERM_M = 100000
+
+
+@register(
+    "q_agg_permutation_test",
+    family="aggregates",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    obs AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n1,
+             CAST(sum(1 - g1) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g1 = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g1 = 0 THEN c ELSE 0 END) AS BIGINT) AS s2
+      FROM base
+    ),
+    perm AS (
+      SELECT r.r,
+             CAST(sum(CASE WHEN ((b.event_id % {_PERM_M}) * {_PERM_A}
+                                 + r.r * {_PERM_B}) % {_PERM_M}
+                                * (o.n1 + o.n2) < o.n1 * {_PERM_M}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+             CAST(sum(CASE WHEN ((b.event_id % {_PERM_M}) * {_PERM_A}
+                                 + r.r * {_PERM_B}) % {_PERM_M}
+                                * (o.n1 + o.n2) < o.n1 * {_PERM_M}
+                           THEN b.c ELSE 0 END) AS BIGINT) AS ps1,
+             CAST(sum(b.c) AS BIGINT) AS st
+      FROM base b
+      CROSS JOIN (SELECT unnest(range(1, {_PERM_R} + 1)) AS r) r
+      CROSS JOIN obs o
+      GROUP BY r.r
+    ),
+    diffs AS (
+      SELECT p.r,
+             abs(CAST(p.ps1 AS DOUBLE) / p.pn1
+                 - CAST(p.st - p.ps1 AS DOUBLE)
+                   / ((o.n1 + o.n2) - p.pn1)) AS adiff,
+             abs(CAST(o.s1 AS DOUBLE) / o.n1
+                 - CAST(o.s2 AS DOUBLE) / o.n2) AS aobs
+      FROM perm p CROSS JOIN obs o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_perms,
+           round(max(aobs) * 0.01, 6) + 0.0 AS obs_diff_value,
+           round((1.0 + sum(CASE WHEN adiff >= aobs THEN 1 ELSE 0 END))
+                 / (count(*) + 1.0), 6) + 0.0 AS p_value
+    FROM diffs
+    """,
+    doc="Permutation test of the click-vs-purchase mean value "
+    f"difference: {_PERM_R} deterministic label permutations (the "
+    "q_agg_bootstrap multiplicative-hash LCG on (event_id, "
+    "replicate) — reproducible cross-engine and across retries, "
+    "which rand() can never be), each re-splitting rows into "
+    "pseudo-groups of the observed proportions; the p-value is the "
+    "add-one-smoothed share of permuted |mean diffs| at least the "
+    "observed one — the assumption-free inference companion to "
+    "q_agg_ttest (no normality) and q_agg_mannwhitney (tests the "
+    "MEAN, not stochastic dominance). Every per-replicate sum is an "
+    "exact BIGINT from one map-side-combinable exploded pass; the "
+    "group-size proportion rides an integer cross-multiplication "
+    "(no float threshold). Scale: one R-way explode of the filtered "
+    "fact into a keyed agg of R rows; O(1) after. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_permutation_test(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    base = base.localCheckpoint(eager=False)  # obs + permutation pass
+    obs = base.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("s1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("c")).otherwise(0))
+        .cast("long").alias("s2"),
+    )
+    fan = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(1), F.lit(_PERM_R)))
+    ).crossJoin(F.broadcast(obs))
+    h = (
+        (F.col("event_id") % _PERM_M) * _PERM_A + F.col("r") * _PERM_B
+    ) % _PERM_M
+    in1 = h * (F.col("n1") + F.col("n2")) < F.col("n1") * _PERM_M
+    perm = fan.groupBy("r").agg(
+        F.sum(F.when(in1, 1).otherwise(0)).cast("long").alias("pn1"),
+        F.sum(F.when(in1, F.col("c")).otherwise(0)).cast("long").alias("ps1"),
+        F.sum("c").cast("long").alias("st"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("s1").alias("s1"),
+        F.max("s2").alias("s2"),
+    )
+    adiff = F.abs(
+        F.col("ps1").cast("double") / F.col("pn1")
+        - (F.col("st") - F.col("ps1")).cast("double")
+        / ((F.col("n1") + F.col("n2")) - F.col("pn1"))
+    )
+    aobs = F.abs(
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    )
+    diffs = perm.select(adiff.alias("adiff"), aobs.alias("aobs"))
+    return diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        (F.round(F.max("aobs") * 0.01, 6) + 0.0).alias("obs_diff_value"),
+        (
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        F.when(F.col("adiff") >= F.col("aobs"), 1).otherwise(0)
+                    )
+                )
+                / (F.count(F.lit(1)) + 1.0),
+                6,
+            )
+            + 0.0
+        ).alias("p_value"),
+    )

@@ -2229,3 +2229,107 @@ def q_ml_kappa(spark, sf_dir):
         (F.round(pe, 6) + 0.0).alias("pe"),
         (F.round((po - pe) / (1.0 - pe), 6) + 0.0).alias("kappa"),
     )
+
+
+@register(
+    "q_ml_equalized_odds",
+    family="mleval",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % {_FAIR_GROUPS} AS BIGINT) AS grp,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(p) AS BIGINT) AS tp,
+                   CAST(sum(s) AS BIGINT) AS ts FROM u),
+    rated AS (
+      SELECT u.grp,
+             CASE WHEN u.s * t.nu > t.ts THEN 1 ELSE 0 END AS yhat,
+             CASE WHEN u.p * t.nu > t.tp THEN 1 ELSE 0 END AS y
+      FROM u CROSS JOIN tot t
+    ),
+    per AS (
+      SELECT grp,
+             CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp_,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp_,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM rated GROUP BY grp
+    ),
+    rates AS (
+      SELECT grp, pos + neg AS n,
+             CAST(tp_ AS DOUBLE) / nullif(pos, 0) AS tpr,
+             CAST(fp_ AS DOUBLE) / nullif(neg, 0) AS fpr
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k_groups,
+           round(max(tpr) - min(tpr), 6) + 0.0 AS tpr_gap,
+           round(max(fpr) - min(fpr), 6) + 0.0 AS fpr_gap,
+           round(greatest(max(tpr) - min(tpr), max(fpr) - min(fpr)), 6) + 0.0
+             AS eo_gap
+    FROM rates
+    """,
+    doc="Equalized-odds audit: the max cross-group gap in TPR and in "
+    "FPR of the activity classifier against the purchasing label "
+    f"(groups = user_id % {_FAIR_GROUPS}, the q_ml_group_fairness "
+    "cohorts) — Hardt et al.'s error-RATE parity, the fairness "
+    "criterion q_ml_group_fairness's selection-rate parity cannot "
+    "see (a classifier can select every group equally often while "
+    "being wrong about one of them twice as much). Both classifier "
+    "and label are integer cross-multiplication thresholds; per-"
+    "group confusion cells are exact ints; TPR/FPR are NULLIF-"
+    "guarded single divisions and the gaps are max-min over the "
+    "k-row rate table. Scale: one per-user rollup + a broadcast "
+    "totals row + a k-cell agg. Ref: no reference counterpart — "
+    "ML-eval tier.",
+)
+def q_ml_equalized_odds(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("p"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long").alias("s"),
+    ).select(
+        (F.col("user_id") % _FAIR_GROUPS).cast("long").alias("grp"), "p", "s"
+    )
+    u = u.localCheckpoint(eager=False)  # totals + rated read it
+    tot = u.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("p").cast("long").alias("tp"),
+        F.sum("s").cast("long").alias("ts"),
+    )
+    rated = u.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.when(F.col("s") * F.col("nu") > F.col("ts"), 1).otherwise(0).alias("yhat"),
+        F.when(F.col("p") * F.col("nu") > F.col("tp"), 1).otherwise(0).alias("y"),
+    )
+    per = rated.groupBy("grp").agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long").alias("tp_"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long").alias("fp_"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("long").alias("neg"),
+    )
+    tpr = F.col("tp_").cast("double") / F.nullif(F.col("pos"), F.lit(0))
+    fpr = F.col("fp_").cast("double") / F.nullif(F.col("neg"), F.lit(0))
+    rates = per.select("grp", tpr.alias("tpr"), fpr.alias("fpr"))
+    return rates.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        (F.round(F.max("tpr") - F.min("tpr"), 6) + 0.0).alias("tpr_gap"),
+        (F.round(F.max("fpr") - F.min("fpr"), 6) + 0.0).alias("fpr_gap"),
+        (
+            F.round(
+                F.greatest(
+                    F.max("tpr") - F.min("tpr"), F.max("fpr") - F.min("fpr")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("eo_gap"),
+    )

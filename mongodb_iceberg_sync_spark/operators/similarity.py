@@ -1626,3 +1626,133 @@ def q_sim_rerank_ce(spark, sf_dir):
         .select("probe_id", "vec_id", "cos_sim", "ce_score", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+_MRL_PROBES = 8    # probe vectors (vec_id < this)
+_MRL_TOPK = 10     # retrieval depth compared across dimensionalities
+_MRL_DIMS = 32     # truncated prefix length (of 64)
+
+
+@register(
+    "q_embed_matryoshka",
+    family="similarity",
+    oracle=f"""
+    WITH cand AS (
+      SELECT p.vec_id AS probe_id, c.vec_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)))),
+               6) AS cos_full,
+             round(
+               list_sum(list_transform(range(1, {_MRL_DIMS} + 1),
+                        i -> c.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, {_MRL_DIMS} + 1),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, {_MRL_DIMS} + 1),
+                        i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)))),
+               6) AS cos_trunc
+      FROM embeddings p JOIN embeddings c ON c.vec_id >= {_MRL_PROBES}
+      WHERE p.vec_id < {_MRL_PROBES}
+    ),
+    rk AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_full DESC, vec_id) AS rf,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_trunc DESC, vec_id) AS rt
+      FROM cand
+    )
+    SELECT probe_id,
+           round(CAST(sum(CASE WHEN rf <= {_MRL_TOPK} AND rt <= {_MRL_TOPK}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {_MRL_TOPK}, 6) + 0.0 AS overlap_at_{_MRL_TOPK},
+           CAST(max(CASE WHEN rf = 1 AND rt <= {_MRL_TOPK} THEN 1 ELSE 0 END)
+                AS BOOLEAN) AS top1_kept
+    FROM rk GROUP BY probe_id ORDER BY probe_id
+    """,
+    doc="Matryoshka dimension-ablation audit: for each probe, the "
+    f"overlap@{_MRL_TOPK} between exact retrieval under the FULL "
+    f"64-dim cosine and under the first-{_MRL_DIMS}-dims truncation — "
+    "the measurement behind the store-half-the-vector decision "
+    "(Kusupati et al.'s MRL evaluation): high overlap means the "
+    "prefix dims carry the ranking and the index can shrink 2x; also "
+    "flags whether the full top-1 survives truncated top-k (the "
+    "rerank-funnel safety property q_sim_rerank_ce relies on). Both "
+    "rankings are exact brute force over the corpus (probes "
+    "broadcast, sequential double folds — bitwise cross-engine) "
+    "under (cos DESC, vec_id) total orders. Scale: probes x corpus "
+    "map work; both rank windows partition by probe; overlap is a "
+    "per-probe conditional count. Ref: no reference counterpart — "
+    "LLM-pipeline tier.",
+)
+def q_embed_matryoshka(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.localCheckpoint(eager=False)  # probe + corpus sides read it
+    probes = e.filter(F.col("vec_id") < _MRL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    corpus = e.filter(F.col("vec_id") >= _MRL_PROBES)
+
+    def cos_over(pref):
+        a = F.slice(F.col("pv"), 1, pref)
+        b = F.slice(F.col("embedding"), 1, pref)
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+        return F.round(dot / (na * nb), 6)
+
+    cand = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        cos_over(64).alias("cos_full"),
+        cos_over(_MRL_DIMS).alias("cos_trunc"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("cos_full"), "vec_id")
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("cos_trunc"), "vec_id")
+    rk = cand.select(
+        "probe_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        rk.groupBy("probe_id")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            (F.col("rf") <= _MRL_TOPK) & (F.col("rt") <= _MRL_TOPK),
+                            1,
+                        ).otherwise(0)
+                    ).cast("double")
+                    / _MRL_TOPK,
+                    6,
+                )
+                + 0.0
+            ).alias(f"overlap_at_{_MRL_TOPK}"),
+            F.max(
+                F.when(
+                    (F.col("rf") == 1) & (F.col("rt") <= _MRL_TOPK), 1
+                ).otherwise(0)
+            ).cast("boolean").alias("top1_kept"),
+        )
+        .orderBy("probe_id")
+    )

@@ -2627,3 +2627,120 @@ def q_text_self_bleu(spark, sf_dir):
             + 0.0
         ).alias("pct_templated"),
     )
+
+
+_NGC_TRAIN_PCT = 80  # md5 doc split: train vs held-out eval
+
+
+@register(
+    "q_text_ngram_coverage",
+    family="text",
+    oracle=f"""
+    WITH split_ AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 < {_NGC_TRAIN_PCT} AS is_train
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, is_train, ws[i] || ' ' || ws[i + 1] AS g
+      FROM split_ CROSS JOIN unnest(range(1, len(ws))) AS r(i)
+    ),
+    train_g AS (SELECT DISTINCT g FROM bg WHERE is_train),
+    eval_g AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS tf
+      FROM bg WHERE NOT is_train GROUP BY g
+    ),
+    cov AS (
+      SELECT e.g, e.tf, t.g IS NOT NULL AS covered
+      FROM eval_g e LEFT JOIN train_g t ON t.g = e.g
+    ),
+    docs AS (
+      SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_eval
+      FROM split_
+    )
+    SELECT d.n_train AS n_train_docs, d.n_eval AS n_eval_docs,
+           round(CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS distinct_coverage,
+           round(CAST(sum(CASE WHEN covered THEN tf ELSE 0 END) AS DOUBLE)
+                 / sum(tf), 6) + 0.0 AS weighted_coverage
+    FROM cov CROSS JOIN docs d
+    GROUP BY d.n_train, d.n_eval
+    """,
+    doc="Held-out n-gram coverage: split the corpus by a deterministic "
+    f"md5 doc hash ({_NGC_TRAIN_PCT}/20), then measure what share of "
+    "the eval half's distinct bigrams — and of its bigram "
+    "OCCURRENCES — the train half covers; low coverage means the "
+    "corpus is too small or too fragmented for the target "
+    "distribution (the OOV/data-sufficiency gate a tokenizer or LM "
+    "training run checks before burning compute, and the same "
+    "overlap machinery q_text_decontaminate uses in reverse). "
+    "Exactness: the split is an integer hash comparison; coverage "
+    "ratios are exact-integer divisions. Scale: one explode over a "
+    "BOUND token array (the self_bleu lesson), two bigram-keyed "
+    "combinable aggs, one co-keyed left join — nothing pairwise. "
+    "Ref: no reference counterpart — LLM-pipeline text tier.",
+)
+def q_text_ngram_coverage(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+        < _NGC_TRAIN_PCT
+    )
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("ws"), is_train.alias("is_train")
+    )
+    toks = toks.localCheckpoint(eager=False)  # bind ws; docs + bigram passes
+    bg = toks.select(
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, size(ws) - 1), "
+                "slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("g"),
+    )
+    bg = bg.localCheckpoint(eager=False)  # train + eval branches read it
+    train_g = bg.filter(F.col("is_train")).select("g").distinct()
+    eval_g = (
+        bg.filter(~F.col("is_train"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cov = eval_g.join(
+        train_g.withColumn("covered", F.lit(True)), "g", "left"
+    ).select("tf", F.coalesce("covered", F.lit(False)).alias("covered"))
+    docs = toks.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("long").alias("n_eval"),
+    )
+    return cov.crossJoin(F.broadcast(docs)).groupBy("n_train", "n_eval").agg(
+        (
+            F.round(
+                F.sum(F.when(F.col("covered"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            + 0.0
+        ).alias("distinct_coverage"),
+        (
+            F.round(
+                F.sum(F.when(F.col("covered"), F.col("tf")).otherwise(0))
+                .cast("double")
+                / F.sum("tf"),
+                6,
+            )
+            + 0.0
+        ).alias("weighted_coverage"),
+    ).select(
+        F.col("n_train").alias("n_train_docs"),
+        F.col("n_eval").alias("n_eval_docs"),
+        "distinct_coverage",
+        "weighted_coverage",
+    )

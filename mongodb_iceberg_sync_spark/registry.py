@@ -135,6 +135,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_text_self_bleu",
     "q_agg_capture_recapture",
     "q_graph_hits",
+    # wave 7: embedding ablation + assumption-free inference + fairness
+    # error-rate parity + data-sufficiency coverage
+    "q_embed_matryoshka",
+    "q_agg_permutation_test",
+    "q_ml_equalized_odds",
+    "q_text_ngram_coverage",
     # --- r8 window (all driver-checked green in CORRECTNESS_r08) ---
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",

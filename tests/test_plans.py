@@ -2033,3 +2033,43 @@ def test_hits_edges_checkpointed_once(spark, sf_dir):
     assert "orders.parquet" not in plan
     assert "ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- r9 wave-7 plan pins ----------------------------------------------
+
+
+def test_matryoshka_probe_broadcast_windows_per_probe(spark, sf_dir):
+    df = SPECS["q_embed_matryoshka"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast(probes)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(probe_id" in line, line
+
+
+def test_permutation_test_single_exploded_agg(spark, sf_dir):
+    # one R-way explode into one keyed agg; no window anywhere
+    df = SPECS["q_agg_permutation_test"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the base checkpoint
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the replicate explode
+
+
+def test_equalized_odds_constant_tail(spark, sf_dir):
+    df = SPECS["q_ml_equalized_odds"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "events.parquet" not in plan  # folded into the user checkpoint
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+
+
+def test_ngram_coverage_bigram_keyed(spark, sf_dir):
+    # both halves read the checkpointed bigram table; the coverage join
+    # is co-keyed on the bigram, never pairwise
+    df = SPECS["q_text_ngram_coverage"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
