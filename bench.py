@@ -280,6 +280,9 @@ HEADLINE = [
     "q_agg_permutation_test",
     "q_ml_equalized_odds",
     "q_text_ngram_coverage",
+    # round-9 debuts (wave 8: DSIR selection + media dedup clusters)
+    "q_mix_dsir",
+    "q_multimodal_dup_clusters",
 ]
 
 

@@ -597,3 +597,143 @@ def q_mix_dedup_priority(spark, sf_dir):
         )
         .orderBy("fingerprint")
     )
+
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+# hashed-bigram importance weights ranking raw documents by how
+# target-like they are. Target = the 'en' slice; buckets hash bigrams
+# through md5 (identical text both engines, unlike engine-native hash()).
+_DSIR_BUCKETS = 8192
+_DSIR_TOPK = 20
+
+
+@register(
+    "q_mix_dsir",
+    family="sampling",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(ws[i] || ' ' || ws[i + 1]), 1, 8))
+                  AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM toks CROSS JOIN unnest(range(1, len(ws))) AS r(i)
+    ),
+    tstat AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct
+      FROM bg WHERE lang = 'en' GROUP BY b
+    ),
+    rstat AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY b),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg WHERE lang = 'en')
+               AS nt,
+             (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nr
+    ),
+    lr AS (
+      SELECT r.b,
+             CAST(round(1e9 * ln(
+               ((coalesce(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+               / ((r.cr + 1.0) / (tot.nr + {_DSIR_BUCKETS})))) AS BIGINT)
+               AS lr9
+      FROM rstat r LEFT JOIN tstat t ON t.b = r.b CROSS JOIN tot
+    ),
+    per AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(lr.lr9) AS BIGINT) AS s9
+      FROM bg JOIN lr ON lr.b = bg.b
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_feats,
+           round(CAST(s9 AS DOUBLE) / n_feats / 1e9, 6) + 0.0
+             AS dsir_weight
+    FROM per
+    ORDER BY CAST(s9 AS DOUBLE) / n_feats DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+    doc="DSIR importance ranking (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): every raw document "
+    "scored by the mean log-ratio of hashed-bigram bucket "
+    f"probabilities (Laplace-smoothed, {_DSIR_BUCKETS} buckets) "
+    "between the TARGET distribution (the 'en' slice) and the raw "
+    "corpus — the most-target-like docs rank first, which is exactly "
+    "how production pretraining mixes select domain-matched data at "
+    "scale. Buckets hash through md5 text (identical both engines — "
+    "engine-native hash() would diverge); per-bucket log-ratios are "
+    "quantized to 1e-9 BIGINTs so each doc's sum is exact and "
+    "feature order cannot perturb it; top-k rides a (score, doc_id) "
+    "total order. Scale: one bound-ws bigram explode, two "
+    "bucket-keyed combinable aggs (bucket domain fixed at "
+    f"{_DSIR_BUCKETS}), one broadcast-able log-ratio table joined "
+    "back co-keyed — nothing pairwise, the n-gram model IS a "
+    f"{_DSIR_BUCKETS}-row table. Ref: no reference counterpart — "
+    "LLM-pipeline tier.",
+)
+def q_mix_dsir(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    toks = toks.localCheckpoint(eager=False)  # bind ws (self_bleu lesson)
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, size(ws) - 1), "
+                "slice(ws, 2, size(ws) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    bg = bg.localCheckpoint(eager=False)  # target/raw stats + join-back
+    tstat = bg.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    rstat = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tot = bg.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
+    )
+    lr = (
+        rstat.join(tstat, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                1e9
+                * F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1.0)
+                        / (F.col("nt") + _DSIR_BUCKETS)
+                    )
+                    / ((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_BUCKETS))
+                )
+            ).cast("long").alias("lr9"),
+        )
+    )
+    per = (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr9").cast("long").alias("s9"),
+        )
+    )
+    score = F.col("s9").cast("double") / F.col("n_feats")
+    return (
+        per.orderBy(score.desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.round(score / 1e9, 6) + 0.0).alias("dsir_weight"),
+        )
+    )

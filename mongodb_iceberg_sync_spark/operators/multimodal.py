@@ -505,3 +505,80 @@ def q_multimodal_aspect_bucket(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_multimodal_dup_clusters",
+    family="multimodal",
+    oracle=None,  # numpy phash kernel upstream — pinned by tests/test_multimodal.py
+    doc="Near-duplicate MEDIA clusters: q_multimodal_phash's banded "
+    "hamming pairs (aHash signatures over the payload bytes, 4x16-bit "
+    "LSH bands, bit_count verify <= 6) fed through the shared "
+    "hash-min connected-components kernel "
+    "(functions.graph_algs.connected_components — the q_dedup_clusters "
+    "engine), emitting one row per member with its cluster id (the "
+    "minimum doc_id, the deterministic canonical representative) and "
+    "the cluster size — the keep-one-per-cluster table a multimodal "
+    "pipeline dedups against, where q_multimodal_phash stops at raw "
+    "pairs. Scale: signatures are 8 bytes/payload, pair candidates "
+    "ride the band equi-join (never all-pairs), components converge "
+    "in O(log diameter) supersteps with lineage cuts; the expensive "
+    "payload bytes never shuffle. Rows-only by design (the aHash "
+    "kernel is numpy); values pinned against a pure-Python "
+    "reference + set-law invariants in tests/test_multimodal.py.",
+)
+def q_multimodal_dup_clusters(spark, sf_dir):
+    from ..functions.graph_algs import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    sigs = blobs.mapInPandas(phash64_batches(), "doc_id long, phash long")
+    sigs = sigs.localCheckpoint(eager=False)  # both band-join sides read it
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= _PHASH_MAX_HAMMING
+        )
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = connected_components(edges)  # (node, comp)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

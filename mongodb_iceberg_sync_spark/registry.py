@@ -141,6 +141,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_permutation_test",
     "q_ml_equalized_odds",
     "q_text_ngram_coverage",
+    # wave 8: target-matched data selection + media dedup clusters
+    "q_mix_dsir",
+    "q_multimodal_dup_clusters",
     # --- r8 window (all driver-checked green in CORRECTNESS_r08) ---
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",

@@ -110,3 +110,73 @@ def test_phash_matches_pure_python_reference(spark, sf_dir):
     # bands, so EVERY such pair shares a band — banding is lossless here
     for da, db, _h in expected:
         assert (da, db) in {(a, b) for a, b, _ in got}
+
+
+def test_dup_clusters_match_pure_python_union_find(spark, sf_dir):
+    """q_multimodal_dup_clusters == union-find over the pure-Python
+    reference pair set (same signatures/banding/hamming as the phash
+    reference test), with min-id canonical labels and exact sizes."""
+    import duckdb
+    import numpy as np
+
+    from mongodb_iceberg_sync_spark.operators.multimodal import (
+        _PHASH_BANDS,
+        _PHASH_BITS,
+        _PHASH_MAX_HAMMING,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    def ref_phash(text: str) -> int:
+        a = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.float64)
+        if len(a) < _PHASH_BITS:
+            a = np.pad(a, (0, _PHASH_BITS - len(a)))
+        n = (len(a) // _PHASH_BITS) * _PHASH_BITS
+        buckets = a[:n].reshape(_PHASH_BITS, -1).mean(axis=1)
+        bits = (buckets > buckets.mean()).astype(np.uint64)
+        sig = 0
+        for b in bits:
+            sig = (sig << 1) | int(b)
+        return sig
+
+    sigs = {doc_id: ref_phash(text) for doc_id, text in rows}
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = sorted(sigs)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            x = sigs[da] ^ sigs[db]
+            if bin(x).count("1") > _PHASH_MAX_HAMMING:
+                continue
+            if any(
+                (sigs[da] >> (16 * k)) & 0xFFFF == (sigs[db] >> (16 * k)) & 0xFFFF
+                for k in range(_PHASH_BANDS)
+            ):
+                union(da, db)
+
+    members: dict[int, list[int]] = {}
+    for node in list(parent):
+        members.setdefault(find(node), []).append(node)
+    expected = {
+        node: (root, len(mem))
+        for root, mem in members.items()
+        for node in mem
+    }
+
+    got = SPECS["q_multimodal_dup_clusters"].func(spark, sf_dir).collect()
+    got_map = {r.doc_id: (r.cluster_id, r.cluster_size) for r in got}
+    assert got_map == expected

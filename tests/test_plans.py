@@ -2073,3 +2073,27 @@ def test_ngram_coverage_bigram_keyed(spark, sf_dir):
     assert "documents.parquet" not in plan
     assert "ExistingRDD" in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+# ---- r9 wave-8 plan pins ----------------------------------------------
+
+
+def test_dsir_bucket_keyed_model_join(spark, sf_dir):
+    # the n-gram model is a bucket-keyed table joined back broadcast;
+    # nothing pairwise, no window
+    df = SPECS["q_mix_dsir"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "documents.parquet" not in plan  # folded into the ws checkpoint
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multimodal_dup_clusters_band_equi_join(spark, sf_dir):
+    # candidates ride the band equi-join over the checkpointed 8-byte
+    # signatures; payload bytes never join
+    df = SPECS["q_multimodal_dup_clusters"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")

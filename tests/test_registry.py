@@ -36,6 +36,7 @@ NO_ORACLE_PINS: dict[str, tuple[str, str]] = {
     "q_agg_hll_union": ("tests/test_rows_only_pins.py", ""),
     "q_text_compress_ratio": ("tests/test_text.py", ""),
     "q_multimodal_phash": ("tests/test_multimodal.py", ""),
+    "q_multimodal_dup_clusters": ("tests/test_multimodal.py", ""),
     "q_stream_foreachbatch_merge": ("tests/test_streaming.py", "foreachbatch_merge"),
     "q_sink_partitioned": ("tests/test_rows_only_pins.py", ""),
     "q_agg_approx": ("tests/test_rows_only_pins.py", ""),
