@@ -283,6 +283,9 @@ HEADLINE = [
     # round-9 debuts (wave 8: DSIR selection + media dedup clusters)
     "q_mix_dsir",
     "q_multimodal_dup_clusters",
+    # round-9 debuts (wave 9: process control + experiment sizing)
+    "q_timeseries_spc_control",
+    "q_events_power_analysis",
 ]
 
 

@@ -6337,3 +6337,271 @@ def q_timeseries_cointegration(spark, sf_dir):
         (F.round(t_adf, 6) + 0.0).alias("adf_stat"),
         (t_adf < _COINT_ADF_CRIT).alias("cointegrated"),
     )
+
+
+_SPC_SIGMAS = 3.0  # Shewhart limits
+
+
+@register(
+    "q_timeseries_spc_control",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    st AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY et
+    ),
+    lim AS (
+      SELECT et, n,
+             CAST(s1 AS DOUBLE) / n AS m,
+             sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+      FROM st
+    ),
+    flagged AS (
+      SELECT d.et, d.d, d.c, l.n, l.m, l.sd,
+             CASE WHEN d.c > l.m + {_SPC_SIGMAS} * l.sd
+                    OR d.c < l.m - {_SPC_SIGMAS} * l.sd
+                  THEN 1 ELSE 0 END AS ooc,
+             CASE WHEN CAST(d.c AS DOUBLE) * st.n > st.s1 THEN 1 ELSE 0 END
+               AS above
+      FROM daily d JOIN lim l ON l.et = d.et JOIN st ON st.et = d.et
+    ),
+    runs AS (
+      SELECT et, d, n, m, sd, ooc, above,
+             CASE WHEN lag(above) OVER (PARTITION BY et ORDER BY d) IS NULL
+                    OR lag(above) OVER (PARTITION BY et ORDER BY d) <> above
+                  THEN 1 ELSE 0 END AS strt
+      FROM flagged
+    ),
+    islands AS (
+      SELECT et, n, m, sd, ooc,
+             sum(strt) OVER (PARTITION BY et ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ),
+    runlen AS (
+      SELECT et, run_id, CAST(count(*) AS BIGINT) AS len,
+             max(n) AS n, max(m) AS m, max(sd) AS sd,
+             CAST(sum(ooc) AS BIGINT) AS ooc
+      FROM islands GROUP BY et, run_id
+    )
+    SELECT et AS event_type, CAST(max(n) AS BIGINT) AS n_days,
+           round(max(m), 6) + 0.0 AS center,
+           round(max(m) + {_SPC_SIGMAS} * max(sd), 6) + 0.0 AS ucl,
+           round(max(m) - {_SPC_SIGMAS} * max(sd), 6) + 0.0 AS lcl,
+           CAST(sum(ooc) AS BIGINT) AS n_out_of_control,
+           CAST(max(len) AS BIGINT) AS max_run_one_side
+    FROM runlen GROUP BY et ORDER BY event_type
+    """,
+    doc="Shewhart control chart per event type on the daily-count "
+    f"series: center line, +/-{_SPC_SIGMAS} sigma limits, the count "
+    "of out-of-control days (Western Electric rule 1) and the "
+    "longest same-side-of-center run (the rule-4 drift signal) — "
+    "the is-the-pipeline-in-control monitor a data-quality system "
+    "runs per metric per day, complementing q_timeseries_cusum "
+    "(which accumulates small shifts) with the classical big-shift "
+    "chart. Exactness: limits come from exact integer (n, sum, "
+    "sumsq); above-center is an integer cross-multiplication "
+    "(c*n > sum — no float threshold); runs ride one partitioned "
+    "lag + cumsum island pass over the calendar grid. Scale: one "
+    "combinable daily rollup; every window partitions by series. "
+    "Ref: no reference counterpart — timeseries tier.",
+)
+def q_timeseries_spc_control(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # stats + flag pass read it
+    st = daily.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n") - m * m)
+    lim = st.select("et", "n", "s1", m.alias("m"), sd.alias("sd"))
+    flagged = daily.join(F.broadcast(lim), "et").select(
+        "et",
+        "d",
+        "n",
+        "m",
+        "sd",
+        F.when(
+            (F.col("c") > F.col("m") + _SPC_SIGMAS * F.col("sd"))
+            | (F.col("c") < F.col("m") - _SPC_SIGMAS * F.col("sd")),
+            1,
+        ).otherwise(0).alias("ooc"),
+        F.when(
+            F.col("c").cast("double") * F.col("n") > F.col("s1"), 1
+        ).otherwise(0).alias("above"),
+    )
+    wd = Window.partitionBy("et").orderBy("d")
+    runs = flagged.select(
+        "et",
+        "d",
+        "n",
+        "m",
+        "sd",
+        "ooc",
+        F.when(
+            F.lag("above").over(wd).isNull()
+            | (F.lag("above").over(wd) != F.col("above")),
+            1,
+        ).otherwise(0).alias("strt"),
+    )
+    wc = Window.partitionBy("et").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = runs.select(
+        "et", "n", "m", "sd", "ooc", F.sum("strt").over(wc).alias("run_id")
+    )
+    runlen = islands.groupBy("et", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.max("sd").alias("sd"),
+        F.sum("ooc").cast("long").alias("ooc"),
+    )
+    return (
+        runlen.groupBy("et")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            (F.round(F.max("m"), 6) + 0.0).alias("center"),
+            (F.round(F.max("m") + _SPC_SIGMAS * F.max("sd"), 6) + 0.0).alias(
+                "ucl"
+            ),
+            (F.round(F.max("m") - _SPC_SIGMAS * F.max("sd"), 6) + 0.0).alias(
+                "lcl"
+            ),
+            F.sum("ooc").cast("long").alias("n_out_of_control"),
+            F.max("len").cast("long").alias("max_run_one_side"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            "n_days",
+            "center",
+            "ucl",
+            "lcl",
+            "n_out_of_control",
+            "max_run_one_side",
+        )
+        .orderBy("event_type")
+    )
+
+
+_POWER_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+_POWER_MDES = "0.01, 0.02, 0.05, 0.10"  # absolute rate lifts to detect
+
+
+@register(
+    "q_events_power_analysis",
+    family="events",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                               1, 4)) AS BIGINT) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= {_UPLIFT_VAL}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(conv) AS BIGINT) AS conv_c
+      FROM u WHERE arm = 'control'
+    ),
+    grid AS (
+      SELECT CAST(unnest([{_POWER_MDES}]) AS DOUBLE) AS mde
+    ),
+    calc AS (
+      SELECT g.mde, b.n_c,
+             CAST(b.conv_c AS DOUBLE) / b.n_c AS p1,
+             CAST(b.conv_c AS DOUBLE) / b.n_c + g.mde AS p2
+      FROM grid g CROSS JOIN base b
+    )
+    SELECT mde,
+           round(p1, 6) + 0.0 AS baseline_rate,
+           CAST(ceil(
+             ({_POWER_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2)
+                                      * (1.0 - (p1 + p2) / 2))
+              + {_POWER_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             * ({_POWER_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2)
+                                        * (1.0 - (p1 + p2) / 2))
+                + {_POWER_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             / (mde * mde)) AS BIGINT) AS n_per_arm,
+           CAST(ceil(
+             ({_POWER_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2)
+                                      * (1.0 - (p1 + p2) / 2))
+              + {_POWER_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             * ({_POWER_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2)
+                                        * (1.0 - (p1 + p2) / 2))
+                + {_POWER_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             / (mde * mde)) AS BIGINT) <= n_c AS feasible_now
+    FROM calc ORDER BY mde
+    """,
+    doc="Two-proportion power analysis over an MDE grid: from the "
+    "OBSERVED control-arm conversion baseline (same md5 split and "
+    "value-thresholded outcome as q_events_uplift), the required "
+    "sample per arm to detect each absolute lift at alpha = 0.05 "
+    "two-sided / 80% power (pooled-variance normal approximation — "
+    "the standard pre-experiment sizing formula), plus whether the "
+    "CURRENT arm already clears it — the before-you-launch companion "
+    "to q_events_uplift's after-the-fact readout; together with "
+    "q_events_sequential_msprt they cover the experiment lifecycle. "
+    "Exactness: the baseline is one exact-integer division; z "
+    "quantiles are exact literals; n_per_arm is one ceil'd float "
+    "expression per grid row. Scale: one per-user rollup; the MDE "
+    "grid is 4 literal rows. Ref: no reference counterpart — events "
+    "tier.",
+)
+def q_events_power_analysis(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _UPLIFT_VAL),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).select(F.when(bucket < 50, "control").otherwise("treatment").alias("arm"), "conv")
+    base = u.filter(F.col("arm") == "control").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("conv").cast("long").alias("conv_c"),
+    )
+    grid = spark.createDataFrame(
+        [(float(x),) for x in _POWER_MDES.split(", ")], "mde double"
+    )
+    calc = grid.crossJoin(F.broadcast(base)).select(
+        "mde",
+        "n_c",
+        (F.col("conv_c").cast("double") / F.col("n_c")).alias("p1"),
+        (F.col("conv_c").cast("double") / F.col("n_c") + F.col("mde")).alias("p2"),
+    )
+    pbar = (F.col("p1") + F.col("p2")) / 2
+    root = F.lit(_POWER_Z_ALPHA) * F.sqrt(2.0 * pbar * (1.0 - pbar)) + F.lit(
+        _POWER_Z_BETA
+    ) * F.sqrt(
+        F.col("p1") * (1.0 - F.col("p1")) + F.col("p2") * (1.0 - F.col("p2"))
+    )
+    n_req = F.ceil(root * root / (F.col("mde") * F.col("mde"))).cast("long")
+    return calc.select(
+        "mde",
+        (F.round("p1", 6) + 0.0).alias("baseline_rate"),
+        n_req.alias("n_per_arm"),
+        (n_req <= F.col("n_c")).alias("feasible_now"),
+    ).orderBy("mde")

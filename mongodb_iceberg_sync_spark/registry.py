@@ -144,6 +144,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # wave 8: target-matched data selection + media dedup clusters
     "q_mix_dsir",
     "q_multimodal_dup_clusters",
+    # wave 9: process control + experiment sizing
+    "q_timeseries_spc_control",
+    "q_events_power_analysis",
     # --- r8 window (all driver-checked green in CORRECTNESS_r08) ---
     "q_events_heatmap_dow_hour",
     "q_sim_cos_histogram",

@@ -2097,3 +2097,24 @@ def test_multimodal_dup_clusters_band_equi_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ExistingRDD" in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+# ---- r9 wave-9 plan pins ----------------------------------------------
+
+
+def test_spc_control_windows_partitioned(spark, sf_dir):
+    df = SPECS["q_timeseries_spc_control"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(et" in line, line
+
+
+def test_power_analysis_broadcast_baseline(spark, sf_dir):
+    # the observed baseline is a 1-row broadcast against the literal
+    # MDE grid; the fact feeds one per-user rollup
+    df = SPECS["q_events_power_analysis"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan

@@ -302,3 +302,20 @@ def test_multimodal_dup_clusters_canonical_labels(spark, sf_dir):
         assert cid == min(m.doc_id for m in members)
         assert all(m.cluster_size == len(members) for m in members)
         assert len(members) >= 2  # singletons never enter the pair graph
+
+
+def test_spc_control_limit_geometry(spark, sf_dir):
+    for r in rows(spark, sf_dir, "q_timeseries_spc_control"):
+        assert r.lcl <= r.center <= r.ucl
+        assert r.n_out_of_control <= r.n_days
+        assert 1 <= r.max_run_one_side <= r.n_days
+
+
+def test_power_analysis_monotone_in_mde(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_events_power_analysis")
+    assert len(got) == 4
+    # detecting a smaller lift always needs MORE samples
+    ns = [r.n_per_arm for r in got]  # rows ordered by mde ascending
+    assert ns == sorted(ns, reverse=True)
+    for r in got:
+        assert r.n_per_arm > 0 and 0.0 <= r.baseline_rate <= 1.0
