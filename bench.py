@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {slowest-10},
- "n_queries": N, "queries_full": "BENCH_local.json", "sf": ...}
+ "n_queries": N, "queries_full": "BENCH_local.json", "sf": ...,
+ "canary": {query, start_sec, middle_sec, end_sec, spread}}
 and writes the full per-query timing map to BENCH_local.json (the single
 line must stay small enough for the round driver's output capture).
+
+The canary block makes capture drift self-adjudicating: the same cheap
+query is timed solo at capture start/middle/end; a spread past ~1.3x
+marks the whole capture co-tenant-skewed (identical code + plan measured
+three times — the only variable is ambient machine load).
 """
 
 from __future__ import annotations
@@ -289,7 +295,9 @@ HEADLINE = [
 ]
 
 
-def compact_payloads(timings: dict[str, float], sf) -> tuple[dict, dict]:
+def compact_payloads(
+    timings: dict[str, float], sf, canary: dict | None = None
+) -> tuple[dict, dict]:
     """(single-line payload, sidecar payload). The single line must stay
     SMALL whatever the query count — r4's full per-query map overflowed
     the round driver's output capture (BENCH parsed null); pinned by
@@ -313,7 +321,18 @@ def compact_payloads(timings: dict[str, float], sf) -> tuple[dict, dict]:
         "queries_full": "BENCH_local.json",
         "sf": sf,
     }
+    if canary is not None:
+        full["canary"] = canary
+        line["canary"] = canary
     return line, full
+
+
+def _run_once(spark, specs, name: str, sf_dir: str) -> float:
+    """One timed execution through the noop sink (forces full evaluation
+    of every column JVM-side; df.count() would let Catalyst prune)."""
+    start = time.perf_counter()
+    specs[name].func(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - start
 
 
 def main() -> None:
@@ -322,25 +341,45 @@ def main() -> None:
     spark = get_spark(app_name="mis-bench")
     specs = all_specs()
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footer caches with one cheap action
-    specs["q_agg_groupby"].func(spark, sf_dir).collect()
-    for name in HEADLINE:
+    # Warm-up (UNTIMED): the first heavy queries of a cold session absorb
+    # ~2x cold-path cost (JVM JIT, parquet footer caches, shuffle service,
+    # Python/Arrow worker pool). Warm all three execution paths once
+    # through the same noop sink the timed loop uses.
+    for warm in ("q_agg_groupby", "q_join_shuffle", "q_udf_map_arrow"):
+        _run_once(spark, specs, warm, sf_dir)
+    # Canary: one fixed cheap query timed solo at capture start / middle /
+    # end. The spread adjudicates co-tenancy drift mechanically: identical
+    # code, identical plan, three points in time — a spread past ~1.3x
+    # marks the WHOLE capture co-tenant-skewed (see SCALE.md drift ledger).
+    canary_q = "q_agg_groupby"
+
+    def canary_point() -> float:
+        # min-of-2, symmetric with the timed loop (a single cold-ish run
+        # at capture start would systematically inflate the spread)
+        return round(min(_run_once(spark, specs, canary_q, sf_dir) for _ in range(2)), 3)
+
+    canary_times = [canary_point()]
+    half = len(HEADLINE) // 2
+    for i, name in enumerate(HEADLINE):
+        if i == half:
+            canary_times.append(canary_point())
         # best of 2: this single-JVM box shares CPUs with co-tenants and
         # shows 2x run-to-run noise on wide 32-task stages; min-of-
         # repeats is the standard way to report the machine-limited
         # number rather than the noisiest co-tenant's
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df = specs[name].func(spark, sf_dir)
-            # noop sink forces full evaluation of every column JVM-side
-            # (df.count() would let Catalyst prune the computed projections)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
+        best = min(_run_once(spark, specs, name, sf_dir) for _ in range(2))
         timings[name] = round(best, 3)
+    canary_times.append(canary_point())
+    canary = {
+        "query": canary_q,
+        "start_sec": canary_times[0],
+        "middle_sec": canary_times[1],
+        "end_sec": canary_times[2],
+        "spread": round(max(canary_times) / max(min(canary_times), 1e-9), 3),
+    }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
     line, full = compact_payloads(
-        timings, float(sf) if sf.replace(".", "").isdigit() else sf
+        timings, float(sf) if sf.replace(".", "").isdigit() else sf, canary
     )
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

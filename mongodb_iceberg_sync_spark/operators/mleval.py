@@ -2086,8 +2086,14 @@ def q_ml_brier_decomp(spark, sf_dir):
         F.max("score").cast("long").alias("mx"),
     )
     f = (F.col("score") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn"))
+    # Bin expr is textually identical to the oracle's
+    # floor((score-mn)*10.0/(mx-mn)) — NOT floor(f*10.0): the two
+    # double-rounding orders can land a boundary score in different bins.
+    bin_expr = F.floor(
+        (F.col("score") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))
+    )
     binned = ex.crossJoin(F.broadcast(rng)).select(
-        F.least(F.floor(f * 10.0).cast("long"), F.lit(9)).alias("bin"),
+        F.least(bin_expr.cast("long"), F.lit(9)).alias("bin"),
         "label",
         f.alias("f"),
     )

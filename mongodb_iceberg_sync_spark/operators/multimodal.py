@@ -295,6 +295,13 @@ def q_multimodal_dedup(spark, sf_dir):
 _PHASH_BITS = 64
 _PHASH_BANDS = 4  # 16 bits each — one collision band ⇒ candidate
 _PHASH_MAX_HAMMING = 6
+# Per-(band,val) bucket cap for the dup-clusters candidate join — the
+# same valve every text-LSH sibling carries (operators/dedup.py
+# MAX_LSH_BUCKET): a degenerate band value (constant-payload boilerplate
+# media) makes one bucket quadratic at 100 TB; standard LSH practice
+# skips buckets above the cap. Mirrored in the union-find pin
+# (tests/test_multimodal.py) and exercised by a synthetic hot-bucket test.
+_PHASH_MAX_BUCKET = 64
 
 
 def phash64_batches():
@@ -521,7 +528,10 @@ def q_multimodal_aspect_bucket(spark, sf_dir):
     "the cluster size — the keep-one-per-cluster table a multimodal "
     "pipeline dedups against, where q_multimodal_phash stops at raw "
     "pairs. Scale: signatures are 8 bytes/payload, pair candidates "
-    "ride the band equi-join (never all-pairs), components converge "
+    "ride the band equi-join (never all-pairs) behind a per-(band,val) "
+    "bucket cap (_PHASH_MAX_BUCKET=64, the text-LSH valve mirrored: "
+    "degenerate boilerplate buckets are quadratic and are dropped "
+    "whole), components converge "
     "in O(log diameter) supersteps with lineage cuts; the expensive "
     "payload bytes never shuffle. Rows-only by design (the aHash "
     "kernel is numpy); values pinned against a pure-Python "
@@ -551,6 +561,19 @@ def q_multimodal_dup_clusters(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    # Oversized-bucket valve (r10, VERDICT r9 task #3): drop band rows in
+    # buckets past _PHASH_MAX_BUCKET before the self-join — a hot
+    # (band,val) is quadratic in candidates at 100 TB. Bucket counting is
+    # a map-side-combinable agg; the hot set is tiny → broadcast
+    # anti-join, no extra shuffle on the signature side. Mirrored in the
+    # union-find pin (tests/test_multimodal.py).
+    hot = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _PHASH_MAX_BUCKET)
+        .select("band", "val")
+    ).localCheckpoint(eager=True)  # computed once, read by both join sides
+    bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

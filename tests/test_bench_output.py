@@ -28,6 +28,23 @@ def test_single_line_stays_small_at_any_query_count():
     assert line["value"] == full["value"] == round(sum(timings.values()), 3)
 
 
+def test_canary_rides_both_payloads_and_line_stays_small():
+    timings = {f"q{i}": float(i) for i in range(300)}
+    canary = {
+        "query": "q_agg_groupby",
+        "start_sec": 0.21,
+        "middle_sec": 0.33,
+        "end_sec": 0.25,
+        "spread": 1.571,
+    }
+    line, full = bench.compact_payloads(timings, 0.1, canary)
+    assert line["canary"] == canary and full["canary"] == canary
+    assert len(json.dumps(line)) < 2048
+    # canary omitted → payloads unchanged (back-compat with r1-r9 shape)
+    line2, full2 = bench.compact_payloads(timings, 0.1)
+    assert "canary" not in line2 and "canary" not in full2
+
+
 def test_slowest_ten_are_the_actual_slowest():
     timings = {f"q{i}": float(i) for i in range(40)}
     line, _ = bench.compact_payloads(timings, 0.01)

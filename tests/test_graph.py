@@ -109,16 +109,19 @@ def _numpy_hits(edge_list):
     auths = sorted({d for _, d in directed})
     hi = {n: i for i, n in enumerate(hubs)}
     ai = {n: i for i, n in enumerate(auths)}
+    # lockstep with the operator's r10 schedule: unnormalized half-steps,
+    # one mid-loop rescale (magnitude guard), one final L1 normalization
     h = np.ones(len(hubs))
-    for _ in range(_HITS_ITERS):
+    for i in range(_HITS_ITERS):
         a = np.zeros(len(auths))
         for s, d in directed:
             a[ai[d]] += h[hi[s]]
-        a /= a.sum()
         h = np.zeros(len(hubs))
         for s, d in directed:
             h[hi[s]] += a[ai[d]]
-        h /= h.sum()
+        if i == _HITS_ITERS // 2 - 1:
+            h /= h.sum()
+    h /= h.sum()
     return {n: h[hi[n]] for n in hubs}
 
 

@@ -122,6 +122,7 @@ def test_dup_clusters_match_pure_python_union_find(spark, sf_dir):
     from mongodb_iceberg_sync_spark.operators.multimodal import (
         _PHASH_BANDS,
         _PHASH_BITS,
+        _PHASH_MAX_BUCKET,
         _PHASH_MAX_HAMMING,
     )
 
@@ -142,6 +143,12 @@ def test_dup_clusters_match_pure_python_union_find(spark, sf_dir):
         return sig
 
     sigs = {doc_id: ref_phash(text) for doc_id, text in rows}
+    # mirror the operator's oversized-bucket valve: band rows in hot
+    # (band,val) buckets never enter the candidate join
+    buckets = Counter()
+    for sig in sigs.values():
+        for k in range(_PHASH_BANDS):
+            buckets[(k, (sig >> (16 * k)) & 0xFFFF)] += 1
     parent: dict[int, int] = {}
 
     def find(x):
@@ -164,6 +171,8 @@ def test_dup_clusters_match_pure_python_union_find(spark, sf_dir):
                 continue
             if any(
                 (sigs[da] >> (16 * k)) & 0xFFFF == (sigs[db] >> (16 * k)) & 0xFFFF
+                and buckets[(k, (sigs[da] >> (16 * k)) & 0xFFFF)]
+                <= _PHASH_MAX_BUCKET
                 for k in range(_PHASH_BANDS)
             ):
                 union(da, db)
@@ -180,3 +189,30 @@ def test_dup_clusters_match_pure_python_union_find(spark, sf_dir):
     got = SPECS["q_multimodal_dup_clusters"].func(spark, sf_dir).collect()
     got_map = {r.doc_id: (r.cluster_id, r.cluster_size) for r in got}
     assert got_map == expected
+
+
+def test_dup_clusters_hot_bucket_valve(spark, tmp_path):
+    """The r10 per-(band,val) bucket valve drops degenerate buckets from
+    the candidate join entirely: a boilerplate blob repeated past
+    _PHASH_MAX_BUCKET emits NO pairs, while a small distinct cluster in
+    the same table is untouched (exactness below the cap)."""
+    from mongodb_iceberg_sync_spark.operators.multimodal import (
+        _PHASH_MAX_BUCKET,
+        q_multimodal_dup_clusters,
+    )
+
+    # constant payload => aHash buckets all equal the mean => phash 0 for
+    # every copy: one (band, 0) bucket of size cap+6 on all four bands
+    boiler = [(i, "z" * 200) for i in range(_PHASH_MAX_BUCKET + 6)]
+    # varied payload => nonzero phash, identical for both copies: a
+    # 2-member bucket per band, far below the cap
+    varied_text = "".join(chr(65 + (i * 7) % 26) * 3 for i in range(80))
+    varied = [(10_000, varied_text), (10_001, varied_text)]
+    docs = spark.createDataFrame(boiler + varied, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = q_multimodal_dup_clusters(spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.cluster_id, r.cluster_size) for r in got} == {
+        (10_000, 10_000, 2),
+        (10_001, 10_000, 2),
+    }

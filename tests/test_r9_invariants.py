@@ -8,6 +8,8 @@ implementation bug would violate while still hash-matching.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mongodb_iceberg_sync_spark.registry import all_specs
@@ -319,3 +321,27 @@ def test_power_analysis_monotone_in_mde(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
     for r in got:
         assert r.n_per_arm > 0 and 0.0 <= r.baseline_rate <= 1.0
+
+
+# ---- fixture-cardinality pins backing hardcoded dfs (ADVICE r9) ---------
+#
+# q_agg_kruskal bakes the even-df chi-square survival at m=2 (df=4, i.e.
+# k=5 groups), q_agg_g_test at m=12 (df=24 = (5-1)x(7-1)), and the
+# Tukey/Dunn significance literals are the k=5 critical values. k and df
+# are computed FROM data, so parity with the oracle holds at any
+# cardinality — but the emitted p-value would silently ride the wrong df
+# if a fixture ever shipped a different event_type/day-of-week domain.
+# Pin the domain on EVERY fixture SF so a fixture change turns the stale
+# hardcoded df into a visible failure, not a wrong p-value.
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_fixture_domains_back_hardcoded_dfs(spark, sf):
+    path = f"/root/testdata/{sf}/events.parquet"
+    if not os.path.isdir(path) and not os.path.exists(path):
+        pytest.skip(f"{path} absent in this environment")
+    ev = spark.read.parquet(path)
+    k = ev.select("event_type").distinct().count()
+    dw = ev.selectExpr("dayofweek(ts) AS dw").distinct().count()
+    assert k == 5, "kruskal m=2 / tukey+dunn k=5 literals assume 5 groups"
+    assert dw == 7, "g_test m=12 (df=24) assumes a full 7-day week"
