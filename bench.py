@@ -292,6 +292,11 @@ HEADLINE = [
     # round-9 debuts (wave 9: process control + experiment sizing)
     "q_timeseries_spc_control",
     "q_events_power_analysis",
+    # round-10 debuts (wave 1: oracle-checkable MinHash + LSH audit +
+    # multi-probe IVF)
+    "q_dedup_minhash",
+    "q_profile_lsh_buckets",
+    "q_dedup_semantic_ivf_mp",
 ]
 
 

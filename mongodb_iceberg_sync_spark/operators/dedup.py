@@ -1305,3 +1305,400 @@ def q_dedup_semantic_ivf(spark, sf_dir):
         F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
         (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 1: the md5-MinHash twin (VERDICT r9 task #4a), the per-band
+# bucket audit (#4c), and multi-probe IVF (#4b).
+# ---------------------------------------------------------------------------
+
+_MINHASH_SHINGLE_SQL = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+      FROM toks
+    ),
+    mh AS (
+      SELECT doc_id, k, min(md5(s || '|' || CAST(k AS VARCHAR))) AS h
+      FROM sh CROSS JOIN range(16) t(k)
+      GROUP BY doc_id, k
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY k) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS BIGINT) AS band_id,
+             md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' ||
+                 sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
+      FROM sig CROSS JOIN range(4) t(b)
+    )
+"""
+
+
+def _minhash_md5_bands(spark, sf_dir):
+    """(doc_id, sig: array<string>, band_id, band_hash) — the md5-MinHash
+    banding shared by q_dedup_minhash and q_profile_lsh_buckets.
+
+    Engine-neutral construction (the q_agg_countmin precedent): every
+    hash is md5 of an explicit string, so DuckDB reproduces the ENTIRE
+    signature bit-for-bit and the full MinHash+LSH pipeline sits under
+    the cross-engine hash gate — where q_dedup_near's xxhash64 family is
+    engine-specific and rides a rows-only stamp. Production swap:
+    xxhash64 integer hashing (q_dedup_near) is ~10x cheaper per shingle;
+    the two operators are otherwise the same shape.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= 3
+    )
+    ss = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("l", i),
+                    F.element_at("l", i + 1),
+                    F.element_at("l", i + 2),
+                ),
+            )
+        ).alias("ss"),
+    )
+    # the exchange is the binding barrier (the shingled_docs lesson:
+    # CollapseProject would re-inline the shingle expression into each of
+    # the 16 minhash lambdas) and spreads signature compute across cores
+    ss = spread(ss)
+    sig = ss.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("ss"),
+                    lambda s: F.md5(
+                        F.concat(s, F.lit("|"), k.cast("string")).cast("binary")
+                    ),
+                )
+            ),
+        ).alias("sig"),
+    ).localCheckpoint(eager=True)  # bucket scan + both join sides read it
+    rows_per_band = N_MINHASH // N_BANDS
+    return sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            ).cast("binary")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+
+@register(
+    "q_dedup_minhash",
+    family="dedup",
+    oracle=f"""
+    WITH {_MINHASH_SHINGLE_SQL},
+    hot AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY band_id, band_hash HAVING count(*) > {MAX_LSH_BUCKET}
+    ),
+    pruned AS (
+      SELECT bands.* FROM bands ANTI JOIN hot USING (band_id, band_hash)
+    ),
+    cp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pruned a JOIN pruned b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT cp.doc_a, cp.doc_b,
+             round(CAST((SELECT count(*) FROM range(1, 17) r(i)
+                         WHERE sa.sig[i] = sb.sig[i]) AS DOUBLE) / 16,
+                   4) AS est_jaccard
+      FROM cp JOIN sig sa ON sa.doc_id = cp.doc_a
+              JOIN sig sb ON sb.doc_id = cp.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard + 0.0 AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.25
+    """,
+    doc="MinHash+LSH near-dup candidates with an ENGINE-NEUTRAL hash "
+    "family — the oracle-checkable twin of q_dedup_near (VERDICT r9 "
+    "task #4a; the q_agg_countmin/_fast precedent): word-3-gram "
+    "shingle STRINGS -> 16 minhashes h_k = min over shingles of "
+    "md5(shingle || '|' || k) -> 4 bands of 4 -> band_hash = md5 of "
+    "the joined quarter-signature -> bucket equi-join on "
+    "(band_id, band_hash) behind the MAX_LSH_BUCKET=64 valve -> "
+    "est_jaccard = positionwise signature agreement / 16 (exact "
+    "multiples of 2^-4, so round(4) is lossless), threshold 0.25. "
+    "Every stage is deterministic identical text on both engines, so "
+    "the FULL signature pipeline hash-matches where q_dedup_near's "
+    "xxhash64 is engine-specific (rows-only). Production swap: "
+    "xxhash64 integer hashing is ~10x cheaper per shingle — same "
+    "shape, different hash family; keep this md5 twin as the "
+    "correctness witness. Scale: signatures are one map pass behind "
+    "a spread barrier; the only corpus-wide shuffles are that barrier "
+    "and the band-bucket join; hot buckets are dropped whole "
+    "(broadcast anti-join). Ref: no reference counterpart — "
+    "LLM-pipeline tier.",
+)
+def q_dedup_minhash(spark, sf_dir):
+    bands = _minhash_md5_bands(spark, sf_dir)
+    hot = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > MAX_LSH_BUCKET)
+        .select("band_id", "band_hash")
+    ).localCheckpoint(eager=True)  # computed once, read by both join sides
+    pruned = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree.cast("double") / N_MINHASH, 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.25)
+
+
+@register(
+    "q_profile_lsh_buckets",
+    family="dedup",
+    oracle=f"""
+    WITH {_MINHASH_SHINGLE_SQL},
+    bs AS (
+      SELECT band_id, band_hash, CAST(count(*) AS BIGINT) AS n
+      FROM bands GROUP BY band_id, band_hash
+    )
+    SELECT band_id,
+           CAST(count(*) AS BIGINT)  AS n_buckets,
+           CAST(sum(n) AS BIGINT)    AS n_docs,
+           CAST(max(n) AS BIGINT)    AS max_bucket,
+           CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT)           AS n_hot_buckets,
+           CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN n ELSE 0 END)
+                AS BIGINT)           AS n_hot_docs
+    FROM bs GROUP BY band_id ORDER BY band_id
+    """,
+    doc="LSH band-bucket audit (VERDICT r9 task #4c): per band of the "
+    "md5-MinHash banding, the bucket count, total banded docs, largest "
+    "bucket, and how many buckets/docs sit above the MAX_LSH_BUCKET=64 "
+    "valve — the observability query that tells an operator how much "
+    "of the corpus the dedup valve is dropping BEFORE they tune the "
+    "cap (a hot share near zero means the valve is dormant; a large "
+    "share means boilerplate dominates and the threshold or shingle "
+    "size needs attention). Scale: one map-side-combinable rollup on "
+    "(band_id, band_hash) then a 4-row rollup — no joins, no pair "
+    "explosion; the audit is strictly cheaper than the dedup it "
+    "guards. Ref: no reference counterpart — LLM-pipeline tier.",
+)
+def q_profile_lsh_buckets(spark, sf_dir):
+    bands = _minhash_md5_bands(spark, sf_dir)
+    bs = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        bs.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("n") > MAX_LSH_BUCKET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hot_buckets"),
+            F.sum(F.when(F.col("n") > MAX_LSH_BUCKET, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_hot_docs"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@register(
+    "q_dedup_semantic_ivf_mp",
+    family="dedup",
+    oracle=f"""
+    WITH nn AS (
+      SELECT greatest({_IVF_MIN_K}, least({_IVF_MAX_K},
+               CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) AS rnk
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT r.vec_id AS cid, r.embedding AS cv
+      FROM ranked r CROSS JOIN nn WHERE r.rnk <= nn.k
+    ),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * cent.cv[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> cent.cv[i]::DOUBLE * cent.cv[i]::DOUBLE)))),
+               6) AS cs
+      FROM embeddings e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell, r FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS r
+        FROM scored
+      ) WHERE r <= 2
+    ),
+    b AS (
+      SELECT a.vec_id, a.cell, e.embedding
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    p AS (
+      SELECT DISTINCT lo.vec_id AS id_a, hi.vec_id AS id_b
+      FROM b lo JOIN b hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      WHERE round(
+              list_sum(list_transform(range(1, 65),
+                       i -> lo.embedding[i]::DOUBLE * hi.embedding[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> lo.embedding[i]::DOUBLE * lo.embedding[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> hi.embedding[i]::DOUBLE * hi.embedding[i]::DOUBLE)))),
+              6) >= {_IVF_TAU}
+    ),
+    dup AS (
+      SELECT id_b AS vec_id, count(*) AS n_dups FROM p GROUP BY id_b
+    ),
+    prim AS (
+      SELECT vec_id,
+             max(CASE WHEN r = 1 THEN cell END) AS cell,
+             max(CASE WHEN r = 2 THEN cell END) AS cell2
+      FROM assign GROUP BY vec_id
+    )
+    SELECT prim.vec_id, prim.cell, prim.cell2,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(d.n_dups, 0) = 0             AS kept
+    FROM prim LEFT JOIN dup d ON prim.vec_id = d.vec_id
+    """,
+    doc="Multi-probe IVF SemDedup — q_dedup_semantic_ivf's documented "
+    "recall valve promoted to a real operator (VERDICT r9 task #4b): "
+    "every vector is assigned to its TWO nearest centroids (round-6 "
+    "cosine, ties to the lower cid — numpy stable argsort over "
+    "cid-ascending codebook columns IS the oracle's (cs DESC, cid) "
+    "tie-break), so a near-dup pair straddling a cell boundary is "
+    "caught whenever either vector's second probe lands in the "
+    "other's cell — single-probe IVF's one recall failure mode. "
+    "Pairs are deduped across shared cells before counting; output "
+    "carries both probes (cell, cell2) so the recall gain is "
+    "auditable against q_dedup_semantic_ivf (invariant: multi-probe "
+    "n_dups >= single-probe n_dups per vector — pinned in "
+    "tests/test_r10_invariants.py). Scale: assignment stays one "
+    "mapInPandas GEMM against the K x d broadcast codebook; the pair "
+    "stage is the same cell-keyed pairwise_cosine_gemm on a 2x "
+    "replicated corpus — within-cell pair work rises ~4x worst-case "
+    "over single-probe (the standard multi-probe recall/cost trade), "
+    "still n^2/K-bounded, never all-pairs. Ref: no reference "
+    "counterpart — LLM-pipeline tier.",
+)
+def q_dedup_semantic_ivf_mp(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from ..functions.vector import pairwise_cosine_gemm
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.localCheckpoint(eager=False)  # count + codebook + assignment + GEMM
+    n_vec = e.count()
+    if n_vec == 0:  # empty corpus: no codebook to build, empty result
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cell bigint, cell2 bigint, n_dups bigint, kept boolean",
+        )
+    k = max(_IVF_MIN_K, min(_IVF_MAX_K, math.ceil(math.sqrt(n_vec))))
+    cent = e.orderBy("vec_id").limit(k).collect()
+    nprobe = min(2, len(cent))
+    cid_arr = np.array([r.vec_id for r in cent], dtype=np.int64)
+    cmat = np.array([r.embedding for r in cent], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cid_arr, cmat, cnorm, nprobe))
+
+    def assign2(batches):
+        import numpy as np  # noqa: PLC0415 — by-value closure
+        import pandas as pd
+
+        cids, cm, cn, npr = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            sims = np.round((x @ cm.T) / (xn[:, None] * cn[None, :]), 6)
+            # stable argsort on -sims: ties keep column order = cid
+            # ascending — exactly the oracle's (cs DESC, cid) tie-break
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
+            vids = pdf["vec_id"].to_numpy()
+            out = {
+                "vec_id": np.repeat(vids, npr),
+                "cell": cids[order].reshape(-1),
+                "rnk": np.tile(np.arange(1, npr + 1), len(vids)),
+            }
+            yield pd.DataFrame(out)
+
+    assigned = e.mapInPandas(assign2, "vec_id bigint, cell bigint, rnk int")
+    assigned = assigned.localCheckpoint(eager=False)  # pairs + prim read it
+    b = e.join(assigned.select("vec_id", "cell"), "vec_id")
+    pairs = pairwise_cosine_gemm(
+        b, "vec_id", "embedding", threshold=_IVF_TAU, label_col="cell"
+    ).dropDuplicates(["id_a", "id_b"])  # a pair can share BOTH probes
+    dup = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    prim = assigned.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("rnk") == 2, F.col("cell"))).alias("cell2"),
+    )
+    return prim.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "cell2",
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
+    )

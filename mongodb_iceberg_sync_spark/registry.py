@@ -98,9 +98,16 @@ def _load_all_operator_modules() -> None:
 # guaranteed no matter how many debuts land (tests/test_registry.py
 # window invariant).
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- r9 debuts lead the window (every r1-r8 name is driver-checked
-    #     as of CORRECTNESS_r08; each r9 row arrives checklist-complete:
-    #     oracle + plan pin + bench entry + 100x probe + SURVEY row) ---
+    # --- r10 debuts lead the window (every r1-r9 name is driver-checked
+    #     as of CORRECTNESS_r09: 427/427 green; each r10 row arrives
+    #     checklist-complete: oracle + plan pin + bench entry + 100x
+    #     probe + SURVEY row) ---
+    # wave 1: the md5-MinHash oracle-checkable twin, the LSH bucket
+    # audit, multi-probe IVF (VERDICT r9 task #4 a/b/c)
+    "q_dedup_minhash",
+    "q_profile_lsh_buckets",
+    "q_dedup_semantic_ivf_mp",
+    # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",
     "q_agg_jarque_bera",

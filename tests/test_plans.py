@@ -2118,3 +2118,43 @@ def test_power_analysis_broadcast_baseline(spark, sf_dir):
     assert plan.count("events.parquet") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# ---- r10 wave-1 plan pins -----------------------------------------------
+
+
+def test_minhash_md5_candidates_equi_join_on_checkpointed_sigs(spark, sf_dir):
+    # signatures are checkpointed once (ExistingRDD); candidates ride a
+    # hash equi-join on (band_id, band_hash) — never a nested loop
+    df = SPECS["q_dedup_minhash"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_lsh_bucket_audit_no_joins(spark, sf_dir):
+    # the audit is two rollups over the checkpointed banding — strictly
+    # cheaper than the dedup it guards: no join of any kind
+    df = SPECS["q_profile_lsh_buckets"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_multiprobe_ivf_cell_blocked(spark, sf_dir):
+    # same contract as single-probe: assignment folds behind the lazy
+    # checkpoint; the pair stage is an EQUI-join keyed on the cell
+    df = SPECS["q_dedup_semantic_ivf_mp"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
