@@ -297,6 +297,19 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_profile_lsh_buckets",
     "q_dedup_semantic_ivf_mp",
+    # round-10 debuts (wave 2: nonparametric k-group inference)
+    "q_agg_mood_median",
+    "q_agg_cochran_q",
+    "q_agg_friedman",
+    "q_agg_jonckheere",
+    "q_agg_cliffs_delta",
+    # round-10 debuts (wave 3: scoring rules + retrieval ranking)
+    "q_ml_log_loss",
+    "q_ml_spiegelhalter_z",
+    "q_ml_fbeta",
+    "q_ml_youden_optimal",
+    "q_ml_mrr",
+    "q_ml_map",
 ]
 
 

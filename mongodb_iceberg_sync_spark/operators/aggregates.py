@@ -5921,3 +5921,638 @@ def q_agg_permutation_test(spark, sf_dir):
             + 0.0
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 2: nonparametric k-group inference (Mood's median test,
+# Cochran's Q, Friedman, Jonckheere-Terpstra trend, Cliff's delta). Same
+# discipline as the r8/r9 statistics waves: exact integer sufficient
+# statistics on cent-quantized domains, quantize-before-sum for any
+# cross-row float term, identical float expression trees on both engines,
+# exact even-df chi-square / shared-erfc p-values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_mood_median",
+    family="aggregates",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type AS et
+      FROM events
+    ),
+    cells AS (
+      SELECT cents, et, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY cents, et
+    ),
+    vtot AS (
+      SELECT cents, CAST(sum(cnt) AS BIGINT) AS tc FROM cells GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM vtot),
+    med AS (
+      SELECT min(cents) AS med FROM (
+        SELECT cents,
+               sum(tc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vtot
+      ) CROSS JOIN tot WHERE 2 * cum >= tot.n
+    ),
+    gr AS (
+      SELECT et,
+             CAST(sum(cnt) AS BIGINT) AS nj,
+             CAST(sum(CASE WHEN cents <= med.med THEN cnt ELSE 0 END)
+                  AS BIGINT) AS aj
+      FROM cells CROSS JOIN med GROUP BY et
+    ),
+    ab AS (SELECT CAST(sum(aj) AS BIGINT) AS a,
+                  CAST(sum(nj) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS k FROM gr),
+    terms AS (
+      SELECT CAST(sum(CAST(round(1e9 * (
+               (aj - CAST(nj AS DOUBLE) * ab.a / ab.n)
+             * (aj - CAST(nj AS DOUBLE) * ab.a / ab.n)
+             / (CAST(nj AS DOUBLE) * ab.a / ab.n)
+             + ((nj - aj) - CAST(nj AS DOUBLE) * (ab.n - ab.a) / ab.n)
+             * ((nj - aj) - CAST(nj AS DOUBLE) * (ab.n - ab.a) / ab.n)
+             / (CAST(nj AS DOUBLE) * (ab.n - ab.a) / ab.n)))
+             AS BIGINT)) AS DOUBLE) / 1e9 AS chi2
+      FROM gr CROSS JOIN ab
+    )
+    SELECT ab.n AS n_total, ab.k AS k_groups, med.med AS median_cents,
+           round(terms.chi2, 6) + 0.0 AS chi2_stat,
+           round({_chi2_sf_even_sql("terms.chi2", 2)}, 6) + 0.0 AS p_value
+    FROM ab CROSS JOIN med CROSS JOIN terms
+    """,
+    doc="Mood's median test across the five event types: dichotomize "
+    "every value at the pooled median (the lower median on the "
+    "cent-quantized domain — min cents with 2*cum >= n, an integer "
+    "rule, no float median ever exists), then chi-square the k x 2 "
+    "above/below table. The rank-free sibling of q_agg_kruskal — "
+    "robust to ANY monotone transform and to unequal tails; each "
+    "group's chi-square term is an identical float expression of "
+    "exact integer counts, quantized 1e-9 before the cross-group sum "
+    "(the q_ml_brier discipline), p-value EXACT via the shared "
+    "even-df chi-square kernel at df = k-1 = 4 (m=2; k is emitted "
+    "data-derived so a fixture change is visible — the "
+    "tests/test_r9_invariants.py domain pin). Scale: one combinable "
+    "(cents, group) cell rollup; the median cumsum is DOMAIN-bounded; "
+    "everything after runs on k rows. Ref: no reference counterpart "
+    "— statistics tier.",
+)
+def q_agg_mood_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("cents", "et")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # vtot + gr read it
+    vtot = cells.groupBy("cents").agg(F.sum("cnt").cast("long").alias("tc"))
+    tot = vtot.agg(F.sum("tc").cast("long").alias("n"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        vtot.select("cents", F.sum("tc").over(w).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("cents").alias("med"))
+    )
+    gr = (
+        cells.crossJoin(F.broadcast(med))
+        .groupBy("et")
+        .agg(
+            F.sum("cnt").cast("long").alias("nj"),
+            F.sum(F.when(F.col("cents") <= F.col("med"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("aj"),
+        )
+    )
+    gr = gr.localCheckpoint(eager=False)  # ab + terms read it
+    ab = gr.agg(
+        F.sum("aj").cast("long").alias("a"),
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ea = F.col("nj").cast("double") * F.col("a") / F.col("n")
+    eb = F.col("nj").cast("double") * (F.col("n") - F.col("a")) / F.col("n")
+    term = (F.col("aj") - ea) * (F.col("aj") - ea) / ea + (
+        (F.col("nj") - F.col("aj")) - eb
+    ) * ((F.col("nj") - F.col("aj")) - eb) / eb
+    terms = (
+        gr.crossJoin(F.broadcast(ab))
+        .agg(
+            (F.sum(F.round(1e9 * term).cast("long")).cast("double") / 1e9).alias(
+                "chi2"
+            )
+        )
+    )
+    return (
+        ab.crossJoin(med)
+        .crossJoin(terms)
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("k").alias("k_groups"),
+            F.col("med").alias("median_cents"),
+            (F.round(F.col("chi2"), 6) + 0.0).alias("chi2_stat"),
+            (F.round(F.expr(_chi2_sf_even_sql("chi2", 2)), 6) + 0.0).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_agg_cochran_q",
+    family="aggregates",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM c),
+    ut AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY user_id),
+    x AS (
+      SELECT c.user_id, c.event_type,
+             CASE WHEN kk.k * c.cnt > ut.tot THEN 1 ELSE 0 END AS x
+      FROM c JOIN ut ON ut.user_id = c.user_id CROSS JOIN kk
+    ),
+    ri AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS r FROM x GROUP BY user_id),
+    cj AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS cc FROM x GROUP BY event_type),
+    s1 AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS sc2,
+                  CAST(sum(cc) AS BIGINT) AS t FROM cj),
+    s2 AS (SELECT CAST(sum(r * r) AS BIGINT) AS sr2,
+                  CAST(count(*) AS BIGINT) AS b FROM ri),
+    q AS (
+      SELECT s2.b, kk.k,
+             (kk.k - 1) * (kk.k * CAST(s1.sc2 AS DOUBLE) - CAST(s1.t AS DOUBLE) * s1.t)
+             / (kk.k * CAST(s1.t AS DOUBLE) - s2.sr2) AS q_raw
+      FROM s1 CROSS JOIN s2 CROSS JOIN kk
+    )
+    SELECT b AS n_users, k AS k_treatments,
+           round(q_raw, 6) + 0.0 AS q_stat,
+           round({_chi2_sf_even_sql("q_raw", 2)}, 6) + 0.0 AS p_value
+    FROM q
+    """,
+    doc="Cochran's Q across the five event types on per-user binary "
+    "responses x_ij = [type j is ABOVE user i's own mean share] — "
+    "decided by integer cross-multiplication (k*cnt_ij > total_i, no "
+    "float mean ever exists; plain has-type flags saturate at this "
+    "event density and degenerate Q's denominator). Q = (k-1)(k*SC2 "
+    "- T^2)/(kT - SR2) is a single float expression of four exact "
+    "BIGINT sums — the repeated-measures sibling of q_agg_mcnemar "
+    "(k=2 Q IS McNemar) and the binary Friedman. p-value EXACT via "
+    "the shared even-df chi-square kernel at df = k-1 = 4 (m=2, "
+    "domain-pinned). Scale: one combinable (user,type) rollup, two "
+    "k/user-keyed rollups, constant tail. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_cochran_q(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    c = c.localCheckpoint(eager=False)  # kk + ut + x read it
+    kk = c.agg(F.count_distinct("event_type").cast("long").alias("k"))
+    ut = c.groupBy("user_id").agg(F.sum("cnt").cast("long").alias("tot"))
+    x = (
+        c.join(ut, "user_id")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "user_id",
+            "event_type",
+            F.when(F.col("k") * F.col("cnt") > F.col("tot"), 1)
+            .otherwise(0)
+            .alias("x"),
+        )
+    )
+    x = x.localCheckpoint(eager=False)  # ri + cj read it
+    ri = x.groupBy("user_id").agg(F.sum("x").cast("long").alias("r"))
+    cj = x.groupBy("event_type").agg(F.sum("x").cast("long").alias("cc"))
+    s1 = cj.agg(
+        F.sum(F.col("cc") * F.col("cc")).cast("long").alias("sc2"),
+        F.sum("cc").cast("long").alias("t"),
+    )
+    s2 = ri.agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    q_raw = (
+        (F.col("k") - 1)
+        * (F.col("k") * F.col("sc2").cast("double") - F.col("t").cast("double") * F.col("t"))
+        / (F.col("k") * F.col("t").cast("double") - F.col("sr2"))
+    )
+    return (
+        s1.crossJoin(s2)
+        .crossJoin(kk)
+        .select(
+            F.col("b").alias("n_users"),
+            F.col("k").alias("k_treatments"),
+            q_raw.alias("q_raw"),
+        )
+        .select(
+            "n_users",
+            "k_treatments",
+            (F.round(F.col("q_raw"), 6) + 0.0).alias("q_stat"),
+            (F.round(F.expr(_chi2_sf_even_sql("q_raw", 2)), 6) + 0.0).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_agg_friedman",
+    family="aggregates",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS et,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY d, et
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    ets AS (SELECT DISTINCT et FROM daily),
+    grid AS (
+      SELECT days.d, ets.et, coalesce(daily.v, 0) AS v
+      FROM days CROSS JOIN ets
+      LEFT JOIN daily ON daily.d = days.d AND daily.et = ets.et
+    ),
+    rk AS (
+      SELECT d, et, v,
+             2 * rank() OVER (PARTITION BY d ORDER BY v)
+               + count(*) OVER (PARTITION BY d, v) - 1 AS dmr
+      FROM grid
+    ),
+    rj AS (SELECT et, CAST(sum(dmr) AS BIGINT) AS r2 FROM rk GROUP BY et),
+    bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM days),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ets),
+    ties AS (
+      SELECT CAST(sum(tt * tt * tt - tt) AS BIGINT) AS t3
+      FROM (SELECT d, v, CAST(count(*) AS BIGINT) AS tt FROM grid GROUP BY d, v)
+    ),
+    s AS (SELECT CAST(sum(r2 * r2) AS BIGINT) AS sr22 FROM rj),
+    f AS (
+      SELECT bb.b, kk.k,
+             3.0 * s.sr22 / (CAST(bb.b AS DOUBLE) * kk.k * (kk.k + 1))
+               - 3.0 * bb.b * (kk.k + 1) AS chi2_raw,
+             1.0 - CAST(ties.t3 AS DOUBLE)
+               / (CAST(bb.b AS DOUBLE) * (CAST(kk.k AS DOUBLE) * kk.k * kk.k - kk.k))
+               AS cc
+      FROM bb CROSS JOIN kk CROSS JOIN ties CROSS JOIN s
+    )
+    SELECT b AS b_days, k AS k_groups,
+           round(chi2_raw, 6) + 0.0 AS chi2_f,
+           round(chi2_raw / cc, 6) + 0.0 AS chi2_f_corrected,
+           round({_chi2_sf_even_sql("chi2_raw / cc", 2)}, 6) + 0.0 AS p_value
+    FROM f
+    """,
+    doc="Friedman test on the calendar-day x event-type block design "
+    "(blocks = days, treatments = the five types, response = each "
+    "day's cent-quantized value total; absent cells are exact zero — "
+    "the complete-block grid q_timeseries_gapfill's convention): "
+    "within-day DOUBLED midranks (2*rank + ties - 1 keeps ties "
+    "integral — the kruskal discipline applied per block), per-type "
+    "doubled rank sums are exact BIGINTs, chi2_F = 3*SR2/(bk(k+1)) - "
+    "3b(k+1) and the tie correction 1 - sum(t^3-t)/(b(k^3-k)) are "
+    "single float expressions of exact ints. The repeated-measures "
+    "kruskal: kruskal asks 'do the types differ overall', Friedman "
+    "asks 'do they differ CONSISTENTLY day after day' — blocking "
+    "removes day-level nuisance variation. p-value EXACT via the "
+    "even-df chi-square kernel at df = k-1 = 4 (m=2, domain-pinned). "
+    "Scale: one combinable (day,type) rollup; windows ride the "
+    "<=366*k grid, never the fact. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_friedman(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), F.col("event_type").alias("et")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("v"))
+    daily = daily.localCheckpoint(eager=False)  # grid + domains read it
+    days = daily.select("d").distinct()
+    ets = daily.select("et").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(ets))
+        .join(daily, ["d", "et"], "left")
+        .select("d", "et", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    grid = grid.localCheckpoint(eager=False)  # rk + ties read it
+    dmr = (
+        2 * F.rank().over(Window.partitionBy("d").orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("d", "v"))
+        - 1
+    )
+    rk = grid.select("d", "et", "v", dmr.alias("dmr"))
+    rj = rk.groupBy("et").agg(F.sum("dmr").cast("long").alias("r2"))
+    bb = days.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    kk = ets.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ties = (
+        grid.groupBy("d", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tt"))
+        .agg(
+            F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt"))
+            .cast("long")
+            .alias("t3")
+        )
+    )
+    s = rj.agg(F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sr22"))
+    bd = F.col("b").cast("double")
+    kd = F.col("k").cast("double")
+    chi2_raw = 3.0 * F.col("sr22") / (bd * F.col("k") * (F.col("k") + 1)) - 3.0 * F.col(
+        "b"
+    ) * (F.col("k") + 1)
+    cc = 1.0 - F.col("t3").cast("double") / (bd * (kd * F.col("k") * F.col("k") - F.col("k")))
+    out = (
+        bb.crossJoin(kk)
+        .crossJoin(ties)
+        .crossJoin(s)
+        .select("b", "k", chi2_raw.alias("chi2_raw"), cc.alias("cc"))
+    )
+    return out.select(
+        F.col("b").alias("b_days"),
+        F.col("k").alias("k_groups"),
+        (F.round(F.col("chi2_raw"), 6) + 0.0).alias("chi2_f"),
+        (F.round(F.col("chi2_raw") / F.col("cc"), 6) + 0.0).alias("chi2_f_corrected"),
+        (
+            F.round(F.expr(_chi2_sf_even_sql("chi2_raw / cc", 2)), 6) + 0.0
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q_agg_jonckheere",
+    family="aggregates",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type AS et
+      FROM events
+    ),
+    cells AS (
+      SELECT cents, et, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY cents, et
+    ),
+    dom AS (SELECT DISTINCT cents FROM cells),
+    ets AS (SELECT DISTINCT et FROM cells),
+    grid AS (
+      SELECT dom.cents, ets.et, coalesce(cells.cnt, 0) AS cnt
+      FROM dom CROSS JOIN ets
+      LEFT JOIN cells ON cells.cents = dom.cents AND cells.et = ets.et
+    ),
+    cum AS (
+      SELECT cents, et, cnt,
+             sum(cnt) OVER (PARTITION BY et ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) - cnt AS clt
+      FROM grid
+    ),
+    jj AS (
+      SELECT CAST(sum(b.cnt * (2 * a.clt + a.cnt)) AS BIGINT) AS j2
+      FROM cum a JOIN cum b ON a.cents = b.cents AND a.et < b.et
+    ),
+    nj AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY et),
+    tt AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                  CAST(sum(n * n) AS BIGINT) AS sn2,
+                  CAST(sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS HUGEINT)
+                    AS sn23
+           FROM nj),
+    z AS (
+      SELECT tt.n, jj.j2,
+             (CAST(jj.j2 AS DOUBLE)
+              - (CAST(tt.n AS DOUBLE) * tt.n - tt.sn2) / 2.0)
+             / sqrt((CAST(tt.n AS DOUBLE) * tt.n * (2.0 * tt.n + 3)
+                     - CAST(tt.sn23 AS DOUBLE)) / 18.0) AS zval
+      FROM tt CROSS JOIN jj
+    )
+    SELECT n AS n_total,
+           round(CAST(j2 AS DOUBLE) / 2, 2) + 0.0 AS j_stat,
+           round(zval, 6) + 0.0 AS z,
+           round({_erfc_sql("abs(zval) / 1.4142135623730951")}, 6) + 0.0
+             AS p_value
+    FROM z
+    """,
+    doc="Jonckheere-Terpstra trend test across the five event types "
+    "under their alphabetical ordering (the deterministic stand-in "
+    "for a dose ordering — the machinery, not the ordering, is the "
+    "operator): J = sum over ordered group pairs of Mann-Whitney "
+    "'later group wins' counts, ties at half weight. DOUBLED J stays "
+    "integral (2J = sum cnt_b*(2*clt_a + cnt_a) — the kruskal "
+    "doubled-midrank discipline); per-group strictly-less cumsums "
+    "ride the DOMAIN-bounded (cents x k) grid, and the pair sum is "
+    "one equi-join of that grid with itself on cents (k(k-1)/2 pairs "
+    "per domain point, never per row). More powerful than kruskal "
+    "when the alternative is MONOTONE in the group order. z uses the "
+    "exact no-tie null variance [n^2(2n+3) - sum n_j^2(2n_j+3)]/72 "
+    "(documented choice; tie-corrected variance differs in the 3rd "
+    "digit at this tie density), two-sided p via the shared erfc "
+    "kernel. Scale: cell rollup + domain windows + one domain-keyed "
+    "join; constant tail. Ref: no reference counterpart — statistics "
+    "tier.",
+)
+def q_agg_jonckheere(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("cents", "et")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # grid + nj read it
+    dom = cells.select("cents").distinct()
+    ets = cells.select("et").distinct()
+    grid = (
+        dom.crossJoin(F.broadcast(ets))
+        .join(cells, ["cents", "et"], "left")
+        .select("cents", "et", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "cents", "et", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("clt")
+    )
+    cum = cum.localCheckpoint(eager=False)  # both join sides read it
+    a, b = cum.alias("a"), cum.alias("b")
+    jj = a.join(
+        b,
+        (F.col("a.cents") == F.col("b.cents")) & (F.col("a.et") < F.col("b.et")),
+    ).agg(
+        F.sum(F.col("b.cnt") * (2 * F.col("a.clt") + F.col("a.cnt")))
+        .cast("long")
+        .alias("j2")
+    )
+    nj = cells.groupBy("et").agg(F.sum("cnt").cast("long").alias("n"))
+    tt = nj.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n") * (2 * F.col("n") + 3))
+        .cast("decimal(38,0)")
+        .alias("sn23"),
+    )
+    nd = F.col("n").cast("double")
+    zval = (
+        F.col("j2").cast("double") - (nd * F.col("n") - F.col("sn2")) / 2.0
+    ) / F.sqrt(
+        (nd * F.col("n") * (2.0 * F.col("n") + 3) - F.col("sn23").cast("double"))
+        / 18.0
+    )
+    z = tt.crossJoin(jj).select("n", "j2", zval.alias("zval"))
+    return z.select(
+        F.col("n").alias("n_total"),
+        (F.round(F.col("j2").cast("double") / 2, 2) + 0.0).alias("j_stat"),
+        (F.round(F.col("zval"), 6) + 0.0).alias("z"),
+        (
+            F.round(
+                F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6
+            )
+            + 0.0
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q_agg_cliffs_delta",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT cents, grp, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY cents, grp
+    ),
+    dom AS (SELECT DISTINCT cents FROM cells),
+    grid AS (
+      SELECT dom.cents, gg.grp, coalesce(cells.cnt, 0) AS cnt
+      FROM dom CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) gg
+      LEFT JOIN cells ON cells.cents = dom.cents AND cells.grp = gg.grp
+    ),
+    cum AS (
+      SELECT cents, grp, cnt,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) - cnt AS clt
+      FROM grid
+    ),
+    ns AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN grp = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n0
+      FROM cells
+    ),
+    pairs AS (
+      SELECT CAST(sum(a.cnt * b.clt) AS BIGINT) AS gt,
+             CAST(sum(a.cnt * (ns.n0 - b.clt - b.cnt)) AS BIGINT) AS lt
+      FROM cum a JOIN cum b ON a.cents = b.cents
+                 AND a.grp = 1 AND b.grp = 0
+      CROSS JOIN ns
+    ),
+    d AS (
+      SELECT ns.n1, ns.n0, pairs.gt, pairs.lt,
+             (CAST(pairs.gt AS DOUBLE) - pairs.lt)
+               / (CAST(ns.n1 AS DOUBLE) * ns.n0) AS delta
+      FROM ns CROSS JOIN pairs
+    )
+    SELECT n1 AS n_purchase, n0 AS n_other,
+           CAST(n1 * n0 AS BIGINT) AS n_pairs,
+           round(delta, 6) + 0.0 AS cliffs_delta,
+           CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33  THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+    doc="Cliff's delta between purchase and non-purchase values: the "
+    "ordinal effect size delta = (#(x>y) - #(x<y)) / (n1*n0) that "
+    "q_agg_mannwhitney's p-value does not report (delta = 2U/(n1*n0) "
+    "- 1 up to tie handling) — at 100 TB every test is 'significant', "
+    "so the EFFECT SIZE is the decision variable. Dominance counts "
+    "come from the same DOMAIN-bounded per-group strictly-less "
+    "cumsum machinery as jonckheere (one equi-join of the cent grid "
+    "with itself — never the n1*n0 pair space), all exact BIGINTs; "
+    "delta is one float division, and the Romano(2006) magnitude "
+    "labels (.147/.33/.474) branch on that single double identically "
+    "in both engines. Scale: cell rollup + domain windows + one "
+    "domain-keyed join; constant tail. Ref: no reference counterpart "
+    "— statistics tier.",
+)
+def q_agg_cliffs_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+        .groupBy("cents", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # grid + ns read it
+    dom = cells.select("cents").distinct()
+    gg = cells.sparkSession.createDataFrame([(0,), (1,)], "grp int")
+    grid = (
+        dom.crossJoin(F.broadcast(gg))
+        .join(cells, ["cents", "grp"], "left")
+        .select("cents", "grp", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "cents", "grp", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("clt")
+    )
+    cum = cum.localCheckpoint(eager=False)  # both join sides read it
+    ns = cells.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.grp") == 1)
+            & (F.col("b.grp") == 0),
+        )
+        .crossJoin(F.broadcast(ns))
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.clt")).cast("long").alias("gt"),
+            F.sum(
+                F.col("a.cnt") * (F.col("n0") - F.col("b.clt") - F.col("b.cnt"))
+            )
+            .cast("long")
+            .alias("lt"),
+        )
+    )
+    delta = (F.col("gt").cast("double") - F.col("lt")) / (
+        F.col("n1").cast("double") * F.col("n0")
+    )
+    d = ns.crossJoin(pairs).select("n1", "n0", "gt", "lt", delta.alias("delta"))
+    mag = (
+        F.when(F.abs(F.col("delta")) < 0.147, "negligible")
+        .when(F.abs(F.col("delta")) < 0.33, "small")
+        .when(F.abs(F.col("delta")) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return d.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n0").alias("n_other"),
+        (F.col("n1") * F.col("n0")).cast("long").alias("n_pairs"),
+        (F.round(F.col("delta"), 6) + 0.0).alias("cliffs_delta"),
+        mag.alias("magnitude"),
+    )

@@ -2339,3 +2339,623 @@ def q_ml_equalized_odds(spark, sf_dir):
             + 0.0
         ).alias("eo_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 3: proper-scoring-rule and retrieval-ranking metrics
+# (log loss + skill, Spiegelhalter's calibration z, the F-beta family,
+# the Youden-optimal threshold sweep, MRR@k, MAP@k).
+# ---------------------------------------------------------------------------
+
+# Shared normalized forecast for the scoring-rule metrics: the add-one
+# range normalization p = (score - mn + 1) / (mx - mn + 2) maps the
+# integer score domain into (0,1) strictly (no log(0) anywhere), is an
+# identical float expression on both engines, and is monotone in score.
+_P_SQL = "(CAST(score - mn + 1 AS DOUBLE) / (mx - mn + 2))"
+
+
+@register(
+    "q_ml_log_loss",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    by_score AS (
+      SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY score
+    ),
+    cells AS (
+      SELECT CAST(round(1e9 * (pos * (-ln({_P_SQL}))
+                        + neg * (-ln(1.0 - {_P_SQL})))) AS BIGINT) AS tq,
+             pos, neg
+      FROM by_score CROSS JOIN rng
+    ),
+    s AS (
+      SELECT CAST(sum(pos + neg) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS npos,
+             CAST(sum(tq) AS DOUBLE) / 1e9 AS llsum
+      FROM cells
+    ),
+    ll AS (
+      SELECT n, llsum / n AS logloss,
+             -((CAST(npos AS DOUBLE) / n) * ln(CAST(npos AS DOUBLE) / n)
+               + (1.0 - CAST(npos AS DOUBLE) / n)
+                 * ln(1.0 - CAST(npos AS DOUBLE) / n)) AS ll_base
+      FROM s
+    )
+    SELECT n AS n_examples,
+           round(logloss, 6) + 0.0 AS log_loss,
+           round(ll_base, 6) + 0.0 AS log_loss_baseline,
+           round(1.0 - logloss / ll_base, 6) + 0.0 AS skill_score
+    FROM ll
+    """,
+    doc="Binary log loss (cross-entropy) of the range-normalized "
+    "forecast p = (score-mn+1)/(mx-mn+2) against the label, plus the "
+    "base-rate log loss and the skill score 1 - LL/LL_base — the "
+    "PROPER scoring rule beside q_ml_brier (log loss punishes "
+    "confident misses unboundedly; Brier caps at 1): a model can "
+    "improve AUC while its log loss degrades, which is exactly what "
+    "this catches. Per-score-cell terms pos*(-ln p) + neg*(-ln(1-p)) "
+    "are identical float expressions quantized 1e-9 and BIGINT-summed "
+    "(cell order cannot perturb the sum); the add-one normalization "
+    "keeps p strictly inside (0,1) so no clamp is ever needed. "
+    "Scale: one per-user rollup, one distinct-score rollup, constant "
+    "tail. Ref: no reference counterpart — ML-eval tier.",
+)
+def q_ml_log_loss(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    ex = ex.localCheckpoint(eager=False)  # rng + by_score read it
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    p = (F.col("score") - F.col("mn") + 1).cast("double") / (
+        F.col("mx") - F.col("mn") + 2
+    )
+    cells = by_score.crossJoin(F.broadcast(rng)).select(
+        F.round(
+            1e9 * (F.col("pos") * -F.log(p) + F.col("neg") * -F.log(1.0 - p))
+        )
+        .cast("long")
+        .alias("tq"),
+        "pos",
+        "neg",
+    )
+    s = cells.agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+        (F.sum("tq").cast("double") / 1e9).alias("llsum"),
+    )
+    pi = F.col("npos").cast("double") / F.col("n")
+    ll = s.select(
+        "n",
+        (F.col("llsum") / F.col("n")).alias("logloss"),
+        (-(pi * F.log(pi) + (1.0 - pi) * F.log(1.0 - pi))).alias("ll_base"),
+    )
+    return ll.select(
+        F.col("n").alias("n_examples"),
+        (F.round("logloss", 6) + 0.0).alias("log_loss"),
+        (F.round("ll_base", 6) + 0.0).alias("log_loss_baseline"),
+        (F.round(1.0 - F.col("logloss") / F.col("ll_base"), 6) + 0.0).alias(
+            "skill_score"
+        ),
+    )
+
+
+from .aggregates import _erfc_sql  # noqa: E402 — shared p-value kernel
+
+
+@register(
+    "q_ml_spiegelhalter_z",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    rng AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                   CAST(max(score) AS BIGINT) AS mx FROM ex),
+    by_score AS (
+      SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY score
+    ),
+    cells AS (
+      SELECT CAST(round(1e9 * ((pos * (1.0 - {_P_SQL}) - neg * {_P_SQL})
+                               * (1.0 - 2 * {_P_SQL}))) AS BIGINT) AS numq,
+             CAST(round(1e9 * ((pos + neg) * (1.0 - 2 * {_P_SQL})
+                               * (1.0 - 2 * {_P_SQL}) * {_P_SQL}
+                               * (1.0 - {_P_SQL}))) AS BIGINT) AS denq,
+             pos, neg
+      FROM by_score CROSS JOIN rng
+    ),
+    s AS (
+      SELECT CAST(sum(pos + neg) AS BIGINT) AS n,
+             (CAST(sum(numq) AS DOUBLE) / 1e9)
+               / sqrt(CAST(sum(denq) AS DOUBLE) / 1e9) AS zval
+      FROM cells
+    )
+    SELECT n AS n_examples,
+           round(zval, 6) + 0.0 AS z,
+           round({_erfc_sql("abs(zval) / 1.4142135623730951")}, 6) + 0.0
+             AS p_value
+    FROM s
+    """,
+    doc="Spiegelhalter's calibration z-test on the range-normalized "
+    "forecast: z = sum((y-p)(1-2p)) / sqrt(sum((1-2p)^2 p(1-p))) — "
+    "the HYPOTHESIS TEST behind q_ml_ece's descriptive gap (ECE says "
+    "how big the miscalibration looks; this says whether it exceeds "
+    "chance given n). The test isolates exactly the calibration "
+    "component of the Brier score (its numerator is Brier minus its "
+    "irreducible refinement part), so it complements "
+    "q_ml_brier_decomp's reliability term with a p-value. Per-cell "
+    "numerator/denominator terms are identical float expressions "
+    "quantized 1e-9 and BIGINT-summed; two-sided p via the shared "
+    "erfc kernel. Scale: per-user rollup + distinct-score rollup, "
+    "constant tail. Ref: no reference counterpart — ML-eval tier.",
+)
+def q_ml_spiegelhalter_z(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    ex = ex.localCheckpoint(eager=False)  # rng + by_score read it
+    rng = ex.agg(
+        F.min("score").cast("long").alias("mn"),
+        F.max("score").cast("long").alias("mx"),
+    )
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    p = (F.col("score") - F.col("mn") + 1).cast("double") / (
+        F.col("mx") - F.col("mn") + 2
+    )
+    one_m_2p = 1.0 - 2 * p
+    cells = by_score.crossJoin(F.broadcast(rng)).select(
+        F.round(1e9 * ((F.col("pos") * (1.0 - p) - F.col("neg") * p) * one_m_2p))
+        .cast("long")
+        .alias("numq"),
+        F.round(
+            1e9 * ((F.col("pos") + F.col("neg")) * one_m_2p * one_m_2p * p * (1.0 - p))
+        )
+        .cast("long")
+        .alias("denq"),
+        "pos",
+        "neg",
+    )
+    s = cells.agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n"),
+        (
+            (F.sum("numq").cast("double") / 1e9)
+            / F.sqrt(F.sum("denq").cast("double") / 1e9)
+        ).alias("zval"),
+    )
+    return s.select(
+        F.col("n").alias("n_examples"),
+        (F.round("zval", 6) + 0.0).alias("z"),
+        (
+            F.round(F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6) + 0.0
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q_ml_fbeta",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    pred AS (
+      SELECT label,
+             CASE WHEN ex.score * t.nu > t.ts THEN 1 ELSE 0 END AS yhat
+      FROM ex CROSS JOIN tot t
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM pred
+    )
+    SELECT beta, tp, fp, fn,
+           round(CASE
+             WHEN beta = 0.5 THEN 5.0 * tp / (5 * tp + fn + 4 * fp)
+             WHEN beta = 1.0 THEN 2.0 * tp / (2 * tp + fn + fp)
+             ELSE 5.0 * tp / (5 * tp + 4 * fn + fp)
+           END, 6) + 0.0 AS fbeta
+    FROM c CROSS JOIN (VALUES (0.5), (1.0), (2.0)) AS b(beta)
+    ORDER BY beta
+    """,
+    doc="The F-beta family (F0.5 precision-weighted, F1, F2 recall-"
+    "weighted) at q_ml_confusion's operating point — the knob F1 "
+    "hides: a spam filter wants F0.5 (false positives cost users), a "
+    "cancer screen wants F2 (false negatives cost lives). Each Fbeta "
+    "reduces to an exact INTEGER rational ((1+b^2)tp / ((1+b^2)tp + "
+    "b^2 fn + fp) with 4b^2 integral for b in {{0.5,1,2}}), so every "
+    "value is one division of exact counters — no float powering "
+    "anywhere. Same float-free integer cross-multiplication "
+    "threshold as confusion/mcc. Scale: per-user rollup + 3-counter "
+    "agg x a 3-row literal grid. Ref: no reference counterpart — "
+    "ML-eval tier.",
+)
+def q_ml_fbeta(spark, sf_dir):
+    ex = _examples(spark, sf_dir)
+    ex = ex.localCheckpoint(eager=False)  # tot + pred read it
+    tot = ex.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("score").cast("long").alias("ts"),
+    )
+    pred = ex.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.when(F.col("score") * F.col("nu") > F.col("ts"), 1)
+        .otherwise(0)
+        .alias("yhat"),
+    )
+    c = pred.agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    betas = spark.createDataFrame([(0.5,), (1.0,), (2.0,)], "beta double")
+    fb = (
+        F.when(
+            F.col("beta") == 0.5,
+            5.0 * F.col("tp") / (5 * F.col("tp") + F.col("fn") + 4 * F.col("fp")),
+        )
+        .when(
+            F.col("beta") == 1.0,
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fn") + F.col("fp")),
+        )
+        .otherwise(
+            5.0 * F.col("tp") / (5 * F.col("tp") + 4 * F.col("fn") + F.col("fp"))
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(betas))
+        .select("beta", "tp", "fp", "fn", (F.round(fb, 6) + 0.0).alias("fbeta"))
+        .orderBy("beta")
+    )
+
+
+@register(
+    "q_ml_youden_optimal",
+    family="mleval",
+    oracle=f"""
+    WITH {_USERS_SQL},
+    by_score AS (
+      SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM ex GROUP BY score
+    ),
+    tot2 AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                    CAST(sum(neg) AS BIGINT) AS q FROM by_score),
+    cum AS (
+      -- predict positive iff score >= threshold
+      SELECT score AS threshold,
+             CAST(sum(pos) OVER (ORDER BY score
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS tp,
+             CAST(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS fp
+      FROM by_score
+    ),
+    best AS (
+      SELECT c.threshold, c.tp, c.fp, t.p, t.q,
+             row_number() OVER (
+               ORDER BY (c.tp * t.q - c.fp * t.p) DESC, c.threshold
+             ) AS rn
+      FROM cum c CROSS JOIN tot2 t
+    )
+    SELECT threshold AS best_threshold, tp, fp,
+           round(CAST(tp AS DOUBLE) / p, 6) + 0.0 AS tpr,
+           round(CAST(fp AS DOUBLE) / q, 6) + 0.0 AS fpr,
+           round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / q, 6) + 0.0
+             AS youden_j
+    FROM best WHERE rn = 1
+    """,
+    doc="Youden-optimal ROC operating point: sweep every achievable "
+    "threshold (= every distinct score) and maximize J = TPR - FPR — "
+    "the threshold-free companion to q_ml_mcc's FIXED operating "
+    "point (mcc reports J where the deployment threshold sits; this "
+    "reports the best J the scores could achieve, and the gap "
+    "between them is the cost of the chosen threshold). The argmax "
+    "is decided on the exact INTEGER cross-product tp*N - fp*P "
+    "(equivalent to J without ever forming a float), tie-broken by "
+    "threshold — fully deterministic; TPR/FPR/J are emitted as "
+    "single divisions of exact counters. The full sweep costs ONE "
+    "cumulative window over the distinct-score table (the "
+    "q_ml_threshold_cost shape). Scale: per-user rollup + "
+    "domain-bounded windows; constant tail. Ref: no reference "
+    "counterpart — ML-eval tier.",
+)
+def q_ml_youden_optimal(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = _examples(spark, sf_dir)
+    ex = ex.localCheckpoint(eager=False)  # one fact scan into the sweep
+    by_score = ex.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    by_score = by_score.localCheckpoint(eager=False)  # tot2 + cum read it
+    tot2 = by_score.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("q"),
+    )
+    w_ge = Window.orderBy("score").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    cum = by_score.select(
+        F.col("score").alias("threshold"),
+        F.sum("pos").over(w_ge).cast("long").alias("tp"),
+        F.sum("neg").over(w_ge).cast("long").alias("fp"),
+    )
+    wb = Window.orderBy(
+        (F.col("tp") * F.col("q") - F.col("fp") * F.col("p")).desc(), "threshold"
+    )
+    best = (
+        cum.crossJoin(F.broadcast(tot2))
+        .select("*", F.row_number().over(wb).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("threshold").alias("best_threshold"),
+        "tp",
+        "fp",
+        (F.round(F.col("tp").cast("double") / F.col("p"), 6) + 0.0).alias("tpr"),
+        (F.round(F.col("fp").cast("double") / F.col("q"), 6) + 0.0).alias("fpr"),
+        (
+            F.round(
+                F.col("tp").cast("double") / F.col("p")
+                - F.col("fp").cast("double") / F.col("q"),
+                6,
+            )
+            + 0.0
+        ).alias("youden_j"),
+    )
+
+
+def _retrieval_topk_hits(spark, sf_dir):
+    """(probes_df, hits_df) for the retrieval-ranking metrics.
+
+    probes: (probe_id) — the q_ml_ndcg probe set (vec_id < _NDCG_PROBES).
+    hits:   (probe_id, rk, rel) — the global top-_NDCG_K per probe under
+    the (cos_sim DESC, vec_id) total order, rel = same-label indicator.
+    Same GEMM-with-per-batch-local-top-k kernel as q_ml_ndcg (the
+    r5-watch-#3 shape: the rank window reads ~batches*probes*k rows,
+    never probes*|corpus|); cosines round to 5 before ranking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _NDCG_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        F.col("label").alias("plabel"),
+    )
+    corpus = e.filter(F.col("vec_id") >= _NDCG_PROBES)
+    probe_rows = probes.orderBy("probe_id").collect()
+    if not probe_rows:
+        empty = spark.createDataFrame([], "probe_id long, rk long, rel int")
+        return probes.select("probe_id"), empty
+    probe_ids = np.array([int(r.probe_id) for r in probe_rows])
+    plabels = np.array([r.plabel for r in probe_rows], dtype=object)
+    pm = np.array([[float(x) for x in r.p] for r in probe_rows])
+    p_norms = np.sqrt((pm * pm).sum(axis=1))
+
+    def _gemm_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            a_norms = np.sqrt((a * a).sum(axis=1))
+            sims = np.round((a @ pm.T) / (a_norms[:, None] * p_norms[None, :]), 5)
+            out_p, out_v, out_r, out_s = [], [], [], []
+            for j, pid in enumerate(probe_ids):
+                order = np.lexsort((ids, -sims[:, j]))[:_NDCG_K]
+                out_p.extend([pid] * len(order))
+                out_v.extend(ids[order])
+                out_r.extend((labels[order] == plabels[j]).astype(int))
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "vec_id": out_v, "rel": out_r, "cos_sim": out_s}
+            )
+
+    capped = corpus.select("vec_id", "embedding", "label").mapInPandas(
+        _gemm_topk, "probe_id long, vec_id long, rel int, cos_sim double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    hits = (
+        capped.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("probe_id", "rk", "rel")
+    )
+    return probes.select("probe_id"), hits
+
+
+_RETRIEVAL_HITS_SQL = f"""
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS p, label AS plabel
+      FROM embeddings WHERE vec_id < {_NDCG_PROBES}
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id >= {_NDCG_PROBES}
+    ),
+    sims AS (
+      SELECT pr.probe_id, pr.plabel, c.vec_id, c.label,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * pr.p[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> pr.p[i]::DOUBLE * pr.p[i]::DOUBLE)))),
+               5) AS cos_sim
+      FROM corpus c, probes pr
+    ),
+    hits AS (
+      SELECT probe_id,
+             CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel,
+             CAST(row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+             ) AS BIGINT) AS rk
+      FROM sims
+    ),
+    topk AS (SELECT * FROM hits WHERE rk <= {_NDCG_K})
+"""
+
+
+@register(
+    "q_ml_mrr",
+    family="mleval",
+    oracle=f"""
+    WITH {_RETRIEVAL_HITS_SQL},
+    fr AS (
+      SELECT probe_id, CAST(min(rk) AS BIGINT) AS first_rel_rank
+      FROM topk WHERE rel = 1 GROUP BY probe_id
+    )
+    SELECT p.probe_id, fr.first_rel_rank,
+           round(coalesce(1.0 / fr.first_rel_rank, 0.0), 6) + 0.0 AS rr
+    FROM probes p LEFT JOIN fr ON fr.probe_id = p.probe_id
+    ORDER BY p.probe_id
+    """,
+    doc=f"Reciprocal rank @ {_NDCG_K} per probe (MRR = the mean of the "
+    "rr column): the rank of the FIRST relevant hit — the metric for "
+    "known-item retrieval (RAG 'did the gold chunk surface early', "
+    "QA passage ranking) where q_ml_ndcg grades the whole ranking "
+    "and q_sim_recall_at_k only counts membership. Probes with no "
+    "relevant hit in the top-k emit rr = 0 (the standard MRR@k "
+    "convention) via a LEFT join from the probe list, so the output "
+    "is always one row per probe. rr is one exact division; ranks "
+    "come from the shared GEMM-with-local-top-k kernel (cosines "
+    "rounded to 5 before ranking, vec_id tie-break — the ndcg/knn "
+    "contract). Scale: one corpus pass, rank windows on "
+    "~batches*probes*k rows. Ref: no reference counterpart — "
+    "ML-eval tier.",
+)
+def q_ml_mrr(spark, sf_dir):
+    probes, hits = _retrieval_topk_hits(spark, sf_dir)
+    fr = (
+        hits.filter(F.col("rel") == 1)
+        .groupBy("probe_id")
+        .agg(F.min("rk").cast("long").alias("first_rel_rank"))
+    )
+    return (
+        probes.join(fr, "probe_id", "left")
+        .select(
+            "probe_id",
+            "first_rel_rank",
+            (
+                F.round(
+                    F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6
+                )
+                + 0.0
+            ).alias("rr"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@register(
+    "q_ml_map",
+    family="mleval",
+    oracle=f"""
+    WITH {_RETRIEVAL_HITS_SQL},
+    nrel AS (
+      SELECT pr.probe_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM probes pr JOIN corpus c ON c.label = pr.plabel
+      GROUP BY pr.probe_id
+    ),
+    prec AS (
+      SELECT probe_id, rk, rel,
+             CAST(sum(rel) OVER (PARTITION BY probe_id ORDER BY rk
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumrel
+      FROM topk
+    ),
+    ap AS (
+      SELECT probe_id,
+             CAST(sum(CASE WHEN rel = 1
+               THEN CAST(round(1e9 * cumrel / rk) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS apq
+      FROM prec GROUP BY probe_id
+    )
+    SELECT n.probe_id, n.n_rel,
+           round(CAST(coalesce(ap.apq, 0) AS DOUBLE) / 1e9
+                 / least(n.n_rel, {_NDCG_K}), 6) + 0.0 AS ap_at_k
+    FROM nrel n LEFT JOIN ap ON ap.probe_id = n.probe_id
+    ORDER BY n.probe_id
+    """,
+    doc=f"Average precision @ {_NDCG_K} per probe (MAP = the mean of "
+    "ap_at_k): sum of precision@j at each relevant rank j, normalized "
+    "by min(n_rel, k) — the order-sensitive retrieval grade that "
+    "rewards packing relevant items EARLY, between q_ml_mrr (first "
+    "hit only) and q_ml_ndcg (graded discount). Each precision@j = "
+    "cumrel/j is an exact rational quantized to a 1e9-scaled BIGINT "
+    "before the per-probe sum (rank order cannot perturb it); ranks "
+    "ride the same GEMM-with-local-top-k kernel and (cos DESC, "
+    "vec_id) total order as ndcg/mrr. Scale: one corpus pass; "
+    "windows on ~batches*probes*k rows; n_rel is a broadcast "
+    "label-count join. Ref: no reference counterpart — ML-eval "
+    "tier.",
+)
+def q_ml_map(spark, sf_dir):
+    from pyspark.sql import Window
+
+    probes, hits = _retrieval_topk_hits(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    pr = e.filter(F.col("vec_id") < _NDCG_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+    )
+    corpus_counts = (
+        e.filter(F.col("vec_id") >= _NDCG_PROBES)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    nrel = pr.join(
+        F.broadcast(corpus_counts), F.col("label") == F.col("plabel")
+    ).select("probe_id", "n_rel")
+    w = Window.partitionBy("probe_id").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prec = hits.select(
+        "probe_id", "rk", "rel", F.sum("rel").over(w).cast("long").alias("cumrel")
+    )
+    ap = prec.groupBy("probe_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(1e9 * F.col("cumrel") / F.col("rk")).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("apq")
+    )
+    return (
+        nrel.join(ap, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_rel",
+            (
+                F.round(
+                    F.coalesce(F.col("apq"), F.lit(0)).cast("double")
+                    / 1e9
+                    / F.least(F.col("n_rel"), F.lit(_NDCG_K)),
+                    6,
+                )
+                + 0.0
+            ).alias("ap_at_k"),
+        )
+        .orderBy("probe_id")
+    )

@@ -107,6 +107,19 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_profile_lsh_buckets",
     "q_dedup_semantic_ivf_mp",
+    # wave 2: nonparametric k-group inference
+    "q_agg_mood_median",
+    "q_agg_cochran_q",
+    "q_agg_friedman",
+    "q_agg_jonckheere",
+    "q_agg_cliffs_delta",
+    # wave 3: proper scoring rules + retrieval ranking metrics
+    "q_ml_log_loss",
+    "q_ml_spiegelhalter_z",
+    "q_ml_fbeta",
+    "q_ml_youden_optimal",
+    "q_ml_mrr",
+    "q_ml_map",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

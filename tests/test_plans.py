@@ -2158,3 +2158,82 @@ def test_multiprobe_ivf_cell_blocked(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+# ---- r10 wave-2 plan pins -----------------------------------------------
+
+
+def test_mood_median_domain_bounded_single_fact_scan(spark, sf_dir):
+    df = SPECS["q_agg_mood_median"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the fact feeds exactly one cell rollup (checkpointed, re-read)
+    assert "events.parquet" not in plan or plan.count("events.parquet") == 1
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+def test_cochran_q_constant_tail(spark, sf_dir):
+    df = SPECS["q_agg_cochran_q"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # pure rollups, no windows at all
+
+
+def test_friedman_windows_ride_the_grid(spark, sf_dir):
+    # both windows partition by day (or day,value) — never unpartitioned
+    df = SPECS["q_agg_friedman"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(d" in line, line
+
+
+def test_jonckheere_grid_self_join_is_equi(spark, sf_dir):
+    df = SPECS["q_agg_jonckheere"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+def test_cliffs_delta_domain_join_only(spark, sf_dir):
+    df = SPECS["q_agg_cliffs_delta"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+# ---- r10 wave-3 plan pins -----------------------------------------------
+
+
+def test_log_loss_single_fact_rollup(spark, sf_dir):
+    # ex is checkpointed once (ExistingRDD); the fact never re-scans
+    df = SPECS["q_ml_log_loss"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert plan.count("events.parquet") == 0
+    assert "Window" not in plan
+
+
+def test_spiegelhalter_no_windows(spark, sf_dir):
+    df = SPECS["q_ml_spiegelhalter_z"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_youden_sweep_is_one_window_pass(spark, sf_dir):
+    # the sweep must ride cumulative windows over the distinct-score
+    # table, not re-scan the fact per threshold
+    df = SPECS["q_ml_youden_optimal"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert plan.count("events.parquet") == 0
+
+
+def test_mrr_map_python_stage_is_arrow_batched(spark, sf_dir):
+    for name in ("q_ml_mrr", "q_ml_map"):
+        df = SPECS[name].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        # the only Python execution node is the Arrow-batched GEMM map
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        # rank windows partition by probe_id
+        eplan = df._jdf.queryExecution().executedPlan().toString()
+        for line in eplan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "windowspecdefinition(probe_id" in line, line
