@@ -310,6 +310,23 @@ HEADLINE = [
     "q_ml_youden_optimal",
     "q_ml_mrr",
     "q_ml_map",
+    # round-10 debuts (wave 4: timeseries diagnostics)
+    "q_timeseries_pettitt",
+    "q_timeseries_variance_ratio",
+    "q_timeseries_turning_points",
+    "q_timeseries_dickey_fuller",
+    "q_timeseries_kpss",
+    "q_timeseries_permutation_entropy",
+    # round-10 debuts (wave 5: corpus richness + link prediction + SRM)
+    "q_text_lexical_richness",
+    "q_text_source_vocab_overlap",
+    "q_graph_preferential_attachment",
+    "q_graph_rich_club",
+    "q_events_srm",
+    # round-10 debuts (wave 6: ordinal association + shape + concentration)
+    "q_agg_gamma_somers",
+    "q_agg_qq_table",
+    "q_events_lorenz_users",
 ]
 
 

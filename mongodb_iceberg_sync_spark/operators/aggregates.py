@@ -6556,3 +6556,231 @@ def q_agg_cliffs_delta(spark, sf_dir):
         (F.round(F.col("delta"), 6) + 0.0).alias("cliffs_delta"),
         mag.alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 6: ordinal association (gamma / Somers' D), the Q-Q
+# decile table, and the trimmed mean — all on the exact cent domain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_gamma_somers",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT dw, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY dw, cents
+    ),
+    dom AS (SELECT DISTINCT cents FROM cells),
+    dws AS (SELECT DISTINCT dw FROM cells),
+    grid AS (
+      SELECT dom.cents, dws.dw, coalesce(cells.cnt, 0) AS cnt
+      FROM dom CROSS JOIN dws
+      LEFT JOIN cells ON cells.cents = dom.cents AND cells.dw = dws.dw
+    ),
+    cum AS (
+      SELECT cents, dw, cnt,
+             sum(cnt) OVER (PARTITION BY dw ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) - cnt AS clt,
+             sum(cnt) OVER (PARTITION BY dw) AS ntot
+      FROM grid
+    ),
+    cd AS (
+      SELECT CAST(sum(b.cnt * a.clt) AS BIGINT) AS c,
+             CAST(sum(b.cnt * (a.ntot - a.clt - a.cnt)) AS BIGINT) AS d
+      FROM cum a JOIN cum b ON a.cents = b.cents AND a.dw < b.dw
+    ),
+    px AS (
+      SELECT CAST(sum(nd) AS BIGINT) AS n,
+             CAST(sum(CAST(nd AS HUGEINT) * nd) AS HUGEINT) AS sn2
+      FROM (SELECT sum(cnt) AS nd FROM cells GROUP BY dw)
+    )
+    SELECT cd.c AS concordant, cd.d AS discordant,
+           round((CAST(cd.c AS DOUBLE) - cd.d) / (CAST(cd.c AS DOUBLE) + cd.d),
+                 6) + 0.0 AS gamma,
+           round((CAST(cd.c AS DOUBLE) - cd.d)
+                 / ((CAST(px.n AS DOUBLE) * px.n - CAST(px.sn2 AS DOUBLE)) / 2),
+                 6) + 0.0 AS somers_dyx
+    FROM cd CROSS JOIN px
+    """,
+    doc="Goodman-Kruskal gamma + Somers' D(Y|X) between day-of-week "
+    "(X, ordered 0-6) and value (Y, cent domain): concordant/"
+    "discordant pair counts via the SAME domain-grid strictly-less "
+    "cumsum machinery as jonckheere (one equi-join of the "
+    "(cents x 7) grid with itself — never the n^2 pair space). "
+    "Gamma ignores ties ((C-D)/(C+D)); Somers' D(Y|X) divides by "
+    "all X-differing pairs ((n^2 - sum n_d^2)/2, exact integers) — "
+    "the asymmetric version a predictive reading wants "
+    "(= gamma x how often Y breaks ties given X differs). The "
+    "ordinal-ordinal association complement to q_agg_kendall's "
+    "tau-b on the same machinery family. Scale: one cell rollup; "
+    "windows + one join on the bounded domain grid; constant "
+    "tail. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_gamma_somers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dw"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dw", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # grid + px read it
+    dom = cells.select("cents").distinct()
+    dws = cells.select("dw").distinct()
+    grid = (
+        dom.crossJoin(F.broadcast(dws))
+        .join(cells, ["cents", "dw"], "left")
+        .select("cents", "dw", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    wlt = (
+        Window.partitionBy("dw")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "cents",
+        "dw",
+        "cnt",
+        (F.sum("cnt").over(wlt) - F.col("cnt")).alias("clt"),
+        F.sum("cnt").over(Window.partitionBy("dw")).alias("ntot"),
+    )
+    cum = cum.localCheckpoint(eager=False)  # both join sides read it
+    a, b = cum.alias("a"), cum.alias("b")
+    cd = a.join(
+        b, (F.col("a.cents") == F.col("b.cents")) & (F.col("a.dw") < F.col("b.dw"))
+    ).agg(
+        F.sum(F.col("b.cnt") * F.col("a.clt")).cast("long").alias("c"),
+        F.sum(
+            F.col("b.cnt") * (F.col("a.ntot") - F.col("a.clt") - F.col("a.cnt"))
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    nd_tab = cells.groupBy("dw").agg(F.sum("cnt").alias("nd"))
+    px = nd_tab.agg(
+        F.sum("nd").cast("long").alias("n"),
+        F.sum(F.col("nd").cast("decimal(38,0)") * F.col("nd"))
+        .cast("decimal(38,0)")
+        .alias("sn2"),
+    )
+    cdd = F.col("c").cast("double")
+    pairs_x = (
+        F.col("n").cast("double") * F.col("n") - F.col("sn2").cast("double")
+    ) / 2
+    return cd.crossJoin(px).select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        (F.round((cdd - F.col("d")) / (cdd + F.col("d")), 6) + 0.0).alias("gamma"),
+        (F.round((cdd - F.col("d")) / pairs_x, 6) + 0.0).alias("somers_dyx"),
+    )
+
+
+@register(
+    "q_agg_qq_table",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY grp, cents
+    ),
+    cum AS (
+      SELECT grp, cents,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(cnt) OVER (PARTITION BY grp) AS n
+      FROM cells
+    ),
+    dec AS (SELECT CAST(p AS BIGINT) AS p
+            FROM (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) t(p)),
+    q AS (
+      -- type-1 quantile: min cents with 100*cum >= p*n (integer rule)
+      SELECT dec.p, cum.grp, min(cum.cents) AS qv
+      FROM dec JOIN cum ON 100 * cum.cm >= dec.p * cum.n
+      GROUP BY dec.p, cum.grp
+    )
+    SELECT a.p AS percentile,
+           a.qv AS q_purchase_cents,
+           b.qv AS q_other_cents,
+           CAST(a.qv - b.qv AS BIGINT) AS diff_cents
+    FROM q a JOIN q b ON a.p = b.p AND a.grp = 1 AND b.grp = 0
+    ORDER BY percentile
+    """,
+    doc="Quantile-quantile decile table, purchase vs non-purchase "
+    "values: the type-1 (inverse-CDF) quantile at p = 10..90 for "
+    "each group via the INTEGER rule min{{v : 100*cum >= p*n}} on "
+    "the cent domain — no float quantile ever exists, so the table "
+    "is exact on both engines. The distribution-shape readout "
+    "BEHIND the tests: mannwhitney/cliffs say the groups differ; "
+    "the Q-Q diffs say WHERE (uniform shift = location, growing "
+    "diff = scale/tail). Scale: one (group, cents) cell rollup; "
+    "cumsums on the domain; the decile scan is a 9-row broadcast "
+    "against the domain table. Ref: no reference counterpart — "
+    "statistics tier.",
+)
+def q_agg_qq_table(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+        .groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "grp",
+        "cents",
+        F.sum("cnt").over(w).alias("cm"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+    )
+    cum = cum.localCheckpoint(eager=False)  # both decile sides read it
+    dec = cum.sparkSession.createDataFrame(
+        [(p,) for p in range(10, 100, 10)], "p long"
+    )
+    q = (
+        F.broadcast(dec)
+        .join(cum, 100 * F.col("cm") >= F.col("p") * F.col("n"))
+        .groupBy("p", "grp")
+        .agg(F.min("cents").alias("qv"))
+    )
+    a = q.filter(F.col("grp") == 1).select(
+        F.col("p").alias("percentile"), F.col("qv").alias("q_purchase_cents")
+    )
+    b = q.filter(F.col("grp") == 0).select(
+        F.col("p").alias("pb"), F.col("qv").alias("q_other_cents")
+    )
+    return (
+        a.join(b, F.col("percentile") == F.col("pb"))
+        .select(
+            "percentile",
+            "q_purchase_cents",
+            "q_other_cents",
+            (F.col("q_purchase_cents") - F.col("q_other_cents"))
+            .cast("long")
+            .alias("diff_cents"),
+        )
+        .orderBy("percentile")
+    )

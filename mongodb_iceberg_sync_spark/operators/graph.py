@@ -1477,3 +1477,218 @@ def q_graph_hits(spark, sf_dir):
         .orderBy(F.col("hub_score").desc(), "node")
         .limit(_HITS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 5 (graph): preferential-attachment link prediction +
+# rich-club coefficient profile.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_preferential_attachment",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY s),
+    cdeg AS (
+      SELECT c, count(*) AS d FROM pairs GROUP BY c
+      HAVING count(*) BETWEEN 2 AND {_AA_MAX_DEG}
+    ),
+    kept AS (SELECT p.s, p.c FROM pairs p JOIN cdeg d ON d.c = p.c),
+    cand AS (
+      SELECT DISTINCT a.s AS s1, b.s AS s2
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+    )
+    SELECT cand.s1, cand.s2,
+           d1.d AS deg1, d2.d AS deg2,
+           CAST(d1.d * d2.d AS BIGINT) AS pa_score
+    FROM cand JOIN sdeg d1 ON d1.s = cand.s1
+              JOIN sdeg d2 ON d2.s = cand.s2
+    ORDER BY pa_score DESC, s1, s2
+    LIMIT {_AA_TOPK}
+    """,
+    doc="Preferential-attachment link prediction: supplier pairs (from "
+    "the shared-customer candidate set, same wedge blocking + "
+    f"degree-{_AA_MAX_DEG} hub valve as q_graph_adamic_adar) scored "
+    "by deg(s1)*deg(s2) — the volume-driven baseline of the link-"
+    "prediction triad: common_neighbors counts evidence, adamic_adar "
+    "discounts hub evidence, PA ignores shared structure entirely "
+    "and bets on size. Reporting all three lets an analyst see "
+    "whether a predicted link is structural or just two big nodes. "
+    "EXACT: the score is an integer product of exact degrees "
+    "(degrees computed on the FULL pair set, before the valve — the "
+    "jaccard convention), top-k under a (score DESC, s1, s2) total "
+    "order. Scale: the candidate join is the valved wedge equi-join; "
+    "degrees broadcast; TakeOrdered top-k. Ref: no reference "
+    "counterpart — graph tier.",
+)
+def q_graph_preferential_attachment(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # sdeg + cdeg + kept read it
+    sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cdeg = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= _AA_MAX_DEG))
+        .select("c")
+    )
+    kept = pairs.join(cdeg, "c")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    return (
+        cand.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "deg1",
+            "deg2",
+            (F.col("deg1") * F.col("deg2")).cast("long").alias("pa_score"),
+        )
+        .orderBy(F.col("pa_score").desc(), "s1", "s2")
+        .limit(_AA_TOPK)
+    )
+
+
+_RC_LEVELS = (2, 4, 8, 16, 32, 64)
+
+
+@register(
+    "q_graph_rich_club",
+    family="graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (
+      SELECT c, count(*) AS d FROM pairs GROUP BY c
+      HAVING count(*) BETWEEN 2 AND {_AA_MAX_DEG}
+    ),
+    kept AS (SELECT p.s, p.c FROM pairs p JOIN cdeg d ON d.c = p.c),
+    edges AS (
+      SELECT DISTINCT a.s AS s1, b.s AS s2
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+    ),
+    pdeg AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT s1 AS s FROM edges UNION ALL SELECT s2 AS s FROM edges
+      ) GROUP BY s
+    ),
+    lv AS (SELECT CAST(k AS BIGINT) AS k
+           FROM (VALUES {", ".join(f"({k})" for k in _RC_LEVELS)}) t(k)),
+    nk AS (
+      SELECT lv.k, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM lv JOIN pdeg ON pdeg.d > lv.k GROUP BY lv.k
+    ),
+    ek AS (
+      SELECT lv.k, CAST(count(*) AS BIGINT) AS n_edges
+      FROM lv JOIN edges e ON TRUE
+      JOIN pdeg p1 ON p1.s = e.s1 AND p1.d > lv.k
+      JOIN pdeg p2 ON p2.s = e.s2 AND p2.d > lv.k
+      GROUP BY lv.k
+    )
+    SELECT nk.k AS degree_gt, nk.n_nodes,
+           CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           round(2.0 * coalesce(ek.n_edges, 0)
+                 / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1)), 6) + 0.0
+             AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_nodes >= 2
+    ORDER BY degree_gt
+    """,
+    doc="Rich-club coefficient profile of the supplier projection "
+    "(suppliers adjacent iff they share a customer, same wedge "
+    "blocking + hub valve as adamic_adar/PA): for each degree "
+    "threshold k in {2,4,8,16,32,64}, phi(k) = 2 E_k / (N_k (N_k-1)) "
+    "— the edge density among nodes of projected degree > k. A "
+    "rising phi(k) means high-degree suppliers preferentially "
+    "interconnect (a 'rich club' — concentration risk in a supply "
+    "graph); q_graph_assortativity gives the single correlation, "
+    "this the full profile. EXACT: integer node/edge counts per "
+    "level, one division; levels are a literal 6-row grid, rows "
+    "with N_k < 2 are dropped (phi undefined). Scale: one valved "
+    "wedge equi-join builds the projection; the level scan is a "
+    "6-row broadcast against the projected-degree table. Ref: no "
+    "reference counterpart — graph tier.",
+)
+def q_graph_rich_club(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    cdeg = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= _AA_MAX_DEG))
+        .select("c")
+    )
+    kept = pairs.join(cdeg, "c")
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)  # pdeg + ek read it
+    pdeg = (
+        edges.select(F.col("s1").alias("s"))
+        .unionAll(edges.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    pdeg = pdeg.localCheckpoint(eager=False)  # nk + both ek sides read it
+    lv = edges.sparkSession.createDataFrame(
+        [(k,) for k in _RC_LEVELS], "k long"
+    )
+    nk = (
+        F.broadcast(lv)
+        .join(pdeg, pdeg.d > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    p1 = pdeg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    p2 = pdeg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    ek = (
+        edges.join(p1, "s1")
+        .join(p2, "s2")
+        .crossJoin(F.broadcast(lv))
+        .filter((F.col("d1") > F.col("k")) & (F.col("d2") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    phi = (
+        2.0
+        * F.coalesce("n_edges", F.lit(0))
+        / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            F.col("k").alias("degree_gt"),
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            (F.round(phi, 6) + 0.0).alias("phi"),
+        )
+        .orderBy("degree_gt")
+    )

@@ -6605,3 +6605,887 @@ def q_events_power_analysis(spark, sf_dir):
         n_req.alias("n_per_arm"),
         (n_req <= F.col("n_c")).alias("feasible_now"),
     ).orderBy("mde")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 4: timeseries diagnostics on the daily grid (Pettitt
+# changepoint, Lo-MacKinlay variance ratio, turning-point randomness,
+# Dickey-Fuller unit root, KPSS stationarity, permutation entropy). Same
+# grid discipline as the r9 wave: one combinable daily rollup per series,
+# windows and joins bounded by the <=366-row grid, exact integer
+# sufficient statistics, identical float expression trees.
+# ---------------------------------------------------------------------------
+
+from .aggregates import _erfc_sql  # noqa: E402 — shared p-value kernel
+
+
+@register(
+    "q_timeseries_pettitt",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    pos AS (
+      SELECT et, d, c,
+             CAST(row_number() OVER (PARTITION BY et ORDER BY d) AS BIGINT)
+               AS rn,
+             2 * rank() OVER (PARTITION BY et ORDER BY c)
+               + count(*) OVER (PARTITION BY et, c) - 1 AS dmr
+      FROM daily
+    ),
+    nn AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY et),
+    u AS (
+      SELECT p.et, p.rn, p.d, nn.n,
+             CAST(sum(p.dmr) OVER (PARTITION BY p.et ORDER BY p.rn
+                    ROWS UNBOUNDED PRECEDING) - p.rn * (nn.n + 1)
+                  AS BIGINT) AS ut
+      FROM pos p JOIN nn ON nn.et = p.et
+    ),
+    best AS (
+      SELECT et, n, rn, d, abs(ut) AS aut,
+             row_number() OVER (PARTITION BY et
+                                ORDER BY abs(ut) DESC, rn) AS r
+      FROM u WHERE rn < n
+    )
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(aut AS BIGINT) AS k_stat,
+           d AS change_day,
+           round(least(1.0, 2.0 * exp(-6.0 * CAST(aut AS DOUBLE) * aut
+                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6)
+             + 0.0 AS p_value
+    FROM best WHERE r = 1 ORDER BY event_type
+    """,
+    doc="Pettitt rank changepoint test per event type on the daily "
+    "count series: U_t = sum_(i<=t) dmr_i - t(n+1) (the doubled-"
+    "midrank identity keeps U_t an exact BIGINT under ties — the "
+    "kruskal discipline on the time axis), K = max|U_t|, change day "
+    "= the argmax (earliest under the (|U| DESC, position) total "
+    "order), p = min(1, 2 exp(-6K^2/(n^3+n^2))) — the standard "
+    "Pettitt approximation as ONE float expression. The "
+    "nonparametric single-changepoint locator beside "
+    "q_timeseries_changepoint's variance-reduction scan: Pettitt "
+    "needs no normality and resists outliers. Scale: one combinable "
+    "daily rollup; rank/cumsum windows and the argmax all ride the "
+    "<=366-row per-series grid. Ref: no reference counterpart — "
+    "timeseries tier.",
+)
+def q_timeseries_pettitt(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # pos + nn read it
+    dmr = (
+        2 * F.rank().over(Window.partitionBy("et").orderBy("c"))
+        + F.count(F.lit(1)).over(Window.partitionBy("et", "c"))
+        - 1
+    )
+    pos = daily.select(
+        "et",
+        "d",
+        "c",
+        F.row_number().over(Window.partitionBy("et").orderBy("d")).cast("long").alias("rn"),
+        dmr.alias("dmr"),
+    )
+    nn = daily.groupBy("et").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wcum = (
+        Window.partitionBy("et").orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = pos.join(F.broadcast(nn), "et").select(
+        "et",
+        "rn",
+        "d",
+        "n",
+        (F.sum("dmr").over(wcum) - F.col("rn") * (F.col("n") + 1))
+        .cast("long")
+        .alias("ut"),
+    )
+    wbest = Window.partitionBy("et").orderBy(F.col("aut").desc(), "rn")
+    best = (
+        u.filter(F.col("rn") < F.col("n"))
+        .select("et", "n", "rn", "d", F.abs(F.col("ut")).alias("aut"))
+        .withColumn("r", F.row_number().over(wbest))
+        .filter(F.col("r") == 1)
+    )
+    nd = F.col("n").cast("double")
+    pv = F.least(
+        F.lit(1.0),
+        2.0
+        * F.exp(
+            -6.0 * F.col("aut").cast("double") * F.col("aut") / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+        ),
+    )
+    return best.select(
+        F.col("et").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("aut").cast("long").alias("k_stat"),
+        F.col("d").alias("change_day"),
+        (F.round(pv, 6) + 0.0).alias("p_value"),
+    ).orderBy("event_type")
+
+
+_VR_Q = 5  # variance-ratio horizon (trading-week convention)
+
+
+@register(
+    "q_timeseries_variance_ratio",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY et, d
+    ),
+    pos AS (
+      SELECT et, y,
+             CAST(row_number() OVER (PARTITION BY et ORDER BY d) AS BIGINT)
+               AS rn
+      FROM daily
+    ),
+    d1 AS (
+      SELECT a.et, a.y - b.y AS dx
+      FROM pos a JOIN pos b ON b.et = a.et AND b.rn = a.rn - 1
+    ),
+    dq AS (
+      SELECT a.et, a.y - b.y AS dx
+      FROM pos a JOIN pos b ON b.et = a.et AND b.rn = a.rn - {_VR_Q}
+    ),
+    s1 AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS s,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS ss
+      FROM d1 GROUP BY et
+    ),
+    sq AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS s,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS ss
+      FROM dq GROUP BY et
+    ),
+    vr AS (
+      SELECT s1.et, s1.n AS n1,
+             ((CAST(sq.ss AS DOUBLE) - CAST(sq.s AS DOUBLE) * sq.s / sq.n)
+              / sq.n)
+             / ({_VR_Q} * (CAST(s1.ss AS DOUBLE)
+                           - CAST(s1.s AS DOUBLE) * s1.s / s1.n) / s1.n)
+               AS vrq
+      FROM s1 JOIN sq ON sq.et = s1.et
+    ),
+    z AS (
+      SELECT et, n1, vrq,
+             (vrq - 1.0) / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                                / (3.0 * {_VR_Q} * n1)) AS zval
+      FROM vr
+    )
+    SELECT et AS event_type, CAST(n1 AS BIGINT) AS n_returns,
+           round(vrq, 6) + 0.0 AS variance_ratio,
+           round(zval, 6) + 0.0 AS z,
+           round({_erfc_sql("abs(zval) / 1.4142135623730951")}, 6) + 0.0
+             AS p_value
+    FROM z ORDER BY event_type
+    """,
+    doc=f"Lo-MacKinlay variance ratio VR(q={_VR_Q}) per event type on "
+    "the daily cent-total level series: Var(q-day differences)/"
+    "(q*Var(1-day differences)) — 1 under a random walk, <1 mean-"
+    "reverting, >1 trending; the random-walk diagnostic that "
+    "complements q_timeseries_hurst's long-memory exponent at a "
+    "fixed horizon. Both difference populations are exact BIGINTs "
+    "(level series is a cent sum), their variances ride exact "
+    "(n, sum, HUGEINT sum-of-squares) — population variances of the "
+    "overlapping-difference sets (the simplified estimator, "
+    "documented; the unbiased-overlap corrections move the 3rd "
+    "digit), z uses the homoskedastic asymptotic variance "
+    "2(2q-1)(q-1)/(3qn) and two-sided p rides the shared erfc "
+    "kernel. Scale: one combinable daily rollup; the lag joins ride "
+    "the <=366-row grid. Ref: no reference counterpart — timeseries "
+    "tier.",
+)
+def q_timeseries_variance_ratio(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    )
+    pos = daily.select(
+        "et",
+        "y",
+        F.row_number().over(Window.partitionBy("et").orderBy("d")).cast("long").alias("rn"),
+    )
+    pos = pos.localCheckpoint(eager=False)  # all four join sides read it
+
+    def diffs(lag):
+        a, b = pos.alias("a"), pos.alias("b")
+        return a.join(
+            b,
+            (F.col("b.et") == F.col("a.et")) & (F.col("b.rn") == F.col("a.rn") - lag),
+        ).select(F.col("a.et").alias("et"), (F.col("a.y") - F.col("b.y")).alias("dx"))
+
+    def stats(df):
+        return df.groupBy("et").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dx").cast("long").alias("s"),
+            F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+
+    s1 = stats(diffs(1))
+    sq = stats(diffs(_VR_Q)).select(
+        F.col("et").alias("qet"),
+        F.col("n").alias("qn"),
+        F.col("s").alias("qs"),
+        F.col("ss").alias("qss"),
+    )
+    var1 = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("n")
+    varq = (
+        F.col("qss").cast("double")
+        - F.col("qs").cast("double") * F.col("qs") / F.col("qn")
+    ) / F.col("qn")
+    vr = (
+        s1.join(sq, F.col("qet") == F.col("et"))
+        .select("et", F.col("n").alias("n1"), (varq / (_VR_Q * var1)).alias("vrq"))
+    )
+    zval = (F.col("vrq") - 1.0) / F.sqrt(
+        2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q * F.col("n1"))
+    )
+    z = vr.select("et", "n1", "vrq", zval.alias("zval"))
+    return z.select(
+        F.col("et").alias("event_type"),
+        F.col("n1").cast("long").alias("n_returns"),
+        (F.round("vrq", 6) + 0.0).alias("variance_ratio"),
+        (F.round("zval", 6) + 0.0).alias("z"),
+        (
+            F.round(F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6) + 0.0
+        ).alias("p_value"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_timeseries_turning_points",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    pos AS (
+      SELECT et, c,
+             CAST(row_number() OVER (PARTITION BY et ORDER BY d) AS BIGINT)
+               AS rn,
+             lag(c) OVER (PARTITION BY et ORDER BY d) AS pc,
+             lead(c) OVER (PARTITION BY et ORDER BY d) AS nc
+      FROM daily
+    ),
+    tp AS (
+      SELECT et, CAST(max(rn) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN (pc < c AND nc < c) OR (pc > c AND nc > c)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tpts
+      FROM pos GROUP BY et
+    ),
+    z AS (
+      SELECT et, n, tpts,
+             (tpts - 2.0 * (n - 2) / 3.0)
+               / sqrt((16.0 * n - 29.0) / 90.0) AS zval
+      FROM tp
+    )
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(tpts AS BIGINT) AS n_turning_points,
+           round(2.0 * (n - 2) / 3.0, 6) + 0.0 AS expected,
+           round(zval, 6) + 0.0 AS z,
+           round({_erfc_sql("abs(zval) / 1.4142135623730951")}, 6) + 0.0
+             AS p_value
+    FROM z ORDER BY event_type
+    """,
+    doc="Turning-point randomness test per event type on the daily "
+    "count series: count strict local maxima+minima (ties break "
+    "neither way — a tie is no turning point, documented), compare "
+    "to the i.i.d. null E = 2(n-2)/3, Var = (16n-29)/90, two-sided "
+    "p via the shared erfc kernel. Too FEW turning points = trend/"
+    "persistence, too MANY = alternation/negative autocorrelation — "
+    "the distribution-free companion to q_timeseries_runs_test "
+    "(runs dichotomize around a level; turning points read local "
+    "shape). Counting is exact integers via lag/lead windows on the "
+    "per-series grid; z is one float expression. Scale: one "
+    "combinable daily rollup; windows on the <=366-row grid. Ref: "
+    "no reference counterpart — timeseries tier.",
+)
+def q_timeseries_turning_points(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("et").orderBy("d")
+    pos = daily.select(
+        "et",
+        "c",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("c").over(w).alias("pc"),
+        F.lead("c").over(w).alias("nc"),
+    )
+    is_tp = (
+        ((F.col("pc") < F.col("c")) & (F.col("nc") < F.col("c")))
+        | ((F.col("pc") > F.col("c")) & (F.col("nc") > F.col("c")))
+    )
+    tp = pos.groupBy("et").agg(
+        F.max("rn").cast("long").alias("n"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("tpts"),
+    )
+    zval = (F.col("tpts") - 2.0 * (F.col("n") - 2) / 3.0) / F.sqrt(
+        (16.0 * F.col("n") - 29.0) / 90.0
+    )
+    z = tp.select("et", "n", "tpts", zval.alias("zval"))
+    return z.select(
+        F.col("et").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("tpts").cast("long").alias("n_turning_points"),
+        (F.round(2.0 * (F.col("n") - 2) / 3.0, 6) + 0.0).alias("expected"),
+        (F.round("zval", 6) + 0.0).alias("z"),
+        (
+            F.round(F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6) + 0.0
+        ).alias("p_value"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_timeseries_dickey_fuller",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY et, d
+    ),
+    pos AS (
+      SELECT et, y,
+             CAST(row_number() OVER (PARTITION BY et ORDER BY d) AS BIGINT)
+               AS rn
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.et, b.y AS x, a.y - b.y AS dy
+      FROM pos a JOIN pos b ON b.et = a.et AND b.rn = a.rn - 1
+    ),
+    st AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * dy) AS HUGEINT) AS sxy
+      FROM pairs GROUP BY et
+    ),
+    fit AS (
+      SELECT et, n, sx, sxx,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+             (CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sx) / n AS a
+      FROM st
+    ),
+    res AS (
+      SELECT p.et, f.n, f.sx, f.sxx, f.b,
+             CAST(sum(CAST(round((p.dy - f.a - f.b * p.x) * 1e6) AS HUGEINT)
+                      * CAST(round((p.dy - f.a - f.b * p.x) * 1e6) AS HUGEINT))
+                  AS DOUBLE) / 1e12 AS sse
+      FROM pairs p JOIN fit f ON f.et = p.et
+      GROUP BY p.et, f.n, f.sx, f.sxx, f.b
+    ),
+    tt AS (
+      SELECT et, n, b,
+             b / sqrt((sse / (n - 2))
+                      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+               AS tstat
+      FROM res
+    )
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_obs,
+           round(b, 6) + 0.0 AS gamma,
+           round(tstat, 6) + 0.0 AS df_stat,
+           tstat < -3.43 AS stationary_1pct,
+           tstat < -2.86 AS stationary_5pct
+    FROM tt ORDER BY event_type
+    """,
+    doc="Dickey-Fuller unit-root test per event type on the daily "
+    "cent-total level series: regress dy_t = a + gamma*y_(t-1), "
+    "t-statistic of gamma against the DF critical values -3.43 (1%) "
+    "and -2.86 (5%) as literal flags — the DF distribution is "
+    "nonstandard, so NO p-value is emitted (the tukey/dunn "
+    "critical-literal precedent; the flags are the decision). "
+    "gamma significantly negative = mean-reverting (stationary), "
+    "gamma ~ 0 = unit root/random walk — the formal complement to "
+    "q_timeseries_variance_ratio at horizon 1 and the "
+    "should-you-difference gate before any ARIMA-style model. "
+    "Exactness: the q_agg_ols discipline (exact BIGINT/HUGEINT "
+    "cross sums; residuals quantized 1e-6 and HUGEINT-squared so "
+    "day order cannot perturb SSE); the lag pairs ride the "
+    "<=366-row grid. Scale: one combinable daily rollup, constant "
+    "tail per series. Ref: no reference counterpart — timeseries "
+    "tier.",
+)
+def q_timeseries_dickey_fuller(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    )
+    pos = daily.select(
+        "et",
+        "y",
+        F.row_number().over(Window.partitionBy("et").orderBy("d")).cast("long").alias("rn"),
+    )
+    pos = pos.localCheckpoint(eager=False)  # both lag-join sides read it
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = a.join(
+        b, (F.col("b.et") == F.col("a.et")) & (F.col("b.rn") == F.col("a.rn") - 1)
+    ).select(
+        F.col("a.et").alias("et"),
+        F.col("b.y").alias("x"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # st + residual pass read it
+    st = pairs.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    bexp = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = st.select(
+        "et",
+        "n",
+        "sx",
+        "sxx",
+        bexp.alias("b"),
+        ((F.col("sy").cast("double") - bexp * F.col("sx")) / nd).alias("a"),
+    )
+    eq = F.round((F.col("dy") - F.col("a") - F.col("b") * F.col("x")) * 1e6).cast(
+        "decimal(38,0)"
+    )
+    res = (
+        pairs.join(F.broadcast(fit), "et")
+        .groupBy("et", "n", "sx", "sxx", "b")
+        .agg((F.sum(eq * eq).cast("double") / 1e12).alias("sse"))
+    )
+    tstat = F.col("b") / F.sqrt(
+        (F.col("sse") / (F.col("n") - 2))
+        / (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+    )
+    tt = res.select("et", "n", "b", tstat.alias("tstat"))
+    return tt.select(
+        F.col("et").alias("event_type"),
+        F.col("n").cast("long").alias("n_obs"),
+        (F.round("b", 6) + 0.0).alias("gamma"),
+        (F.round("tstat", 6) + 0.0).alias("df_stat"),
+        (F.col("tstat") < -3.43).alias("stationary_1pct"),
+        (F.col("tstat") < -2.86).alias("stationary_5pct"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_timeseries_kpss",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY et, d
+    ),
+    nn AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      FROM daily GROUP BY et
+    ),
+    e AS (
+      -- scaled residual e' = n*y - sum(y) is an EXACT BIGINT (the true
+      -- residual times n); eta is scale-free in e', so no float mean
+      SELECT d2.et, d2.d, nn.n,
+             CAST(nn.n * d2.y - nn.sy AS BIGINT) AS ep
+      FROM daily d2 JOIN nn ON nn.et = d2.et
+    ),
+    s AS (
+      SELECT et, n, ep,
+             CAST(sum(ep) OVER (PARTITION BY et ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS sp
+      FROM e
+    ),
+    eta AS (
+      SELECT et, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(sp * sp) AS DOUBLE)
+               / (max(n) * CAST(sum(CAST(ep AS HUGEINT) * ep) AS DOUBLE))
+               AS eta
+      FROM s GROUP BY et
+    )
+    SELECT et AS event_type, n AS n_days,
+           round(eta, 6) + 0.0 AS kpss_stat,
+           eta > 0.463 AS nonstationary_5pct
+    FROM eta ORDER BY event_type
+    """,
+    doc="KPSS level-stationarity statistic per event type on the daily "
+    "cent-total series: eta = sum_t S_t^2 / (n^2 sigma^2) with S_t "
+    "the partial sums of demeaned values and sigma^2 the short-run "
+    "(l=0) variance — algebraically reduced to the ALL-INTEGER ratio "
+    "sum(S'^2) / (n * sum(e'^2)) where e' = n*y - sum(y) (scaling by "
+    "n clears the float mean; eta is scale-invariant), so the whole "
+    "statistic is ONE float division of exact HUGEINT sums. Flagged "
+    "against the 5% critical value 0.463 (literal; the KPSS "
+    "distribution is nonstandard — the dickey_fuller convention). "
+    "KPSS's null is STATIONARITY where DF's null is the unit root: "
+    "running both brackets the truth (DF rejects + KPSS accepts = "
+    "confidently stationary). Scale: one combinable daily rollup; "
+    "the partial-sum window rides the <=366-row grid. Ref: no "
+    "reference counterpart — timeseries tier.",
+)
+def q_timeseries_kpss(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    )
+    daily = daily.localCheckpoint(eager=False)  # nn + e read it
+    nn = daily.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    e = daily.join(F.broadcast(nn), "et").select(
+        "et",
+        "d",
+        "n",
+        (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("ep"),
+    )
+    w = Window.partitionBy("et").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    s = e.select(
+        "et", "n", "ep", F.sum("ep").over(w).cast("decimal(38,0)").alias("sp")
+    )
+    eta = s.groupBy("et").agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            F.sum(F.col("sp") * F.col("sp")).cast("double")
+            / (
+                F.max("n")
+                * F.sum(F.col("ep").cast("decimal(38,0)") * F.col("ep")).cast("double")
+            )
+        ).alias("eta"),
+    )
+    return eta.select(
+        F.col("et").alias("event_type"),
+        F.col("n").alias("n_days"),
+        (F.round("eta", 6) + 0.0).alias("kpss_stat"),
+        (F.col("eta") > 0.463).alias("nonstationary_5pct"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_timeseries_permutation_entropy",
+    family="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    pat AS (
+      SELECT et,
+             concat(
+               CASE WHEN c < lead(c, 1) OVER w THEN '<'
+                    WHEN c = lead(c, 1) OVER w THEN '=' ELSE '>' END,
+               CASE WHEN lead(c, 1) OVER w < lead(c, 2) OVER w THEN '<'
+                    WHEN lead(c, 1) OVER w = lead(c, 2) OVER w THEN '='
+                    ELSE '>' END,
+               CASE WHEN c < lead(c, 2) OVER w THEN '<'
+                    WHEN c = lead(c, 2) OVER w THEN '=' ELSE '>' END
+             ) AS pattern,
+             lead(c, 2) OVER w IS NOT NULL AS complete
+      FROM daily WINDOW w AS (PARTITION BY et ORDER BY d)
+    ),
+    pc AS (
+      SELECT et, pattern, CAST(count(*) AS BIGINT) AS cnt
+      FROM pat WHERE complete GROUP BY et, pattern
+    ),
+    tot AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS n FROM pc GROUP BY et),
+    h AS (
+      SELECT pc.et, tot.n,
+             CAST(count(*) AS BIGINT) AS n_patterns,
+             CAST(sum(CAST(round(-1e9 * (CAST(cnt AS DOUBLE) / tot.n)
+                   * ln(CAST(cnt AS DOUBLE) / tot.n)) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS ent
+      FROM pc JOIN tot ON tot.et = pc.et
+      GROUP BY pc.et, tot.n
+    )
+    SELECT et AS event_type, n AS n_windows, n_patterns,
+           round(ent, 6) + 0.0 AS perm_entropy,
+           round(ent / ln(13.0), 6) + 0.0 AS perm_entropy_norm
+    FROM h ORDER BY event_type
+    """,
+    doc="Permutation entropy (order 3) per event type on the daily "
+    "count series: each 3-day window maps to its ordinal pattern — "
+    "encoded as the three pairwise comparison signs (t vs t+1, t+1 "
+    "vs t+2, t vs t+2), which handles TIES deterministically where "
+    "classic rank patterns would need a tie-break rule — and H = "
+    "-sum p ln p over the pattern distribution measures series "
+    "complexity: low H = regular/predictable (trend, strict "
+    "alternation), high H = noise-like; normalized by ln(13), the "
+    "count of ordinal outcomes of 3 elements with ties (Fubini "
+    "number a(3)=13), so 1.0 = maximally irregular. Per-pattern "
+    "p ln p terms quantized 1e-9 and BIGINT-summed (the "
+    "q_agg_entropy discipline). Band-Pompe permutation entropy is "
+    "the standard model-free complexity screen before fitting any "
+    "seasonal/AR structure. Scale: one combinable daily rollup; "
+    "lead windows + a <=13-row pattern rollup per series on the "
+    "grid. Ref: no reference counterpart — timeseries tier.",
+)
+def q_timeseries_permutation_entropy(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("et").orderBy("d")
+    c0, c1, c2 = F.col("c"), F.lead("c", 1).over(w), F.lead("c", 2).over(w)
+
+    def sign(x, y):
+        return F.when(x < y, "<").when(x == y, "=").otherwise(">")
+
+    pat = daily.select(
+        "et",
+        F.concat(sign(c0, c1), sign(c1, c2), sign(c0, c2)).alias("pattern"),
+        c2.isNotNull().alias("complete"),
+    )
+    pc = (
+        pat.filter("complete")
+        .groupBy("et", "pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pc = pc.localCheckpoint(eager=False)  # tot + h read it
+    tot = pc.groupBy("et").agg(F.sum("cnt").cast("long").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    h = (
+        pc.join(F.broadcast(tot), "et")
+        .groupBy("et", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            (F.sum(F.round(-1e9 * p * F.log(p)).cast("long")).cast("double") / 1e9).alias(
+                "ent"
+            ),
+        )
+    )
+    return h.select(
+        F.col("et").alias("event_type"),
+        F.col("n").alias("n_windows"),
+        "n_patterns",
+        (F.round("ent", 6) + 0.0).alias("perm_entropy"),
+        (F.round(F.col("ent") / F.log(F.lit(13.0)), 6) + 0.0).alias(
+            "perm_entropy_norm"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_events_srm",
+    family="events",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                         AS INTEGER) % 100 < 50 THEN 'control'
+               ELSE 'treatment'
+             END AS arm
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM u
+    ),
+    z AS (
+      SELECT nc, n - nc AS nt, n,
+             (nc - CAST(n AS DOUBLE) / 2) / sqrt(CAST(n AS DOUBLE) / 4)
+               AS zval
+      FROM c
+    )
+    SELECT nc AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+           round(CAST(n AS DOUBLE) / 2, 1) + 0.0 AS expected_each,
+           round(zval, 6) + 0.0 AS z,
+           round({_erfc_sql("abs(zval) / 1.4142135623730951")}, 6) + 0.0
+             AS p_value,
+           {_erfc_sql("abs(zval) / 1.4142135623730951")} < 0.001 AS srm_alarm
+    FROM z
+    """,
+    doc="Sample-ratio-mismatch check on q_events_ab_assign's 50/50 "
+    "md5-bucket split: exact binomial z = (n_c - N/2)/sqrt(N/4) on "
+    "DISTINCT USERS, two-sided p via the shared erfc kernel, alarm "
+    "at the industry p < 0.001 threshold — the invalidity gate every "
+    "experiment readout (uplift, CUPED, mSPRT, power) must pass "
+    "FIRST: an SRM means assignment or logging is broken and every "
+    "downstream metric is untrustworthy. The alarm branches on the "
+    "same erfc expression both engines. Scale: one distinct-user "
+    "rollup into three scalars. Ref: no reference counterpart — "
+    "experimentation tier.",
+)
+def q_events_srm(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    u = ev.select(
+        "user_id", F.when(bucket < 50, "control").otherwise("treatment").alias("arm")
+    ).distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    zval = (F.col("nc") - F.col("n").cast("double") / 2) / F.sqrt(
+        F.col("n").cast("double") / 4
+    )
+    z = c.select("nc", (F.col("n") - F.col("nc")).alias("nt"), "n", zval.alias("zval"))
+    return z.select(
+        F.col("nc").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        (F.round(F.col("n").cast("double") / 2, 1) + 0.0).alias("expected_each"),
+        (F.round("zval", 6) + 0.0).alias("z"),
+        (
+            F.round(F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6) + 0.0
+        ).alias("p_value"),
+        (
+            F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")) < 0.001
+        ).alias("srm_alarm"),
+    )
+
+
+@register(
+    "q_events_lorenz_users",
+    family="events",
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c,
+             CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS nu,
+             CAST(sum(c) OVER () AS BIGINT) AS tot,
+             CAST(sum(c) OVER (ORDER BY c, user_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+      FROM uc
+    ),
+    dec AS (
+      -- decile of the ranked user list by the integer rule
+      -- ceil(10*rn/nu) = floor((10*rn + nu - 1)/nu)
+      SELECT CAST((10 * rn + nu - 1) // nu AS BIGINT) AS decile,
+             c, nu, tot, cumc, rn
+      FROM ranked
+    ),
+    g AS (
+      -- exact Gini from the rank identity:
+      -- G = (2*sum(rn*c) - (n+1)*sum(c)) / (n*sum(c))
+      SELECT CAST(sum(rn * c) AS BIGINT) AS src,
+             CAST(max(nu) AS BIGINT) AS nu, CAST(max(tot) AS BIGINT) AS tot
+      FROM ranked
+    )
+    SELECT d.decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(d.c) AS BIGINT) AS n_events,
+           round(CAST(sum(d.c) AS DOUBLE) / max(d.tot), 6) + 0.0 AS share,
+           round(CAST(max(d.cumc) AS DOUBLE) / max(d.tot), 6) + 0.0
+             AS cum_share,
+           round((2.0 * g.src - (CAST(g.nu AS DOUBLE) + 1) * g.tot)
+                 / (CAST(g.nu AS DOUBLE) * g.tot), 6) + 0.0 AS gini_users
+    FROM dec d CROSS JOIN g
+    GROUP BY d.decile, g.src, g.nu, g.tot
+    ORDER BY d.decile
+    """,
+    doc="Lorenz concentration of event volume across USERS: users "
+    "ranked ascending by activity (total order (count, user_id)), "
+    "split into deciles by the integer rule ceil(10*rn/n), per-decile "
+    "event share + cumulative share, plus the exact rank-identity "
+    "Gini G = (2*sum(rn*c) - (n+1)*sum(c))/(n*sum(c)) repeated on "
+    "every row — the whale-dependence readout (q_agg_gini profiles "
+    "VALUE inequality; this profiles the user base behind every "
+    "per-user metric: if decile 10 is 60% of volume, every 'average "
+    "user' number is a fiction). Everything is exact integers until "
+    "the final divisions. Scale: one per-user combinable rollup; the "
+    "global rank is the TWO-PASS q_sort_global_rank core (range-"
+    "repartition + partition-local row_number + broadcast offsets — "
+    "never a single-reducer window over users); the only window runs "
+    "on the <=10-row decile table. Ref: no reference counterpart — "
+    "events tier.",
+)
+def q_events_lorenz_users(spark, sf_dir):
+    from .sorts_sets import global_rank
+
+    ev = t(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # two-pass distributed rank (the q_sort_global_rank core) — a bare
+    # row_number() over all users is a single-reducer window, dead at
+    # billions of users
+    ranked = global_rank(uc, F.col("c"), F.col("user_id"))
+    ranked = ranked.localCheckpoint(eager=False)  # tots + dec + g read it
+    tots = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("rank") * F.col("c")).cast("long").alias("src"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tots))
+        .select(
+            ((10 * F.col("rank") + F.col("nu") - 1) / F.col("nu"))
+            .cast("long")
+            .alias("decile"),
+            "c",
+            "nu",
+            "tot",
+            "src",
+        )
+        .groupBy("decile", "nu", "tot", "src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+    )
+    # the cumulative share window runs over the <=10-row decile table
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    gini = (
+        2.0 * F.col("src") - (F.col("nu").cast("double") + 1) * F.col("tot")
+    ) / (F.col("nu").cast("double") * F.col("tot"))
+    return (
+        dec.select(
+            "decile",
+            "n_users",
+            "n_events",
+            (F.round(F.col("n_events").cast("double") / F.col("tot"), 6) + 0.0).alias(
+                "share"
+            ),
+            (
+                F.round(
+                    F.sum("n_events").over(wd).cast("double") / F.col("tot"), 6
+                )
+                + 0.0
+            ).alias("cum_share"),
+            (F.round(gini, 6) + 0.0).alias("gini_users"),
+        )
+        .orderBy("decile")
+    )

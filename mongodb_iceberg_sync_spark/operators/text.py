@@ -2744,3 +2744,173 @@ def q_text_ngram_coverage(spark, sf_dir):
         "distinct_coverage",
         "weighted_coverage",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 5 (text/corpus): lexical-richness profile + cross-source
+# vocabulary overlap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_lexical_richness",
+    family="text",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+      FROM toks WHERE tok <> '' GROUP BY source, tok
+    ),
+    spec AS (
+      SELECT source,
+             CAST(sum(m) AS BIGINT)                      AS n_tokens,
+             CAST(count(*) AS BIGINT)                    AS vocab,
+             CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(m * m) AS BIGINT)                  AS sm2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, vocab,
+           round(CAST(v1 AS DOUBLE) / vocab, 6) + 0.0 AS hapax_ratio,
+           round(1e4 * (CAST(sm2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) + 0.0 AS yule_k,
+           round(vocab / sqrt(CAST(n_tokens AS DOUBLE)), 6) + 0.0
+             AS guiraud_r,
+           round(CAST(v2 AS DOUBLE) / vocab, 6) + 0.0 AS sichel_s
+    FROM spec ORDER BY source
+    """,
+    doc="Lexical-richness profile per source: token count N, vocabulary "
+    "V, hapax ratio V1/V, Yule's K = 1e4(sum m^2 V_m - N)/N^2 "
+    "(repeat-rate characteristic — LENGTH-INVARIANT where raw TTR is "
+    "not), Guiraud's R = V/sqrt(N), Sichel's S = V2/V — the "
+    "vocabulary-diversity panel a data-mixture pipeline reads per "
+    "source before weighting (q_text_heaps_law fits growth ACROSS "
+    "scales; this profiles richness AT the current scale; "
+    "q_agg_diversity_hill profiles sources by VOLUME, this by "
+    "vocabulary). Everything reduces to exact integer sums over the "
+    "frequency spectrum (m, V_m) then one float expression per "
+    "metric. Scale: one token explode into a combinable "
+    "(source, token) rollup — the tfidf shuffle shape; the spectrum "
+    "rollup is map-side combinable. Ref: no reference counterpart — "
+    "text tier.",
+)
+def q_text_lexical_richness(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    spec = tf.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).cast("long").alias("v1"),
+        F.sum(F.when(F.col("m") == 2, 1).otherwise(0)).cast("long").alias("v2"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sm2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return spec.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        (F.round(F.col("v1").cast("double") / F.col("vocab"), 6) + 0.0).alias(
+            "hapax_ratio"
+        ),
+        (
+            F.round(1e4 * (F.col("sm2").cast("double") - F.col("n_tokens")) / (nd * F.col("n_tokens")), 6)
+            + 0.0
+        ).alias("yule_k"),
+        (F.round(F.col("vocab") / F.sqrt(nd), 6) + 0.0).alias("guiraud_r"),
+        (F.round(F.col("v2").cast("double") / F.col("vocab"), 6) + 0.0).alias(
+            "sichel_s"
+        ),
+    ).orderBy("source")
+
+
+_VOCAB_OVERLAP_TOPK = 30
+
+
+@register(
+    "q_text_source_vocab_overlap",
+    family="text",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    vs AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.shared,
+           va.v AS vocab_a, vb.v AS vocab_b,
+           round(CAST(i.shared AS DOUBLE) / (va.v + vb.v - i.shared), 6)
+             + 0.0 AS jaccard
+    FROM inter i JOIN vs va ON va.source = i.src_a
+                 JOIN vs vb ON vb.source = i.src_b
+    ORDER BY jaccard DESC, src_a, src_b
+    LIMIT {_VOCAB_OVERLAP_TOPK}
+    """,
+    doc="Cross-source vocabulary overlap: Jaccard of the distinct-token "
+    "sets for every source pair, top-30 most-overlapping — the "
+    "mixture-redundancy audit (two sources with near-identical "
+    "vocabularies add volume, not diversity; q_text_jsd_drift "
+    "compares DISTRIBUTIONS of one pair, this screens ALL pairs on "
+    "set overlap). The pair join is keyed on the TOKEN (an inverted-"
+    "index shape — never source x source x vocab), counts are exact "
+    "BIGINTs, jaccard one division, top-k under a (jaccard DESC, "
+    "src_a, src_b) total order. Scale: tokens shuffle once for the "
+    "distinct; the token-keyed join fans out k(k-1)/2 per UNIVERSAL "
+    "token at worst (k = #sources, small by definition); per-source "
+    "vocab sizes broadcast. Ref: no reference counterpart — text "
+    "tier.",
+)
+def q_text_source_vocab_overlap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    st = st.localCheckpoint(eager=False)  # vs + both join sides read it
+    vs = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    va = vs.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))
+    vb = vs.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("vocab_a") + F.col("vocab_b") - F.col("shared")
+    )
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "vocab_a",
+            "vocab_b",
+            (F.round(jac, 6) + 0.0).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(_VOCAB_OVERLAP_TOPK)
+    )

@@ -120,6 +120,24 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_ml_youden_optimal",
     "q_ml_mrr",
     "q_ml_map",
+    # wave 4: timeseries diagnostics (changepoint, random walk,
+    # randomness, unit root, stationarity, complexity)
+    "q_timeseries_pettitt",
+    "q_timeseries_variance_ratio",
+    "q_timeseries_turning_points",
+    "q_timeseries_dickey_fuller",
+    "q_timeseries_kpss",
+    "q_timeseries_permutation_entropy",
+    # wave 5: corpus richness + graph link-prediction + experiment gate
+    "q_text_lexical_richness",
+    "q_text_source_vocab_overlap",
+    "q_graph_preferential_attachment",
+    "q_graph_rich_club",
+    "q_events_srm",
+    # wave 6: ordinal association + distribution shape + concentration
+    "q_agg_gamma_somers",
+    "q_agg_qq_table",
+    "q_events_lorenz_users",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

@@ -2237,3 +2237,92 @@ def test_mrr_map_python_stage_is_arrow_batched(spark, sf_dir):
         for line in eplan.splitlines():
             if "windowspecdefinition" in line:
                 assert "windowspecdefinition(probe_id" in line, line
+
+
+# ---- r10 wave-4 plan pins -----------------------------------------------
+
+
+def test_wave4_timeseries_windows_ride_series_grid(spark, sf_dir):
+    # every window in the wave-4 diagnostics partitions by the series
+    # key (et) — never an unpartitioned corpus-wide window
+    for name in (
+        "q_timeseries_pettitt",
+        "q_timeseries_variance_ratio",
+        "q_timeseries_turning_points",
+        "q_timeseries_dickey_fuller",
+        "q_timeseries_kpss",
+        "q_timeseries_permutation_entropy",
+    ):
+        df = SPECS[name].func(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "windowspecdefinition(et" in line, (name, line)
+
+
+def test_wave4_lag_joins_are_equi(spark, sf_dir):
+    for name in ("q_timeseries_variance_ratio", "q_timeseries_dickey_fuller"):
+        df = SPECS[name].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ"), name
+
+
+# ---- r10 wave-5 plan pins -----------------------------------------------
+
+
+def test_lexical_richness_two_rollups_no_joins(spark, sf_dir):
+    df = SPECS["q_text_lexical_richness"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_vocab_overlap_token_keyed_join(spark, sf_dir):
+    df = SPECS["q_text_source_vocab_overlap"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_pa_and_rich_club_valved_wedge(spark, sf_dir):
+    for name in ("q_graph_preferential_attachment", "q_graph_rich_club"):
+        df = SPECS[name].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "NestedLoop" not in plan.replace(
+            "BroadcastNestedLoopJoin", "BNLJ"
+        ), name
+
+
+def test_srm_single_rollup(spark, sf_dir):
+    df = SPECS["q_events_srm"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Window" not in plan
+
+
+# ---- r10 wave-6 plan pins -----------------------------------------------
+
+
+def test_gamma_somers_domain_grid_join(spark, sf_dir):
+    df = SPECS["q_agg_gamma_somers"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+def test_qq_table_decile_grid_broadcast(spark, sf_dir):
+    df = SPECS["q_agg_qq_table"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the inequality join against the 9-row grid must be the BROADCAST
+    # nested loop (9 rows), never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_lorenz_no_single_reducer_window(spark, sf_dir):
+    # ranks come from the two-pass global_rank core: every window in the
+    # plan partitions by pid (partition-local row_number) — an
+    # unpartitioned window over users would be the single-reducer trap
+    df = SPECS["q_events_lorenz_users"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(pid" in line or "decile" in line, line

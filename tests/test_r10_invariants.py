@@ -177,3 +177,157 @@ def test_mrr_map_ndcg_cross_consistency(spark, sf_dir):
         else:
             assert m.rr == 0.0
             assert ap[pid].ap_at_k == 0.0
+
+
+# ---- wave 4: timeseries diagnostics --------------------------------------
+
+
+def test_pettitt_bounds(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_timeseries_pettitt")
+    assert len(got) == 5
+    for r in got:
+        assert r.n_days >= 3
+        # |U_t| is bounded by t(n-t) <= n^2/4 pairs
+        assert 0 <= r.k_stat <= r.n_days * r.n_days / 4 + 1
+        assert 0.0 <= r.p_value <= 1.0
+
+
+def test_variance_ratio_positive(spark, sf_dir):
+    for r in rows(spark, sf_dir, "q_timeseries_variance_ratio"):
+        assert r.variance_ratio > 0
+        assert 0.0 <= r.p_value <= 1.0
+
+
+def test_turning_points_bounds(spark, sf_dir):
+    for r in rows(spark, sf_dir, "q_timeseries_turning_points"):
+        assert 0 <= r.n_turning_points <= r.n_days - 2
+        assert r.expected == pytest.approx(2.0 * (r.n_days - 2) / 3.0, abs=1e-6)
+        assert 0.0 <= r.p_value <= 1.0
+
+
+def test_dickey_fuller_flag_consistency(spark, sf_dir):
+    for r in rows(spark, sf_dir, "q_timeseries_dickey_fuller"):
+        # 1% rejection implies 5% rejection (nested critical regions)
+        assert (not r.stationary_1pct) or r.stationary_5pct
+        assert r.stationary_1pct == (r.df_stat < -3.43)
+        assert r.stationary_5pct == (r.df_stat < -2.86)
+        # regression on differences of a mean-reverting-ish series:
+        # gamma in (-2, 1) for any real series
+        assert -2.0 < r.gamma < 1.0
+
+
+def test_kpss_nonnegative_and_flag(spark, sf_dir):
+    for r in rows(spark, sf_dir, "q_timeseries_kpss"):
+        assert r.kpss_stat >= 0
+        assert r.nonstationary_5pct == (r.kpss_stat > 0.463)
+
+
+def test_permutation_entropy_bounds(spark, sf_dir):
+    import math
+
+    for r in rows(spark, sf_dir, "q_timeseries_permutation_entropy"):
+        assert 1 <= r.n_patterns <= 13  # Fubini(3)
+        assert r.n_windows == r.n_windows  # present
+        assert 0.0 <= r.perm_entropy <= math.log(13.0) + 1e-9
+        assert 0.0 <= r.perm_entropy_norm <= 1.0 + 1e-9
+        # H <= ln(n_patterns) for any distribution over n_patterns cells
+        assert r.perm_entropy <= math.log(r.n_patterns) + 1e-6
+
+
+# ---- wave 5: corpus richness + link prediction + SRM ---------------------
+
+
+def test_lexical_richness_spectrum_identities(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_text_lexical_richness")
+    assert got
+    for r in got:
+        assert 1 <= r.vocab <= r.n_tokens
+        assert 0.0 <= r.hapax_ratio <= 1.0
+        assert 0.0 <= r.sichel_s <= 1.0
+        assert r.hapax_ratio + r.sichel_s <= 1.0 + 1e-9  # V1+V2 <= V
+        assert r.yule_k >= 0
+        # Guiraud: 1/sqrt(N) <= R <= sqrt(N)
+        assert r.guiraud_r <= r.n_tokens**0.5 + 1e-9
+
+
+def test_source_vocab_overlap_jaccard_bounds(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_text_source_vocab_overlap")
+    assert got
+    js = [r.jaccard for r in got]
+    assert js == sorted(js, reverse=True)  # top-k ordering
+    for r in got:
+        assert r.src_a < r.src_b
+        assert 0 < r.shared <= min(r.vocab_a, r.vocab_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_preferential_attachment_scores(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_graph_preferential_attachment")
+    assert got
+    scores = [r.pa_score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    for r in got:
+        assert r.s1 < r.s2
+        assert r.pa_score == r.deg1 * r.deg2
+
+
+def test_rich_club_profile_monotone_membership(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_graph_rich_club")
+    assert got
+    prev_nodes = None
+    for r in got:
+        assert 0.0 <= r.phi <= 1.0
+        assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+        if prev_nodes is not None:
+            assert r.n_nodes <= prev_nodes  # clubs shrink as k grows
+        prev_nodes = r.n_nodes
+
+
+def test_srm_consistent_with_ab_assign(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_events_srm")
+    ab = {x.arm: x for x in rows(spark, sf_dir, "q_events_ab_assign")}
+    # same md5 bucket rule => same user partition
+    assert r.n_control == ab["control"].n_users
+    assert r.n_treatment == ab["treatment"].n_users
+    assert r.expected_each == (r.n_control + r.n_treatment) / 2
+    assert 0.0 <= r.p_value <= 1.0
+    assert r.srm_alarm == (r.p_value < 0.001) or r.p_value == 0.001
+
+
+# ---- wave 6: ordinal association + shape + concentration ------------------
+
+
+def test_gamma_somers_bounds_and_ordering(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_gamma_somers")
+    assert r.concordant >= 0 and r.discordant >= 0
+    assert -1.0 <= r.gamma <= 1.0
+    assert -1.0 <= r.somers_dyx <= 1.0
+    # |D| <= |gamma|: Somers adds Y-ties to the denominator
+    assert abs(r.somers_dyx) <= abs(r.gamma) + 1e-9
+
+
+def test_qq_table_monotone_quantiles(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_agg_qq_table")
+    assert [r.percentile for r in got] == list(range(10, 100, 10))
+    qp = [r.q_purchase_cents for r in got]
+    qo = [r.q_other_cents for r in got]
+    assert qp == sorted(qp) and qo == sorted(qo)  # CDF inverses are monotone
+    for r in got:
+        assert r.diff_cents == r.q_purchase_cents - r.q_other_cents
+
+
+def test_lorenz_users_accounting(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_events_lorenz_users")
+    assert 1 <= len(got) <= 10
+    assert sum(r.n_users for r in got) > 0
+    # users ranked ascending by activity => the PER-USER average within
+    # each decile is non-decreasing (raw decile shares can dip when the
+    # integer split gives deciles unequal user counts)
+    per_user = [r.n_events / r.n_users for r in got]
+    assert all(b >= a - 1e-9 for a, b in zip(per_user, per_user[1:]))
+    assert got[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+    cums = [r.cum_share for r in got]
+    assert cums == sorted(cums)
+    g = {r.gini_users for r in got}
+    assert len(g) == 1
+    assert 0.0 <= got[0].gini_users < 1.0
