@@ -327,6 +327,12 @@ HEADLINE = [
     "q_agg_gamma_somers",
     "q_agg_qq_table",
     "q_events_lorenz_users",
+    # round-10 debuts (wave 7: CDF distance + robust location + ordered
+    # blocks + retrieval hit rate)
+    "q_agg_cvm_test",
+    "q_agg_trimmed_mean",
+    "q_timeseries_page_trend",
+    "q_ml_topk_accuracy",
 ]
 
 

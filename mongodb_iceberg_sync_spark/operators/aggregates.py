@@ -6784,3 +6784,203 @@ def q_agg_qq_table(spark, sf_dir):
         )
         .orderBy("percentile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 7: distribution-shape inference (two-sample Cramér-von
+# Mises) and the trimmed mean.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_cvm_test",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT cents,
+             CAST(sum(grp) AS BIGINT) AS ca,
+             CAST(sum(1 - grp) AS BIGINT) AS cb
+      FROM g GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, ca + cb AS tc,
+             sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cua,
+             sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cub
+      FROM cells
+    ),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+                  CAST(sum(cb) AS BIGINT) AS m FROM cells),
+    s AS (
+      SELECT nn.n, nn.m,
+             CAST(sum(CAST(tc AS HUGEINT)
+                      * CAST(nn.m * cua - nn.n * cub AS HUGEINT)
+                      * CAST(nn.m * cua - nn.n * cub AS HUGEINT))
+                  AS DOUBLE) AS u
+      FROM cum CROSS JOIN nn GROUP BY nn.n, nn.m
+    )
+    SELECT n AS n_purchase, m AS n_other,
+           round(u / (CAST(n AS DOUBLE) * m
+                      * (CAST(n AS DOUBLE) + m) * (CAST(n AS DOUBLE) + m)),
+                 6) + 0.0 AS cvm_stat,
+           u / (CAST(n AS DOUBLE) * m
+                * (CAST(n AS DOUBLE) + m) * (CAST(n AS DOUBLE) + m))
+             > 0.461 AS significant_5pct
+    FROM s
+    """,
+    doc="Two-sample Cramér-von Mises test, purchase vs non-purchase "
+    "values: T = sum over pooled observations of (F_n - G_m)^2 "
+    "weighted nm/(n+m)^2 — algebraically cleared to the ALL-INTEGER "
+    "form sum(tc * (m*cumA - n*cumB)^2) / (nm(n+m)^2), so the whole "
+    "statistic is one float division of an exact HUGEINT sum over "
+    "the cent domain (no per-cell float ever exists). CvM weighs the "
+    "WHOLE CDF gap where q_agg_ks_test takes only the maximum — more "
+    "power against spread/shape differences that never produce one "
+    "big gap. Flagged at the 0.461 5% critical value (nonstandard "
+    "limit distribution — the dickey_fuller flag convention). Scale: "
+    "one cell rollup; cumsums on the bounded cent domain; constant "
+    "tail. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_cvm_test(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("grp").cast("long").alias("ca"),
+            F.sum(1 - F.col("grp")).cast("long").alias("cb"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)  # cum + nn read it
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "cents",
+        (F.col("ca") + F.col("cb")).alias("tc"),
+        F.sum("ca").over(w).alias("cua"),
+        F.sum("cb").over(w).alias("cub"),
+    )
+    nn = cells.agg(
+        F.sum("ca").cast("long").alias("n"), F.sum("cb").cast("long").alias("m")
+    )
+    d = (F.col("m") * F.col("cua") - F.col("n") * F.col("cub")).cast("decimal(38,0)")
+    s = (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n", "m")
+        .agg(F.sum(F.col("tc").cast("decimal(38,0)") * d * d).cast("double").alias("u"))
+    )
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    tstat = F.col("u") / (nd * F.col("m") * (nd + F.col("m")) * (nd + F.col("m")))
+    return s.select(
+        F.col("n").alias("n_purchase"),
+        F.col("m").alias("n_other"),
+        (F.round(tstat, 6) + 0.0).alias("cvm_stat"),
+        (tstat > 0.461).alias("significant_5pct"),
+    )
+
+
+_TRIM_PCT = 10  # trim 10% from each tail
+
+
+@register(
+    "q_agg_trimmed_mean",
+    family="aggregates",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT et, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY et, cents
+    ),
+    cum AS (
+      SELECT et, cents, cnt,
+             sum(cnt) OVER (PARTITION BY et ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(cnt) OVER (PARTITION BY et) AS n
+      FROM cells
+    ),
+    kept AS (
+      -- per-cell kept mass after dropping g = floor(n/10) from each
+      -- tail: overlap of [cm-cnt, cm) with [g, n-g) — pure integers
+      SELECT et, cents, n, n // {_TRIM_PCT} AS gg,
+             greatest(0, least(cm, n - n // {_TRIM_PCT})
+                         - greatest(cm - cnt, n // {_TRIM_PCT})) AS k
+      FROM cum
+    ),
+    s AS (
+      SELECT et, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(gg) AS BIGINT) AS trimmed_each,
+             CAST(sum(k) AS BIGINT) AS nk,
+             CAST(sum(k * cents) AS BIGINT) AS sv
+      FROM kept GROUP BY et
+    )
+    SELECT et AS event_type, n, trimmed_each,
+           round(CAST(sv AS DOUBLE) / nk / 100, 6) + 0.0 AS trimmed_mean
+    FROM s ORDER BY event_type
+    """,
+    doc=f"{_TRIM_PCT}%-trimmed mean per event type on the cent domain: "
+    "drop the g = floor(n/10) smallest and largest observations by "
+    "the pure-integer interval-overlap rule (each value cell keeps "
+    "max(0, min(cum, n-g) - max(cum-cnt, g)) of its mass), then one "
+    "exact integer sum — no sort of the data, no float quantile, no "
+    "per-row rank. The robust-location sibling of q_agg_winsorized "
+    "(winsorizing CLAMPS the tails into the estimate; trimming "
+    "REMOVES them — less bias when tails are junk, the common case "
+    "in telemetry). Scale: one (group, cents) cell rollup; cumsum "
+    "windows on the bounded domain; constant tail. Ref: no "
+    "reference counterpart — statistics tier.",
+)
+def q_agg_trimmed_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("et", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "et",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w).alias("cm"),
+        F.sum("cnt").over(Window.partitionBy("et")).alias("n"),
+    )
+    gg = F.floor(F.col("n") / _TRIM_PCT).cast("long")
+    k = F.greatest(
+        F.lit(0),
+        F.least(F.col("cm"), F.col("n") - gg) - F.greatest(F.col("cm") - F.col("cnt"), gg),
+    )
+    kept = cum.select("et", "cents", "n", gg.alias("gg"), k.alias("k"))
+    s = kept.groupBy("et").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("gg").cast("long").alias("trimmed_each"),
+        F.sum("k").cast("long").alias("nk"),
+        F.sum(F.col("k") * F.col("cents")).cast("long").alias("sv"),
+    )
+    return s.select(
+        F.col("et").alias("event_type"),
+        "n",
+        "trimmed_each",
+        (
+            F.round(F.col("sv").cast("double") / F.col("nk") / 100, 6) + 0.0
+        ).alias("trimmed_mean"),
+    ).orderBy("event_type")

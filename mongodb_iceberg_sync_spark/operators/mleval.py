@@ -2959,3 +2959,61 @@ def q_ml_map(spark, sf_dir):
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "q_ml_topk_accuracy",
+    family="mleval",
+    oracle=f"""
+    WITH {_RETRIEVAL_HITS_SQL},
+    kk AS (SELECT CAST(k AS BIGINT) AS k
+           FROM (VALUES (1), (3), (5), (10)) t(k)),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+    hitk AS (
+      SELECT kk.k, topk.probe_id, max(topk.rel) AS hit
+      FROM kk JOIN topk ON topk.rk <= kk.k
+      GROUP BY kk.k, topk.probe_id
+    ),
+    agg AS (
+      SELECT k, CAST(sum(hit) AS BIGINT) AS n_hit FROM hitk GROUP BY k
+    )
+    SELECT agg.k, np.n_probes, agg.n_hit,
+           round(CAST(agg.n_hit AS DOUBLE) / np.n_probes, 6) + 0.0
+             AS hit_rate
+    FROM agg CROSS JOIN np ORDER BY agg.k
+    """,
+    doc="Hit rate @ k for k in {1,3,5,10}: the share of probes with at "
+    "least one relevant item in the top-k — the coarsest and most "
+    "operational retrieval number (RAG: 'is the gold chunk in the "
+    "context window at all'), completing the ladder hit-rate -> MRR "
+    "-> MAP -> NDCG on the SAME ranked hits (same GEMM-local-top-k "
+    "kernel, same (cos DESC, vec_id) total order — the four metrics "
+    "are mutually consistent by construction, pinned in "
+    "tests/test_r10_invariants.py). Exact integer hits, one division "
+    "per k-row. Scale: one corpus pass; the k-grid is a 4-row "
+    "broadcast against the capped hits. Ref: no reference "
+    "counterpart — ML-eval tier.",
+)
+def q_ml_topk_accuracy(spark, sf_dir):
+    probes, hits = _retrieval_topk_hits(spark, sf_dir)
+    kk = probes.sparkSession.createDataFrame([(1,), (3,), (5,), (10,)], "k long")
+    np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    hitk = (
+        F.broadcast(kk)
+        .join(hits, hits.rk <= F.col("k"))
+        .groupBy("k", "probe_id")
+        .agg(F.max("rel").alias("hit"))
+    )
+    agg = hitk.groupBy("k").agg(F.sum("hit").cast("long").alias("n_hit"))
+    return (
+        agg.crossJoin(F.broadcast(np_))
+        .select(
+            "k",
+            "n_probes",
+            "n_hit",
+            (
+                F.round(F.col("n_hit").cast("double") / F.col("n_probes"), 6) + 0.0
+            ).alias("hit_rate"),
+        )
+        .orderBy("k")
+    )

@@ -7489,3 +7489,111 @@ def q_events_lorenz_users(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_timeseries_page_trend",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS et,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY d, et
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    ets AS (
+      SELECT et, CAST(row_number() OVER (ORDER BY et) AS BIGINT) AS j
+      FROM (SELECT DISTINCT et FROM daily)
+    ),
+    grid AS (
+      SELECT days.d, ets.et, ets.j, coalesce(daily.v, 0) AS v
+      FROM days CROSS JOIN ets
+      LEFT JOIN daily ON daily.d = days.d AND daily.et = ets.et
+    ),
+    rk AS (
+      SELECT d, et, j,
+             2 * rank() OVER (PARTITION BY d ORDER BY v)
+               + count(*) OVER (PARTITION BY d, v) - 1 AS dmr
+      FROM grid
+    ),
+    rj AS (
+      SELECT et, CAST(max(j) AS BIGINT) AS j,
+             CAST(sum(dmr) AS BIGINT) AS r2
+      FROM rk GROUP BY et
+    ),
+    bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM days),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ets),
+    l AS (SELECT CAST(sum(j * r2) AS BIGINT) AS l2 FROM rj),
+    z AS (
+      SELECT bb.b, kk.k, l.l2,
+             (l.l2 - CAST(bb.b AS DOUBLE) * kk.k * (kk.k + 1) * (kk.k + 1)
+                     / 2.0)
+             / sqrt(CAST(bb.b AS DOUBLE) * kk.k * kk.k * (kk.k + 1)
+                    * (CAST(kk.k AS DOUBLE) * kk.k - 1) / 36.0) AS zval
+      FROM bb CROSS JOIN kk CROSS JOIN l
+    )
+    SELECT b AS b_days, k AS k_groups,
+           round(CAST(l2 AS DOUBLE) / 2, 1) + 0.0 AS page_l,
+           round(zval, 6) + 0.0 AS z,
+           round({_erfc_sql("abs(zval) / 1.4142135623730951")}, 6) + 0.0
+             AS p_value
+    FROM z
+    """,
+    doc="Page's trend test on q_agg_friedman's day x type block design "
+    "under the alphabetical treatment ordering (the deterministic "
+    "stand-in; the machinery is the operator): L = sum_j j*R_j over "
+    "within-day ranks — Friedman asks 'do treatments differ', Page "
+    "asks 'do they differ in THIS order', gaining power against "
+    "ordered alternatives exactly as jonckheere does over kruskal "
+    "for unblocked data. DOUBLED ranks keep L2 = 2L an exact BIGINT "
+    "under ties; E[L2] = bk(k+1)^2/2 and Var[L2] = "
+    "bk^2(k+1)(k^2-1)/36 are single float expressions; two-sided p "
+    "via the shared erfc kernel. Scale: one (day,type) rollup; rank "
+    "windows on the <=366xk grid; constant tail. Ref: no reference "
+    "counterpart — timeseries tier.",
+)
+def q_timeseries_page_trend(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), F.col("event_type").alias("et")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("v"))
+    daily = daily.localCheckpoint(eager=False)  # grid + domains read it
+    days = daily.select("d").distinct()
+    ets = (
+        daily.select("et")
+        .distinct()
+        .select("et", F.row_number().over(Window.orderBy("et")).cast("long").alias("j"))
+    )
+    grid = (
+        days.crossJoin(F.broadcast(ets))
+        .join(daily, ["d", "et"], "left")
+        .select("d", "et", "j", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    dmr = (
+        2 * F.rank().over(Window.partitionBy("d").orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("d", "v"))
+        - 1
+    )
+    rk = grid.select("d", "et", "j", dmr.alias("dmr"))
+    rj = rk.groupBy("et").agg(
+        F.max("j").cast("long").alias("j"), F.sum("dmr").cast("long").alias("r2")
+    )
+    bb = days.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    kk = ets.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ll = rj.agg(F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"))
+    bd, kd = F.col("b").cast("double"), F.col("k").cast("double")
+    zval = (
+        F.col("l2") - bd * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1) / 2.0
+    ) / F.sqrt(
+        bd * F.col("k") * F.col("k") * (F.col("k") + 1) * (kd * F.col("k") - 1) / 36.0
+    )
+    z = bb.crossJoin(kk).crossJoin(ll).select("b", "k", "l2", zval.alias("zval"))
+    return z.select(
+        F.col("b").alias("b_days"),
+        F.col("k").alias("k_groups"),
+        (F.round(F.col("l2").cast("double") / 2, 1) + 0.0).alias("page_l"),
+        (F.round("zval", 6) + 0.0).alias("z"),
+        (
+            F.round(F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6) + 0.0
+        ).alias("p_value"),
+    )

@@ -138,6 +138,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_gamma_somers",
     "q_agg_qq_table",
     "q_events_lorenz_users",
+    # wave 7: CDF-distance inference + robust location + ordered blocks
+    # + retrieval hit rate
+    "q_agg_cvm_test",
+    "q_agg_trimmed_mean",
+    "q_timeseries_page_trend",
+    "q_ml_topk_accuracy",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

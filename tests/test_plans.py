@@ -2326,3 +2326,39 @@ def test_lorenz_no_single_reducer_window(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(pid" in line or "decile" in line, line
+
+
+# ---- r10 wave-7 plan pins -----------------------------------------------
+
+
+def test_cvm_single_cell_rollup(spark, sf_dir):
+    df = SPECS["q_agg_cvm_test"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan  # cells checkpointed once
+    assert "events.parquet" not in plan or plan.count("events.parquet") <= 1
+
+
+def test_trimmed_mean_windows_per_group(spark, sf_dir):
+    df = SPECS["q_agg_trimmed_mean"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(et" in line, line
+
+
+def test_page_trend_windows_ride_grid(spark, sf_dir):
+    df = SPECS["q_timeseries_page_trend"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert (
+                "windowspecdefinition(d" in line
+                or "windowspecdefinition(et" in line
+            ), line
+
+
+def test_topk_accuracy_arrow_kernel(spark, sf_dir):
+    df = SPECS["q_ml_topk_accuracy"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -331,3 +331,56 @@ def test_lorenz_users_accounting(spark, sf_dir):
     g = {r.gini_users for r in got}
     assert len(g) == 1
     assert 0.0 <= got[0].gini_users < 1.0
+
+
+# ---- wave 7: CDF distance + robust location + ordered blocks + hit rate ---
+
+
+def test_cvm_nonnegative_and_flag(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_cvm_test")
+    assert r.n_purchase > 0 and r.n_other > 0
+    assert r.cvm_stat >= 0
+    assert r.significant_5pct == (r.cvm_stat > 0.461) or abs(
+        r.cvm_stat - 0.461
+    ) < 1e-6
+
+
+def test_trimmed_mean_between_extremes(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_agg_trimmed_mean")
+    assert len(got) == 5
+    for r in got:
+        assert r.trimmed_each == r.n // 10
+        # the trimmed mean lies inside the untrimmed value range
+        assert 0.0 <= r.trimmed_mean <= 700.0
+
+
+def test_page_trend_consistent_with_friedman(spark, sf_dir):
+    (pg,) = rows(spark, sf_dir, "q_timeseries_page_trend")
+    (fr,) = rows(spark, sf_dir, "q_agg_friedman")
+    # same block design => same dimensions
+    assert (pg.b_days, pg.k_groups) == (fr.b_days, fr.k_groups)
+    # L bounds: k(k+1)/2 * b * min-rank-sum <= L <= with max ordering
+    b, k = pg.b_days, pg.k_groups
+    lmin = b * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    lmax = b * sum(j * j for j in range(1, k + 1))
+    assert lmin - 1e-6 <= pg.page_l <= lmax + 1e-6
+    assert 0.0 <= pg.p_value <= 1.0
+
+
+def test_topk_accuracy_ladder_consistency(spark, sf_dir):
+    got = {r.k: r for r in rows(spark, sf_dir, "q_ml_topk_accuracy")}
+    assert set(got) == {1, 3, 5, 10}
+    # hit rate is monotone in k
+    rates = [got[k].hit_rate for k in (1, 3, 5, 10)]
+    assert rates == sorted(rates)
+    # consistency with MRR: a probe has a first_rel_rank <= k iff it
+    # counts as a hit at k
+    mrr = rows(spark, sf_dir, "q_ml_mrr")
+    for k in (1, 3, 5, 10):
+        n_hit = sum(
+            1
+            for m in mrr
+            if m.first_rel_rank is not None and m.first_rel_rank <= k
+        )
+        assert got[k].n_hit == n_hit
+        assert got[k].n_probes == len(mrr)
