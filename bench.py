@@ -333,6 +333,13 @@ HEADLINE = [
     "q_agg_trimmed_mean",
     "q_timeseries_page_trend",
     "q_ml_topk_accuracy",
+    # round-10 debuts (wave 8: CDF distances + median CI + dedup yield +
+    # journey predictability)
+    "q_agg_kuiper",
+    "q_agg_wasserstein",
+    "q_agg_median_ci",
+    "q_dedup_cluster_sizes",
+    "q_events_journey_entropy",
 ]
 
 

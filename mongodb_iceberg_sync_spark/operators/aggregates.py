@@ -6984,3 +6984,322 @@ def q_agg_trimmed_mean(spark, sf_dir):
             F.round(F.col("sv").cast("double") / F.col("nk") / 100, 6) + 0.0
         ).alias("trimmed_mean"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 8: CDF-distance family completion (Kuiper, Wasserstein-1)
+# + the distribution-free median CI.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_kuiper",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT cents,
+             CAST(sum(grp) AS BIGINT) AS ca,
+             CAST(sum(1 - grp) AS BIGINT) AS cb
+      FROM g GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cua,
+             sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cub
+      FROM cells
+    ),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+                  CAST(sum(cb) AS BIGINT) AS m FROM cells),
+    dd AS (
+      SELECT nn.n, nn.m,
+             CAST(max(nn.m * cua - nn.n * cub) AS BIGINT) AS dplus_i,
+             CAST(max(nn.n * cub - nn.m * cua) AS BIGINT) AS dminus_i
+      FROM cum CROSS JOIN nn GROUP BY nn.n, nn.m
+    )
+    SELECT n AS n_purchase, m AS n_other,
+           round(CAST(greatest(dplus_i, 0) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * m), 6) + 0.0 AS d_plus,
+           round(CAST(greatest(dminus_i, 0) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * m), 6) + 0.0 AS d_minus,
+           round((CAST(greatest(dplus_i, 0) AS DOUBLE)
+                  + greatest(dminus_i, 0))
+                 / (CAST(n AS DOUBLE) * m), 6) + 0.0 AS kuiper_v
+    FROM dd
+    """,
+    doc="Kuiper's two-sample V = D+ + D- between purchase and "
+    "non-purchase values: where q_agg_ks_test takes the single "
+    "largest CDF gap, Kuiper adds the largest gaps in BOTH "
+    "directions — equally sensitive across the whole support "
+    "(including both tails, KS's blind spot) and the standard choice "
+    "for circular/wrapped domains. The directed gaps are maxima of "
+    "the exact INTEGER differences m*cumA - n*cumB over the cent "
+    "domain (clamped at 0 — empty direction contributes nothing), so "
+    "V is two float divisions of exact BIGINTs. Scale: one cell "
+    "rollup; domain cumsums; a 2-scalar max. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_agg_kuiper(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("grp").cast("long").alias("ca"),
+            F.sum(1 - F.col("grp")).cast("long").alias("cb"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)  # cum + nn read it
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "cents",
+        F.sum("ca").over(w).alias("cua"),
+        F.sum("cb").over(w).alias("cub"),
+    )
+    nn = cells.agg(
+        F.sum("ca").cast("long").alias("n"), F.sum("cb").cast("long").alias("m")
+    )
+    dd = (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n", "m")
+        .agg(
+            F.max(F.col("m") * F.col("cua") - F.col("n") * F.col("cub"))
+            .cast("long")
+            .alias("dplus_i"),
+            F.max(F.col("n") * F.col("cub") - F.col("m") * F.col("cua"))
+            .cast("long")
+            .alias("dminus_i"),
+        )
+    )
+    nm = F.col("n").cast("double") * F.col("m")
+    dp = F.greatest(F.col("dplus_i"), F.lit(0)).cast("double")
+    dm = F.greatest(F.col("dminus_i"), F.lit(0)).cast("double")
+    return dd.select(
+        F.col("n").alias("n_purchase"),
+        F.col("m").alias("n_other"),
+        (F.round(dp / nm, 6) + 0.0).alias("d_plus"),
+        (F.round(dm / nm, 6) + 0.0).alias("d_minus"),
+        (F.round((dp + dm) / nm, 6) + 0.0).alias("kuiper_v"),
+    )
+
+
+@register(
+    "q_agg_wasserstein",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT cents,
+             CAST(sum(grp) AS BIGINT) AS ca,
+             CAST(sum(1 - grp) AS BIGINT) AS cb
+      FROM g GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             lead(cents) OVER (ORDER BY cents) AS nxt,
+             sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cua,
+             sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cub
+      FROM cells
+    ),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+                  CAST(sum(cb) AS BIGINT) AS m FROM cells),
+    s AS (
+      SELECT nn.n, nn.m,
+             CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                      ELSE abs(CAST(nn.m * cua - nn.n * cub AS HUGEINT))
+                           * (nxt - cents) END) AS DOUBLE) AS u
+      FROM cum CROSS JOIN nn GROUP BY nn.n, nn.m
+    )
+    SELECT n AS n_purchase, m AS n_other,
+           round(u / (CAST(n AS DOUBLE) * m) / 100, 6) + 0.0
+             AS wasserstein_1
+    FROM s
+    """,
+    doc="1-Wasserstein (earth-mover) distance between the purchase and "
+    "non-purchase value distributions: W1 = integral |F - G| dx, "
+    "discretized EXACTLY on the cent domain as sum over consecutive "
+    "domain points of |m*cumA - n*cumB| * gap — an exact HUGEINT sum "
+    "with ONE float division (and /100 back to value units). W1 is "
+    "the drift metric with UNITS (the average value-distance mass "
+    "must move): KS/CvM/Kuiper say distributions differ; W1 says by "
+    "how many dollars — the quantity a drift alarm thresholds on "
+    "(and the 1D optimal-transport quantity embedding-drift monitors "
+    "approximate). Scale: one cell rollup; domain cumsums + lead; "
+    "constant tail. Ref: no reference counterpart — statistics "
+    "tier.",
+)
+def q_agg_wasserstein(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("grp").cast("long").alias("ca"),
+            F.sum(1 - F.col("grp")).cast("long").alias("cb"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)  # cum + nn read it
+    wo = Window.orderBy("cents")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "cents",
+        F.lead("cents").over(wo).alias("nxt"),
+        F.sum("ca").over(w).alias("cua"),
+        F.sum("cb").over(w).alias("cub"),
+    )
+    nn = cells.agg(
+        F.sum("ca").cast("long").alias("n"), F.sum("cb").cast("long").alias("m")
+    )
+    term = F.when(F.col("nxt").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+        F.abs((F.col("m") * F.col("cua") - F.col("n") * F.col("cub")).cast("decimal(38,0)"))
+        * (F.col("nxt") - F.col("cents"))
+    )
+    s = (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n", "m")
+        .agg(F.sum(term).cast("double").alias("u"))
+    )
+    return s.select(
+        F.col("n").alias("n_purchase"),
+        F.col("m").alias("n_other"),
+        (
+            F.round(F.col("u") / (F.col("n").cast("double") * F.col("m")) / 100, 6)
+            + 0.0
+        ).alias("wasserstein_1"),
+    )
+
+
+@register(
+    "q_agg_median_ci",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT et, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY et, cents
+    ),
+    cum AS (
+      SELECT et, cents,
+             sum(cnt) OVER (PARTITION BY et ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(cnt) OVER (PARTITION BY et) AS n
+      FROM cells
+    ),
+    -- distribution-free order-statistic bounds (normal approx to the
+    -- binomial(n, 1/2)): ranks l = floor(n/2 - 0.98*sqrt(n)),
+    -- u = ceil(n/2 + 1 + 0.98*sqrt(n)); 0.98 = z(0.975)/2
+    ranks AS (
+      SELECT et, CAST(max(n) AS BIGINT) AS n,
+             CAST(floor(max(n) / 2.0 - 0.98 * sqrt(max(n))) AS BIGINT) AS lr,
+             CAST(ceil(max(n) / 2.0 + 1 + 0.98 * sqrt(max(n))) AS BIGINT)
+               AS ur
+      FROM cum GROUP BY et
+    ),
+    med AS (
+      SELECT c.et, min(c.cents) AS v FROM cum c JOIN ranks r ON r.et = c.et
+      WHERE 2 * c.cm >= r.n GROUP BY c.et
+    ),
+    lo AS (
+      SELECT c.et, min(c.cents) AS v FROM cum c JOIN ranks r ON r.et = c.et
+      WHERE c.cm >= r.lr GROUP BY c.et
+    ),
+    hi AS (
+      SELECT c.et, min(c.cents) AS v FROM cum c JOIN ranks r ON r.et = c.et
+      WHERE c.cm >= r.ur GROUP BY c.et
+    )
+    SELECT ranks.et AS event_type, ranks.n,
+           med.v AS median_cents, lo.v AS ci_lo_cents, hi.v AS ci_hi_cents
+    FROM ranks JOIN med ON med.et = ranks.et
+               JOIN lo ON lo.et = ranks.et
+               JOIN hi ON hi.et = ranks.et
+    ORDER BY event_type
+    """,
+    doc="Distribution-free 95% confidence interval for the median per "
+    "event type via binomial order statistics: the interval "
+    "[X_(l), X_(u)] with l = floor(n/2 - z/2*sqrt(n)), u = ceil(n/2 "
+    "+ 1 + z/2*sqrt(n)) covers the true median at ~95% for ANY "
+    "continuous distribution — no normality, no bootstrap resamples "
+    "(q_agg_bootstrap's job done in closed form for this one "
+    "statistic). Rank lookups are integer rules against the "
+    "domain cumsum (the q_agg_qq_table machinery); the only floats "
+    "are the two rank cutoffs, identical expressions both engines. "
+    "Scale: one cell rollup; domain cumsums; three k-row rank "
+    "lookups. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_median_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("et", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "et",
+        "cents",
+        F.sum("cnt").over(w).alias("cm"),
+        F.sum("cnt").over(Window.partitionBy("et")).alias("n"),
+    )
+    cum = cum.localCheckpoint(eager=False)  # ranks + 3 lookups read it
+    ranks = cum.groupBy("et").agg(
+        F.max("n").cast("long").alias("n"),
+        F.floor(F.max("n") / 2.0 - 0.98 * F.sqrt(F.max("n")))
+        .cast("long")
+        .alias("lr"),
+        F.ceil(F.max("n") / 2.0 + 1 + 0.98 * F.sqrt(F.max("n")))
+        .cast("long")
+        .alias("ur"),
+    )
+    j = cum.select("et", "cents", "cm").join(F.broadcast(ranks), "et")
+    med = j.filter(2 * F.col("cm") >= F.col("n")).groupBy("et").agg(
+        F.min("cents").alias("median_cents")
+    )
+    lo = j.filter(F.col("cm") >= F.col("lr")).groupBy("et").agg(
+        F.min("cents").alias("ci_lo_cents")
+    )
+    hi = j.filter(F.col("cm") >= F.col("ur")).groupBy("et").agg(
+        F.min("cents").alias("ci_hi_cents")
+    )
+    return (
+        ranks.join(med, "et")
+        .join(lo, "et")
+        .join(hi, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            "n",
+            "median_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+        .orderBy("event_type")
+    )

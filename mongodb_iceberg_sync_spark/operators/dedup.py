@@ -1702,3 +1702,50 @@ def q_dedup_semantic_ivf_mp(spark, sf_dir):
         F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
         (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
     )
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    family="dedup",
+    oracle=_CLUSTERS_ORACLE.replace(
+        """    SELECT l.doc_id, l.cluster_id, cs.n AS cluster_size
+    FROM lab l
+    JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) cs USING (cluster_id)
+""",
+        """    SELECT CAST(cs.n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cs.n * count(*) AS BIGINT) AS n_docs
+    FROM (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) cs
+    GROUP BY cs.n ORDER BY cluster_size
+""",
+    ),
+    doc="Cluster-SIZE histogram over q_dedup_clusters' connected "
+    "components (exact-dup stars + rep-level n-gram-Jaccard edges): "
+    "one row per size with the cluster count and total docs — the "
+    "dedup yield forecast (keep-one-per-cluster retains "
+    "sum(n_clusters) docs; sum over sizes of n_docs - n_clusters is "
+    "exactly what dedup deletes) and the pathological-clique alarm "
+    "(a giant component = boilerplate eating the corpus). Same "
+    "two-layer edge set, hash-min components, and recursive-CTE "
+    "oracle as q_dedup_clusters; the histogram is a <=max-size-row "
+    "rollup on top. Scale: identical to q_dedup_clusters plus two "
+    "combinable rollups. Ref: no reference counterpart — "
+    "LLM-pipeline tier.",
+)
+def q_dedup_cluster_sizes(spark, sf_dir):
+    cl = q_dedup_clusters(spark, sf_dir)
+    per_cluster = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        per_cluster.groupBy(F.col("size").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

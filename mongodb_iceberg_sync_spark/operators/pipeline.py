@@ -7597,3 +7597,102 @@ def q_timeseries_page_trend(spark, sf_dir):
             F.round(F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")), 6) + 0.0
         ).alias("p_value"),
     )
+
+
+@register(
+    "q_events_journey_entropy",
+    family="events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    rowt AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM trans
+      GROUP BY prev_type
+    ),
+    hrow AS (
+      SELECT t.prev_type, r.tot,
+             CAST(sum(CAST(round(-1e9 * (CAST(t.n AS DOUBLE) / r.tot)
+                   * ln(CAST(t.n AS DOUBLE) / r.tot)) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS h
+      FROM trans t JOIN rowt r ON r.prev_type = t.prev_type
+      GROUP BY t.prev_type, r.tot
+    ),
+    gt AS (SELECT CAST(sum(tot) AS BIGINT) AS g FROM rowt)
+    SELECT hrow.prev_type AS state,
+           hrow.tot AS n_transitions,
+           round(hrow.h, 6) + 0.0 AS state_entropy,
+           round(CAST(sum(CAST(round(1e9 * (CAST(h2.tot AS DOUBLE) / gt.g)
+                     * h2.h) AS BIGINT)) AS DOUBLE) / 1e9, 6) + 0.0
+             AS entropy_rate
+    FROM hrow CROSS JOIN gt
+    CROSS JOIN hrow h2
+    GROUP BY hrow.prev_type, hrow.tot, hrow.h, gt.g
+    ORDER BY state
+    """,
+    doc="Markov entropy rate of user journeys: per-state transition "
+    "entropy H(next|state) = -sum p ln p over q_events_markov's "
+    "transition rows, plus the chain's entropy rate sum_i pi_i H_i "
+    "(pi = empirical state occupancy) repeated on every row — the "
+    "PREDICTABILITY number behind the transition matrix (near 0 = "
+    "deterministic funnels, near ln(k) = users wander uniformly; "
+    "the single scalar to monitor for behavior drift where "
+    "q_text_jsd_drift monitors token drift). Per-cell p ln p and "
+    "per-state pi*H terms are quantized 1e-9 and BIGINT-summed "
+    "(the q_agg_entropy discipline, applied at both levels). "
+    "Scale: one user-partitioned lag window (the markov shuffle), "
+    "then everything runs on the <=k^2-row transition table. Ref: "
+    "no reference counterpart — events tier.",
+)
+def q_events_journey_entropy(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    trans = trans.localCheckpoint(eager=False)  # rowt + hrow read it
+    rowt = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    hrow = (
+        trans.join(rowt, "prev_type")
+        .groupBy("prev_type", "tot")
+        .agg(
+            (
+                F.sum(F.round(-1e9 * p * F.log(p)).cast("long")).cast("double")
+                / 1e9
+            ).alias("h")
+        )
+    )
+    hrow = hrow.localCheckpoint(eager=False)  # read as both sides below
+    gt = rowt.agg(F.sum("tot").cast("long").alias("g"))
+    h2 = hrow.select(
+        F.col("tot").alias("tot2"), F.col("h").alias("hh")
+    )
+    rate_term = F.round(
+        1e9 * (F.col("tot2").cast("double") / F.col("g")) * F.col("hh")
+    ).cast("long")
+    return (
+        hrow.crossJoin(F.broadcast(gt))
+        .crossJoin(h2)
+        .groupBy("prev_type", "tot", "h", "g")
+        .agg((F.sum(rate_term).cast("double") / 1e9).alias("rate"))
+        .select(
+            F.col("prev_type").alias("state"),
+            F.col("tot").alias("n_transitions"),
+            (F.round("h", 6) + 0.0).alias("state_entropy"),
+            (F.round("rate", 6) + 0.0).alias("entropy_rate"),
+        )
+        .orderBy("state")
+    )

@@ -144,6 +144,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_trimmed_mean",
     "q_timeseries_page_trend",
     "q_ml_topk_accuracy",
+    # wave 8: CDF-distance completion + median CI + dedup yield +
+    # journey predictability
+    "q_agg_kuiper",
+    "q_agg_wasserstein",
+    "q_agg_median_ci",
+    "q_dedup_cluster_sizes",
+    "q_events_journey_entropy",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

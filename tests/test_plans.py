@@ -2362,3 +2362,30 @@ def test_topk_accuracy_arrow_kernel(spark, sf_dir):
     plan = formatted_plan(df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---- r10 wave-8 plan pins -----------------------------------------------
+
+
+def test_kuiper_wasserstein_single_cell_rollup(spark, sf_dir):
+    for name in ("q_agg_kuiper", "q_agg_wasserstein"):
+        df = SPECS[name].func(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "ExistingRDD" in plan, name  # cells checkpointed once
+        assert plan.count("events.parquet") <= 1, name
+
+
+def test_median_ci_windows_per_group(spark, sf_dir):
+    df = SPECS["q_agg_median_ci"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(et" in line, line
+
+
+def test_journey_entropy_user_partitioned_lag(spark, sf_dir):
+    df = SPECS["q_events_journey_entropy"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line, line

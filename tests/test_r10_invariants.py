@@ -384,3 +384,56 @@ def test_topk_accuracy_ladder_consistency(spark, sf_dir):
         )
         assert got[k].n_hit == n_hit
         assert got[k].n_probes == len(mrr)
+
+
+# ---- wave 8: CDF distances + median CI + dedup yield + journeys ----------
+
+
+def test_kuiper_dominates_ks_directions(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_kuiper")
+    assert 0.0 <= r.d_plus <= 1.0 and 0.0 <= r.d_minus <= 1.0
+    assert r.kuiper_v == pytest.approx(r.d_plus + r.d_minus, abs=2e-6)
+    # V >= the KS statistic (max of the two directed gaps)
+    assert r.kuiper_v >= max(r.d_plus, r.d_minus) - 1e-9
+
+
+def test_wasserstein_nonnegative_bounded(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_wasserstein")
+    # W1 between distributions supported on [0, ~600] is in that range
+    assert 0.0 <= r.wasserstein_1 <= 700.0
+
+
+def test_median_ci_brackets_median(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_agg_median_ci")
+    assert len(got) == 5
+    for r in got:
+        assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
+
+
+def test_cluster_sizes_reconcile_with_clusters(spark, sf_dir):
+    hist = rows(spark, sf_dir, "q_dedup_cluster_sizes")
+    cl = rows(spark, sf_dir, "q_dedup_clusters")
+    assert sum(r.n_docs for r in hist) == len(cl)
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in hist)
+    from collections import Counter
+
+    sizes = Counter(r.cluster_size for r in cl)
+    # each cluster of size s contributes s member rows
+    expected = {s: n // s for s, n in sizes.items()}
+    assert {r.cluster_size: r.n_clusters for r in hist} == expected
+
+
+def test_journey_entropy_bounds_and_rate(spark, sf_dir):
+    import math
+
+    got = rows(spark, sf_dir, "q_events_journey_entropy")
+    assert len(got) == 5
+    rates = {r.entropy_rate for r in got}
+    assert len(rates) == 1  # the chain-level scalar repeats per row
+    hmax = math.log(5.0)
+    for r in got:
+        assert 0.0 <= r.state_entropy <= hmax + 1e-9
+    # the rate is a convex combination of the state entropies
+    lo = min(r.state_entropy for r in got)
+    hi = max(r.state_entropy for r in got)
+    assert lo - 1e-6 <= got[0].entropy_rate <= hi + 1e-6
