@@ -340,6 +340,9 @@ HEADLINE = [
     "q_agg_median_ci",
     "q_dedup_cluster_sizes",
     "q_events_journey_entropy",
+    # round-10 debuts (wave 9: FWER control + SQL portability)
+    "q_agg_holm",
+    "q_sql_order_all",
 ]
 
 

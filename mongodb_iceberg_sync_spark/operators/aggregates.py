@@ -7303,3 +7303,129 @@ def q_agg_median_ci(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 9: family-wise error control (Holm step-down vs plain
+# Bonferroni) beside q_agg_bh_fdr's FDR control.
+# ---------------------------------------------------------------------------
+
+_HOLM_ALPHA = 0.05
+
+
+@register(
+    "q_agg_holm",
+    family="aggregates",
+    oracle=f"""
+    WITH dow AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c
+      FROM events GROUP BY dw
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS m
+      FROM dow
+    ),
+    z AS (
+      SELECT d.dw, d.n, d.c, t.m,
+             (CAST(d.c AS DOUBLE)/d.n - CAST(t.ct - d.c AS DOUBLE)/(t.nt - d.n))
+             / sqrt((CAST(t.ct AS DOUBLE)/t.nt) * (1.0 - CAST(t.ct AS DOUBLE)/t.nt)
+                    * (1.0/d.n + 1.0/(t.nt - d.n))) AS zval
+      FROM dow d CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT dw, m, zval,
+             {_erfc_sql("abs(zval) / 1.4142135623730951")} AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY pval, dw) AS BIGINT) AS rnk
+      FROM p
+    ),
+    stepped AS (
+      -- Holm is step-DOWN: a rank is rejected only if ITS threshold
+      -- holds AND every smaller rank's did (running AND via min over
+      -- the preceding prefix of the 0/1 pass flag)
+      SELECT *,
+             min(CASE WHEN pval <= {_HOLM_ALPHA} / (m - rnk + 1)
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS holm_ok
+      FROM ranked
+    )
+    SELECT dw AS day_of_week,
+           round(zval, 6) + 0.0 AS z_score,
+           round(pval, 6) + 0.0 AS p_value,
+           rnk AS p_rank,
+           round({_HOLM_ALPHA} / (m - rnk + 1), 6) + 0.0 AS holm_threshold,
+           CAST(holm_ok AS BOOLEAN) AS holm_rejected,
+           pval <= {_HOLM_ALPHA} / m AS bonferroni_rejected
+    FROM stepped ORDER BY day_of_week
+    """,
+    doc="Holm step-down multiple-testing correction over the same 7 "
+    "day-of-week conversion tests as q_agg_bh_fdr — the FWER side of "
+    "the multiple-testing coin (BH controls the expected FALSE-"
+    "DISCOVERY share; Holm controls the chance of ANY false "
+    "positive, uniformly more powerful than plain Bonferroni, whose "
+    "flag is emitted beside it for the contrast: bonferroni ⊆ holm "
+    "⊆ bh is the textbook rejection-set nesting, pinned in "
+    "tests/test_r10_invariants.py). The step-down rule 'reject rank "
+    "r iff p_(s) <= alpha/(m-s+1) for ALL s <= r' is a running min "
+    "of the 0/1 pass flag over the m-row ranked table. Same exact-"
+    "integer z, same shared erfc kernel. Scale: one combinable "
+    "7-group pass; everything after is arithmetic on m rows (bounded "
+    "by the TEST count). Ref: no reference counterpart — statistics "
+    "tier.",
+)
+def q_agg_holm(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    dow = ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    dow = dow.localCheckpoint(eager=False)  # tot + z share it
+    tot = dow.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("c").cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    p0 = F.col("ct").cast("double") / F.col("nt")
+    zval = (
+        F.col("c").cast("double") / F.col("n")
+        - (F.col("ct") - F.col("c")).cast("double") / (F.col("nt") - F.col("n"))
+    ) / F.sqrt(
+        p0 * (1.0 - p0) * (1.0 / F.col("n") + 1.0 / (F.col("nt") - F.col("n")))
+    )
+    z = dow.join(F.broadcast(tot)).select("dw", "m", zval.alias("zval"))
+    p = z.select(
+        "*", F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")).alias("pval")
+    )
+    ranked = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("pval", "dw")).cast("long").alias("rnk"),
+    )
+    pass_flag = F.when(
+        F.col("pval") <= _HOLM_ALPHA / (F.col("m") - F.col("rnk") + 1), 1
+    ).otherwise(0)
+    stepped = ranked.select(
+        "*",
+        F.min(pass_flag)
+        .over(Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("holm_ok"),
+    )
+    return stepped.select(
+        F.col("dw").alias("day_of_week"),
+        (F.round("zval", 6) + 0.0).alias("z_score"),
+        (F.round("pval", 6) + 0.0).alias("p_value"),
+        F.col("rnk").alias("p_rank"),
+        (
+            F.round(_HOLM_ALPHA / (F.col("m") - F.col("rnk") + 1), 6) + 0.0
+        ).alias("holm_threshold"),
+        F.col("holm_ok").cast("boolean").alias("holm_rejected"),
+        (F.col("pval") <= _HOLM_ALPHA / F.col("m")).alias("bonferroni_rejected"),
+    ).orderBy("day_of_week")

@@ -1521,3 +1521,42 @@ def q_sql_distinct_on(spark, sf_dir):
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_sql_order_all",
+    family="sql",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(ts) AS BIGINT) AS dw,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL + ORDER BY ALL — the remaining modern-SQL "
+    "shorthand pair after q_sql_groupby_all (r8 covered the grouping "
+    "side alone): every non-aggregate column groups, every output "
+    "column orders, IDENTICAL SQL text on both engines (Spark 4 and "
+    "DuckDB both implement the duckdb-pioneered shorthand). The "
+    "portability claim is the operator: a user's dashboard query "
+    "moves between the engines verbatim. Scale: one combinable "
+    "rollup + a bounded 35-row sort. Ref: no reference counterpart — "
+    "SQL-portability tier.",
+)
+def q_sql_order_all(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(dayofweek(ts) - 1 AS BIGINT) AS dw,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

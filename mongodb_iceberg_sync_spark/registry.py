@@ -151,6 +151,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_agg_median_ci",
     "q_dedup_cluster_sizes",
     "q_events_journey_entropy",
+    # wave 9: FWER control + SQL portability
+    "q_agg_holm",
+    "q_sql_order_all",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

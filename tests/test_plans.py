@@ -2389,3 +2389,20 @@ def test_journey_entropy_user_partitioned_lag(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(user_id" in line, line
+
+
+# ---- r10 wave-9 plan pins -----------------------------------------------
+
+
+def test_holm_windows_on_test_table(spark, sf_dir):
+    # windows run on the m-row ranked TEST table (bounded by test count)
+    df = SPECS["q_agg_holm"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") <= 1
+
+
+def test_order_all_single_rollup(spark, sf_dir):
+    df = SPECS["q_sql_order_all"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    assert "Join" not in plan

@@ -437,3 +437,29 @@ def test_journey_entropy_bounds_and_rate(spark, sf_dir):
     lo = min(r.state_entropy for r in got)
     hi = max(r.state_entropy for r in got)
     assert lo - 1e-6 <= got[0].entropy_rate <= hi + 1e-6
+
+
+# ---- wave 9: FWER control + SQL portability -------------------------------
+
+
+def test_holm_nesting_vs_bonferroni_and_bh(spark, sf_dir):
+    holm = {r.day_of_week: r for r in rows(spark, sf_dir, "q_agg_holm")}
+    bh = {r.day_of_week: r for r in rows(spark, sf_dir, "q_agg_bh_fdr")}
+    assert set(holm) == set(bh)
+    for dw, h in holm.items():
+        # identical underlying tests
+        assert h.p_value == pytest.approx(bh[dw].p_value, abs=2e-6)
+        # textbook rejection-set nesting: bonferroni <= holm <= bh
+        # (same alpha=q=0.05)
+        if h.bonferroni_rejected:
+            assert h.holm_rejected
+        if h.holm_rejected:
+            assert bh[dw].rejected
+        assert 0.0 <= h.holm_threshold <= 0.05 + 1e-9
+
+
+def test_order_all_fully_sorted(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_sql_order_all")
+    keys = [(r.event_type, r.dw, r.n, r.cents) for r in got]
+    assert keys == sorted(keys)
+    assert len(got) <= 35  # 5 types x 7 days
