@@ -343,6 +343,9 @@ HEADLINE = [
     # round-10 debuts (wave 9: FWER control + SQL portability)
     "q_agg_holm",
     "q_sql_order_all",
+    # round-10 debuts (wave 10: dedup yield curve + corpus sizing)
+    "q_dedup_threshold_curve",
+    "q_text_length_profile",
 ]
 
 

@@ -1749,3 +1749,128 @@ def q_dedup_cluster_sizes(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "q_dedup_threshold_curve",
+    family="dedup",
+    oracle=f"""
+    WITH {_MINHASH_SHINGLE_SQL},
+    hot AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY band_id, band_hash HAVING count(*) > {MAX_LSH_BUCKET}
+    ),
+    pruned AS (
+      SELECT bands.* FROM bands ANTI JOIN hot USING (band_id, band_hash)
+    ),
+    cp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pruned a JOIN pruned b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT cp.doc_a, cp.doc_b,
+             CAST((SELECT count(*) FROM range(1, 17) r(i)
+                   WHERE sa.sig[i] = sb.sig[i]) AS BIGINT) AS agree
+      FROM cp JOIN sig sa ON sa.doc_id = cp.doc_a
+              JOIN sig sb ON sb.doc_id = cp.doc_b
+    ),
+    grid AS (SELECT CAST(a16 AS BIGINT) AS agree_min
+             FROM (VALUES (4), (6), (8), (10), (12), (14), (16)) t(a16)),
+    pt AS (
+      SELECT g.agree_min, est.doc_a, est.doc_b
+      FROM grid g JOIN est ON est.agree >= g.agree_min
+    ),
+    a1 AS (
+      SELECT agree_min, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pt GROUP BY agree_min
+    ),
+    a2 AS (
+      SELECT agree_min, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT agree_min, doc_a AS d FROM pt
+            UNION ALL SELECT agree_min, doc_b FROM pt)
+      GROUP BY agree_min
+    )
+    SELECT g.agree_min,
+           round(CAST(g.agree_min AS DOUBLE) / 16, 4) + 0.0 AS threshold,
+           CAST(coalesce(a1.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(a2.n_docs, 0) AS BIGINT) AS n_docs_affected
+    FROM grid g LEFT JOIN a1 USING (agree_min) LEFT JOIN a2 USING (agree_min)
+    ORDER BY agree_min
+    """,
+    doc="Dedup yield curve over the similarity threshold: candidate "
+    "pairs and affected docs of the md5-MinHash pipeline counted at "
+    "every threshold in {{4..16}}/16 signature agreement — the "
+    "tune-the-knob-BEFORE-the-run audit (how many docs would a 0.5 "
+    "threshold delete vs 0.75? the curve answers without re-running "
+    "dedup per candidate threshold; its thresholds are exact "
+    "multiples of 2^-4, the q_dedup_minhash convention). The pair "
+    "set is computed ONCE (same banding + bucket valve); the curve "
+    "is a 7-row grid join over the pair agreements. Scale: identical "
+    "to q_dedup_minhash plus two grid-keyed rollups. Ref: no "
+    "reference counterpart — LLM-pipeline tier.",
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    bands = _minhash_md5_bands(spark, sf_dir)
+    hot = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > MAX_LSH_BUCKET)
+        .select("band_id", "band_hash")
+    ).localCheckpoint(eager=True)
+    pruned = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    est = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e
+                )
+            )
+            .cast("long")
+            .alias("agree"),
+        )
+    )
+    est = est.localCheckpoint(eager=False)  # both grid rollups read it
+    grid = est.sparkSession.createDataFrame(
+        [(v,) for v in (4, 6, 8, 10, 12, 14, 16)], "agree_min long"
+    )
+    pt = F.broadcast(grid).join(est, est.agree >= F.col("agree_min"))
+    pt = pt.localCheckpoint(eager=False)  # a1 + a2 read it
+    a1 = pt.groupBy("agree_min").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    a2 = (
+        pt.select("agree_min", F.col("doc_a").alias("d"))
+        .unionAll(pt.select("agree_min", F.col("doc_b").alias("d")))
+        .groupBy("agree_min")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        F.broadcast(grid)
+        .join(a1, "agree_min", "left")
+        .join(a2, "agree_min", "left")
+        .select(
+            "agree_min",
+            (F.round(F.col("agree_min").cast("double") / 16, 4) + 0.0).alias(
+                "threshold"
+            ),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_affected"),
+        )
+        .orderBy("agree_min")
+    )

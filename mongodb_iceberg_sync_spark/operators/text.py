@@ -2914,3 +2914,110 @@ def q_text_source_vocab_overlap(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
         .limit(_VOCAB_OVERLAP_TOPK)
     )
+
+
+@register(
+    "q_text_length_profile",
+    family="text",
+    oracle="""
+    WITH cells AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+      SELECT source, n_chars,
+             sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM cells
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source,
+             min(CASE WHEN 4 * cm >= n THEN n_chars END) AS p25,
+             min(CASE WHEN 2 * cm >= n THEN n_chars END) AS p50,
+             min(CASE WHEN 4 * cm >= 3 * n THEN n_chars END) AS p75,
+             min(CASE WHEN 10 * cm >= 9 * n THEN n_chars END) AS p90
+      FROM cum GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.min_chars,
+           CAST(q.p25 AS BIGINT) AS p25_chars,
+           CAST(q.p50 AS BIGINT) AS p50_chars,
+           CAST(q.p75 AS BIGINT) AS p75_chars,
+           CAST(q.p90 AS BIGINT) AS p90_chars,
+           s.max_chars,
+           round(CAST(s.total_chars AS DOUBLE) / s.n_docs, 6) + 0.0
+             AS mean_chars
+    FROM s JOIN q ON q.source = s.source
+    ORDER BY s.source
+    """,
+    doc="Document-length profile per source: min / p25 / median / p75 "
+    "/ p90 / max / mean of n_chars — the sizing panel a packing and "
+    "chunking pipeline reads per source before setting sequence "
+    "lengths (q_pack_tokens packs against a budget; this says what "
+    "the budget should be, and a p90/median ratio >> 1 flags a "
+    "long-tail source that needs chunking first). Quantiles are "
+    "type-1 integer rules (min value with k*cum >= j*n — no float "
+    "quantile ever exists, the q_agg_qq_table machinery); mean is "
+    "one exact division. Scale: one (source, n_chars) cell rollup; "
+    "domain cumsums per source; constant tail. Ref: no reference "
+    "counterpart — text tier.",
+)
+def q_text_length_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "source",
+        "n_chars",
+        F.sum("cnt").over(w).alias("cm"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    q = cum.groupBy("source").agg(
+        F.min(F.when(4 * F.col("cm") >= F.col("n"), F.col("n_chars"))).alias("p25"),
+        F.min(F.when(2 * F.col("cm") >= F.col("n"), F.col("n_chars"))).alias("p50"),
+        F.min(F.when(4 * F.col("cm") >= 3 * F.col("n"), F.col("n_chars"))).alias(
+            "p75"
+        ),
+        F.min(F.when(10 * F.col("cm") >= 9 * F.col("n"), F.col("n_chars"))).alias(
+            "p90"
+        ),
+    )
+    return (
+        s.join(q, "source")
+        .select(
+            "source",
+            "n_docs",
+            "min_chars",
+            F.col("p25").cast("long").alias("p25_chars"),
+            F.col("p50").cast("long").alias("p50_chars"),
+            F.col("p75").cast("long").alias("p75_chars"),
+            F.col("p90").cast("long").alias("p90_chars"),
+            "max_chars",
+            (
+                F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 6)
+                + 0.0
+            ).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )

@@ -87,16 +87,14 @@ def _load_all_operator_modules() -> None:
 # — drop (to the back) every name with a green driver row, promote the
 # never-checked tail to the front, keep any FAIL rows first of all.
 #
-# Round-8 rotation: r7 delivered its 50-query window green (CORRECTNESS_r07
-# is 50/50: 49 hash-pass + 1 declared no-oracle; cumulative 342/346
-# driver-checked, zero failures in seven rounds). The 4 names below are the
-# ONLY registered queries never covered by any driver window (r1-r7) — the
-# wave-5/6 debuts that landed after the r7 window rotated; the r7 judge
-# swept all four green against the oracle. They lead the r8 window and
-# close the drain at 346/346. Any r8-debut additions slot in AFTER them
-# (window positions 5..50), so the 4-name close is arithmetically
-# guaranteed no matter how many debuts land (tests/test_registry.py
-# window invariant).
+# Round-10 rotation: CORRECTNESS_r09 delivered the r9 window 50/50 green
+# (cumulative 427/427 across nine rounds, zero failures). Every r1-r9
+# name is driver-stamped, so the r10 window is pure debuts + the
+# youngest-stamp rotation: the 41 r10 debuts lead (oracle-backed, zero
+# new rows-only entries), then the r9 debuts fill the remaining window
+# slots for a re-check. All r10 debuts were swept green against the
+# DuckDB oracle at sf0.01 in-session (tools/sweep.py) before entering
+# the window.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- r10 debuts lead the window (every r1-r9 name is driver-checked
     #     as of CORRECTNESS_r09: 427/427 green; each r10 row arrives
@@ -154,6 +152,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # wave 9: FWER control + SQL portability
     "q_agg_holm",
     "q_sql_order_all",
+    # wave 10: dedup yield curve + corpus sizing panel
+    "q_dedup_threshold_curve",
+    "q_text_length_profile",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

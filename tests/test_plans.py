@@ -2406,3 +2406,24 @@ def test_order_all_single_rollup(spark, sf_dir):
     plan = formatted_plan(df)
     assert "HashAggregate" in plan
     assert "Join" not in plan
+
+
+# ---- r10 wave-10 plan pins ------------------------------------------------
+
+
+def test_threshold_curve_pair_set_computed_once(spark, sf_dir):
+    df = SPECS["q_dedup_threshold_curve"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the pair-agreement table is checkpointed once and the grid rides
+    # broadcast joins — never a re-run of the minhash pipeline per
+    # threshold
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+
+
+def test_length_profile_windows_per_source(spark, sf_dir):
+    df = SPECS["q_text_length_profile"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(source" in line, line

@@ -463,3 +463,38 @@ def test_order_all_fully_sorted(spark, sf_dir):
     keys = [(r.event_type, r.dw, r.n, r.cents) for r in got]
     assert keys == sorted(keys)
     assert len(got) <= 35  # 5 types x 7 days
+
+
+# ---- wave 10: dedup yield curve + corpus sizing ---------------------------
+
+
+def test_threshold_curve_monotone_and_consistent_with_minhash(spark, sf_dir):
+    curve = {r.agree_min: r for r in rows(spark, sf_dir, "q_dedup_threshold_curve")}
+    assert set(curve) == {4, 6, 8, 10, 12, 14, 16}
+    pairs = [curve[k].n_pairs for k in sorted(curve)]
+    docs = [curve[k].n_docs_affected for k in sorted(curve)]
+    # raising the threshold can only DROP pairs/docs
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    for r in curve.values():
+        assert r.threshold == r.agree_min / 16
+        assert r.n_docs_affected <= 2 * r.n_pairs
+    # agreement >= 4/16 is exactly q_dedup_minhash's 0.25 cut
+    mh = rows(spark, sf_dir, "q_dedup_minhash")
+    assert curve[4].n_pairs == len(mh)
+
+
+def test_length_profile_quantile_ordering(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_text_length_profile")
+    assert got
+    for r in got:
+        assert (
+            r.min_chars
+            <= r.p25_chars
+            <= r.p50_chars
+            <= r.p75_chars
+            <= r.p90_chars
+            <= r.max_chars
+        )
+        assert r.min_chars <= r.mean_chars <= r.max_chars
+        assert r.n_docs > 0
