@@ -346,6 +346,8 @@ HEADLINE = [
     # round-10 debuts (wave 10: dedup yield curve + corpus sizing)
     "q_dedup_threshold_curve",
     "q_text_length_profile",
+    # round-10 debuts (wave 11: Hilbert clustering)
+    "q_sort_hilbert",
 ]
 
 

@@ -324,3 +324,111 @@ def q_set_bag_ops(spark, sf_dir):
         ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
         out = one if out is None else out.unionByName(one)
     return out.orderBy("op")
+
+
+_HILBERT_BITS = 8  # 8-bit axes: a 256 x 256 curve, d in [0, 65536)
+
+
+def _hilbert_steps():
+    return [1 << i for i in range(_HILBERT_BITS - 1, -1, -1)]
+
+
+def _hilbert_oracle_sql(x_expr: str, y_expr: str) -> str:
+    """Chained-CTE DuckDB text of the classic xy2d walk — the SAME
+    per-step expressions the Spark select chain applies, generated from
+    the same loop so the two engines cannot drift."""
+    lines = [
+        f"s0 AS (SELECT *, CAST({x_expr} AS BIGINT) AS hx,"
+        f" CAST({y_expr} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM src)"
+    ]
+    for i, s in enumerate(_hilbert_steps(), start=1):
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        nx = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s} - 1 - hy ELSE hy END) ELSE hx END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s} - 1 - hx ELSE hx END) ELSE hy END)"
+        )
+        lines.append(
+            f"s{i} AS (SELECT * REPLACE ("
+            f"{nx} AS hx, {ny} AS hy,"
+            f" hd + {s} * {s} * {quad} AS hd) FROM s{i - 1})"
+        )
+    return ",\n    ".join(lines)
+
+
+@register(
+    "q_sort_hilbert",
+    family="sorts",
+    oracle=f"""
+    WITH src AS (
+      SELECT p_partkey, p_size FROM part
+    ),
+    {_hilbert_oracle_sql("p_size & 255", "p_partkey % 256")}
+    SELECT p_partkey, p_size, hd AS h
+    FROM s{_HILBERT_BITS}
+    ORDER BY h, p_partkey
+    LIMIT 100
+    """,
+    doc="Hilbert-curve clustering key over (p_size, p_partkey mod 256): "
+    "the locality-preserving sibling of q_sort_zorder's Morton code — "
+    "consecutive Hilbert indices are ALWAYS spatially adjacent "
+    "(Morton has long diagonal jumps at quadrant boundaries), so "
+    "files sorted by it hold tighter key-space rectangles and min/max "
+    "stats prune better; it is the documented preference over "
+    "Z-order in Iceberg/Delta clustering discussions for exactly "
+    "this reason. The classic xy2d walk (8 rotate-and-accumulate "
+    "steps) runs as a chain of 8 small integer projections — Spark "
+    "select chain and DuckDB CTE chain are GENERATED FROM THE SAME "
+    "LOOP, so the per-step expression text cannot drift; everything "
+    "is exact integer CASE arithmetic (the quadrant is a 4-way CASE, "
+    "not an engine-specific XOR). Top-100 under a (h, p_partkey) "
+    "total order via TakeOrderedAndProject. At 100 TB this is a "
+    "write-time sortWithinPartitions(h) before the sink, exactly "
+    "like zorder. Ref: no reference counterpart — lakehouse tier.",
+)
+def q_sort_hilbert(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    df = p.select(
+        "p_partkey",
+        "p_size",
+        (F.col("p_size").cast("long").bitwiseAND(F.lit(255))).alias("hx"),
+        (F.col("p_partkey") % 256).cast("long").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    for s in _hilbert_steps():
+        rx = F.when(F.col("hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 1, 2)
+            .otherwise(3)
+        )
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s) - 1 - F.col("hy")).otherwise(F.col("hy")),
+        ).otherwise(F.col("hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s) - 1 - F.col("hx")).otherwise(F.col("hx")),
+        ).otherwise(F.col("hy"))
+        df = df.select(
+            "p_partkey",
+            "p_size",
+            nx.alias("hx"),
+            ny.alias("hy"),
+            (F.col("hd") + s * s * quad).alias("hd"),
+        )
+    return (
+        df.select("p_partkey", "p_size", F.col("hd").alias("h"))
+        .orderBy("h", "p_partkey")
+        .limit(100)
+    )

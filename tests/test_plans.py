@@ -2427,3 +2427,13 @@ def test_length_profile_windows_per_source(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(source" in line, line
+
+
+# ---- r10 wave-11 plan pin --------------------------------------------------
+
+
+def test_hilbert_topk_no_global_sort(spark, sf_dir):
+    df = SPECS["q_sort_hilbert"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

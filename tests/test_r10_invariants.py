@@ -498,3 +498,32 @@ def test_length_profile_quantile_ordering(spark, sf_dir):
         )
         assert r.min_chars <= r.mean_chars <= r.max_chars
         assert r.n_docs > 0
+
+
+# ---- wave 11: Hilbert clustering ------------------------------------------
+
+
+def _py_xy2d(x: int, y: int, n: int = 256) -> int:
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_pure_python_xy2d(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_sort_hilbert")
+    assert got
+    hs = [r.h for r in got]
+    assert hs == sorted(hs)
+    for r in got:
+        assert r.h == _py_xy2d(r.p_size & 255, r.p_partkey % 256)
+        assert 0 <= r.h < 256 * 256
