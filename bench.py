@@ -348,6 +348,9 @@ HEADLINE = [
     "q_text_length_profile",
     # round-10 debuts (wave 11: Hilbert clustering)
     "q_sort_hilbert",
+    # round-10 debuts (wave 12: tail-weighted CDF distance + dedup tokens)
+    "q_agg_ad_test",
+    "q_text_dedup_impact",
 ]
 
 

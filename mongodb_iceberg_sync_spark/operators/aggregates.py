@@ -7429,3 +7429,115 @@ def q_agg_holm(spark, sf_dir):
         F.col("holm_ok").cast("boolean").alias("holm_rejected"),
         (F.col("pval") <= _HOLM_ALPHA / F.col("m")).alias("bonferroni_rejected"),
     ).orderBy("day_of_week")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 12: the Anderson-Darling member of the CDF-distance family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_ad_test",
+    family="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT cents,
+             CAST(sum(grp) AS BIGINT) AS ca,
+             CAST(sum(1 - grp) AS BIGINT) AS cb
+      FROM g GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, ca + cb AS tc,
+             sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cua,
+             sum(ca + cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS cub
+      FROM cells
+    ),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+                  CAST(sum(ca + cb) AS BIGINT) AS nt FROM cells),
+    s AS (
+      SELECT nn.n, nn.nt,
+             CAST(sum(CASE WHEN cub = nn.nt THEN 0
+                   ELSE CAST(round(1e9 * tc
+                        * (CAST(nn.nt AS DOUBLE) * cua - CAST(nn.n AS DOUBLE) * cub)
+                        * (CAST(nn.nt AS DOUBLE) * cua - CAST(nn.n AS DOUBLE) * cub)
+                        / (CAST(cub AS DOUBLE) * (nn.nt - cub))) AS BIGINT)
+                   END) AS DOUBLE) / 1e9 AS u
+      FROM cum CROSS JOIN nn GROUP BY nn.n, nn.nt
+    )
+    SELECT n AS n_purchase, CAST(nt - n AS BIGINT) AS n_other,
+           round(u / (CAST(n AS DOUBLE) * (nt - n)), 6) + 0.0 AS ad_stat,
+           u / (CAST(n AS DOUBLE) * (nt - n)) > 2.492 AS significant_5pct
+    FROM s
+    """,
+    doc="Two-sample Anderson-Darling statistic, purchase vs "
+    "non-purchase values (Pettitt's right-continuous discrete form): "
+    "A^2 = (1/(nm)) sum over pooled distinct values (except the "
+    "last) of tc * (N*cumA - n*cumPooled)^2 / (cumPooled*(N-"
+    "cumPooled)) — the CDF gap WEIGHTED BY 1/(B(N-B)), which blows "
+    "up at the tails: AD is the tail-sensitive member of the "
+    "distance family (KS = max gap, CvM = mean square gap, Kuiper = "
+    "both directions, W1 = gap with units, AD = tail-weighted), the "
+    "standard choice when tail risk is the question. Each cell's "
+    "term is an identical float expression of exact integers "
+    "quantized 1e-9 before the sum; flagged at the 2.492 asymptotic "
+    "5% critical value (nonstandard distribution — the dickey_fuller "
+    "convention). Scale: one cell rollup; domain cumsums; constant "
+    "tail. Ref: no reference counterpart — statistics tier.",
+)
+def q_agg_ad_test(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("grp").cast("long").alias("ca"),
+            F.sum(1 - F.col("grp")).cast("long").alias("cb"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)  # cum + nn read it
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "cents",
+        (F.col("ca") + F.col("cb")).alias("tc"),
+        F.sum("ca").over(w).alias("cua"),
+        F.sum(F.col("ca") + F.col("cb")).over(w).alias("cub"),
+    )
+    nn = cells.agg(
+        F.sum("ca").cast("long").alias("n"),
+        F.sum(F.col("ca") + F.col("cb")).cast("long").alias("nt"),
+    )
+    d = F.col("nt").cast("double") * F.col("cua") - F.col("n").cast(
+        "double"
+    ) * F.col("cub")
+    term = F.when(F.col("cub") == F.col("nt"), F.lit(0).cast("long")).otherwise(
+        F.round(
+            1e9
+            * F.col("tc")
+            * d
+            * d
+            / (F.col("cub").cast("double") * (F.col("nt") - F.col("cub")))
+        ).cast("long")
+    )
+    s = (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n", "nt")
+        .agg((F.sum(term).cast("double") / 1e9).alias("u"))
+    )
+    ad = F.col("u") / (F.col("n").cast("double") * (F.col("nt") - F.col("n")))
+    return s.select(
+        F.col("n").alias("n_purchase"),
+        (F.col("nt") - F.col("n")).cast("long").alias("n_other"),
+        (F.round(ad, 6) + 0.0).alias("ad_stat"),
+        (ad > 2.492).alias("significant_5pct"),
+    )

@@ -1874,3 +1874,84 @@ def q_dedup_threshold_curve(spark, sf_dir):
         )
         .orderBy("agree_min")
     )
+
+
+@register(
+    "q_text_dedup_impact",
+    family="dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    grp AS (
+      SELECT source, text, CAST(min(doc_id) AS BIGINT) AS keeper,
+             CAST(count(*) AS BIGINT) AS copies,
+             CAST(max(toks) AS BIGINT) AS toks
+      FROM d GROUP BY source, text
+    )
+    SELECT source,
+           CAST(sum(copies) AS BIGINT)          AS n_docs,
+           CAST(count(*) AS BIGINT)             AS n_kept,
+           CAST(sum(copies * toks) AS BIGINT)   AS total_tokens,
+           CAST(sum(toks) AS BIGINT)            AS kept_tokens,
+           round(1.0 - CAST(sum(toks) AS DOUBLE) / sum(copies * toks), 6)
+             + 0.0 AS token_savings
+    FROM grp GROUP BY source ORDER BY source
+    """,
+    doc="Token-level exact-dedup impact per source: whitespace-token "
+    "counts before vs after keep-one-per-exact-text, and the savings "
+    "ratio — the number a training-data budget meeting actually asks "
+    "for (q_dedup_exact counts COPIES; compute budgets are priced in "
+    "TOKENS, and a source whose dups are all long docs saves far "
+    "more than its copy count suggests). Exactness: group by the "
+    "text itself (per source), exact integer token sums, one "
+    "division. Scale: the shuffle carries (source, text) ONCE per "
+    "doc — at 100 TB swap the group key to sha256(text) "
+    "(q_dedup_exact's 64-byte-key trick; identical result, the "
+    "hash is keyed per source+text); one combinable rollup each "
+    "side. Ref: no reference counterpart — LLM-pipeline tier.",
+)
+def q_text_dedup_impact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    # shuffle carries a 32-byte hash, not the document (the
+    # q_dedup_exact trick); text-identical docs hash-collide only
+    # with sha256 collisions
+    grp = d.groupBy("source", F.sha2("text", 256).alias("_sha")).agg(
+        F.min("doc_id").cast("long").alias("keeper"),
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.max("toks").cast("long").alias("toks"),
+    )
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.col("copies") * F.col("toks")).cast("long").alias(
+                "total_tokens"
+            ),
+            F.sum("toks").cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "total_tokens",
+            "kept_tokens",
+            (
+                F.round(
+                    1.0
+                    - F.col("kept_tokens").cast("double") / F.col("total_tokens"),
+                    6,
+                )
+                + 0.0
+            ).alias("token_savings"),
+        )
+        .orderBy("source")
+    )

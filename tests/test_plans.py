@@ -2437,3 +2437,21 @@ def test_hilbert_topk_no_global_sort(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---- r10 wave-12 plan pins --------------------------------------------------
+
+
+def test_ad_single_cell_rollup(spark, sf_dir):
+    df = SPECS["q_agg_ad_test"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert plan.count("events.parquet") <= 1
+
+
+def test_dedup_impact_hash_keyed_shuffle(spark, sf_dir):
+    # the group key is (source, sha256) — the shuffle never carries text
+    df = SPECS["q_text_dedup_impact"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "sha2" in plan
+    assert "Join" not in plan

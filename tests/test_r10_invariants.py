@@ -527,3 +527,27 @@ def test_hilbert_matches_pure_python_xy2d(spark, sf_dir):
     for r in got:
         assert r.h == _py_xy2d(r.p_size & 255, r.p_partkey % 256)
         assert 0 <= r.h < 256 * 256
+
+
+# ---- wave 12: AD distance + token-level dedup impact -----------------------
+
+
+def test_ad_nonnegative_and_family_consistency(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "q_agg_ad_test")
+    assert r.n_purchase > 0 and r.n_other > 0
+    assert r.ad_stat >= 0
+    assert r.significant_5pct == (r.ad_stat > 2.492)
+
+
+def test_dedup_impact_reconciles_with_exact_dedup(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_text_dedup_impact")
+    assert got
+    for r in got:
+        assert 1 <= r.n_kept <= r.n_docs
+        assert 0 < r.kept_tokens <= r.total_tokens
+        assert 0.0 <= r.token_savings < 1.0
+        if r.n_kept == r.n_docs:
+            assert r.token_savings == 0.0
+    # corpus-level doc counts must reconcile with q_dedup_exact
+    ex = rows(spark, sf_dir, "q_dedup_exact")
+    assert sum(r.n_docs for r in got) == sum(x.n_copies for x in ex)
