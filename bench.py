@@ -9,7 +9,10 @@ line must stay small enough for the round driver's output capture).
 The canary block makes capture drift self-adjudicating: the same cheap
 query is timed solo at capture start/middle/end; a spread past ~1.3x
 marks the whole capture co-tenant-skewed (identical code + plan measured
-three times — the only variable is ambient machine load).
+three times — the only variable is ambient machine load). Read the
+PROFILE, not just the spread: monotone decreasing start>middle>end is
+residual session warm-up (discount the start point); a spike at middle
+or end is genuine co-tenancy inside the capture window.
 """
 
 from __future__ import annotations
@@ -402,10 +405,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Warm-up (UNTIMED): the first heavy queries of a cold session absorb
     # ~2x cold-path cost (JVM JIT, parquet footer caches, shuffle service,
-    # Python/Arrow worker pool). Warm all three execution paths once
-    # through the same noop sink the timed loop uses.
-    for warm in ("q_agg_groupby", "q_join_shuffle", "q_udf_map_arrow"):
-        _run_once(spark, specs, warm, sf_dir)
+    # Python/Arrow worker pool). Warm all three execution paths TWICE
+    # through the same noop sink the timed loop uses (one pass left the
+    # r10 start canary ~1.7x the end canary — JIT keeps warming through
+    # the first dozen queries).
+    for _ in range(2):
+        for warm in ("q_agg_groupby", "q_join_shuffle", "q_udf_map_arrow"):
+            _run_once(spark, specs, warm, sf_dir)
     # Canary: one fixed cheap query timed solo at capture start / middle /
     # end. The spread adjudicates co-tenancy drift mechanically: identical
     # code, identical plan, three points in time — a spread past ~1.3x
