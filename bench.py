@@ -354,6 +354,8 @@ HEADLINE = [
     # round-10 debuts (wave 12: tail-weighted CDF distance + dedup tokens)
     "q_agg_ad_test",
     "q_text_dedup_impact",
+    # round-10 debuts (wave 13: embedding drift monitor)
+    "q_embed_centroid_drift",
 ]
 
 

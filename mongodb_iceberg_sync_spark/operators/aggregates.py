@@ -7461,18 +7461,23 @@ def q_agg_holm(spark, sf_dir):
     nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
                   CAST(sum(ca + cb) AS BIGINT) AS nt FROM cells),
     s AS (
+      -- quantize the per-cell RATIO (term already divided by n*m): the
+      -- raw numerator tc*d^2 overflows BIGINT at ~1e6 rows (caught by
+      -- the 100x probe); the ratio is bounded by A^2 itself (~O(10)),
+      -- so 1e9-quantized cell terms sum safely at any corpus size
       SELECT nn.n, nn.nt,
              CAST(sum(CASE WHEN cub = nn.nt THEN 0
                    ELSE CAST(round(1e9 * tc
                         * (CAST(nn.nt AS DOUBLE) * cua - CAST(nn.n AS DOUBLE) * cub)
                         * (CAST(nn.nt AS DOUBLE) * cua - CAST(nn.n AS DOUBLE) * cub)
-                        / (CAST(cub AS DOUBLE) * (nn.nt - cub))) AS BIGINT)
-                   END) AS DOUBLE) / 1e9 AS u
+                        / (CAST(cub AS DOUBLE) * (nn.nt - cub))
+                        / (CAST(nn.n AS DOUBLE) * (nn.nt - nn.n))) AS BIGINT)
+                   END) AS DOUBLE) / 1e9 AS ad
       FROM cum CROSS JOIN nn GROUP BY nn.n, nn.nt
     )
     SELECT n AS n_purchase, CAST(nt - n AS BIGINT) AS n_other,
-           round(u / (CAST(n AS DOUBLE) * (nt - n)), 6) + 0.0 AS ad_stat,
-           u / (CAST(n AS DOUBLE) * (nt - n)) > 2.492 AS significant_5pct
+           round(ad, 6) + 0.0 AS ad_stat,
+           ad > 2.492 AS significant_5pct
     FROM s
     """,
     doc="Two-sample Anderson-Darling statistic, purchase vs "
@@ -7484,8 +7489,11 @@ def q_agg_holm(spark, sf_dir):
     "distance family (KS = max gap, CvM = mean square gap, Kuiper = "
     "both directions, W1 = gap with units, AD = tail-weighted), the "
     "standard choice when tail risk is the question. Each cell's "
-    "term is an identical float expression of exact integers "
-    "quantized 1e-9 before the sum; flagged at the 2.492 asymptotic "
+    "term is an identical float expression of exact integers; the "
+    "quantized quantity is the RATIO term/(nm) — bounded by A^2 "
+    "itself — because the 100x probe caught the raw tc*d^2 form "
+    "overflowing BIGINT at ~1e6 rows (CAST_OVERFLOW; the same probe "
+    "class that caught the r9 IVF draft). Flagged at the 2.492 asymptotic "
     "5% critical value (nonstandard distribution — the dickey_fuller "
     "convention). Scale: one cell rollup; domain cumsums; constant "
     "tail. Ref: no reference counterpart — statistics tier.",
@@ -7527,17 +7535,17 @@ def q_agg_ad_test(spark, sf_dir):
             * d
             * d
             / (F.col("cub").cast("double") * (F.col("nt") - F.col("cub")))
+            / (F.col("n").cast("double") * (F.col("nt") - F.col("n")))
         ).cast("long")
     )
     s = (
         cum.crossJoin(F.broadcast(nn))
         .groupBy("n", "nt")
-        .agg((F.sum(term).cast("double") / 1e9).alias("u"))
+        .agg((F.sum(term).cast("double") / 1e9).alias("ad"))
     )
-    ad = F.col("u") / (F.col("n").cast("double") * (F.col("nt") - F.col("n")))
     return s.select(
         F.col("n").alias("n_purchase"),
         (F.col("nt") - F.col("n")).cast("long").alias("n_other"),
-        (F.round(ad, 6) + 0.0).alias("ad_stat"),
-        (ad > 2.492).alias("significant_5pct"),
+        (F.round("ad", 6) + 0.0).alias("ad_stat"),
+        (F.col("ad") > 2.492).alias("significant_5pct"),
     )

@@ -1756,3 +1756,123 @@ def q_embed_matryoshka(spark, sf_dir):
         )
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 13: embedding centroid drift across a deterministic split.
+# ---------------------------------------------------------------------------
+
+_CD_Q = 10_000_000  # per-dim quantizer (the _NCC_Q precedent: f32 fits 1e7)
+_CD_TRAIN_PCT = 50  # md5 half/half split — symmetric drift read
+
+
+@register(
+    "q_embed_centroid_drift",
+    family="similarity",
+    oracle=f"""
+    WITH sp AS (
+      SELECT vec_id, label, embedding,
+             CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 < {_CD_TRAIN_PCT} AS in_a
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT sp.label, sp.in_a, i.i AS d,
+             CAST(round(sp.embedding[i.i]::DOUBLE * {_CD_Q}, 0) AS BIGINT)
+               AS q
+      FROM sp CROSS JOIN range(1, 65) i(i)
+    ),
+    sums AS (
+      SELECT label, d,
+             CAST(sum(CASE WHEN in_a THEN q ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE q END) AS BIGINT) AS sb
+      FROM dims GROUP BY label, d
+    ),
+    ns AS (
+      SELECT label,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM sp GROUP BY label
+    ),
+    cos_ AS (
+      SELECT label,
+             CAST(sum(CAST(sa AS HUGEINT) * sb) AS DOUBLE)
+               / (sqrt(CAST(sum(CAST(sa AS HUGEINT) * sa) AS DOUBLE))
+                * sqrt(CAST(sum(CAST(sb AS HUGEINT) * sb) AS DOUBLE)))
+               AS c
+      FROM sums GROUP BY label
+    )
+    SELECT ns.label, ns.na AS n_a, ns.nb AS n_b,
+           round(cos_.c, 6) + 0.0 AS centroid_cos,
+           round(1.0 - cos_.c, 6) + 0.0 AS drift
+    FROM ns JOIN cos_ ON cos_.label = ns.label
+    ORDER BY ns.label
+    """,
+    doc="Per-label embedding centroid drift across a deterministic md5 "
+    "half/half split of the corpus: cosine between the two halves' "
+    "label centroids — near 1 means the label's embedding mass is "
+    "stable under resampling; a low cosine flags a label whose "
+    "representation depends on WHICH half you look at (ingest drift, "
+    "mixed subpopulations) — the embedding-space drift monitor "
+    "beside q_ml_psi's score-space one. The mean normalizations "
+    "CANCEL inside the cosine (cos(mean_a, mean_b) = cos(sum_a, "
+    "sum_b)), so the whole statistic reduces to three HUGEINT "
+    "dot-products of exact 1e7-quantized per-dim sums — no float "
+    "mean, no division until the final expression. Scale: one "
+    "64-way dim explode into a combinable (label, dim) rollup "
+    "(constant-size after the map side); k-row tail. Ref: no "
+    "reference counterpart — embedding tier.",
+)
+def q_embed_centroid_drift(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    in_a = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+        < _CD_TRAIN_PCT
+    )
+    sp = e.select("vec_id", "label", "embedding", in_a.alias("in_a"))
+    sp = sp.localCheckpoint(eager=False)  # dims + ns read it
+    dims = sp.select(
+        "label",
+        "in_a",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.round(v.cast("double") * _CD_Q, 0).cast("long"),
+            )
+        ).alias("d0", "q"),
+    ).select("label", "in_a", (F.col("d0") + 1).alias("d"), "q")
+    sums = dims.groupBy("label", "d").agg(
+        F.sum(F.when(F.col("in_a"), F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("in_a"), F.lit(0)).otherwise(F.col("q")))
+        .cast("long")
+        .alias("sb"),
+    )
+    ns = sp.groupBy("label").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    cos_ = sums.groupBy("label").agg(
+        (
+            F.sum(F.col("sa").cast(dec) * F.col("sb")).cast("double")
+            / (
+                F.sqrt(F.sum(F.col("sa").cast(dec) * F.col("sa")).cast("double"))
+                * F.sqrt(F.sum(F.col("sb").cast(dec) * F.col("sb")).cast("double"))
+            )
+        ).alias("c")
+    )
+    return (
+        ns.join(cos_, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            (F.round("c", 6) + 0.0).alias("centroid_cos"),
+            (F.round(1.0 - F.col("c"), 6) + 0.0).alias("drift"),
+        )
+        .orderBy("label")
+    )

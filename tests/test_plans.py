@@ -2455,3 +2455,14 @@ def test_dedup_impact_hash_keyed_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     assert "sha2" in plan
     assert "Join" not in plan
+
+
+# ---- r10 wave-13 plan pin ----------------------------------------------------
+
+
+def test_centroid_drift_single_explode_no_windows(spark, sf_dir):
+    df = SPECS["q_embed_centroid_drift"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan  # the 64-way posexplode
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")

@@ -551,3 +551,19 @@ def test_dedup_impact_reconciles_with_exact_dedup(spark, sf_dir):
     # corpus-level doc counts must reconcile with q_dedup_exact
     ex = rows(spark, sf_dir, "q_dedup_exact")
     assert sum(r.n_docs for r in got) == sum(x.n_copies for x in ex)
+
+
+# ---- wave 13: embedding drift ----------------------------------------------
+
+
+def test_centroid_drift_bounds(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_embed_centroid_drift")
+    assert got
+    for r in got:
+        assert r.n_a + r.n_b > 0
+        assert -1.0 <= r.centroid_cos <= 1.0
+        assert r.drift == pytest.approx(1.0 - r.centroid_cos, abs=2e-6)
+        # cauchy-schwarz bound is the hard invariant; positivity is NOT
+        # (at sf0.001 a label's halves hold 2-3 random vectors each and
+        # can be mildly anti-correlated)
+        assert 0.0 <= r.drift <= 2.0 + 1e-9
