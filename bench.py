@@ -356,6 +356,8 @@ HEADLINE = [
     "q_text_dedup_impact",
     # round-10 debuts (wave 13: embedding drift monitor)
     "q_embed_centroid_drift",
+    # round-10 debuts (wave 14: EWMA control chart)
+    "q_timeseries_ewma_control",
 ]
 
 

@@ -7696,3 +7696,147 @@ def q_events_journey_entropy(spark, sf_dir):
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 14: EWMA control chart (the small-shift complement to
+# q_timeseries_spc_control's Shewhart chart).
+# ---------------------------------------------------------------------------
+
+_EWC_L = 0.2     # EWMA lambda
+_EWC_LAGS = 30   # (1-L)^30 ~ 0.0012 — bounded-EWMA truncation tail
+_EWC_K = 3.0     # control-limit width
+
+
+def _ewc_terms():
+    """(weight_k for k=0..LAGS) of the bounded EWMA."""
+    return [(k, _EWC_L * (1 - _EWC_L) ** k) for k in range(_EWC_LAGS + 1)]
+
+
+def _ewc_sql() -> str:
+    num = []
+    den = []
+    for k, wt in _ewc_terms():
+        if k == 0:
+            num.append(f"c * {wt!r}")
+            den.append(f"{wt!r}")
+        else:
+            num.append(f"coalesce(lag(c, {k}) OVER win, 0) * {wt!r}")
+            den.append(
+                f"(CASE WHEN lag(c, {k}) OVER win IS NULL THEN 0.0 ELSE {wt!r} END)"
+            )
+    return f"(({' + '.join(num)}) / ({' + '.join(den)}))"
+
+
+@register(
+    "q_timeseries_ewma_control",
+    family="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY et, d
+    ),
+    st AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      FROM daily GROUP BY et
+    ),
+    z AS (
+      SELECT et, d, c,
+             CAST(row_number() OVER win AS BIGINT) AS rn,
+             {_ewc_sql()} AS z
+      FROM daily
+      WINDOW win AS (PARTITION BY et ORDER BY d)
+    ),
+    flags AS (
+      SELECT z.et, st.n,
+             abs(z.z - CAST(st.s AS DOUBLE) / st.n)
+             / (sqrt((CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE) * st.s / st.n)
+                     / (st.n - 1))
+                * sqrt({_EWC_L!r} / (2.0 - {_EWC_L!r})
+                       * (1.0 - power({(1 - _EWC_L) ** 2!r}, z.rn))))
+               AS zscore
+      FROM z JOIN st ON st.et = z.et
+    )
+    SELECT et AS event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN zscore > {_EWC_K!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_control,
+           round(max(zscore), 6) + 0.0 AS max_zscore
+    FROM flags GROUP BY et ORDER BY event_type
+    """,
+    doc="EWMA control chart per event type on the daily count series "
+    f"(lambda = {_EWC_L}, L = {_EWC_K}-sigma limits): the bounded "
+    "EWMA of q_timeseries_ewma applied to process control — Shewhart "
+    "(q_timeseries_spc_control) catches LARGE isolated shifts, the "
+    "EWMA chart accumulates evidence and catches small SUSTAINED "
+    "drifts (~0.5-1 sigma) far sooner; running both is standard SPC "
+    "practice. z_t is a fixed renormalized lag combination (exact "
+    "integer counts x literal weights, the q_timeseries_ewma "
+    "contract — no recurrence), the time-varying limit "
+    "sigma*sqrt(lambda/(2-lambda)(1-(1-lambda)^2t)) is one identical "
+    "float expression (the asymptotic-variance form; the bounded "
+    "truncation tail ~0.1% is common-mode both engines), and sigma "
+    "rides exact (n, sum, HUGEINT sum-of-squares). Emits per-series "
+    "out-of-control day counts + the worst z-score. Scale: one "
+    "combinable daily rollup; lag windows on the <=366-row grid; "
+    "constant tail. Ref: no reference counterpart — timeseries "
+    "tier.",
+)
+def q_timeseries_ewma_control(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # st + z read it
+    st = daily.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    w = Window.partitionBy("et").orderBy("d")
+    num = F.col("c") * F.lit(_ewc_terms()[0][1])
+    den = F.lit(_ewc_terms()[0][1])
+    for k, wt in _ewc_terms()[1:]:
+        lagv = F.lag("c", k).over(w)
+        num = num + F.coalesce(lagv, F.lit(0)) * F.lit(wt)
+        den = den + F.when(lagv.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    z = daily.select(
+        "et",
+        "d",
+        "c",
+        F.row_number().over(w).cast("long").alias("rn"),
+        (num / den).alias("z"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sig = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    lim = sig * F.sqrt(
+        F.lit(_EWC_L / (2.0 - _EWC_L))
+        * (1.0 - F.pow(F.lit((1 - _EWC_L) ** 2), F.col("rn")))
+    )
+    flags = z.join(st, "et").select(
+        "et", "n", (F.abs(F.col("z") - mu) / lim).alias("zscore")
+    )
+    return (
+        flags.groupBy("et")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum(F.when(F.col("zscore") > _EWC_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_of_control"),
+            (F.round(F.max("zscore"), 6) + 0.0).alias("max_zscore"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            "n_days",
+            "n_out_of_control",
+            "max_zscore",
+        )
+        .orderBy("event_type")
+    )

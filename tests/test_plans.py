@@ -2466,3 +2466,14 @@ def test_centroid_drift_single_explode_no_windows(spark, sf_dir):
     assert "Generate" in plan  # the 64-way posexplode
     assert "Window" not in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "BNLJ")
+
+
+# ---- r10 wave-14 plan pin ----------------------------------------------------
+
+
+def test_ewma_control_windows_per_series(spark, sf_dir):
+    df = SPECS["q_timeseries_ewma_control"].func(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(et" in line, line

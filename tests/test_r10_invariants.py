@@ -567,3 +567,16 @@ def test_centroid_drift_bounds(spark, sf_dir):
         # (at sf0.001 a label's halves hold 2-3 random vectors each and
         # can be mildly anti-correlated)
         assert 0.0 <= r.drift <= 2.0 + 1e-9
+
+
+# ---- wave 14: EWMA control chart -------------------------------------------
+
+
+def test_ewma_control_bounds(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_timeseries_ewma_control")
+    assert len(got) == 5
+    for r in got:
+        assert 0 <= r.n_out_of_control <= r.n_days
+        assert r.max_zscore >= 0
+        # n_ooc and max_zscore must agree across the 3-sigma line
+        assert (r.n_out_of_control > 0) == (r.max_zscore > 3.0)
