@@ -358,6 +358,8 @@ HEADLINE = [
     "q_embed_centroid_drift",
     # round-10 debuts (wave 14: EWMA control chart)
     "q_timeseries_ewma_control",
+    # round-10 debuts (wave 15: the distributed Poisson bootstrap)
+    "q_sample_poisson_bootstrap",
 ]
 
 

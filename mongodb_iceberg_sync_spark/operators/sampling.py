@@ -606,3 +606,101 @@ def q_sample_importance(spark, sf_dir):
             + 0.0
         ).alias("effective_n"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 15: the Poisson bootstrap — THE distributed bootstrap.
+# ---------------------------------------------------------------------------
+
+_PB_REPS = 10
+# Poisson(1) CDF cut points scaled to integer 1e-4 buckets: a uniform
+# bucket u in [0,10000) maps to weight w = #cutoffs <= u (inverse-CDF).
+# floor(1e4 * CDF(k)) for k = 0..6; P(w > 7) < 1e-4 collapses into w=7.
+_PB_CUTS = (3678, 7357, 9196, 9809, 9963, 9994, 9999)
+
+
+@register(
+    "q_sample_poisson_bootstrap",
+    family="sampling",
+    oracle=f"""
+    WITH reps AS (SELECT CAST(r AS BIGINT) AS r FROM range({_PB_REPS}) t(r)),
+    w AS (
+      SELECT reps.r,
+             CAST(round(e.value * 100) AS BIGINT) AS cents,
+             ({" + ".join(
+                 f"(CASE WHEN CAST(('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':' || CAST(reps.r AS VARCHAR)), 1, 4)) AS BIGINT) % 10000 >= {c} THEN 1 ELSE 0 END)"
+                 for c in _PB_CUTS
+             )}) AS wt
+      FROM events e CROSS JOIN reps
+    ),
+    est AS (
+      SELECT r,
+             CAST(sum(wt) AS BIGINT) AS n_eff,
+             CAST(sum(wt * cents) AS BIGINT) AS sv
+      FROM w GROUP BY r
+    )
+    SELECT r AS replicate, n_eff,
+           round(CAST(sv AS DOUBLE) / n_eff / 100, 6) + 0.0 AS est_mean
+    FROM est ORDER BY replicate
+    """,
+    doc=f"Poisson bootstrap of the mean event value ({_PB_REPS} "
+    "replicates): each row enters replicate r with weight w ~ "
+    "Poisson(1), drawn DETERMINISTICALLY by inverting the Poisson "
+    "CDF at an md5(event_id:r) integer bucket — the distributed "
+    "bootstrap (Chamandy et al. / Google's poisson bootstrap): "
+    "classical resampling needs n draws WITH replacement through a "
+    "shuffle per replicate, dead at 100 TB; Poisson weights make "
+    "every replicate ONE map expression over the same scan, all "
+    f"{_PB_REPS} replicates in a single combinable pass, and the "
+    "replicate spread estimates the sampling error of the mean "
+    "(q_agg_bootstrap resamples WITHIN Spark for a quantile CI; "
+    "this is the engine-portable hash-deterministic form whose "
+    "weights the oracle reproduces bit-for-bit). Exactness: the "
+    "inverse-CDF is integer bucket-vs-cutoff comparisons (cutoffs "
+    "floor(1e4 CDF(k)), tail mass < 1e-4 collapses into w=7); "
+    "estimates are exact integer weighted sums with one division. "
+    "Scale: one fanned-out map pass (x replicates) into a "
+    "combinable per-replicate rollup — no shuffle of the fact "
+    "beyond the rollup, no resampling. Ref: no reference "
+    "counterpart — statistics tier.",
+)
+def q_sample_poisson_bootstrap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    reps = spark.createDataFrame([(r,) for r in range(_PB_REPS)], "r long")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    wt = sum(
+        F.when(bucket >= c, 1).otherwise(0) for c in _PB_CUTS
+    )
+    w = ev.crossJoin(F.broadcast(reps)).select(
+        "r",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        wt.alias("wt"),
+    )
+    est = w.groupBy("r").agg(
+        F.sum("wt").cast("long").alias("n_eff"),
+        F.sum(F.col("wt") * F.col("cents")).cast("long").alias("sv"),
+    )
+    return est.select(
+        F.col("r").alias("replicate"),
+        "n_eff",
+        (
+            F.round(F.col("sv").cast("double") / F.col("n_eff") / 100, 6) + 0.0
+        ).alias("est_mean"),
+    ).orderBy("replicate")

@@ -2477,3 +2477,16 @@ def test_ewma_control_windows_per_series(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(et" in line, line
+
+
+# ---- r10 wave-15 plan pin ----------------------------------------------------
+
+
+def test_poisson_bootstrap_single_pass_no_shuffle_of_fact(spark, sf_dir):
+    # all replicates ride ONE fanned-out map over one scan into a
+    # combinable rollup — no resampling shuffle, no window
+    df = SPECS["q_sample_poisson_bootstrap"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 10-row replicate fan-out

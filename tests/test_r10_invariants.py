@@ -580,3 +580,19 @@ def test_ewma_control_bounds(spark, sf_dir):
         assert r.max_zscore >= 0
         # n_ooc and max_zscore must agree across the 3-sigma line
         assert (r.n_out_of_control > 0) == (r.max_zscore > 3.0)
+
+
+# ---- wave 15: the distributed (Poisson) bootstrap --------------------------
+
+
+def test_poisson_bootstrap_replicates(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_sample_poisson_bootstrap")
+    assert [r.replicate for r in got] == list(range(10))
+    ests = [r.est_mean for r in got]
+    for r in got:
+        # E[n_eff] = n; Poisson(1) keeps effective mass near the corpus
+        assert r.n_eff > 0
+        assert 0.0 < r.est_mean < 700.0
+    # replicate means scatter around the plain mean within a sane band
+    mu = sum(ests) / len(ests)
+    assert all(abs(e - mu) / mu < 0.25 for e in ests)
