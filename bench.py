@@ -360,6 +360,8 @@ HEADLINE = [
     "q_timeseries_ewma_control",
     # round-10 debuts (wave 15: the distributed Poisson bootstrap)
     "q_sample_poisson_bootstrap",
+    # round-10 debuts (wave 16: Theil decomposition)
+    "q_agg_theil_decomp",
 ]
 
 

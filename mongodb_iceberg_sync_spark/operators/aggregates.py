@@ -7549,3 +7549,153 @@ def q_agg_ad_test(spark, sf_dir):
         (F.round("ad", 6) + 0.0).alias("ad_stat"),
         (F.col("ad") > 2.492).alias("significant_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 16: the Theil between/within decomposition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_theil_decomp",
+    family="aggregates",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) > 0
+      GROUP BY et, x
+    ),
+    gr AS (
+      SELECT et, CAST(sum(cnt) AS BIGINT) AS ng,
+             CAST(sum(cnt * x) AS BIGINT) AS sg
+      FROM cells GROUP BY et
+    ),
+    tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                  CAST(sum(sg) AS BIGINT) AS s FROM gr),
+    tg AS (
+      -- per-group Theil over the (value, group) cells: exact-int log
+      -- arguments, 1e-9-quantized cell terms (cell order independent)
+      SELECT c.et,
+             CAST(sum(CAST(round(1e9 * c.cnt
+                   * (c.x * 1.0 * g.ng / g.sg)
+                   * (ln(c.x * 1.0 * g.ng) - ln(g.sg))) AS BIGINT))
+                  AS DOUBLE) / 1e9 / g.ng AS t_g
+      FROM cells c JOIN gr g ON g.et = c.et
+      GROUP BY c.et, g.ng
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(round(1e9 * c.cnt
+                   * (c.x * 1.0 * tt.n / tt.s)
+                   * (ln(c.x * 1.0 * tt.n) - ln(tt.s))) AS BIGINT))
+                  AS DOUBLE) / 1e9 / max(tt.n) AS t_total
+      FROM cells c CROSS JOIN tt
+    ),
+    btw AS (
+      SELECT CAST(sum(CAST(round(1e9 * (g.sg * 1.0 / tt.s)
+                   * (ln(g.sg * 1.0 * tt.n) - ln(tt.s * 1.0 * g.ng)))
+                   AS BIGINT)) AS DOUBLE) / 1e9 AS t_between
+      FROM gr g CROSS JOIN tt
+    )
+    SELECT g.et AS event_type, g.ng AS n,
+           round(g.sg * 1.0 / tt.s, 6) + 0.0 AS value_share,
+           round(tg.t_g, 6) + 0.0 AS theil_g,
+           round((g.sg * 1.0 / tt.s) * tg.t_g, 6) + 0.0 AS within_contrib,
+           round(tot.t_total, 6) + 0.0 AS theil_total,
+           round(btw.t_between, 6) + 0.0 AS theil_between
+    FROM gr g JOIN tg ON tg.et = g.et
+    CROSS JOIN tt CROSS JOIN tot CROSS JOIN btw
+    ORDER BY event_type
+    """,
+    doc="Theil between/within decomposition of value inequality by "
+    "event type: the additive identity T_total = T_between + "
+    "sum_g (s_g/S) T_g that is WHY the Theil index exists "
+    "(q_agg_theil reports per-group T; this answers 'is the "
+    "inequality BETWEEN the types or INSIDE them' — for a data "
+    "mixture: is imbalance across sources or within each source). "
+    "All three terms ride exact-integer log arguments (cross-"
+    "multiplied ratios, logs split) with 1e-9-quantized cell terms "
+    "over the (cents, group) domain; the additivity identity is "
+    "pinned numerically in tests/test_r10_invariants.py — a shared "
+    "formula bug would break it. Scale: one (cents, group) cell "
+    "rollup; everything after runs on cells and k rows. Ref: no "
+    "reference counterpart — statistics tier.",
+)
+def q_agg_theil_decomp(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+        .filter(F.col("x") > 0)
+        .groupBy("et", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = cells.localCheckpoint(eager=False)  # gr + tg + tot read it
+    gr = cells.groupBy("et").agg(
+        F.sum("cnt").cast("long").alias("ng"),
+        F.sum(F.col("cnt") * F.col("x")).cast("long").alias("sg"),
+    )
+    gr = gr.localCheckpoint(eager=False)  # tt + tg + btw + output read it
+    tt = gr.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("sg").cast("long").alias("s")
+    )
+    tg_term = F.round(
+        1e9
+        * F.col("cnt")
+        * (F.col("x") * 1.0 * F.col("ng") / F.col("sg"))
+        * (F.log(F.col("x") * 1.0 * F.col("ng")) - F.log(F.col("sg")))
+    ).cast("long")
+    tg = (
+        cells.join(F.broadcast(gr), "et")
+        .groupBy("et", "ng")
+        .agg((F.sum(tg_term).cast("double") / 1e9 / F.col("ng")).alias("t_g"))
+        .select("et", "t_g")
+    )
+    tot_term = F.round(
+        1e9
+        * F.col("cnt")
+        * (F.col("x") * 1.0 * F.col("n") / F.col("s"))
+        * (F.log(F.col("x") * 1.0 * F.col("n")) - F.log(F.col("s")))
+    ).cast("long")
+    tot = (
+        cells.crossJoin(F.broadcast(tt))
+        .agg(
+            (F.sum(tot_term).cast("double") / 1e9 / F.max("n")).alias("t_total")
+        )
+    )
+    btw_term = F.round(
+        1e9
+        * (F.col("sg") * 1.0 / F.col("s"))
+        * (
+            F.log(F.col("sg") * 1.0 * F.col("n"))
+            - F.log(F.col("s") * 1.0 * F.col("ng"))
+        )
+    ).cast("long")
+    btw = (
+        gr.crossJoin(F.broadcast(tt))
+        .agg((F.sum(btw_term).cast("double") / 1e9).alias("t_between"))
+    )
+    return (
+        gr.join(tg, "et")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btw))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("ng").alias("n"),
+            (F.round(F.col("sg") * 1.0 / F.col("s"), 6) + 0.0).alias(
+                "value_share"
+            ),
+            (F.round("t_g", 6) + 0.0).alias("theil_g"),
+            (
+                F.round((F.col("sg") * 1.0 / F.col("s")) * F.col("t_g"), 6) + 0.0
+            ).alias("within_contrib"),
+            (F.round("t_total", 6) + 0.0).alias("theil_total"),
+            (F.round("t_between", 6) + 0.0).alias("theil_between"),
+        )
+        .orderBy("event_type")
+    )

@@ -2490,3 +2490,13 @@ def test_poisson_bootstrap_single_pass_no_shuffle_of_fact(spark, sf_dir):
     assert plan.count("events.parquet") == 1
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 10-row replicate fan-out
+
+
+# ---- r10 wave-16 plan pin ----------------------------------------------------
+
+
+def test_theil_decomp_cell_bounded(spark, sf_dir):
+    df = SPECS["q_agg_theil_decomp"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan  # cells + group table checkpointed
+    assert "Window" not in plan

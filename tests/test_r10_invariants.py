@@ -596,3 +596,27 @@ def test_poisson_bootstrap_replicates(spark, sf_dir):
     # replicate means scatter around the plain mean within a sane band
     mu = sum(ests) / len(ests)
     assert all(abs(e - mu) / mu < 0.25 for e in ests)
+
+
+# ---- wave 16: Theil decomposition ------------------------------------------
+
+
+def test_theil_additivity_identity(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_agg_theil_decomp")
+    assert len(got) == 5
+    totals = {(r.theil_total, r.theil_between) for r in got}
+    assert len(totals) == 1  # chain-level scalars repeat per row
+    t_total = got[0].theil_total
+    t_between = got[0].theil_between
+    t_within = sum(r.within_contrib for r in got)
+    # THE decomposition identity: T = T_between + T_within
+    assert t_total == pytest.approx(t_between + t_within, abs=5e-5)
+    assert t_total >= 0 and t_between >= 0
+    for r in got:
+        assert r.theil_g >= 0
+        assert 0.0 < r.value_share < 1.0
+    assert sum(r.value_share for r in got) == pytest.approx(1.0, abs=1e-5)
+    # per-group theil must match q_agg_theil's (same quantization family)
+    tg = {r.event_type: r.theil for r in rows(spark, sf_dir, "q_agg_theil")}
+    for r in got:
+        assert r.theil_g == pytest.approx(tg[r.event_type], abs=1e-4)
