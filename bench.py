@@ -362,6 +362,9 @@ HEADLINE = [
     "q_sample_poisson_bootstrap",
     # round-10 debuts (wave 16: Theil decomposition)
     "q_agg_theil_decomp",
+    # round-10 debuts (wave 17: BY-FDR + temperature mixing plan)
+    "q_agg_benjamini_yekutieli",
+    "q_mix_temperature_plan",
 ]
 
 

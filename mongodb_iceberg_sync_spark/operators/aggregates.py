@@ -7699,3 +7699,138 @@ def q_agg_theil_decomp(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 17 (final window slots): Benjamini-Yekutieli FDR under
+# arbitrary dependence — completing the multiple-testing trio.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_benjamini_yekutieli",
+    family="aggregates",
+    oracle=f"""
+    WITH dow AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c
+      FROM events GROUP BY dw
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS m
+      FROM dow
+    ),
+    z AS (
+      SELECT d.dw, t.m,
+             (CAST(d.c AS DOUBLE)/d.n - CAST(t.ct - d.c AS DOUBLE)/(t.nt - d.n))
+             / sqrt((CAST(t.ct AS DOUBLE)/t.nt) * (1.0 - CAST(t.ct AS DOUBLE)/t.nt)
+                    * (1.0/d.n + 1.0/(t.nt - d.n))) AS zval
+      FROM dow d CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT dw, m, zval,
+             {_erfc_sql("abs(zval) / 1.4142135623730951")} AS pval,
+             -- harmonic number H_m computed from data-derived m by the
+             -- SAME ascending fold both engines
+             list_sum(list_transform(range(1, m + 1), i -> 1.0 / i)) AS hm
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY pval, dw) AS BIGINT) AS rnk
+      FROM p
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN pval <= rnk * {_BH_Q} / (m * hm) THEN rnk ELSE 0 END
+               AS ok_rnk
+      FROM ranked
+    ),
+    cut AS (SELECT max(ok_rnk) AS max_ok FROM flagged)
+    SELECT f.dw AS day_of_week,
+           round(f.zval, 6) + 0.0 AS z_score,
+           round(f.pval, 6) + 0.0 AS p_value,
+           f.rnk AS p_rank,
+           round(f.rnk * {_BH_Q} / (f.m * f.hm), 6) + 0.0 AS by_threshold,
+           CAST(f.rnk <= cu.max_ok AS BOOLEAN) AS rejected
+    FROM flagged f CROSS JOIN cut cu
+    ORDER BY day_of_week
+    """,
+    doc="Benjamini-Yekutieli FDR correction on the same 7 day-of-week "
+    "tests as q_agg_bh_fdr/q_agg_holm, completing the multiple-"
+    "testing trio: BH's FDR guarantee assumes independence (or PRDS); "
+    "BY divides every threshold by the harmonic number H_m and holds "
+    "under ARBITRARY dependence — the honest choice when the tests "
+    "share data, as segment dashboards always do (each dow is tested "
+    "against the pooled rest). H_m is computed from the DATA-DERIVED "
+    "m by the same ascending 1/i fold on both engines (no stale "
+    "hardcoded literal — the ADVICE-r9 df lesson applied "
+    "preemptively). Rejection nesting BY <= BH is invariant-pinned. "
+    "Scale: one combinable 7-group pass; arithmetic on m rows. Ref: "
+    "no reference counterpart — statistics tier.",
+)
+def q_agg_benjamini_yekutieli(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    dow = ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    dow = dow.localCheckpoint(eager=False)  # tot + z share it
+    tot = dow.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("c").cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    p0 = F.col("ct").cast("double") / F.col("nt")
+    zval = (
+        F.col("c").cast("double") / F.col("n")
+        - (F.col("ct") - F.col("c")).cast("double") / (F.col("nt") - F.col("n"))
+    ) / F.sqrt(
+        p0 * (1.0 - p0) * (1.0 / F.col("n") + 1.0 / (F.col("nt") - F.col("n")))
+    )
+    hm = F.aggregate(
+        F.sequence(F.lit(1), F.col("m")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / i.cast("double"),
+    )
+    z = dow.join(F.broadcast(tot)).select(
+        "dw", "m", zval.alias("zval"), hm.alias("hm")
+    )
+    p = z.select(
+        "*", F.expr(_erfc_sql("abs(zval) / 1.4142135623730951")).alias("pval")
+    )
+    ranked = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("pval", "dw")).cast("long").alias("rnk"),
+    )
+    flagged = ranked.select(
+        "*",
+        F.when(
+            F.col("pval") <= F.col("rnk") * _BH_Q / (F.col("m") * F.col("hm")),
+            F.col("rnk"),
+        )
+        .otherwise(F.lit(0))
+        .alias("ok_rnk"),
+    )
+    flagged = flagged.localCheckpoint(eager=False)  # cut + output share it
+    cut = flagged.agg(F.max("ok_rnk").alias("max_ok"))
+    return (
+        flagged.join(F.broadcast(cut))
+        .select(
+            F.col("dw").alias("day_of_week"),
+            (F.round(F.col("zval"), 6) + 0.0).alias("z_score"),
+            (F.round(F.col("pval"), 6) + 0.0).alias("p_value"),
+            F.col("rnk").alias("p_rank"),
+            (
+                F.round(F.col("rnk") * _BH_Q / (F.col("m") * F.col("hm")), 6)
+                + 0.0
+            ).alias("by_threshold"),
+            (F.col("rnk") <= F.col("max_ok")).alias("rejected"),
+        )
+        .orderBy("day_of_week")
+    )

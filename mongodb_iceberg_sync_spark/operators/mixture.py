@@ -737,3 +737,86 @@ def q_mix_dsir(spark, sf_dir):
             (F.round(score / 1e9, 6) + 0.0).alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 17 (final window slots): the temperature mixture plan.
+# ---------------------------------------------------------------------------
+
+_TMP_TAU = 0.7          # mixing temperature (the q_sample_temperature value)
+_TMP_BUDGET = 100_000   # token budget to allocate
+
+
+@register(
+    "q_mix_temperature_plan",
+    family="sampling",
+    oracle=f"""
+    WITH st AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tokens,
+             power(CAST(tokens AS DOUBLE), {_TMP_TAU!r}) AS wt
+      FROM st
+    ),
+    tt AS (SELECT sum(wt) AS wsum, CAST(sum(tokens) AS BIGINT) AS ttot FROM w)
+    SELECT w.source, w.tokens,
+           round(w.wt / tt.wsum, 6) + 0.0 AS mix_weight,
+           CAST(floor({_TMP_BUDGET} * w.wt / tt.wsum) AS BIGINT)
+             AS quota_tokens,
+           round(least(1.0, {_TMP_BUDGET} * w.wt / tt.wsum / w.tokens), 6)
+             + 0.0 AS fraction_kept,
+           {_TMP_BUDGET} * w.wt / tt.wsum > w.tokens AS needs_upsampling
+    FROM w CROSS JOIN tt
+    ORDER BY w.source
+    """,
+    doc=f"Temperature-mixing allocation plan (tau = {_TMP_TAU}, budget "
+    f"= {_TMP_BUDGET} tokens): per-source token counts -> weights "
+    "tokens^tau (renormalized) -> token quotas, the fraction of each "
+    "source kept, and an upsampling flag — the PLANNING step the "
+    "sampling operators execute (q_sample_temperature draws the "
+    "per-row sample; q_mix_token_budget enforces a cap; this says "
+    "what the per-source quotas SHOULD be and which sources need "
+    "repeating — the multilingual-LLM mixing recipe at corpus "
+    "level). Exact integer token counts; power/renormalize/floor is "
+    "one identical float expression chain; the renormalized weight "
+    "sum over k sources is the only cross-row float (k tiny, same "
+    "ascending order both engines via the ORDER-insensitive sum "
+    "over identical addends — pinned by the driver hash across "
+    "shuffles). Scale: one token-count rollup; k-row tail. Ref: no "
+    "reference counterpart — LLM-pipeline tier.",
+)
+def q_mix_temperature_plan(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    w = st.select(
+        "source",
+        "tokens",
+        F.pow(F.col("tokens").cast("double"), _TMP_TAU).alias("wt"),
+    )
+    w = w.localCheckpoint(eager=False)  # tt + output read it
+    tt = w.agg(
+        F.sum("wt").alias("wsum"), F.sum("tokens").cast("long").alias("ttot")
+    )
+    share = F.col("wt") / F.col("wsum")
+    return (
+        w.crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "tokens",
+            (F.round(share, 6) + 0.0).alias("mix_weight"),
+            F.floor(_TMP_BUDGET * share).cast("long").alias("quota_tokens"),
+            (
+                F.round(
+                    F.least(F.lit(1.0), _TMP_BUDGET * share / F.col("tokens")), 6
+                )
+                + 0.0
+            ).alias("fraction_kept"),
+            (_TMP_BUDGET * share > F.col("tokens")).alias("needs_upsampling"),
+        )
+        .orderBy("source")
+    )

@@ -90,7 +90,7 @@ def _load_all_operator_modules() -> None:
 # Round-10 rotation: CORRECTNESS_r09 delivered the r9 window 50/50 green
 # (cumulative 427/427 across nine rounds, zero failures). Every r1-r9
 # name is driver-stamped, so the r10 window is pure debuts + the
-# youngest-stamp rotation: the 48 r10 debuts lead (oracle-backed, zero
+# youngest-stamp rotation: the 50 r10 debuts exactly fill the window (oracle-backed, zero
 # new rows-only entries), then the r9 debuts fill the remaining window
 # slots for a re-check. All r10 debuts were swept green against the
 # DuckDB oracle at sf0.01 in-session (tools/sweep.py) before entering
@@ -168,6 +168,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q_sample_poisson_bootstrap",
     # wave 16: Theil between/within decomposition
     "q_agg_theil_decomp",
+    # wave 17 (final window slots — 50 debuts exactly fill the sweep
+    # window): BY-FDR under dependence + the temperature mixing plan
+    "q_agg_benjamini_yekutieli",
+    "q_mix_temperature_plan",
     # --- r9 debuts (all driver-checked green in CORRECTNESS_r09) ---
     # wave 1: inferential statistics
     "q_agg_kruskal",

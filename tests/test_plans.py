@@ -2500,3 +2500,19 @@ def test_theil_decomp_cell_bounded(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ExistingRDD" in plan  # cells + group table checkpointed
     assert "Window" not in plan
+
+
+# ---- r10 wave-17 plan pins ---------------------------------------------------
+
+
+def test_by_windows_on_test_table(spark, sf_dir):
+    df = SPECS["q_agg_benjamini_yekutieli"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") <= 1
+
+
+def test_temperature_plan_single_rollup(spark, sf_dir):
+    df = SPECS["q_mix_temperature_plan"].func(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "ExistingRDD" in plan  # weight table checkpointed once

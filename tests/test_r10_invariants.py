@@ -620,3 +620,37 @@ def test_theil_additivity_identity(spark, sf_dir):
     tg = {r.event_type: r.theil for r in rows(spark, sf_dir, "q_agg_theil")}
     for r in got:
         assert r.theil_g == pytest.approx(tg[r.event_type], abs=1e-4)
+
+
+# ---- wave 17: BY-FDR + temperature mixing plan ------------------------------
+
+
+def test_by_nests_inside_bh(spark, sf_dir):
+    by = {r.day_of_week: r for r in rows(spark, sf_dir, "q_agg_benjamini_yekutieli")}
+    bh = {r.day_of_week: r for r in rows(spark, sf_dir, "q_agg_bh_fdr")}
+    assert set(by) == set(bh)
+    for dw, b in by.items():
+        assert b.p_value == pytest.approx(bh[dw].p_value, abs=2e-6)
+        # BY divides thresholds by H_m > 1 => BY rejections nest in BH's
+        assert b.by_threshold < bh[dw].bh_threshold
+        if b.rejected:
+            assert bh[dw].rejected
+
+
+def test_temperature_plan_allocation(spark, sf_dir):
+    got = rows(spark, sf_dir, "q_mix_temperature_plan")
+    assert got
+    assert sum(r.mix_weight for r in got) == pytest.approx(1.0, abs=1e-4)
+    # tau < 1 flattens: the LARGEST source's mix weight is below its raw
+    # token share, the smallest's above (the whole point of temperature)
+    big = max(got, key=lambda r: r.tokens)
+    small = min(got, key=lambda r: r.tokens)
+    tot = sum(r.tokens for r in got)
+    if big.tokens != small.tokens:
+        assert big.mix_weight < big.tokens / tot + 1e-9
+        assert small.mix_weight > small.tokens / tot - 1e-9
+    for r in got:
+        assert 0.0 < r.fraction_kept <= 1.0
+        assert r.needs_upsampling == (r.quota_tokens > r.tokens) or abs(
+            r.quota_tokens - r.tokens
+        ) <= 1
