@@ -17,6 +17,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    For compute-bound per-row stages (per-position hashing, shingle
+    expansion, char histograms): a small parquet file arrives as ONE
+    input split, which would serialize the whole projection on a single
+    core. At 100 TB the scan has natural parallelism and AQE would keep
+    this exchange no-op-sized relative to the compute it unlocks; on the
+    bench files it is the difference between 1 and 32 cores. Spread the
+    NARROW input (raw rows) before expansion so the exchange carries the
+    cheap representation. Only safe where downstream results do not
+    depend on row/partition placement (aggregations, joins, per-row
+    projections with a total order on output).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped fixture store for write-then-read operators.
 #

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import spread, t
 
 # Flagship: TPC-H Q1-style pricing summary (SURVEY.md §7 stage 0).
 Q1_CUTOFF = "1998-09-02"
@@ -1890,8 +1890,14 @@ _CMS_PROBE = 10
     "the output columns.",
 )
 def q_agg_countmin(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("k")
+    # spread(): the d x md5-per-row bucket compute below otherwise runs
+    # entirely inside the parquet file's single input split (the groupBy
+    # does its partial agg map-side, i.e. in that one task). The md5
+    # family itself must stay — bucket VALUES are part of the sketch.
+    li = spread(
+        t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("string").alias("k")
+        )
     )
     seeds = F.array(*[F.lit(i) for i in range(1, _CMS_D + 1)])
 

@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import spread, t
 
 
 @register(
@@ -1669,7 +1669,16 @@ _SFD_MIN_SPAN = 32  # report pairs sharing a span at least this long
     "matched positions, never the corpus.",
 )
 def q_text_suffix_dup(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # The shingle key is the RAW 16-char substring, not md5(substring):
+    # the hash never reaches the output (doc pairs + span lengths only),
+    # and md5-equality == string-equality, so grouping/joining on the raw
+    # shingle is result-identical while skipping one md5 per character of
+    # the corpus (the stride-1 explode makes that the dominant cost) and
+    # shuffling 16-byte strings instead of 32-byte hex. The oracle keeps
+    # md5 — same equivalence classes, different key encoding.
+    # spread() first: the whole per-position expansion otherwise runs on
+    # the single input split of the parquet file (see _util.spread).
+    d = spread(t(spark, sf_dir, "documents"))
     positions = F.sequence(
         F.lit(1), F.greatest(F.length("text") - _SFD_LEN + 1, F.lit(1))
     )
@@ -1678,7 +1687,7 @@ def q_text_suffix_dup(spark, sf_dir):
     ).select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
-        F.md5(F.col("text").substr(F.col("pos"), F.lit(_SFD_LEN))).alias("h"),
+        F.col("text").substr(F.col("pos"), F.lit(_SFD_LEN)).alias("h"),
     )
     keep = (
         sh.groupBy("h")
@@ -1689,7 +1698,11 @@ def q_text_suffix_dup(spark, sf_dir):
     a = sh.join(keep, "h").select(
         F.col("h"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
     )
-    b = sh.select(
+    # Semi-filtering the b side by the SAME kept-shingle set does not
+    # change the pair set (a join can only hit where a's keep filter
+    # already passed) but keeps the full 15M-row shingle stream out of
+    # the pair join's b-side shuffle.
+    b = sh.join(keep, "h").select(
         F.col("h"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
     )
     hits = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
@@ -2191,7 +2204,12 @@ _WIN_POS_MOD = 1 << 20  # position slot: docs are capped at 1M chars
     "dedup/fingerprint tier.",
 )
 def q_text_winnowing(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread(): the entire gram-hash + window-min compute is one
+    # projection; without a repartition it runs on the parquet file's
+    # single input split, serializing ~1 md5/char of the corpus onto one
+    # core (see _util.spread). The md5 itself must stay — its VALUE picks
+    # each window's minimum and is part of the declared fingerprints.
+    d = spread(t(spark, sf_dir, "documents"))
     n_grams = F.length("text") - _WIN_K + 1
     grams = F.when(
         n_grams >= 1,
@@ -2271,21 +2289,54 @@ def q_text_winnowing(spark, sf_dir):
     "counterpart — LLM quality-signal tier.",
 )
 def q_text_entropy(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # Row-local char histogram: the per-doc counts used to be built by
+    # exploding EVERY character (one shuffled row per char of the corpus)
+    # into groupBy(doc_id, c). The histogram is per-doc state, so it
+    # never needed a shuffle: sort the char array, take run lengths of
+    # equal neighbours — identical (char, n) multiset per doc, zero
+    # exchanges (plan: 2 Exchange -> map-only + sort). Same integer
+    # quantization (round(n*ln(n)*1e9) summed as long), so results are
+    # bit-identical. spread() parallelizes the per-doc sort+scan.
+    d = spread(t(spark, sf_dir, "documents"))
     chars = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1))),
         lambda i: F.col("text").substr(i, F.lit(1)),
     )
-    ch = d.filter(F.length("text") >= 1).select(
-        "doc_id", F.explode(chars).alias("c")
+    # Each array stage materializes as its OWN projection column: array
+    # expressions referenced inside a HOF lambda are re-evaluated per
+    # element (no CSE across higher-order functions), so inlining these
+    # would turn the linear scan quadratic per doc.
+    g1 = d.filter(F.length("text") >= 1).select(
+        "doc_id",
+        F.length("text").cast("long").alias("total"),
+        F.sort_array(chars).alias("srt"),
     )
-    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("total"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.sum(
-            F.round(F.col("n") * F.log(F.col("n")) * 1e9).cast("long")
-        ).cast("long").alias("q"),
+    # 1-based start positions of each run of equal chars; F.get is
+    # 0-based and null-safe, so i=1 short-circuits via TRUE OR NULL.
+    g2 = g1.select(
+        "doc_id",
+        "total",
+        F.filter(
+            F.sequence(F.lit(1), F.size("srt")),
+            lambda i: (i == 1)
+            | (F.element_at(F.col("srt"), i) != F.get(F.col("srt"), i - 2)),
+        ).alias("starts"),
+    )
+    # run length j = next start (or total+1 past the end) - start j
+    run_j = lambda j: (  # noqa: E731
+        F.coalesce(F.get(F.col("starts"), j), (F.col("total") + 1).cast("int"))
+        - F.element_at(F.col("starts"), j)
+    ).cast("long")
+    agg = g2.select(
+        "doc_id",
+        "total",
+        F.size("starts").cast("long").alias("n_distinct"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("starts")),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.round(run_j(j) * F.log(run_j(j)) * 1e9).cast("long"),
+        ).alias("q"),
     )
     return agg.select(
         "doc_id",
@@ -2342,7 +2393,9 @@ def q_text_entropy(spark, sf_dir):
     "tier.",
 )
 def q_text_novelty(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread(): the shingle transform + explode otherwise run on the
+    # parquet file's single input split (see _util.spread).
+    d = spread(t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
     shingles = F.array_distinct(
@@ -2356,10 +2409,13 @@ def q_text_novelty(spark, sf_dir):
             ),
         )
     )
+    # Key on the RAW shingle string, exactly like the oracle (which joins
+    # raw strings): the hash value never reaches the output, so md5 here
+    # was pure compute + wider shuffle rows (32-byte hex vs ~20-byte
+    # shingle). String equality == md5 equality => identical counts.
     sh = (
         d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(shingles).alias("s"))
-        .select("doc_id", F.md5("s").alias("h"))
+        .select("doc_id", F.explode(shingles).alias("h"))
         .localCheckpoint(eager=False)  # firsts + membership join read this
     )
     firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))

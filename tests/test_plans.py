@@ -1049,12 +1049,15 @@ def test_labelprop_supersteps_are_hash_aggs_not_windows(spark, sf_dir):
 def test_winnowing_is_map_only(spark, sf_dir):
     # gram hashing, window minima and the distinct count are row-local
     # array expressions: no hash exchange and no aggregate anywhere —
-    # the only shuffle allowed is the final presentation range sort
+    # the only shuffles allowed are the r11 compute-spread round-robin
+    # (parallelizes the per-char md5 off the single input split) and the
+    # final presentation range sort
     from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
 
     df = SPECS["q_text_winnowing"].func(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert count_shuffles(df) <= 1, plan[:1200]
+    assert count_shuffles(df) <= 2, plan[:1200]
+    assert "roundrobin" in plan.lower(), plan[:1200]
     assert "hashpartitioning" not in plan, plan[:1200]
     assert "HashAggregate" not in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -1071,13 +1074,19 @@ def test_sample_coreset_single_bounded_rollup(spark, sf_dir):
     assert "partial_min" in plan or "partial_count" in plan
 
 
-def test_text_entropy_two_level_hash_agg(spark, sf_dir):
-    # char explode -> (doc, char) counts -> per-doc rollup: both aggs
-    # must partial-aggregate map-side; no window, no Python
+def test_text_entropy_row_local_histogram(spark, sf_dir):
+    # r11: the per-doc char histogram is row-local (sorted-array run
+    # lengths) — NO aggregate, NO hash exchange, no window, no Python;
+    # only the compute-spread round-robin and the presentation sort move
+    # rows (was: a per-char explode shuffled into two HashAggregates)
+    from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
+
     df = SPECS["q_text_entropy"].func(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:1200]
-    assert "partial_count" in plan or "partial_sum" in plan
+    assert "HashAggregate" not in plan, plan[:1200]
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert count_shuffles(df) <= 2, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
