@@ -61,7 +61,10 @@ def connected_components(
 
     prev_sum = _label_sum(labels)
     for rnd in range(max_rounds):
-        nbr = edges.join(labels, edges.src == F.col("node")).select(
+        # label table is O(V) vs the O(E) edge table: broadcast it so
+        # edges are never reshuffled per superstep (keyed join at label
+        # sizes past the broadcast cap — same plan shape, AQE decides)
+        nbr = edges.join(F.broadcast(labels), edges.src == F.col("node")).select(
             F.col("dst").alias("node"), "comp"
         )
         cands = labels.unionByName(nbr)
@@ -71,17 +74,23 @@ def connected_components(
             # verbatim — skip the wasted n x n equi-join that round.
             hop = (
                 labels.alias("l1")
-                .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+                .join(
+                    F.broadcast(labels.alias("l2")),
+                    F.col("l1.comp") == F.col("l2.node"),
+                )
                 .select(
                     F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp")
                 )
             )
             cands = cands.unionByName(hop)
+        # eager=False: the label-sum probe below is the action that
+        # materializes this round's checkpoint — one job per round, not
+        # two (the probe and every later reader reuse the stored rows)
         new = (
             cands
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new)
         labels = new

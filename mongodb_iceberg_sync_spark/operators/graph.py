@@ -182,7 +182,12 @@ def q_graph_triangles(spark, sf_dir):
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).localCheckpoint(eager=False)
-    e1, e2, e3 = e_dir.alias("e1"), e_dir.alias("e2"), e_dir.alias("e3")
+    # the closing leg joins O(wedges) rows against O(E) edges: a
+    # shuffled-HASH join builds the edge side per partition instead of
+    # sort-merge sorting the wedge stream (the wedge side is ~40x the
+    # edge side here and only grows with the graph — guide §3.1)
+    e1, e2 = e_dir.alias("e1"), e_dir.alias("e2")
+    e3 = e_dir.hint("shuffle_hash").alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(
@@ -678,12 +683,19 @@ def _kcore_oracle() -> str:
 def q_graph_kcore(spark, sf_dir):
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = edges.select("src").distinct()
+    # The surviving-node set is O(V) vs the O(E) edge table: broadcast
+    # it on both join legs so edges are never shuffled per round; the
+    # peel is monotone (nodes only leave), so an unchanged survivor
+    # COUNT means an unchanged survivor SET and every remaining round
+    # is a no-op — stop early, results identical to the fixed unroll
+    # (the oracle's chained CTEs peel to the same fixpoint).
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         a = nodes.withColumnRenamed("src", "asrc")
         b = nodes.withColumnRenamed("src", "bsrc")
         deg = (
-            edges.join(a, edges.src == a.asrc)
-            .join(b, edges.dst == b.bsrc)
+            edges.join(F.broadcast(a), edges.src == a.asrc)
+            .join(F.broadcast(b), edges.dst == b.bsrc)
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -692,11 +704,15 @@ def q_graph_kcore(spark, sf_dir):
             .select("src")
             .localCheckpoint(eager=False)
         )
+        n = nodes.count()
+        if n == prev_n:
+            break
+        prev_n = n
     a = nodes.withColumnRenamed("src", "asrc")
     b = nodes.withColumnRenamed("src", "bsrc")
     final = (
-        edges.join(a, edges.src == a.asrc)
-        .join(b, edges.dst == b.bsrc)
+        edges.join(F.broadcast(a), edges.src == a.asrc)
+        .join(F.broadcast(b), edges.dst == b.bsrc)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -860,8 +876,11 @@ def q_graph_labelprop(spark, sf_dir):
         "node", F.col("node").alias("lab")
     )
     for rnd in range(_LPA_ROUNDS):
+        # label table is O(V) vs O(E) edges: broadcast it so the edge
+        # table never shuffles — only the (src, lab) vote aggregate
+        # moves per round (partial-agg map-side)
         votes = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(F.broadcast(labels), edges.dst == labels.node)
             .groupBy(F.col("src"), F.col("lab"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -965,7 +984,12 @@ def q_graph_clustering_coeff(spark, sf_dir):
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).localCheckpoint(eager=False)
-    e1, e2, e3 = e_dir.alias("e1"), e_dir.alias("e2"), e_dir.alias("e3")
+    # the closing leg joins O(wedges) rows against O(E) edges: a
+    # shuffled-HASH join builds the edge side per partition instead of
+    # sort-merge sorting the wedge stream (the wedge side is ~40x the
+    # edge side here and only grows with the graph — guide §3.1)
+    e1, e2 = e_dir.alias("e1"), e_dir.alias("e2")
+    e3 = e_dir.hint("shuffle_hash").alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(
@@ -1443,16 +1467,22 @@ def q_graph_hits(spark, sf_dir):
     for i in range(_HITS_ITERS):
         # authority half-step: a(c) = sum of hub scores pointing at c
         # (unnormalized — the update is linear, normalization only
-        # rescales and is deferred to the end)
+        # rescales and is deferred to the end). The score vector is
+        # O(V) while edges are O(E): broadcast the vector so the edge
+        # table is never shuffled by the join — only the grouped
+        # half-step aggregate moves (partial-agg map-side) per
+        # iteration (guide: broadcast the side that fits, 20x smaller
+        # here; at vector sizes past the broadcast cap this reverts to
+        # the keyed join, same plan shape).
         auth = (
-            edges.join(hubs, edges.h == hubs.node)
+            edges.join(F.broadcast(hubs), edges.h == hubs.node)
             .groupBy("a")
             .agg(F.sum("score").alias("score"))
             .withColumnRenamed("a", "node")
         )
         # hub half-step: h(s) = sum of authority scores s points at
         hubs = (
-            edges.join(auth, edges.a == auth.node)
+            edges.join(F.broadcast(auth), edges.a == auth.node)
             .groupBy("h")
             .agg(F.sum("score").alias("score"))
             .withColumnRenamed("h", "node")
