@@ -369,12 +369,17 @@ HEADLINE = [
 
 
 def compact_payloads(
-    timings: dict[str, float], sf, canary: dict | None = None
+    timings: dict[str, float],
+    sf,
+    canary: dict | None = None,
+    spreads: dict[str, float] | None = None,
 ) -> tuple[dict, dict]:
     """(single-line payload, sidecar payload). The single line must stay
     SMALL whatever the query count — r4's full per-query map overflowed
     the round driver's output capture (BENCH parsed null); pinned by
-    tests/test_bench_output.py."""
+    tests/test_bench_output.py. ``spreads`` (r12, sidecar-only) records
+    each query's max/min ratio over its repeats so a co-tenant spike on
+    one query self-adjudicates per query instead of per capture."""
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     total = round(sum(timings.values()), 3)
     full = {
@@ -385,6 +390,8 @@ def compact_payloads(
         "n_queries": len(timings),
         "sf": sf,
     }
+    if spreads is not None:
+        full["query_spreads"] = spreads
     line = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -435,6 +442,7 @@ def main() -> None:
         return round(min(_run_once(spark, specs, canary_q, sf_dir) for _ in range(2)), 3)
 
     canary_times = [canary_point()]
+    spreads: dict[str, float] = {}
     half = len(HEADLINE) // 2
     for i, name in enumerate(HEADLINE):
         if i == half:
@@ -443,8 +451,11 @@ def main() -> None:
         # shows 2x run-to-run noise on wide 32-task stages; min-of-
         # repeats is the standard way to report the machine-limited
         # number rather than the noisiest co-tenant's
-        best = min(_run_once(spark, specs, name, sf_dir) for _ in range(2))
-        timings[name] = round(best, 3)
+        runs = [_run_once(spark, specs, name, sf_dir) for _ in range(2)]
+        timings[name] = round(min(runs), 3)
+        # per-query repeat spread (sidecar-only): a ratio far above the
+        # capture canary's marks THIS query's number co-tenant-spiked
+        spreads[name] = round(max(runs) / max(min(runs), 1e-9), 3)
     canary_times.append(canary_point())
     canary = {
         "query": canary_q,
@@ -455,7 +466,10 @@ def main() -> None:
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
     line, full = compact_payloads(
-        timings, float(sf) if sf.replace(".", "").isdigit() else sf, canary
+        timings,
+        float(sf) if sf.replace(".", "").isdigit() else sf,
+        canary,
+        spreads,
     )
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

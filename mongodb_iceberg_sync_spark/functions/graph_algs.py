@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..operators._util import bcast_gate
+
 
 def connected_components(
     edges: DataFrame,
@@ -60,11 +62,20 @@ def connected_components(
         ).head()[0]
 
     prev_sum = _label_sum(labels)
+    # one row per node every round (groupBy node over cands, and every
+    # node appears in labels), so a single count up front gates every
+    # superstep's broadcast hints
+    n_nodes = labels.count()
     for rnd in range(max_rounds):
         # label table is O(V) vs the O(E) edge table: broadcast it so
-        # edges are never reshuffled per superstep (keyed join at label
-        # sizes past the broadcast cap — same plan shape, AQE decides)
-        nbr = edges.join(F.broadcast(labels), edges.src == F.col("node")).select(
+        # edges are never reshuffled per superstep. Gated on the node
+        # count: an explicit broadcast hint overrides
+        # autoBroadcastJoinThreshold and fails hard past the
+        # 8 GB/512M-row broadcast cap (it does NOT fall back), so past
+        # bcast_gate's threshold this degrades to a keyed shuffle join.
+        nbr = edges.join(
+            bcast_gate(labels, n_nodes), edges.src == F.col("node")
+        ).select(
             F.col("dst").alias("node"), "comp"
         )
         cands = labels.unionByName(nbr)
@@ -75,7 +86,7 @@ def connected_components(
             hop = (
                 labels.alias("l1")
                 .join(
-                    F.broadcast(labels.alias("l2")),
+                    bcast_gate(labels.alias("l2"), n_nodes),
                     F.col("l1.comp") == F.col("l2.node"),
                 )
                 .select(
@@ -84,7 +95,7 @@ def connected_components(
             )
             cands = cands.unionByName(hop)
         # eager=False: the label-sum probe below is the action that
-        # materializes this round's checkpoint — one job per round, not
+        # materializes this round's checkpoint — one job per probe, not
         # two (the probe and every later reader reuse the stored rows)
         new = (
             cands
@@ -92,11 +103,20 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        new_sum = _label_sum(new)
         labels = new
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
+        # r12: probe the fixpoint every SECOND round (each probe is its
+        # own small job, and the superstep chain is driver-cadence-bound
+        # at bench scale — guide §5): the un-probed round's checkpoint
+        # materializes inside the next probe's job, so two supersteps
+        # ride one job. Sound because the label sum is monotone
+        # non-increasing: sum(r) == sum(r-2) forces sum(r-1) equal too,
+        # so convergence is detected at most one (no-op) superstep late
+        # with an identical labelling.
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            new_sum = _label_sum(labels)
+            if new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
     raise RuntimeError(
         f"connected_components: not converged after {max_rounds} rounds"
     )

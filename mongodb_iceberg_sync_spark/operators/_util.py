@@ -3,18 +3,49 @@
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
 from typing import Hashable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_table
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# Row-count gate for explicit broadcast hints on tables whose size grows
+# with the corpus (O(V) node/label/score tables in the iterative graph
+# ops). An explicit F.broadcast() hint OVERRIDES
+# spark.sql.autoBroadcastJoinThreshold: Spark attempts the broadcast
+# unconditionally up to the hard 8 GB / 512M-row relation cap and fails
+# the job (or OOMs the driver) past it — it does NOT degrade to a keyed
+# join. So the hint must only be applied when the row count is known
+# small. 8M rows of (long, long) builds a hash relation in the low
+# hundreds of MB — comfortably inside executor/driver memory while still
+# covering any bench-scale table; override per deployment via
+# SPARK_GRAFT_BCAST_MAX_ROWS (rows, not bytes, because callers gate on
+# counts they already compute for convergence probes).
+_BCAST_MAX_ROWS_DEFAULT = 8_000_000
+
+
+def bcast_gate(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` only when ``n_rows`` is known to be small.
+
+    ``n_rows`` is a row count the caller already has (or None when
+    unknown — no hint, let the planner decide from its own estimates).
+    Returns ``F.broadcast(df)`` under the gate, ``df`` unchanged above
+    it, so past the gate the join degrades to a keyed shuffle join
+    instead of aborting at the broadcast cap.
+    """
+    cap = int(os.environ.get("SPARK_GRAFT_BCAST_MAX_ROWS", _BCAST_MAX_ROWS_DEFAULT))
+    if n_rows is not None and n_rows <= cap:
+        return F.broadcast(df)
+    return df
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -1769,9 +1769,14 @@ def q_agg_basket_lift(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
+    # r12: repartition on the basket key before the distinct —
+    # HashPartitioning(l_orderkey) satisfies the distinct AND both
+    # pair-join legs (AQE reuses the identical shuffle stage), so one
+    # exchange replaces three (the q_graph_adamic_adar treatment)
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
+        .repartition("l_orderkey")
         .distinct()
     )
     n_orders = baskets.select(
@@ -2599,13 +2604,15 @@ def q_agg_hdr_histogram(spark, sf_dir):
     "float), so every sufficient statistic (sums of rank products) is "
     "an exact integer; both engines cast the exact sums to double and "
     "run the identical Pearson formula on them — one rounded float "
-    "expression per group. Scale: two per-distinct-value rank maps "
-    "(windows over the DISTINCT-value tables, orders of magnitude "
-    "smaller than the fact) joined back to rows, then one "
-    "map-side-combinable sufficient-stats agg; no row-level window, "
-    "no sort of the fact table. Int64 holds to ~2^53/4 rows per "
-    "group; the DECIMAL sums guard Spark beyond that. Ref: no "
-    "reference counterpart — statistics tier.",
+    "expression per group. Scale: the fact is aggregated ONCE into "
+    "the (g,x,y) contingency cells (map-side combine — the only "
+    "fact-scale shuffle carries distinct cells); both rank maps "
+    "derive from the cells and join back to the cells, never to "
+    "rows (sum over rows of f(a,b) == sum over cells of c*f(a,b), "
+    "exact integers either way); no row-level window, no sort of "
+    "the fact table. Int64 holds to ~2^53/4 rows per group; the "
+    "DECIMAL sums guard Spark beyond that. Ref: no reference "
+    "counterpart — statistics tier.",
 )
 def q_agg_spearman(spark, sf_dir):
     from pyspark.sql import Window
@@ -2616,9 +2623,23 @@ def q_agg_spearman(spark, sf_dir):
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
+    # r12 (guide §2.3/§2.4): the old shape joined the two rank maps back
+    # onto every FACT row — Catalyst planned two sort-merge joins that
+    # hash-shuffled all of lineitem onto (g,x) and again onto (g,y). The
+    # sufficient statistics only need the JOINT (g,x,y) contingency
+    # cells: sum over rows of f(a,b) == sum over cells of c*f(a,b)
+    # (exact integer arithmetic, identical decimal sums, identical
+    # doubles out). So aggregate the fact ONCE into cells (partial
+    # map-side combine — the only fact-scale exchange carries distinct
+    # cells, not rows), derive both rank maps FROM the cells, and join
+    # them back to cells only.
+    cells = r.groupBy("g", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cells = cells.localCheckpoint(eager=False)  # rank maps + stats read it
 
     def rank_map(col):
-        v = r.groupBy("g", col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        v = cells.groupBy("g", col).agg(F.sum("c").cast("long").alias("c"))
         w = Window.partitionBy("g").orderBy(col)
         return v.select(
             "g",
@@ -2628,17 +2649,27 @@ def q_agg_spearman(spark, sf_dir):
             .alias("r2"),
         )
 
+    # x = l_quantity (domain 1..50 in TPC-H): the x rank map is bounded
+    # at |groups| x 50 rows at ANY scale — broadcast unconditionally.
+    # The y (price-cents) domain grows with the corpus: keep that join
+    # keyed but build the small rank-map side as a hash table
+    # (shuffle_hash) instead of sorting the cell stream.
     rx = rank_map("x").withColumnRenamed("r2", "a")
     ry = rank_map("y").withColumnRenamed("r2", "b")
-    j = r.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    j = cells.join(F.broadcast(rx), ["g", "x"]).join(
+        ry.hint("shuffle_hash"), ["g", "y"]
+    )
     dec = "decimal(38,0)"
+    # cast the COUNT up before every product: c*a*b grows O(n^3) per
+    # group and would overflow LONG far below the decimal(38,0) ceiling
+    cd = F.col("c").cast(dec)
     st = j.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("a").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("b").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("a") * F.col("b")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("a") * F.col("a")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("b") * F.col("b")).cast(dec)).cast("double").alias("syy"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(cd * F.col("a")).cast("double").alias("sx"),
+        F.sum(cd * F.col("b")).cast("double").alias("sy"),
+        F.sum(cd * F.col("a") * F.col("b")).cast("double").alias("sxy"),
+        F.sum(cd * F.col("a") * F.col("a")).cast("double").alias("sxx"),
+        F.sum(cd * F.col("b") * F.col("b")).cast("double").alias("syy"),
     )
     nd = F.col("n").cast("double")
     rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (

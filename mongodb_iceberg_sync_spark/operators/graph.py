@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import bcast_gate, t
 
 _DAMPING = 0.85
 _ITERS = 10
@@ -149,9 +149,12 @@ _TRI_TOPK = 20
     "broadcast threshold — same plan, AQE decides).",
 )
 def q_graph_triangles(spark, sf_dir):
+    # r12: one exchange on the co-occurrence key for distinct + both
+    # self-join legs (see q_graph_clustering_coeff)
     pp = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     a, b = pp.alias("a"), pp.alias("b")
@@ -413,14 +416,18 @@ _CN_TOPK = 50
 def q_graph_common_neighbors(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r12: one exchange on the wedge key c serves the distinct, both
+    # wedge legs (AQE reuses the identical shuffle stage) and the
+    # degree aggregations — see q_graph_adamic_adar for the full
+    # rationale (a localCheckpoint would forget the partitioning).
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("l_suppkey").cast("long").alias("s"),
             F.col("o_custkey").cast("long").alias("c"),
         )
+        .repartition("c")
         .distinct()
-        .localCheckpoint(eager=False)  # feeds the wedge join twice + degrees
     )
     deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
     a, b = pairs.alias("a"), pairs.alias("b")
@@ -563,14 +570,23 @@ _AA_MAX_DEG = 128
 def q_graph_adamic_adar(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r12 (guide §2.4 share one exchange): repartition on the wedge key c
+    # BEFORE the distinct — HashPartitioning(c) satisfies the distinct's
+    # ClusteredDistribution(s,c), the cdeg groupBy(c), the kept join and
+    # the wedge self-join, so ONE exchange replaces the old four
+    # (distinct (s,c) + cdeg partial + both wedge legs re-keying the
+    # checkpointed pairs onto c). No localCheckpoint: under AQE a
+    # checkpoint forgets its partitioning (plan shows
+    # UnknownPartitioning), while identical shuffle stages are reused
+    # (ReusedExchange), so both wedge sides read the same one exchange.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("l_suppkey").cast("long").alias("s"),
             F.col("o_custkey").cast("long").alias("c"),
         )
+        .repartition("c")
         .distinct()
-        .localCheckpoint(eager=False)  # read for degrees + both join sides
     )
     # d >= 2: a customer with one supplier forms no wedge, and excluding
     # it up front keeps the 1/ln(d) weight's divisor nonzero (ln(1)=0
@@ -682,20 +698,26 @@ def _kcore_oracle() -> str:
 )
 def q_graph_kcore(spark, sf_dir):
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
-    nodes = edges.select("src").distinct()
+    nodes = edges.select("src").distinct().localCheckpoint(eager=False)
     # The surviving-node set is O(V) vs the O(E) edge table: broadcast
-    # it on both join legs so edges are never shuffled per round; the
-    # peel is monotone (nodes only leave), so an unchanged survivor
-    # COUNT means an unchanged survivor SET and every remaining round
-    # is a no-op — stop early, results identical to the fixed unroll
-    # (the oracle's chained CTEs peel to the same fixpoint).
+    # it on both join legs so edges are never shuffled per round — but
+    # ONLY while the survivor count (already probed per round for the
+    # early exit) stays under the gate: an explicit broadcast hint
+    # overrides autoBroadcastJoinThreshold and fails hard past the
+    # 8 GB / 512M-row cap, so past bcast_gate's threshold the joins
+    # degrade to keyed shuffles instead of aborting. The peel is
+    # monotone (nodes only leave), so an unchanged survivor COUNT
+    # means an unchanged survivor SET and every remaining round is a
+    # no-op — stop early, results identical to the fixed unroll (the
+    # oracle's chained CTEs peel to the same fixpoint).
+    n = nodes.count()
     prev_n = None
-    for _ in range(_KCORE_ROUNDS):
+    for rnd in range(_KCORE_ROUNDS):
         a = nodes.withColumnRenamed("src", "asrc")
         b = nodes.withColumnRenamed("src", "bsrc")
         deg = (
-            edges.join(F.broadcast(a), edges.src == a.asrc)
-            .join(F.broadcast(b), edges.dst == b.bsrc)
+            edges.join(bcast_gate(a, n), edges.src == a.asrc)
+            .join(bcast_gate(b, n), edges.dst == b.bsrc)
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -704,15 +726,24 @@ def q_graph_kcore(spark, sf_dir):
             .select("src")
             .localCheckpoint(eager=False)
         )
-        n = nodes.count()
-        if n == prev_n:
-            break
-        prev_n = n
+        # r12: probe the survivor count every SECOND round (guide §5 —
+        # the peel is driver-cadence-bound at bench scale; the
+        # un-probed round materializes inside the next probe's job).
+        # Sound: the peel is monotone, so n(r) == n(r-2) forces
+        # n(r-1) equal too — the early exit fires at most one (no-op)
+        # round late, and the skipped rounds were no-ops anyway. The
+        # stale n between probes only ever OVERSTATES the survivor
+        # count, so the broadcast gate stays safe.
+        if rnd % 2 == 1 or rnd == _KCORE_ROUNDS - 1:
+            n = nodes.count()
+            if n == prev_n:
+                break
+            prev_n = n
     a = nodes.withColumnRenamed("src", "asrc")
     b = nodes.withColumnRenamed("src", "bsrc")
     final = (
-        edges.join(F.broadcast(a), edges.src == a.asrc)
-        .join(F.broadcast(b), edges.dst == b.bsrc)
+        edges.join(bcast_gate(a, n), edges.src == a.asrc)
+        .join(bcast_gate(b, n), edges.dst == b.bsrc)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -872,15 +903,25 @@ def q_graph_labelprop(spark, sf_dir):
         )
         .localCheckpoint(eager=True)  # reused every superstep
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    # constant across rounds: the argmax agg emits one row per src and
+    # every node appears as src (edges are symmetric), so one count up
+    # front gates every superstep's broadcast
+    n_nodes = nodes.count()
+    labels = nodes.select("node", F.col("node").alias("lab"))
     for rnd in range(_LPA_ROUNDS):
         # label table is O(V) vs O(E) edges: broadcast it so the edge
         # table never shuffles — only the (src, lab) vote aggregate
-        # moves per round (partial-agg map-side)
+        # moves per round (partial-agg map-side). Gated on the node
+        # count: an explicit broadcast hint overrides
+        # autoBroadcastJoinThreshold and aborts past the 8 GB/512M-row
+        # cap, so past the gate this degrades to a keyed join.
         votes = (
-            edges.join(F.broadcast(labels), edges.dst == labels.node)
+            edges.join(bcast_gate(labels, n_nodes), edges.dst == labels.node)
             .groupBy(F.col("src"), F.col("lab"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -952,9 +993,14 @@ _CC_TOPK = 20
     "reference counterpart — graph tier.",
 )
 def q_graph_clustering_coeff(spark, sf_dir):
+    # r12: repartition on the co-occurrence key before the distinct —
+    # HashPartitioning(l_orderkey) satisfies the distinct AND both
+    # self-join legs (AQE reuses the identical shuffle stage), so one
+    # exchange replaces three (see q_graph_adamic_adar)
     pp = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     a, b = pp.alias("a"), pp.alias("b")
@@ -1069,9 +1115,12 @@ def q_graph_clustering_coeff(spark, sf_dir):
     "no reference counterpart — graph tier.",
 )
 def q_graph_summary(spark, sf_dir):
+    # r12: one exchange on the co-occurrence key for distinct + both
+    # self-join legs (see q_graph_clustering_coeff)
     pp = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     a, b = pp.alias("a"), pp.alias("b")
@@ -1175,17 +1224,21 @@ _JC_MAX_SDEG = 4096
 def q_graph_jaccard(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r12: one exchange on the wedge key c serves the distinct, the cdeg
+    # groupBy, the kept join and both wedge legs (AQE shuffle-stage
+    # reuse) — see q_graph_adamic_adar. sdeg's exchange on s is likewise
+    # reused by sok and both join-backs, so the checkpoints only cost
+    # partitioning info here.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("l_suppkey").cast("long").alias("s"),
             F.col("o_custkey").cast("long").alias("c"),
         )
+        .repartition("c")
         .distinct()
     )
-    pairs = pairs.localCheckpoint(eager=False)  # sdeg + wedges read it
     sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    sdeg = sdeg.localCheckpoint(eager=False)  # sok filter + d1/d2 join-backs
     sok = sdeg.filter(F.col("d") <= _JC_MAX_SDEG).select("s")
     cdeg = (
         pairs.groupBy("c")
@@ -1464,6 +1517,13 @@ def q_graph_hits(spark, sf_dir):
     hubs = edges.select(F.col("h").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("score")
     )
+    # score-vector sizes are constant across iterations (every half-step
+    # emits one row per distinct endpoint): one combined count job up
+    # front gates every iteration's broadcast hints
+    vec_n = edges.agg(
+        F.countDistinct("h").alias("nh"), F.countDistinct("a").alias("na")
+    ).head()
+    n_hub, n_auth = vec_n["nh"], vec_n["na"]
     for i in range(_HITS_ITERS):
         # authority half-step: a(c) = sum of hub scores pointing at c
         # (unnormalized — the update is linear, normalization only
@@ -1472,17 +1532,19 @@ def q_graph_hits(spark, sf_dir):
         # table is never shuffled by the join — only the grouped
         # half-step aggregate moves (partial-agg map-side) per
         # iteration (guide: broadcast the side that fits, 20x smaller
-        # here; at vector sizes past the broadcast cap this reverts to
-        # the keyed join, same plan shape).
+        # here). The hint is gated on the counted vector size: an
+        # explicit broadcast hint overrides autoBroadcastJoinThreshold
+        # and aborts past the 8 GB/512M-row cap, so past the gate the
+        # half-steps degrade to keyed joins instead of failing.
         auth = (
-            edges.join(F.broadcast(hubs), edges.h == hubs.node)
+            edges.join(bcast_gate(hubs, n_hub), edges.h == hubs.node)
             .groupBy("a")
             .agg(F.sum("score").alias("score"))
             .withColumnRenamed("a", "node")
         )
         # hub half-step: h(s) = sum of authority scores s points at
         hubs = (
-            edges.join(F.broadcast(auth), edges.a == auth.node)
+            edges.join(bcast_gate(auth, n_auth), edges.a == auth.node)
             .groupBy("h")
             .agg(F.sum("score").alias("score"))
             .withColumnRenamed("h", "node")
@@ -1559,12 +1621,14 @@ def q_graph_hits(spark, sf_dir):
 def q_graph_preferential_attachment(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r12: one exchange on the wedge key c (see q_graph_adamic_adar);
+    # cdeg and the wedge legs reuse it, sdeg re-keys once onto s.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .repartition("c")
         .distinct()
     )
-    pairs = pairs.localCheckpoint(eager=False)  # sdeg + cdeg + kept read it
     sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     cdeg = (
         pairs.groupBy("c")
@@ -1581,9 +1645,12 @@ def q_graph_preferential_attachment(spark, sf_dir):
     )
     d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
     d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    # degrees ride a broadcast join-back onto the candidate pairs — the
+    # same O(V)-degree-table treatment as common_neighbors/jaccard —
+    # instead of re-exchanging the candidate table onto s1 and again s2
     return (
-        cand.join(d1, "s1")
-        .join(d2, "s2")
+        cand.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
         .select(
             "s1",
             "s2",
@@ -1661,9 +1728,15 @@ _RC_LEVELS = (2, 4, 8, 16, 32, 64)
 def q_graph_rich_club(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r12: one exchange on the wedge key c (see q_graph_adamic_adar);
+    # cdeg and both wedge legs reuse it. Checkpoints dropped: they
+    # forget partitioning under AQE, while the edges distinct's
+    # (s1,s2) exchange and pdeg's s exchange are each reused by their
+    # multiple consumers via AQE shuffle-stage reuse.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .repartition("c")
         .distinct()
     )
     cdeg = (
@@ -1679,14 +1752,12 @@ def q_graph_rich_club(spark, sf_dir):
         .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=False)  # pdeg + ek read it
     pdeg = (
         edges.select(F.col("s1").alias("s"))
         .unionAll(edges.select(F.col("s2").alias("s")))
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    pdeg = pdeg.localCheckpoint(eager=False)  # nk + both ek sides read it
     lv = edges.sparkSession.createDataFrame(
         [(k,) for k in _RC_LEVELS], "k long"
     )
@@ -1698,9 +1769,12 @@ def q_graph_rich_club(spark, sf_dir):
     )
     p1 = pdeg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
     p2 = pdeg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    # projected degrees ride broadcast join-backs onto the edge table
+    # (the common_neighbors/jaccard deg treatment) instead of
+    # re-exchanging the edge table onto s1 and again onto s2
     ek = (
-        edges.join(p1, "s1")
-        .join(p2, "s2")
+        edges.join(F.broadcast(p1), "s1")
+        .join(F.broadcast(p2), "s2")
         .crossJoin(F.broadcast(lv))
         .filter((F.col("d1") > F.col("k")) & (F.col("d2") > F.col("k")))
         .groupBy("k")

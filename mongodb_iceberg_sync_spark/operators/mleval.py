@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import spread, t
 
 # Shared per-user example rollup (Spark side) and its SQL twin.
 _USERS_SQL = """
@@ -1426,6 +1426,11 @@ def q_ml_auc_by_group(spark, sf_dir):
 def q_ml_naive_bayes(spark, sf_dir):
     from pyspark.sql import Window
 
+    # NOT spread: measured 1.7s -> 2.4s with a spread() here (r12) — the
+    # explode is cheap (split only) and the added exchange + 32-way
+    # partial-agg maps on (lang, tok) cost more than the parallelism
+    # buys at this corpus size; the downstream aggregations already
+    # parallelize via their own exchanges
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")

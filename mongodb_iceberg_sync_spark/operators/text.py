@@ -1484,7 +1484,9 @@ def _bpe_top_pair(vocab):
     "pure-Python BPE implementation on the same word counts.",
 )
 def q_text_bpe_encode(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread(): the word explode otherwise runs on the parquet file's
+    # single input split (see _util.spread)
+    d = spread(t(spark, sf_dir, "documents"))
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )
@@ -1561,7 +1563,9 @@ _SSD_STRIDE = 10
     "doc.",
 )
 def q_text_substring_dup(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread(): the per-position shingle explode otherwise runs on the
+    # parquet file's single input split (see _util.spread)
+    d = spread(t(spark, sf_dir, "documents"))
     positions = F.sequence(
         F.lit(1),
         F.greatest(F.length("text") - _SSD_LEN + 1, F.lit(1)),
@@ -1660,8 +1664,11 @@ _SFD_MIN_SPAN = 32  # report pairs sharing a span at least this long
     "dedup' primitive: licence blocks, mirrored paragraphs and "
     "boilerplate report their true span length. Scale: the stride-1 "
     "explode is 16x char volume (the honest cost of span exactness — "
-    "substring_dup's stride-10 sampling stays the cheap screen); only "
-    "16-byte hashes + positions shuffle, text never crosses the wire. "
+    "substring_dup's stride-10 sampling stays the cheap screen); the "
+    "shuffle key is the raw 16-char shingle + position (r11: grouping "
+    "on the raw substring is result-identical to md5(substring) and "
+    "skips one md5 per corpus char; the oracle keeps md5 — same "
+    "equivalence classes). "
     "Shingles seen in more than 8 docs are dropped BEFORE the pair "
     "join (mirrored in the oracle), bounding fan-out per shingle at "
     "C(8,2) — the rare-shingle valve q_text_containment uses; the "
@@ -2283,9 +2290,11 @@ def q_text_winnowing(spark, sf_dir):
     "identical float arithmetic on identical integers — the same "
     "discipline as q_ml_logreg's sufficient statistics. Chars come "
     "from position-indexed substr (never engine-specific ''-split "
-    "semantics). Scale: the char explode is linear with map-side "
-    "combine on (doc_id, char) — entropy of a 100 TB corpus is one "
-    "two-level hash agg, no window, no Python. Ref: no reference "
+    "semantics). Scale: the histogram is ROW-LOCAL (r11: sorted char "
+    "array + run lengths inside each row — zero aggregates, zero "
+    "per-char shuffle; assumes the 1M-char doc cap so one row's array "
+    "fits a task comfortably), so entropy of a 100 TB corpus is a "
+    "map-only pass, no window, no Python. Ref: no reference "
     "counterpart — LLM quality-signal tier.",
 )
 def q_text_entropy(spark, sf_dir):
@@ -2306,6 +2315,11 @@ def q_text_entropy(spark, sf_dir):
     # expressions referenced inside a HOF lambda are re-evaluated per
     # element (no CSE across higher-order functions), so inlining these
     # would turn the linear scan quadratic per doc.
+    # sort_array materializes one single-char element per character of
+    # the doc inside a single task — bounded by the generator's 1M-char
+    # doc cap (~tens of MB per max-length row). If that cap is ever
+    # raised, docs past a length threshold should fall back to the old
+    # explode + two-level hash-agg path instead of the row-local sort.
     g1 = d.filter(F.length("text") >= 1).select(
         "doc_id",
         F.length("text").cast("long").alias("total"),
@@ -2385,9 +2399,11 @@ def q_text_entropy(spark, sf_dir):
     "builders use to order or downsample a corpus (a doc with novelty "
     "~0 is assembled from text the corpus already has; exact dups "
     "score 0 except the original). Counts are exact integers; the "
-    "score is one rounded division. Scale: Spark shuffles 16-byte md5 "
-    "shingle keys, never shingle strings (collision odds ~2^-128; the "
-    "oracle joins raw strings — same counts); first-seen is one "
+    "score is one rounded division. Scale: the shuffle key is the raw "
+    "word-3-gram shingle string (r11: the md5 indirection was dropped "
+    "— the oracle itself joins raw strings, and skipping the hash "
+    "saves one md5 per shingle; typical 3-grams are ~20 bytes, close "
+    "to the 16-byte hash it replaced); first-seen is one "
     "map-side-combinable min; the membership join is co-partitioned "
     "on the same key. Ref: no reference counterpart — LLM curriculum "
     "tier.",
@@ -2621,7 +2637,9 @@ def q_text_fertility(spark, sf_dir):
     "counterpart — LLM-pipeline text tier.",
 )
 def q_text_self_bleu(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread(): the split + bigram zip otherwise run on the parquet
+    # file's single input split (see _util.spread)
+    d = spread(t(spark, sf_dir, "documents"))
     # bind the token array BEFORE any indexing lambda: an embedded
     # split() re-evaluates once per array element inside transform —
     # O(words^2) per doc, the measured Catalyst trap from the minhash

@@ -45,6 +45,20 @@ def test_canary_rides_both_payloads_and_line_stays_small():
     assert "canary" not in line2 and "canary" not in full2
 
 
+def test_query_spreads_ride_sidecar_only():
+    # r12: per-query repeat spreads land in the SIDECAR (per-query
+    # co-tenant spikes self-adjudicate) but must never grow the line
+    timings = {f"q{i}": float(i) for i in range(300)}
+    spreads = {f"q{i}": 1.0 + i / 100.0 for i in range(300)}
+    line, full = bench.compact_payloads(timings, 0.1, None, spreads)
+    assert full["query_spreads"] == spreads
+    assert "query_spreads" not in line
+    assert len(json.dumps(line)) < 2048
+    # omitted → sidecar unchanged (back-compat)
+    _, full2 = bench.compact_payloads(timings, 0.1)
+    assert "query_spreads" not in full2
+
+
 def test_slowest_ten_are_the_actual_slowest():
     timings = {f"q{i}": float(i) for i in range(40)}
     line, _ = bench.compact_payloads(timings, 0.01)

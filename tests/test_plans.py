@@ -838,14 +838,28 @@ def test_countmin_sketch_broadcasts_to_probe(spark, sf_dir):
 
 
 def test_substring_dup_shuffles_hashes_not_text(spark, sf_dir):
-    # every exchange's output schema must carry the 16-byte shingle md5
-    # (or doc-keyed aggregates) — never the raw text column
+    # every KEYED exchange's output schema must carry the 16-byte
+    # shingle md5 (or doc-keyed aggregates) — never the raw text
+    # column. The one exception is the r12 spread() exchange: a
+    # round-robin repartition of the NARROW pre-expansion documents
+    # (5k rows) that buys the per-position explode its parallelism —
+    # that one may carry text, but it must be RoundRobin, and there
+    # may be at most one.
     import re
 
     df = SPECS["q_text_substring_dup"].func(spark, sf_dir)
     plan = formatted_plan(df)
-    for m in re.finditer(r"^\(\d+\) Exchange\n(?:.*\n){1,3}", plan, re.M):
-        assert "text#" not in m.group(0), m.group(0)
+    text_exchanges = [
+        m.group(0)
+        for m in re.finditer(r"^\(\d+\) Exchange\n(?:.*\n){1,3}", plan, re.M)
+        if "text#" in m.group(0)
+    ]
+    # the static plan repeats the spread subtree once per consumer of
+    # the shingle stream (AQE reuses the shuffle stage at runtime), so
+    # pin the KIND of exchange, not the count
+    assert text_exchanges, "expected the spread() exchange in the plan"
+    for ex in text_exchanges:
+        assert "RoundRobinPartitioning" in ex, ex
 
 
 def test_datacard_rollups_are_source_keyed(spark, sf_dir):
@@ -1125,16 +1139,26 @@ def test_holt_fold_is_jvm_array_expression(spark, sf_dir):
 
 
 def test_spearman_rank_maps_on_distinct_tables(spark, sf_dir):
-    # the two rank windows must run on DISTINCT-value tables, never
-    # sort the fact; the sufficient-stats agg partial-aggregates
+    # r12 shape: the fact is aggregated ONCE into checkpointed (g,x,y)
+    # contingency cells; the rank windows run on cell rollups and join
+    # back to CELLS, never to fact rows. The static plan therefore
+    # starts at the cells checkpoint scan and must never re-shuffle
+    # anything fact-scale: the bounded x rank map (quantity domain,
+    # <=50 values/group) rides a broadcast join, and every remaining
+    # exchange carries cell-table rollups (9 statically: 2 per rank
+    # map, 2 for the y join's re-key, stats partial->g, final sort,
+    # +1 AQE copy).
     from mongodb_iceberg_sync_spark.plans.explain import count_shuffles
 
     df = SPECS["q_agg_spearman"].func(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # rank maps + join + stats + sort: bounded exchange budget
-    assert count_shuffles(df) <= 8, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    # no fact-row columns may cross an exchange: the cells checkpoint
+    # is the only fact-derived input and it is already aggregated
+    assert "l_extendedprice" not in plan and "l_quantity" not in plan
+    assert count_shuffles(df) <= 9, plan[:1200]
 
 
 def test_kendall_contingency_self_join_is_broadcast(spark, sf_dir):

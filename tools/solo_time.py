@@ -27,7 +27,11 @@ def main() -> int:
     runs = 2
     plan_dir = None
     suffix = ""
+    known = ("--sf-dir=", "--runs=", "--plan-dir=", "--suffix=")
     for a in sys.argv[1:]:
+        if a.startswith("--") and not a.startswith(known):
+            print(f"unknown flag: {a} (known: {', '.join(known)})", file=sys.stderr)
+            return 2
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
         if a.startswith("--runs="):
@@ -36,8 +40,12 @@ def main() -> int:
             plan_dir = a.split("=", 1)[1]
         if a.startswith("--suffix="):
             suffix = a.split("=", 1)[1]
-    spark = get_spark(app_name="mis-solo")
     specs = all_specs()
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="mis-solo")
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
