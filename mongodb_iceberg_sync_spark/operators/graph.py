@@ -712,7 +712,7 @@ def q_graph_kcore(spark, sf_dir):
     # oracle's chained CTEs peel to the same fixpoint).
     n = nodes.count()
     prev_n = None
-    for rnd in range(_KCORE_ROUNDS):
+    for _ in range(_KCORE_ROUNDS):
         a = nodes.withColumnRenamed("src", "asrc")
         b = nodes.withColumnRenamed("src", "bsrc")
         deg = (
@@ -726,19 +726,17 @@ def q_graph_kcore(spark, sf_dir):
             .select("src")
             .localCheckpoint(eager=False)
         )
-        # r12: probe the survivor count every SECOND round (guide §5 —
-        # the peel is driver-cadence-bound at bench scale; the
-        # un-probed round materializes inside the next probe's job).
-        # Sound: the peel is monotone, so n(r) == n(r-2) forces
-        # n(r-1) equal too — the early exit fires at most one (no-op)
-        # round late, and the skipped rounds were no-ops anyway. The
-        # stale n between probes only ever OVERSTATES the survivor
-        # count, so the broadcast gate stays safe.
-        if rnd % 2 == 1 or rnd == _KCORE_ROUNDS - 1:
-            n = nodes.count()
-            if n == prev_n:
-                break
-            prev_n = n
+        # Probe cadence measured, kept at EVERY round (r12): the count
+        # doubles as the materializing action for this round's
+        # checkpoint — skipping it (probe every 2nd round) pushed the
+        # un-probed round's compute into the next round's
+        # broadcast-build job and measured 2.4->4.8s at sf0.1, so the
+        # per-round probe is load-bearing, not overhead. It also feeds
+        # the broadcast gate and the monotone early exit.
+        n = nodes.count()
+        if n == prev_n:
+            break
+        prev_n = n
     a = nodes.withColumnRenamed("src", "asrc")
     b = nodes.withColumnRenamed("src", "bsrc")
     final = (
@@ -903,14 +901,15 @@ def q_graph_labelprop(spark, sf_dir):
         )
         .localCheckpoint(eager=True)  # reused every superstep
     )
+    # constant across rounds: the argmax agg emits one row per src and
+    # every node appears as src (edges are symmetric), so one count up
+    # front gates every superstep's broadcast (eager=False — the count
+    # is the materializing action, one job not two)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # constant across rounds: the argmax agg emits one row per src and
-    # every node appears as src (edges are symmetric), so one count up
-    # front gates every superstep's broadcast
     n_nodes = nodes.count()
     labels = nodes.select("node", F.col("node").alias("lab"))
     for rnd in range(_LPA_ROUNDS):
@@ -1729,10 +1728,11 @@ def q_graph_rich_club(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # r12: one exchange on the wedge key c (see q_graph_adamic_adar);
-    # cdeg and both wedge legs reuse it. Checkpoints dropped: they
-    # forget partitioning under AQE, while the edges distinct's
-    # (s1,s2) exchange and pdeg's s exchange are each reused by their
-    # multiple consumers via AQE shuffle-stage reuse.
+    # cdeg and both wedge legs reuse it. BELOW the wedge join the
+    # checkpoints stay (A/B'd: dropping them re-plans the pairs subtree
+    # into every pdeg/ek branch — 5.5 s vs 3.9 s at sf0.1 — and none of
+    # the downstream consumers can use the forgotten partitioning
+    # anyway: pdeg re-keys onto s, ek rides broadcast join-backs).
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
@@ -1751,12 +1751,14 @@ def q_graph_rich_club(spark, sf_dir):
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .distinct()
+        .localCheckpoint(eager=False)  # pdeg + ek read it
     )
     pdeg = (
         edges.select(F.col("s1").alias("s"))
         .unionAll(edges.select(F.col("s2").alias("s")))
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)  # nk + both ek join-backs read it
     )
     lv = edges.sparkSession.createDataFrame(
         [(k,) for k in _RC_LEVELS], "k long"
